@@ -1,0 +1,189 @@
+package graft.ops
+
+import java.util.regex.Pattern
+import scala.collection.mutable.ArrayBuffer
+
+/** F1 `clean_corpus` — the reference's flagship text-cleaning operator,
+  * re-implemented as a pure JVM function (SURVEY.md §2.8 F1, §7.4 #1).
+  *
+  * Semantics mirror fda_rag_extraction/scripts/json_split_and_clean.py:16-243
+  * exactly, including its quirks:
+  *
+  *  - a line matching a cutoff pattern truncates the document (the line and
+  *    everything after it is dropped) … (json_split_and_clean.py:195-197)
+  *  - … UNLESS dosage info appears within the next 15 lines, or within 15
+  *    lines after a later line ending in ':', or the previous kept line ends
+  *    in ':' (json_split_and_clean.py:149-190). A rescued cutoff line then
+  *    falls through the remaining filters and — contrary to the reference's
+  *    own comment — is KEPT (its `continue` targets the pattern loop, not
+  *    the line loop; json_split_and_clean.py:186-190). Preserved as-is.
+  *  - blank lines are dropped except immediately after a kept line ending
+  *    in ':' (json_split_and_clean.py:113-118)
+  *  - boilerplate patterns are start-anchored matches; repeated headers are
+  *    exact (case-sensitive) standalone lines (json_split_and_clean.py:203-215)
+  *  - post-pass: unicode dash/quote normalization, space-run collapse,
+  *    3+-newline collapse, final trim (json_split_and_clean.py:222-241)
+  *
+  * The per-line scan is stateful with lookahead, so it is deliberately a
+  * scalar JVM function (wrapped as a codegen-friendly Catalyst expression in
+  * [[graft.expr.CleanCorpusExpr]]) rather than a column composition — the
+  * stateless layers alone are available in [[TextOps]] for oracle-checkable
+  * queries.
+  */
+object CleanCorpus {
+
+  private val MaxLookahead = 5
+  private val ExtendedLookahead = MaxLookahead * 3 // 15 lines
+
+  // json_split_and_clean.py:37-59
+  private val cutoffPatterns: Array[Pattern] = Array(
+    ".*This review.*used.*Assessment Aid.*",
+    ".*This review was conducted.*Assessment Aid.*",
+    ".*This review used.*Real-Time Oncology Review.*",
+    ".*This review used.*RTOR.*",
+    ".*This review was conducted under Project Orbis.*",
+    ".*The application was granted.*priority review.*",
+    ".*The application was granted.*breakthrough.*",
+    ".*The application was granted.*orphan.*",
+    ".*granted.*priority review.*",
+    ".*granted.*breakthrough designation.*",
+    ".*granted.*orphan drug designation.*",
+    ".*received.*orphan drug designation.*",
+    ".*received.*breakthrough designation.*",
+    ".*received.*priority review.*"
+  ).map(ci)
+
+  // json_split_and_clean.py:64-93 (start-anchored: Python re.match)
+  private val removePatterns: Array[Pattern] = Array(
+    "^Follow the Oncology Center of Excellence.*",
+    "^Follow the Oncology Center of Excellence on X.*",
+    "^Follow the Oncology Center of Excellence on X \\(formerly Twitter\\).*",
+    "^Follow the Oncology Center of Excellence on Twitter.*",
+    "^Follow us on X.*",
+    "^Healthcare professionals should report all serious adverse events.*",
+    "^Full prescribing information for\\s+.*",
+    "^View full prescribing information for\\s+.*",
+    "^See full prescribing information for\\s+.*",
+    "^For assistance with single-patient INDs for investigational oncology products.*",
+    "^FDA expedited programs are described in the Guidance for Industry.*",
+    "^A description of FDA expedited programs is in the Guidance.*",
+    "^FDA expedited programs are described in the Guidance.*",
+    "^For information on the COVID-19 pandemic.*",
+    "^FDA: Coronavirus Disease 2019 \\(COVID-19\\).*",
+    "^CDC: Coronavirus \\(COVID-19\\).*"
+  ).map(ci)
+
+  // json_split_and_clean.py:96-100 (exact standalone lines, case-sensitive)
+  private val headersToRemove: Set[String] =
+    Set("Efficacy and Safety", "Recommended Dosage", "Expedited Programs")
+
+  // json_split_and_clean.py:123-131
+  private val dosagePatterns: Array[Pattern] = Array(
+    ".*\\d+\\s*(kg|mg|g|mcg).*",
+    ".*less than.*\\d+.*",
+    ".*greater than.*\\d+.*",
+    ".*\\d+\\s*(or|and)\\s*(greater|less).*",
+    ".*orally.*twice.*daily.*",
+    ".*orally.*once.*daily.*",
+    ".*mg.*orally.*"
+  ).map(ci)
+
+  private def ci(p: String): Pattern =
+    Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+
+  /** Python `str.strip()` parity: Java's isWhitespace misses NBSP-family
+    * code points that Python's `str.isspace` includes. */
+  private def isPySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u00A0' || c == '\u2007' ||
+      c == '\u202F' || c == '\u0085'
+
+  private def pyStrip(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && isPySpace(s.charAt(i))) i += 1
+    while (j > i && isPySpace(s.charAt(j - 1))) j -= 1
+    s.substring(i, j)
+  }
+
+  private def isDosage(s: String): Boolean = {
+    var k = 0
+    while (k < dosagePatterns.length) {
+      if (dosagePatterns(k).matcher(s).find()) return true
+      k += 1
+    }
+    false
+  }
+
+  /** Dosage info in `lines(from until untilExcl)` (stripped, non-empty)? */
+  private def dosageAhead(lines: Array[String], from: Int, untilExcl: Int): Boolean = {
+    var k = from
+    val end = math.min(untilExcl, lines.length)
+    while (k < end) {
+      val l = pyStrip(lines(k))
+      if (l.nonEmpty && isDosage(l)) return true
+      k += 1
+    }
+    false
+  }
+
+  def clean(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    val lines = text.split("\n", -1)
+    val kept = new ArrayBuffer[String](lines.length)
+
+    var idx = 0
+    var truncated = false
+    while (idx < lines.length && !truncated) {
+      val stripped = pyStrip(lines(idx))
+      if (stripped.isEmpty) {
+        // blank kept only right after a ':'-terminated kept line (:113-118)
+        if (kept.nonEmpty && kept.last.endsWith(":")) kept += ""
+      } else {
+        var isCutoff = false
+        var p = 0
+        while (p < cutoffPatterns.length && !isCutoff) {
+          if (cutoffPatterns(p).matcher(stripped).find()) {
+            val prevSuggestsList = kept.nonEmpty && kept.last.endsWith(":")
+            var followup = false
+            // direct 15-line lookahead for dosage info (:152-168)
+            var la = idx + 1
+            val laEnd = math.min(idx + ExtendedLookahead + 1, lines.length)
+            while (la < laEnd && !followup) {
+              val look = pyStrip(lines(la))
+              if (look.nonEmpty) {
+                if (isDosage(look)) followup = true
+                // a later ':' line opens a further 15-line window (:170-183)
+                else if (look.endsWith(":") &&
+                  dosageAhead(lines, la + 1, la + ExtendedLookahead + 1))
+                  followup = true
+              }
+              la += 1
+            }
+            if (followup || prevSuggestsList) {
+              // rescued: try remaining cutoff patterns; line falls through
+              // and is kept (reference quirk, see scaladoc)
+              p += 1
+            } else isCutoff = true
+          } else p += 1
+        }
+        if (isCutoff) truncated = true
+        else {
+          val boilerplate = removePatterns.exists(_.matcher(stripped).lookingAt())
+          if (!boilerplate && !headersToRemove.contains(stripped))
+            kept += stripped
+        }
+      }
+      idx += 1
+    }
+
+    // post-pass (:222-241)
+    var out = kept.mkString("\n")
+    out = out
+      .replace('–', '-').replace('—', '-').replace('−', '-')
+      .replace('‘', '\'').replace('’', '\'')
+      .replace('“', '"').replace('”', '"')
+    out = out.replaceAll(" +", " ")
+    out = out.replaceAll("\n{3,}", "\n\n")
+    pyStrip(out)
+  }
+}

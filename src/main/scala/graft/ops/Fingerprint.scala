@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fingerprinting, dedup, and delta-ingest core (SURVEY.md §2.3/§2.4/§2.7:
+  * P1/P2, D1/D2, J1, U1). This is the heart of the reference's idempotent
+  * ingest: deterministic MD5 ids → anti-join vs the master table → union
+  * update with new-records-first ordering.
+  *
+  * Scale notes: the anti-join broadcasts when the master fits
+  * (`spark.sql.autoBroadcastJoinThreshold`); at 100 TB the master is
+  * hash-partitioned on `rag_id` so the anti-join is a co-partitioned
+  * shuffle once, reused by the union update (same key).
+  */
+object Fingerprint {
+
+  /** P1 — deterministic doc id = MD5 of the url/basis string, null-safe.
+    * Ref: fda_rag_extraction/scripts/fda_watcher.py:86-93. */
+  def ragId(basis: Column): Column = md5(basis)
+
+  /** P2 — id basis: url if non-empty else `title_date`.
+    * Ref: fda_rag_extraction/scripts/fda_watcher.py:328. */
+  def idBase(url: Column, title: Column, date: Column): Column =
+    coalesce(nullif(trim(url), lit("")), concat_ws("_", title, date))
+
+  /** D2 — content hash of the cleaned corpus for change detection.
+    * Ref: fda_rag_extraction/scripts/json_split_and_clean.py:313. */
+  def contentHash(corpus: Column): Column = md5(corpus)
+
+  /** D1 — idempotent dedup by fingerprint: one surviving row per rag_id,
+    * deterministically the minimum `tieBreak` (dropDuplicates keeps an
+    * arbitrary row — unacceptable for a reproducible engine).
+    * Ref: fda_rag_extraction/scripts/fda_watcher.py:86-93 + README claim. */
+  def dedupByFingerprint(df: DataFrame, idCol: String, tieBreak: String): DataFrame = {
+    val others = df.columns.filter(c => c != idCol && c != tieBreak)
+    // min_by pairs every column with the tie-break key in one hash
+    // aggregate — single shuffle on the fingerprint, no window sort.
+    df.groupBy(col(idCol))
+      .agg(min(col(tieBreak)).as(tieBreak),
+        others.map(c => min_by(col(c), col(tieBreak)).as(c)): _*)
+      .select(df.columns.map(col): _*)
+  }
+
+  /** J1 — delta detection: rows of `fresh` whose id is absent from
+    * `master`. Broadcast-anti when master is small.
+    * Ref: fda_rag_extraction/scripts/fda_watcher.py:399-400. */
+  def deltaAntiJoin(fresh: DataFrame, master: DataFrame, idCol: String): DataFrame =
+    fresh.join(master.select(col(idCol)), Seq(idCol), "left_anti")
+
+  /** U1 — master update: new records first, then the old master. Row order
+    * is not a Spark table property, so the contract is materialized as an
+    * explicit `ingest_seq` (0 = newest batch).
+    * Ref: fda_rag_extraction/scripts/fda_watcher.py:549-553. */
+  def unionMasterUpdate(fresh: DataFrame, master: DataFrame, seqCol: String): DataFrame =
+    fresh.withColumn(seqCol, lit(0L))
+      .unionByName(master.withColumn(seqCol, lit(1L)))
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar text/cleaning column functions (SURVEY.md §2.8 F-family).
+  *
+  * Each op is a pure `Column => Column` built from codegen'd Spark
+  * `functions._` — no UDFs — so Catalyst can push/fold/pipeline them.
+  * Reference semantics cited per-op (file:line under /root/reference/).
+  */
+object TextOps {
+
+  /** F2 — remove markdown image tags `![alt](url)`.
+    * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:116. */
+  def stripMarkdownImages(c: Column): Column =
+    regexp_replace(c, "!\\[.*?\\]\\(.*?\\)", "")
+
+  /** F3 — strip `markdown='…'` extraction-artifact wrapper.
+    * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:110-113. */
+  def stripMarkerWrapper(c: Column): Column =
+    when(c.startsWith("markdown='") && c.endsWith("'"),
+      c.substr(lit(11), length(c) - 11)).otherwise(c)
+
+  /** F4 — turn literal `\n` escapes into real newlines, then trim.
+    * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:119. */
+  def unescapeNewlines(c: Column): Column =
+    trim(regexp_replace(c, "\\\\n", "\n"))
+
+  /** F5 — collapse runs of spaces to one, 3+ newlines to 2.
+    * Ref: fda_rag_extraction/scripts/json_split_and_clean.py:236-238. */
+  def collapseWhitespace(c: Column): Column =
+    regexp_replace(regexp_replace(c, " +", " "), "\n{3,}", "\n\n")
+
+  /** F6 — normalize unicode dashes/quotes to ASCII.
+    * Ref: fda_rag_extraction/scripts/json_split_and_clean.py:222-232. */
+  def normalizeUnicodePunct(c: Column): Column =
+    translate(c, "–—−‘’“”", "---''\"\"")
+
+  /** F7 — comparison normal form: lower+strip, then punct→space, then
+    * whitespace-run collapse. NOTE: the reference strips BEFORE the
+    * punctuation substitution, so a trailing punctuation mark leaves a
+    * trailing space — preserved for verify-decision parity.
+    * Ref: pdf_extraction/pubmed_enrichment.py:254-260. */
+  def normalizeForCompare(c: Column): Column =
+    regexp_replace(regexp_replace(trim(lower(c)), "[^\\w\\s]", " "), "\\s+", " ")
+
+  /** F8 — canonical DOI: lower/trim, strip doi.org / doi: prefixes.
+    * Ref: pdf_extraction/pubmed_enrichment.py:262-268. */
+  def normalizeDoi(c: Column): Column =
+    regexp_replace(lower(trim(c)), "^(https?://doi\\.org/|doi:\\s*)", "")
+
+  /** F10 — publication year from citation `(YYYY)`; caller supplies the
+    * default (reference uses current year — non-deterministic, so tests
+    * pin it). Ref: pdf_extraction/combine_json_to_jsonl.py:40-43. */
+  def extractYear(citation: Column, default: Column): Column =
+    coalesce(nullif(regexp_extract(citation, "\\((\\d{4})\\)", 1), lit("")), default)
+
+  /** F11 — title cleaned for search: `[;:,]` → space, trim.
+    * Ref: pdf_extraction/pubmed_enrichment.py:149. */
+  def cleanTitleForSearch(c: Column): Column =
+    trim(regexp_replace(c, "[;:,]", " "))
+
+  /** F18 — whole-record fallback serialization.
+    * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:98. */
+  def recordToJsonString(cols: Column*): Column = to_json(struct(cols: _*))
+
+  /** P6 — non-empty default: value if non-blank else fallback.
+    * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:96-104. */
+  def defaultNonEmpty(c: Column, fallback: Column): Column =
+    coalesce(nullif(trim(c), lit("")), fallback)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column⇄Expression converters of Spark 4's
+  * classic API, so graft's custom Catalyst expressions can surface as
+  * `Column`s. Lives under `org.apache.spark.sql` for access, exposes a
+  * public face for the `graft` package. */
+object ColumnBridge {
+  def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
+  def toCol(e: Expression): Column = ExpressionUtils.column(e)
+}

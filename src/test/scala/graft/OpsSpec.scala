@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{TextOps, Enrich, Fingerprint}
+import graft.expr.{functions => gf}
+
+/** Column-op behavior through the real Spark engine (local[4]) — exercises
+  * codegen paths of both the built-in compositions and the custom
+  * expressions. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(colExpr: org.apache.spark.sql.Column, input: String): String =
+    Seq(input).toDF("c").select(colExpr.as("r")).collect()(0).getString(0)
+
+  test("formatAuthors: 0/1/2/3/4 authors (pubmed_enrichment.py:235-244)") {
+    val df = Seq(
+      (0, Seq.empty[String]),
+      (1, Seq("Smith J")),
+      (2, Seq("Smith J", "Doe A")),
+      (3, Seq("Smith J", "Doe A", "Roe B")),
+      (4, Seq("Smith J", "Doe A", "Roe B", "Poe C"))
+    ).toDF("n", "authors")
+    val got = df.select($"n", Enrich.formatAuthors($"authors").as("f"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(0) == "Unknown")
+    assert(got(1) == "Smith J")
+    assert(got(2) == "Smith J, & Doe A")
+    assert(got(3) == "Smith J, Doe A, & Roe B")
+    assert(got(4) == "Smith J et al.")
+  }
+
+  test("buildCitation with and without DOI") {
+    val df = Seq(("A et al.", "2024", "T", "J", "10.1/x"),
+      ("A et al.", "2024", "T", "J", null)).toDF("a", "y", "t", "j", "d")
+    val got = df.select(Enrich.buildCitation($"a", $"y", $"t", $"j", $"d").as("c"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "A et al.. (2024). T. J. https://doi.org/10.1/x")
+    assert(got(1) == "A et al.. (2024). T. J")
+  }
+
+  test("buildLink prefers DOI") {
+    val df = Seq(("10.1/x", "123"), (null, "456")).toDF("d", "p")
+    val got = df.select(Enrich.buildLink($"d", $"p").as("l")).collect().map(_.getString(0))
+    assert(got(0) == "https://doi.org/10.1/x")
+    assert(got(1) == "https://pubmed.ncbi.nlm.nih.gov/456")
+  }
+
+  test("stripMarkerWrapper removes wrapper only when fully wrapped") {
+    assert(one(TextOps.stripMarkerWrapper($"c"), "markdown='body text'") == "body text")
+    assert(one(TextOps.stripMarkerWrapper($"c"), "plain") == "plain")
+  }
+
+  test("unescapeNewlines + collapseWhitespace") {
+    assert(one(TextOps.unescapeNewlines($"c"), """a\nb""") == "a\nb")
+    assert(one(TextOps.collapseWhitespace($"c"), "a   b\n\n\n\nc") == "a b\n\nc")
+  }
+
+  test("normalizeForCompare keeps reference's trailing-space quirk") {
+    assert(one(TextOps.normalizeForCompare($"c"), "Hello, World!") == "hello world ")
+  }
+
+  test("normalizeDoi strips prefixes") {
+    assert(one(TextOps.normalizeDoi($"c"), "https://doi.org/10.1/X") == "10.1/x")
+    assert(one(TextOps.normalizeDoi($"c"), "DOI: 10.2/y") == "10.2/y")
+    assert(one(TextOps.normalizeDoi($"c"), " 10.3/z ") == "10.3/z")
+  }
+
+  test("custom expressions work via SQL registration (similarity/clean_corpus/extract_doi)") {
+    gf.registerAll(spark)
+    val r = spark.sql(
+      "SELECT similarity('kitten','sitting') s, clean_corpus('a  b') c, extract_doi('x 10.1234/ok y') d")
+      .collect()(0)
+    assert(math.abs(r.getDouble(0) - 8.0 / 13) < 1e-12)
+    assert(r.getString(1) == "a b")
+    assert(r.getString(2) == "10.1234/ok")
+  }
+
+  test("similarity expression survives codegen on a real column scan") {
+    val df = Seq(("abc", "abc"), ("abc", "abd"), (null, "x")).toDF("a", "b")
+    val got = df.select(gf.similarity($"a", $"b").as("s")).collect()
+    assert(got(0).getDouble(0) == 1.0)
+    assert(got(1).getDouble(0) > 0.5 && got(1).getDouble(0) < 1.0)
+    assert(got(2).isNullAt(0))
+  }
+
+  test("dedupByFingerprint is idempotent and keeps min tie-break") {
+    val df = Seq(("k1", 5L, "a"), ("k1", 2L, "b"), ("k2", 9L, "c"))
+      .toDF("rag_id", "doc_id", "source")
+    val d1 = Fingerprint.dedupByFingerprint(df, "rag_id", "doc_id")
+    val rows = d1.orderBy($"rag_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "k1" && rows(0).getLong(1) == 2L && rows(0).getString(2) == "b")
+    val d2 = Fingerprint.dedupByFingerprint(d1, "rag_id", "doc_id")
+    assert(d2.collect().toSet == d1.collect().toSet)
+  }
+
+  test("deltaAntiJoin ∪ master covers all; delta ∩ master = ∅") {
+    val all = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("rag_id", "v")
+    val master = Seq(("a", 0)).toDF("rag_id", "v")
+    val delta = Fingerprint.deltaAntiJoin(all, master, "rag_id")
+    val ids = delta.select("rag_id").as[String].collect().toSet
+    assert(ids == Set("b", "c"))
+  }
+}

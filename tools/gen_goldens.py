@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Generate golden fixtures for the non-SQL-expressible operators by running
+the reference implementations (read-only import from /root/reference) and
+CPython stdlib difflib on hand-built inputs. Outputs JSON into
+src/test/resources/goldens/. Regenerate with: python3 tools/gen_goldens.py
+"""
+import sys, json, importlib.util, os
+from difflib import SequenceMatcher
+
+OUT = os.path.join(os.path.dirname(__file__), "..", "src/test/resources/goldens")
+os.makedirs(OUT, exist_ok=True)
+
+
+def load(name, path):
+    spec = importlib.util.spec_from_file_location(name, path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+# import clean_corpus without running the module's __main__/logging side
+# effects: json_split_and_clean configures logging at import; tolerate it.
+os.chdir("/tmp")
+jsc = load("jsc", "/root/reference/fda_rag_extraction/scripts/json_split_and_clean.py")
+import ast, re as _re
+_src = open("/root/reference/pdf_extraction/pdf_marker_extraction.py").read()
+_tree = ast.parse(_src)
+_fn = next(n for n in _tree.body if isinstance(n, ast.FunctionDef) and n.name == "extract_doi")
+_ns = {"re": _re, "Optional": None.__class__}
+from typing import Optional as _Opt
+_ns["Optional"] = _Opt
+exec(compile(ast.Module(body=[_fn], type_ignores=[]), "<doi>", "exec"), _ns)
+class pme:
+    extract_doi = staticmethod(_ns["extract_doi"])
+
+# ── clean_corpus fixtures (FIXTURES.md B2 families + quirk probes) ──────
+CUT = "This review was conducted under Project Orbis with international partners."
+GRANT = "The application was granted priority review for this indication."
+cases = [
+    # 1 boilerplate-start removed; same phrase mid-line kept
+    "Follow the Oncology Center of Excellence on X for updates.\nReal content here.\nPlease Follow the Oncology Center of Excellence mid-line stays.",
+    # 2 plain cutoff truncates
+    f"Intro line.\nEfficacy was shown.\n{CUT}\nTrailing boilerplate.\nMore trailing.",
+    # 3 dosage rescue within 15 lines
+    f"Intro.\n{CUT}\nSome filler.\nThe recommended dose is 120 mg orally once daily.\nAfter dosage content.",
+    # 4 colon-rescue: previous kept line ends with ':'
+    f"Dosing schedule:\n{GRANT}\nStill present content.",
+    # 5 repeated standalone headers removed (exact, case-sensitive)
+    "Recommended Dosage\nTake with water.\nEfficacy and Safety\nWorks well.\nrecommended dosage stays lowercase.",
+    # 6 unicode normalization
+    "En–dash em—dash minus−sign ‘single’ “double” quotes.",
+    # 7 whitespace: space runs, 3+ newlines, blank-after-colon
+    "Header:\n\nitem 1\n\n\n\n\nitem   2   spaced.",
+    # 8 cutoff with dosage beyond 15 lines → NOT rescued
+    f"Intro.\n{CUT}\n" + "\n".join(f"filler {i}" for i in range(16)) + "\n50 mg daily too late.",
+    # 9 ':'-line within lookahead opens nested window rescue
+    f"Intro.\n{GRANT}\nheading soon:\n" + "\n".join(f"pad {i}" for i in range(5)) + "\nLess than 50 kg: reduce dose.",
+    # 10 empty input / whitespace-only
+    "", "   \n  \n",
+    # 11 min-length interplay: short fragment
+    "tiny",
+    # 12 multiple cutoffs: first real cutoff wins
+    f"Keep.\n{GRANT}\nGone after grant? No wait.\n{CUT}\nAfter orbis.",
+    # 13 dosage rescue where cutoff line itself kept (quirk: rescued line falls through)
+    f"Intro.\nThe application was granted breakthrough designation today.\n20 mg orally twice daily.\nEnd.",
+    # 14 nbsp + unicode whitespace strip parity
+    "  padded line  \nnormal.",
+]
+goldens = [{"input": c, "expected": jsc.clean_corpus(c)} for c in cases]
+json.dump(goldens, open(f"{OUT}/clean_corpus.json", "w"), ensure_ascii=False, indent=1)
+
+# ── similarity fixtures (difflib ratio parity, incl. autojunk ≥200) ─────
+pairs = [
+    ("", ""), ("abc", ""), ("abc", "abc"), ("abcd", "bcde"),
+    ("Randomized Trial of Examplinib in NSCLC", "Randomised Trial of Examplinib in NSCLC"),
+    ("The quick brown fox", "the quick brown fox"),
+    ("alpha beta gamma", "gamma beta alpha"),
+    ("a" * 250 + "xyz", "a" * 250 + "xzy"),      # autojunk territory
+    ("ab" * 150, "ba" * 150),
+    ("Study of pembrolizumab plus chemotherapy", "Study of pembrolizumab plus chemotherapy."),
+    ("kitten", "sitting"), ("abcdefghij", "jihgfedcba"),
+]
+sims = [{"a": a, "b": b, "ratio": SequenceMatcher(None, a, b).ratio()} for a, b in pairs]
+json.dump(sims, open(f"{OUT}/similarity.json", "w"), ensure_ascii=False, indent=1)
+
+# ── extract_doi fixtures ────────────────────────────────────────────────
+doi_cases = [
+    "Title page\ndoi: 10.1234/abc.def-12\nAuthors...",
+    "No doi here at all.",
+    "In the References section: 10.9999/should.be.vetoed",
+    "As cited previously 10.5555/also.vetoed near the word",
+    "Prefix " + "x" * 5100 + " 10.1234/beyond.window",
+    "Trailing punct 10.1234/abc.def).,; end",
+    "Short 10.12/ab too short digits",  # \d{4,} fails -> no match
+    "Valid then vetoed 10.1111/first.ok and later bibliography mention 10.2222/second",
+    "Bibliography\n10.3333/vetoed.start then far away " + "y" * 300 + " 10.4444/far.ok",
+]
+dois = [{"text": t, "doi": pme.extract_doi(t)} for t in doi_cases]
+json.dump(dois, open(f"{OUT}/extract_doi.json", "w"), ensure_ascii=False, indent=1)
+
+print("wrote", os.listdir(OUT))
