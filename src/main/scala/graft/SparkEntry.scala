@@ -4,7 +4,8 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis}
+import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -339,6 +340,71 @@ object SparkEntry {
           .otherwise(lit("")))
       t(s, dir, "documents").select(col("doc_id"),
         gf.extract_doi(txt).as("doi"))
+    },
+    // ── Scale extensions: dedup / similarity-search / text analytics ────
+    "dedup_exact_groups" -> { (s, dir) =>
+      // exact dup detection on a corpus with injected re-ingest dups
+      val docs = t(s, dir, "documents")
+      val doubled = docs.unionByName(docs.filter(col("doc_id") % 3 === 0))
+      Dedup.exactDupGroups(doubled, "doc_id", "text")
+    },
+
+    "dedup_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        "n_chars", threshold = 0.5)
+    },
+
+    "dedup_minhash_lsh" -> { (s, dir) =>
+      // rows-only: signature banding is hash-seeded (not SQL-expressible);
+      // recall vs the exact n-gram pairs is pinned in DedupSpec
+      Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.5)
+    },
+
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup.simHashNearDups(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 6)
+    },
+
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+    },
+
+    "ann_bruteforce_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Vectors.annBruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+    },
+
+    "ann_lsh_bucketed" -> { (s, dir) =>
+      // rows-only: bucket membership depends on seeded hyperplanes;
+      // candidate-correctness pinned in VectorsSpec
+      val e = t(s, dir, "embeddings")
+      Vectors.annLshTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+    },
+
+    "text_token_stats" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.tokenStats(col("text")): _*)
+    },
+
+    "text_quality_score" -> { (s, dir) =>
+      t(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
+    },
+
+    "text_lang_id" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    "text_fingerprint" -> { (s, dir) =>
+      // rows-only: winnowing fingerprint (stateful scan); semantics pinned
+      // in SketchesSpec; the md5 content-hash variant is oracle-checked (d2)
+      t(s, dir, "documents").select(col("doc_id"),
+        sf.rolling_fingerprint(col("text")).as("fp"))
     }
   )
 
@@ -566,6 +632,89 @@ object SparkEntry {
     "t2_window_hourly" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
-         FROM events GROUP BY date_trunc('hour', make_timestamp(epoch_us(ts)))"""
+         FROM events GROUP BY date_trunc('hour', make_timestamp(epoch_us(ts)))""",
+
+    "dedup_exact_groups" ->
+      """WITH doubled AS (
+           SELECT * FROM documents
+           UNION ALL SELECT * FROM documents WHERE doc_id % 3 = 0)
+         SELECT md5(text) AS content_hash, count(*) AS n_dups,
+           list_sort(list(doc_id)) AS ids
+         FROM doubled GROUP BY md5(text) HAVING count(*) > 1""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+             ELSE [] END AS sh,
+             CAST(floor(n_chars / 32) AS BIGINT) AS bkt
+           FROM documents),
+         probe AS (SELECT doc_id AS i, n_chars AS len_i, sh AS sh_i,
+           unnest([bkt - 1, bkt, bkt + 1]) AS bkt FROM t)
+         SELECT i, j, jac FROM (
+           SELECT probe.i, t.doc_id AS j,
+             len(list_intersect(probe.sh_i, t.sh)) * 1.0 /
+               len(list_distinct(list_concat(probe.sh_i, t.sh))) AS jac
+           FROM probe JOIN t ON probe.bkt = t.bkt AND probe.i < t.doc_id
+             AND abs(probe.len_i - t.n_chars) <= 20)
+         WHERE jac >= 0.5""",
+
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS i, b.vec_id AS j
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+
+    "ann_bruteforce_topk" ->
+      """SELECT qid, cid, rk FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS rk
+           FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rk <= 5""",
+
+    "text_token_stats" ->
+      """SELECT doc_id,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha
+         FROM documents""",
+
+    "text_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t)
+         SELECT doc_id, n_tokens, n_uniq, n_stop,
+           CAST(floor(100 * (0.7 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+             0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS q_score
+         FROM c""",
+
+    "text_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         sc AS (SELECT doc_id,
+           len(list_filter(toks, tk -> list_contains(['the','and','is','of'], tk))) AS s_en,
+           len(list_filter(toks, tk -> list_contains(['der','und','ist','das'], tk))) AS s_de,
+           len(list_filter(toks, tk -> list_contains(['el','los','es','de'], tk))) AS s_es,
+           len(list_filter(toks, tk -> list_contains(['le','les','est','et'], tk))) AS s_fr,
+           len(list_filter(toks, tk -> list_contains(['的','是','在','了'], tk))) AS s_zh
+           FROM t),
+         b AS (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best FROM sc)
+         SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en'
+                WHEN s_de = best THEN 'de'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM b"""
   )
+
 }

@@ -1,0 +1,67 @@
+package graft.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.Sketches
+
+/** Codegen-callable static entry points for the sketch expressions. */
+object SketchRuntime {
+  // coefficient table is deterministic (seed 42) and shared per-JVM
+  private val coeffCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[(Long, Long)]]()
+  private def coeffs(n: Int): Array[(Long, Long)] =
+    coeffCache.computeIfAbsent(n, k => Sketches.minHashCoeffs(k))
+
+  def minhash(t: UTF8String, shingleK: Int, numHashes: Int): GenericArrayData =
+    new GenericArrayData(
+      Sketches.minHashSignature(t.toString, shingleK, coeffs(numHashes)))
+
+  def simhash(t: UTF8String): Long = Sketches.simHash64(t.toString)
+
+  def rollingFp(t: UTF8String): Long = Sketches.rollingFingerprint(t.toString)
+}
+
+/** `minhash_signature(text)` → array<bigint> of length `numHashes`. */
+case class MinHashSignatureExpr(child: Expression, shingleK: Int = 3,
+    numHashes: Int = 64) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.minhash(t.asInstanceOf[UTF8String], shingleK, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expr.SketchRuntime.minhash($t, $shingleK, $numHashes)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `simhash64(text)` → bigint. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.simhash(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.simhash($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `rolling_fingerprint(text)` → bigint (winnowing-style doc fingerprint). */
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.rollingFp(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.rollingFp($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+object sketchFunctions {
+  def minhash_signature(c: Column, shingleK: Int = 3, numHashes: Int = 64): Column =
+    toCol(MinHashSignatureExpr(toExpr(c), shingleK, numHashes))
+  def simhash64(c: Column): Column = toCol(SimHash64Expr(toExpr(c)))
+  def rolling_fingerprint(c: Column): Column = toCol(RollingFingerprintExpr(toExpr(c)))
+}

@@ -1,0 +1,138 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.expr.sketchFunctions._
+
+/** Deduplication operators for large-scale corpus curation — the scale
+  * generalization of the reference's fingerprint dedup (SURVEY §2.4; the
+  * reference itself only has exact MD5 identity, fda_watcher.py:86-93).
+  *
+  * Four near-dup families, all shuffle-bounded (no cross join of the full
+  * corpus anywhere):
+  *
+  *  - exact:       hash-groupBy on md5(content)             — 1 shuffle
+  *  - n-gram Jaccard: length-band blocked pair join          — shuffle on band
+  *  - MinHash+LSH: signature → band buckets → verified pairs — shuffle on band key
+  *  - SimHash:     64-bit sketch → 16-bit chunk buckets (pigeonhole: any
+  *                 pair with hamming ≤ 3 shares ≥1 of 4 chunks) → verified
+  *
+  * 100 TB notes: every method keys its shuffle by a bounded-cardinality
+  * bucket (band hash / chunk value), so skew is capped by bucket size and
+  * AQE skew-join splitting handles hot buckets; candidate verification is
+  * a co-partitioned join on doc id. Exact Jaccard verification re-joins the
+  * shingle sets only for candidate ids (a tiny fraction of the corpus).
+  */
+object Dedup {
+
+  /** Distinct k-token shingles as a column op (mirrors
+    * [[Sketches.tokenShingles]]; kept columnar for oracle parity). */
+  def tokenShingles(text: Column, k: Int): Column = {
+    val w = split(text, " ")
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Set Jaccard of two (already-distinct) arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Exact duplicate groups by content hash: (content_hash, n_dups, ids). */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_dups") > 1)
+
+  /** Exact n-gram-Jaccard near-dup pairs, blocked by a length band so the
+    * pair space is |band|² not |corpus|²: docs within `maxLenDiff` chars
+    * land in the same or adjacent `bucketWidth`-wide buckets, and the probe
+    * side is exploded to 3 buckets so the join stays an equi hash join
+    * (no nested-loop range join). */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      lenCol: String, threshold: Double, shingleK: Int = 3,
+      bucketWidth: Int = 32, maxLenDiff: Int = 20): DataFrame = {
+    require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
+    val t = df.select(col(idCol), col(lenCol),
+      tokenShingles(col(textCol), shingleK).as("sh"))
+    val bkt = floor(col(lenCol) / bucketWidth).cast("long")
+    val probe = t.withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1)))
+      .select(col("bkt"), col(idCol).as("i"), col(lenCol).as("len_i"), col("sh").as("sh_i"))
+    val build = t.withColumn("bkt", bkt)
+      .select(col("bkt"), col(idCol).as("j"), col(lenCol).as("len_j"), col("sh").as("sh_j"))
+    probe.join(build,
+        probe("bkt") === build("bkt") && col("i") < col("j") &&
+          abs(col("len_i") - col("len_j")) <= maxLenDiff)
+      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** MinHash + LSH near-dup pairs: signature banding proposes candidates,
+    * exact shingle Jaccard verifies. numHashes = bands × rowsPerBand;
+    * detection probability for true Jaccard s is 1-(1-s^r)^b
+    * (64 = 16×4 → ≥0.9998 at s = 0.8). */
+  def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val base = df.select(col(idCol),
+      tokenShingles(col(textCol), shingleK).as("sh"),
+      minhash_signature(col(textCol), shingleK, numHashes).as("sig"))
+      .filter(size(col("sh")) > 0)
+
+    // one (band_idx, band_key) row per band; key = hash of the band's slice
+    val bandKeys = array((0 until bands).map(i =>
+      hash(slice(col("sig"), i * r + 1, r), lit(i))): _*)
+    val banded = base.select(col(idCol), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+      .distinct()
+
+    val shA = base.select(col(idCol).as("i"), col("sh").as("sh_i"))
+    val shB = base.select(col(idCol).as("j"), col("sh").as("sh_j"))
+    cand.join(shA, "i").join(shB, "j")
+      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit token sketch; candidates share at least
+    * one of four 16-bit chunks (pigeonhole guarantees recall for hamming ≤ 3;
+    * verification filters to `maxHamming`). */
+  def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val base = df.select(col(idCol), simhash64(col(textCol)).as("sh"))
+    val chunks = array((0 until 4).map(c =>
+      shiftrightunsigned(col("sh"), 16 * c).bitwiseAND(lit(0xffffL))): _*)
+    val banded = base.select(col(idCol), col("sh"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk_val")))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk_idx") === col("b.chunk_idx") &&
+          col("a.chunk_val") === col("b.chunk_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"),
+        col("a.sh").as("sh_i"), col("b.sh").as("sh_j"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sh_i ^ sh_j)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
+  /** Embedding near-dup pairs above a cosine threshold. Exhaustive pair
+    * join at test scale; at corpus scale swap the pair source for
+    * [[Vectors.hyperplaneBuckets]] candidates (same verification tail). */
+  def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("i"), col(vecCol).as("v_i"))
+    val b = df.select(col(idCol).as("j"), col(vecCol).as("v_j"))
+    a.join(b, col("i") < col("j"))
+      .select(col("i"), col("j"), Vectors.cosine(col("v_i"), col("v_j")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analytics for corpus curation (builder-prompt extension family):
+  * token statistics, quality scoring, language identification. All pure
+  * column compositions (codegen'd, oracle-checkable); the stateful
+  * fingerprinting lives in [[Sketches]].
+  *
+  * Determinism notes for the DuckDB oracle: ratios are single double
+  * divisions of exact integers, composite scores are floored to integers —
+  * both engines produce bit-identical doubles for the same expression
+  * order.
+  */
+object TextAnalysis {
+
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Common-word markers per language for the n-gram/stopword heuristic.
+    * Bounded, case-sensitive, order matters for the argmax tie-break. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "is", "of"),
+    "de" -> Seq("der", "und", "ist", "das"),
+    "es" -> Seq("el", "los", "es", "de"),
+    "fr" -> Seq("le", "les", "est", "et"),
+    "zh" -> Seq("的", "是", "在", "了"))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(words), t)))
+
+  /** Marker-count score for one language. */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = langMarkers.toMap.apply(lang)
+    countIn(tokens(text), markers)
+  }
+
+  /** Predicted language: argmax of marker counts with first-listed-wins
+    * tie-break; "und" (undetermined) when every score is zero. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = langMarkers.map { case (l, ws) => l -> countIn(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Token statistics: total / distinct / alphanumeric-token counts. */
+  def tokenStats(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    Seq(
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_uniq"),
+      regexp_count(text, lit("[A-Za-z0-9]+")).as("n_alpha"))
+  }
+
+  /** Quality score in [0,100]: lexical diversity (70%) + stopword
+    * presence (30%) — floored to an integer for engine-exact compare.
+    * High diversity and a natural stopword rate indicate prose; word-salad
+    * and boilerplate score low on one of the two. */
+  def qualityScore(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val n = size(toks)
+    val uniq = size(array_distinct(toks))
+    val stop = countIn(toks, stopwords)
+    val score = floor(lit(100) * (lit(0.7) * (uniq.cast("double") / n.cast("double")) +
+      lit(0.3) * (stop.cast("double") / n.cast("double")))).cast("long")
+    Seq(n.as("n_tokens"), uniq.as("n_uniq"), stop.as("n_stop"),
+      score.as("q_score"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`) — builder-
+  * prompt extension family. All math runs inside whole-stage codegen via
+  * higher-order functions (`zip_with`/`aggregate`): no UDF, no encoder
+  * round-trip, double accumulation in deterministic left-to-right order.
+  *
+  * Scale shape: queries are the small side and are broadcast; the corpus
+  * streams. Brute force is the exact baseline (one pass, no shuffle until
+  * the per-query top-k); the hyperplane-LSH variant buckets both sides so
+  * only same-bucket pairs are scored (bounded shuffle on bucket id).
+  */
+object Vectors {
+
+  /** Σ aᵢ·bᵢ in double, left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query row.
+    * Output: (qid, cid, rk) with rk 1..k, ranked by cosine desc with cid
+    * as the deterministic tie-break. Queries are broadcast; the scored
+    * stream shuffles once, partitioned by qid, for the ranking. */
+  def annBruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, qVecCol: String, cVecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"))
+    val c = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"))
+  }
+
+  /** Deterministic random hyperplanes (seed-fixed gaussian) for LSH. */
+  def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern bucket id of a vector under the given hyperplanes. */
+  def hyperplaneBuckets(vec: Column, planes: Seq[Seq[Double]]): Column =
+    (0 until planes.length).map { i =>
+      when(dot(vec, typedlit(planes(i))) > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Approximate top-k: score only candidates sharing the query's
+    * hyperplane bucket. Recall trades against bucket count (2^nPlanes);
+    * verification/ranking tail is identical to the exact path, so a
+    * multi-probe upgrade (explode neighboring buckets) slots in at the
+    * bucket column without touching the rest. */
+  def annLshTopK(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, qVecCol: String, cVecCol: String,
+      k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(nPlanes, dim)
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+      hyperplaneBuckets(col(qVecCol), planes).as("bucket"))
+    val c = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
+      hyperplaneBuckets(col(cVecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosine(col("qv"), col("cv")).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"))
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Vectors
+
+class VectorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine via HOFs matches closed form") {
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    val c = df.select(Vectors.cosine($"a", $"b").as("c")).collect()(0).getDouble(0)
+    assert(math.abs(c - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("brute-force top-k ranks by cosine with id tie-break") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.9f, 0.1f)),
+      (12L, Array(0.0f, 1.0f)), (13L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Vectors.annBruteForceTopK(q, corpus, "vec_id", "vec_id",
+      "embedding", "embedding", k = 3)
+      .orderBy($"rk").as[(Long, Long, Int)].collect().toList
+    assert(got.map(_._2) == List(10L, 11L, 12L))
+  }
+
+  test("LSH top-k returns only same-bucket candidates, correctly ranked") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val planes = Vectors.hyperplanes(4, 64)
+    val withBucket = e.select($"vec_id",
+      Vectors.hyperplaneBuckets($"embedding", planes).as("bucket"))
+      .as[(Long, Int)].collect().toMap
+    val got = Vectors.annLshTopK(e.filter($"vec_id" < 4), e,
+      "vec_id", "vec_id", "embedding", "embedding", k = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qid, cid, _) =>
+      assert(withBucket(qid) == withBucket(cid), s"pair ($qid,$cid) crosses buckets")
+    }
+    // ranks within each query are 1..n without gaps
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toList == (1 to rows.length).toList)
+    }
+  }
+
+  test("hyperplanes are deterministic under the fixed seed") {
+    assert(Vectors.hyperplanes(3, 8) == Vectors.hyperplanes(3, 8))
+  }
+}
