@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.Sketches
+
+/** Multimodal columns for a training-data pipeline (builder-prompt
+  * extension family): image/audio/video as opaque `binary` columns with
+  * typed metadata, plus decode / feature-extract / frame-sample stages.
+  *
+  * The decode internals are STUBBED — this container has no image/audio
+  * codecs — behind deterministic fakes, but everything Spark-side is real
+  * and tested: the schema, the per-partition batching shape (the Scala
+  * analogue of `mapInPandas`: one decoder handle per partition, rows
+  * streamed through it), partition sizing by byte weight, and the
+  * explode-shaped frame sampler.
+  *
+  * 100 TB notes: binary payloads ride in the row (parquet binary column);
+  * `repartitionByBytes` keeps partitions near the target size so executor
+  * memory is bounded by bytes not row counts; features are fixed-width
+  * float arrays (columnar, prunable) so downstream ANN (graft.ops.Vectors)
+  * runs without touching the payload column again.
+  */
+object MediaOps {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("format", StringType),
+      StructField("duration_ms", LongType))))))
+
+  /** Modality from file extension (image/audio/video/other). */
+  def modalityOf(path: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val ext = lower(regexp_extract(path, "\\.([A-Za-z0-9]+)$", 1))
+    when(ext.isin("jpg", "jpeg", "png", "gif", "webp"), "image")
+      .when(ext.isin("wav", "mp3", "flac", "ogg"), "audio")
+      .when(ext.isin("mp4", "avi", "mkv", "webm"), "video")
+      .otherwise("other")
+  }
+
+  /** binaryFile scan → media frame with modality + empty metadata. */
+  def toMediaFrame(binaries: DataFrame): DataFrame =
+    binaries.select(
+      col("path"),
+      modalityOf(col("path")).as("modality"),
+      col("content"),
+      struct(lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        lit(null).cast("string").as("format"),
+        lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** Decoded metadata row contract. */
+  case class Decoded(path: String, modality: String, content: Array[Byte],
+      width: Int, height: Int, format: String, duration_ms: Long)
+
+  /** STUB decode — deterministic fake dimensions derived from the payload
+    * hash; a real deployment swaps `decodeOne` for a codec call. The
+    * mapPartitions shape (decoder init once per partition, rows streamed)
+    * is the real contract being exercised. */
+  def decode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds = media.select(col("path"), col("modality"), col("content"))
+      .as[(String, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      // per-partition decoder handle would be initialized here
+      it.map { case (path, modality, bytes) => decodeOne(path, modality, bytes) }
+    }.toDF()
+      .select(col("path"), col("modality"), col("content"),
+        struct(col("width"), col("height"), col("format"),
+          col("duration_ms")).as("meta"))
+  }
+
+  private def decodeOne(path: String, modality: String, bytes: Array[Byte]): Decoded = {
+    val b = if (bytes == null) Array.empty[Byte] else bytes
+    val h = Sketches.fnv1a64(new String(b.map(x => (x & 0x7f).toChar)))
+    // ??? real codec goes here — deterministic fake keeps tests meaningful
+    val w = 64 + math.floorMod(h, 1920).toInt
+    val ht = 64 + math.floorMod(h >> 11, 1080).toInt
+    val fmt = modality match {
+      case "image" => "rgb8"
+      case "audio" => "pcm16"
+      case "video" => "yuv420"
+      case _ => "bin"
+    }
+    val dur = if (modality == "image") 0L else 1000L + math.floorMod(h >> 23, 60000L)
+    Decoded(path, modality, b, w, ht, fmt, dur)
+  }
+
+  /** STUB feature extraction: fixed-width float embedding per row,
+    * deterministic from content bytes (stands in for a vision/audio
+    * encoder). Output column is `array<float>` ready for
+    * [[graft.ops.Vectors]] ANN. */
+  def featureExtract(decoded: DataFrame, dim: Int = 16): DataFrame = {
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    val ds = decoded.select(col("path"), col("content")).as[(String, Array[Byte])]
+    ds.mapPartitions { it =>
+      it.map { case (path, bytes) =>
+        val b = if (bytes == null) Array.empty[Byte] else bytes
+        val feats = Array.tabulate(dim) { i =>
+          val h = Sketches.fnv1a64(i.toString + new String(b.map(x => (x & 0x7f).toChar)))
+          (math.floorMod(h, 2000L) - 1000L).toFloat / 1000.0f
+        }
+        (path, feats)
+      }
+    }.toDF("path", "features")
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame at a
+    * fixed stride (explode-shaped generator; non-video rows pass through
+    * with frame_idx 0). */
+  def frameSample(decoded: DataFrame, everyMs: Long = 1000L): DataFrame = {
+    val n = when(col("modality") === "video",
+      greatest(lit(1L), col("meta.duration_ms") / everyMs)).otherwise(lit(1L))
+    decoded
+      .withColumn("frame_idx", explode(sequence(lit(0L), n.cast("long") - 1)))
+      .withColumn("frame_ts_ms", col("frame_idx") * everyMs)
+      .drop("content")
+  }
+
+  /** Byte-weighted repartition: target partitions sized by payload bytes
+    * (not row count) so a few huge videos can't blow an executor. */
+  def repartitionByBytes(media: DataFrame, targetBytesPerPartition: Long): DataFrame = {
+    val stats = media.agg(sum(length(col("content"))).as("total")).collect()(0)
+    val total = if (stats.isNullAt(0)) 0L else stats.getLong(0)
+    val parts = math.max(1, (total / math.max(1L, targetBytesPerPartition)).toInt)
+    media.repartition(parts)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Fingerprint, TextOps}
+import graft.expr.{functions => gf}
+
+/** The FDA ingest lifecycle (SURVEY §3.1) as one declarative plan:
+  *
+  *   source → fingerprint (P1/P2) → delta anti-join vs master (J1/T2) →
+  *   clean corpus (F1) → substance filter (P9) → RAG projection (P4/P6) →
+  *   master union update (U1)
+  *
+  * The reference runs this eagerly over pandas + Excel
+  * (fda_rag_extraction/scripts/fda_watcher.py:357-588); here each stage is
+  * a `DataFrame => DataFrame` and Catalyst fuses them: the anti-join sits
+  * BEFORE the expensive clean (the reference's hand-rolled pushdown,
+  * fda_watcher.py:399-400 vs :446-502, preserved structurally), the master
+  * is broadcast when small, and everything downstream of the join is one
+  * codegen'd stage.
+  */
+object FdaPipeline {
+
+  /** Output of one ingest run. */
+  case class Result(published: DataFrame, updatedMaster: DataFrame)
+
+  /** @param fresh    scraped records: (url, title, description, date, text)
+    * @param master   previous master table with a `rag_id` column
+    * @param runDate  pinned "today" (yyyy-MM-dd) — determinism over
+    *                 current_date, SURVEY §7.4 #5
+    */
+  def run(fresh: DataFrame, master: DataFrame, runDate: String,
+      source: String = "fda_oncology"): Result = {
+    val fingerprinted = fresh
+      .withColumn("rag_id", Fingerprint.ragId(
+        Fingerprint.idBase(col("url"), col("title"), col("date"))))
+
+    val delta = Fingerprint.deltaAntiJoin(fingerprinted, master, "rag_id")
+
+    val cleaned = delta
+      .withColumn("corpus", gf.clean_corpus(col("text")))
+      .filter(length(col("corpus")) > 50)  // fda_watcher.py:224-227
+
+    val published = cleaned.select(
+      TextOps.defaultNonEmpty(col("corpus"),
+        TextOps.recordToJsonString(col("url"), col("title"), col("date"))).as("content"),
+      lit(source).as("source"),
+      col("url"),
+      TextOps.defaultNonEmpty(col("date"), lit(runDate)).as("date"),
+      lit("1.0").as("version"),
+      col("title"),
+      col("description"),
+      col("rag_id"))
+
+    val updatedMaster = Fingerprint.unionMasterUpdate(
+      cleaned.select(master.columns.map(col): _*), master, "ingest_seq")
+      .drop("ingest_seq")
+
+    Result(published, updatedMaster)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sink-side operators (SURVEY §2.1 S6–S10).
+  *
+  * Scale note: the reference's single-file contracts (one JSONL, one JSON
+  * per record) are driver-scale conveniences. The engine defaults to
+  * partitioned output (one file per task) and offers `singleFile = true`
+  * only for parity at small scale — a documented anti-pattern at 100 TB,
+  * where the partitioned JSONL IS the dataset.
+  */
+object Sinks {
+
+  /** S9 — JSONL: Spark's JSON writer is line-delimited JSON already
+    * (reference: per-line json.dumps, combine_json_to_jsonl.py:240-263). */
+  def writeJsonl(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite").json(path)
+
+  /** S6 — "records orient" JSON array file is the same data as JSONL at
+    * the pandas edge (fda_watcher.py:544); engine keeps JSONL. */
+  def writeJsonRecords(df: DataFrame, path: String): Unit =
+    writeJsonl(df, path)
+
+  /** S8 — one directory per record key (reference: `{RAG_ID}.json`,
+    * json_split_and_clean.py:316-320). `partitionBy` gives
+    * `key=<value>/part-*.json` — same addressability, still parallel. */
+  def writePerKeyJson(df: DataFrame, keyCol: String, dir: String): Unit =
+    df.write.mode("overwrite").partitionBy(keyCol).json(dir)
+
+  /** S7 — master-state persistence: parquet instead of Excel
+    * (fda_watcher.py:555). */
+  def writeMaster(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S10 — dead-letter split: ok rows to `okPath`, failures to
+    * `failedPath` (reference moves files, pubmed_enrichment.py:450-456).
+    * Two filtered writes over one cached pass. */
+  def quarantineSplit(df: DataFrame, isOk: Column, okPath: String,
+      failedPath: String): (Long, Long) = {
+    val cached = df.cache()
+    try {
+      val ok = cached.filter(isOk)
+      val bad = cached.filter(!isOk)
+      ok.write.mode("overwrite").json(okPath)
+      bad.write.mode("overwrite").json(failedPath)
+      (ok.count(), bad.count())
+    } finally { cached.unpersist() }
+  }
+}

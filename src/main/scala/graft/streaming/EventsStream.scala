@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming/incremental semantics (SURVEY §2.9 T1/T2) as Structured
+  * Streaming — the reference's daily scheduler + delta-mode watcher
+  * (scheduler.py:116, fda_watcher.py:373-416) maps onto a file-source
+  * stream with checkpointing: initial load = first micro-batch, delta =
+  * every subsequent one, "synchronized" = an empty batch; the master-state
+  * bookkeeping the reference hand-rolls comes from the source's exactly-
+  * once file tracking.
+  *
+  * Beyond reference parity (it has no event-time semantics): watermarked
+  * tumbling-window aggregation over the `events` table, the canonical
+  * Spark streaming shape.
+  */
+object EventsStream {
+
+  /** Schema of the events parquet (ts stored as TIMESTAMP(NANOS) → long
+    * under nanosAsLong; converted to a micros timestamp in the stream). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** T1 — file-source stream over an events directory. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** T2-extension — watermarked hourly windowed aggregate. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("value_sum"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("value_sum"))
+
+  /** Run the hourly aggregate over whatever is in `dir` right now
+    * (Trigger.AvailableNow) into an in-memory sink; returns the query.
+    * Complete mode: the memory sink holds the full aggregate state —
+    * appropriate for a bounded smoke run, not production. */
+  def runAvailableNow(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery =
+    hourlyAgg(readEvents(spark, dir))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+}
