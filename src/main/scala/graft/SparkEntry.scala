@@ -127,6 +127,30 @@ object SparkEntry {
         .select(col("doc_id"), length(col("text")).as("text_len"))
     },
 
+    "p3_url_resolve" -> { (s, dir) =>
+      val href = when(col("doc_id") % 3 === 0,
+          concat(lit("https://abs.example/"), col("doc_id").cast("string")))
+        .when(col("doc_id") % 3 === 1, concat(lit("/node/"), col("doc_id").cast("string")))
+        .otherwise(concat(lit("rel/"), col("doc_id").cast("string")))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.urlResolve(lit("https://www.fda.gov/"), href).as("resolved"))
+    },
+
+    "p10_f14_ingest_timestamp" -> { (s, dir) =>
+      // pinned instant (SURVEY §7.4 #5): production uses current_timestamp()
+      val pinned = to_timestamp(lit("2026-08-12 09:00:00"))
+      Fingerprint.addIngestTimestamp(
+          t(s, dir, "documents").select(col("doc_id")), pinned)
+        .withColumn("scraped_at_str",
+          TextOps.formatNow(col("scraped_at"), "yyyy-MM-dd HH:mm:ss"))
+    },
+
+    "f11_clean_title_for_search" -> { (s, dir) =>
+      val title = concat(col("p_name"), lit("; part:"), col("p_brand"), lit(","))
+      t(s, dir, "part").select(col("p_partkey"),
+        TextOps.cleanTitleForSearch(title).as("clean_title"))
+    },
+
     "p11_source_name_derive" -> { (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         when(lower(col("source")).contains("1"), lit("fda_oncology"))
@@ -156,8 +180,11 @@ object SparkEntry {
       // (exact difflib similarity is pinned in SimilaritySpec); blocked on
       // p_brand so candidate pairs stay ~|block|² not |part|².
       val p = t(s, dir, "part")
+      // quadratic pair join from a tiny scan: fan the probe side out so the
+      // per-pair distance work parallelizes (single small file = 1 partition)
       val a = p.select(col("p_partkey").as("k1"), col("p_name").as("name1"),
         col("p_brand").as("b1"))
+        .repartition(s.sparkContext.defaultParallelism * 2)
       val b = p.select(col("p_partkey").as("k2"), col("p_name").as("name2"),
         col("p_brand").as("b2"))
       a.join(b, col("b1") === col("b2") && col("k1") < col("k2") &&
@@ -324,9 +351,14 @@ object SparkEntry {
       val p = t(s, dir, "part")
       val a = p.select(col("p_partkey").as("k1"), col("p_name").as("name1"),
         col("p_brand").as("b1"))
+        .repartition(s.sparkContext.defaultParallelism * 2)
       val b = p.select(col("p_partkey").as("k2"), col("p_name").as("name2"),
         col("p_brand").as("b2"))
-      a.join(b, col("b1") === col("b2") && col("k1") < col("k2"))
+      // cheap ordering conjunct stays ahead of the expensive similarity:
+      // the length-ratio bound 2·min/(la+lb) < 0.5 can never reach 0.5
+      a.join(b, col("b1") === col("b2") && col("k1") < col("k2") &&
+          lit(2) * least(length(col("name1")), length(col("name2"))) >=
+            lit(0.5) * (length(col("name1")) + length(col("name2"))))
         .select(col("k1"), col("k2"),
           gf.similarity(col("name1"), col("name2")).as("sim"))
         .filter(col("sim") >= 0.5)
@@ -464,6 +496,24 @@ object SparkEntry {
     "p9_filter_min_length" ->
       """SELECT doc_id, length(text) AS text_len FROM documents
          WHERE length(text) > 200""",
+
+    "p3_url_resolve" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'https://abs.example/' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 3 = 1 THEN 'https://www.fda.gov' || '/node/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://www.fda.gov' || '/' || 'rel/' || CAST(doc_id AS VARCHAR)
+         END AS resolved
+         FROM documents""",
+
+    "p10_f14_ingest_timestamp" ->
+      """SELECT doc_id, TIMESTAMP '2026-08-12 09:00:00' AS scraped_at,
+         strftime(TIMESTAMP '2026-08-12 09:00:00', '%Y-%m-%d %H:%M:%S') AS scraped_at_str
+         FROM documents""",
+
+    "f11_clean_title_for_search" ->
+      """SELECT p_partkey,
+         TRIM(regexp_replace(p_name || '; part:' || p_brand || ',', '[;:,]', ' ', 'g')) AS clean_title
+         FROM part""",
 
     "p11_source_name_derive" ->
       """SELECT doc_id,

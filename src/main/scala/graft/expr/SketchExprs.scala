@@ -24,6 +24,9 @@ object SketchRuntime {
 
   def simhash(t: UTF8String): Long = Sketches.simHash64(t.toString)
 
+  def hashedShingles(t: UTF8String, k: Int): GenericArrayData =
+    new GenericArrayData(Sketches.hashedShingleSet(t.toString, k))
+
   def rollingFp(t: UTF8String): Long = Sketches.rollingFingerprint(t.toString)
 }
 
@@ -36,6 +39,21 @@ case class MinHashSignatureExpr(child: Expression, shingleK: Int = 3,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       t => s"graft.expr.SketchRuntime.minhash($t, $shingleK, $numHashes)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `hashed_shingles(text, k)` → sorted array<bigint> of distinct
+  * k-token-shingle hashes (single JVM pass; the HOF formulation
+  * `array_sort(transform(shingles, xxhash64))` interprets its lambdas
+  * per element and destabilized the pair-join stages). */
+case class HashedShinglesExpr(child: Expression, shingleK: Int = 3)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.hashedShingles(t.asInstanceOf[UTF8String], shingleK)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expr.SketchRuntime.hashedShingles($t, $shingleK)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -63,5 +81,7 @@ object sketchFunctions {
   def minhash_signature(c: Column, shingleK: Int = 3, numHashes: Int = 64): Column =
     toCol(MinHashSignatureExpr(toExpr(c), shingleK, numHashes))
   def simhash64(c: Column): Column = toCol(SimHash64Expr(toExpr(c)))
+  def hashed_shingles(c: Column, shingleK: Int = 3): Column =
+    toCol(HashedShinglesExpr(toExpr(c), shingleK))
   def rolling_fingerprint(c: Column): Column = toCol(RollingFingerprintExpr(toExpr(c)))
 }

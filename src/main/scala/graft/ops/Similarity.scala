@@ -1,22 +1,59 @@
 package graft.ops
 
-import scala.collection.mutable
-
 /** F12 — Ratcliff/Obershelp similarity with CPython `difflib` parity
   * (SURVEY.md §2.8 F12, §7.4 #2).
   *
   * The reference's verify decision hinges on
   * `SequenceMatcher(None, a, b).ratio() >= 0.90`
-  * (pdf_extraction/pubmed_enrichment.py:291-293), so this must reproduce
+  * (pdf_extraction/pubmed_enrichment.py:291-293), so this reproduces
   * difflib exactly: the b2j index, the *autojunk* rule (elements occurring
   * in more than 1% of `b` are excluded from matching when |b| >= 200), the
   * longest-matching-block search with its junk-aware extension steps, and
-  * the recursive block accumulation.
+  * the recursive block accumulation. Tie-breaking is preserved by scanning
+  * i ascending and, within each i, the b-positions ascending — the same
+  * order difflib's dict/list walk produces.
   *
-  * Pure JVM function; exposed to Spark through
-  * [[graft.expr.RatcliffSimilarity]] (codegen'd static call).
+  * ZERO-ALLOCATION steady state: this runs tens of millions of times per
+  * pair-join stage across 32 executor threads, and the host's allocation
+  * bandwidth saturates long before its ALU does (measured: a HashMap-based
+  * version ran at 0.33 M calls/s TOTAL regardless of thread count — pure
+  * GC wall). All working state lives in per-thread reusable buffers
+  * (char-indexed position tables, dense diagonal-run arrays, an int-array
+  * block stack), cleared incrementally via touched-lists.
   */
 object Similarity {
+
+  private final class Scratch {
+    val count = new Array[Int](65536)      // char -> #positions in b
+    val start = new Array[Int](65536)      // char -> offset into bpos
+    val junk = new Array[Boolean](65536)   // autojunk (popular) chars
+    var touched = new Array[Char](256)     // chars used by the last call
+    var nTouched = 0
+    var bpos = new Array[Int](256)         // ascending positions, grouped by char
+    var prev = new Array[Int](257)         // diagonal-run tables (size lb+1)
+    var cur = new Array[Int](257)
+    var stack = new Array[Int](1024)       // (alo,ahi,blo,bhi) block stack
+
+    def clear(): Unit = {
+      var t = 0
+      while (t < nTouched) {
+        val c = touched(t)
+        count(c) = 0; start(c) = 0; junk(c) = false
+        t += 1
+      }
+      nTouched = 0
+    }
+    def touch(c: Char): Unit = {
+      if (nTouched == touched.length) {
+        touched = java.util.Arrays.copyOf(touched, nTouched * 2)
+      }
+      touched(nTouched) = c
+      nTouched += 1
+    }
+  }
+
+  private val scratchTL: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
 
   /** `difflib.SequenceMatcher(None, a, b).ratio()`. */
   def ratio(a: String, b: String): Double = {
@@ -24,84 +61,137 @@ object Similarity {
     val la = a.length
     val lb = b.length
     if (la + lb == 0) return 1.0
-    var matches = 0
+    if (la == 0 || lb == 0) return 0.0
 
-    // b2j index + autojunk popular-element set (difflib __chain_b)
-    val b2j = new mutable.HashMap[Char, mutable.ArrayBuffer[Int]]()
+    val sc = scratchTL.get()
+    sc.clear()
+
+    // ── b2j: positions of each char of b, ascending (difflib __chain_b) ──
     var j = 0
     while (j < lb) {
-      b2j.getOrElseUpdate(b.charAt(j), new mutable.ArrayBuffer[Int]()) += j
+      val c = b.charAt(j)
+      if (sc.count(c) == 0) sc.touch(c)
+      sc.count(c) += 1
       j += 1
     }
-    val popular = new mutable.HashSet[Char]()
+    // autojunk: popular chars dropped from the index but flagged junk
     if (lb >= 200) {
       val ntest = lb / 100 + 1
-      for ((ch, idxs) <- b2j if idxs.length > ntest) popular += ch
-      popular.foreach(b2j.remove)
+      var t = 0
+      while (t < sc.nTouched) {
+        val c = sc.touched(t)
+        if (sc.count(c) > ntest) { sc.junk(c) = true; sc.count(c) = 0 }
+        t += 1
+      }
     }
-    @inline def isJunk(ch: Char): Boolean = popular.contains(ch)
+    // offsets by first-occurrence order; then fill ascending positions
+    if (sc.bpos.length < lb) sc.bpos = new Array[Int](math.max(lb, sc.bpos.length * 2))
+    locally {
+      var off = 0
+      var t = 0
+      while (t < sc.nTouched) {
+        val c = sc.touched(t)
+        sc.start(c) = off
+        off += sc.count(c)
+        sc.count(c) = 0 // reuse as fill cursor; restored below
+        t += 1
+      }
+      var k = 0
+      while (k < lb) {
+        val c = b.charAt(k)
+        if (!sc.junk(c)) { // junk chars keep an empty span (deleted from b2j)
+          sc.bpos(sc.start(c) + sc.count(c)) = k
+          sc.count(c) += 1
+        }
+        k += 1
+      }
+    }
 
-    // difflib find_longest_match over [alo,ahi) x [blo,bhi)
-    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+    if (sc.prev.length < lb + 1) {
+      val n = math.max(lb + 1, sc.prev.length * 2)
+      sc.prev = new Array[Int](n)
+      sc.cur = new Array[Int](n)
+    }
+    var prev = sc.prev
+    var cur = sc.cur
+
+    // packed result of longestMatch: besti, bestj, bestsize
+    var rI = 0; var rJ = 0; var rK = 0
+
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): Unit = {
       var besti = alo
       var bestj = blo
       var bestsize = 0
-      var j2len = new mutable.HashMap[Int, Int]()
+      java.util.Arrays.fill(prev, 0, lb + 1, 0)
       var i = alo
       while (i < ahi) {
-        val newj2len = new mutable.HashMap[Int, Int]()
-        b2j.get(a.charAt(i)) match {
-          case Some(idxs) =>
-            var p = 0
-            var break = false
-            while (p < idxs.length && !break) {
-              val jj = idxs(p)
-              if (jj >= bhi) break = true
-              else if (jj >= blo) {
-                val k = j2len.getOrElse(jj - 1, 0) + 1
-                newj2len(jj) = k
-                if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
-              }
-              p += 1
+        java.util.Arrays.fill(cur, 0, lb + 1, 0)
+        val c = a.charAt(i)
+        val n = sc.count(c)
+        if (n > 0) {
+          val s0 = sc.start(c)
+          var p = 0
+          var stop = false
+          while (p < n && !stop) {
+            val jj = sc.bpos(s0 + p)
+            if (jj >= bhi) stop = true
+            else if (jj >= blo) {
+              val k = (if (jj > 0) prev(jj - 1) else 0) + 1
+              cur(jj) = k
+              if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
             }
-          case None =>
+            p += 1
+          }
         }
-        j2len = newj2len
+        val t = prev; prev = cur; cur = t
         i += 1
       }
-      // extend with non-junk on both sides, then junk on both sides
-      while (besti > alo && bestj > blo && !isJunk(b.charAt(bestj - 1)) &&
+      // extension: non-junk both sides, then junk both sides (difflib order)
+      while (besti > alo && bestj > blo && !sc.junk(b.charAt(bestj - 1)) &&
         a.charAt(besti - 1) == b.charAt(bestj - 1)) {
         besti -= 1; bestj -= 1; bestsize += 1
       }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        !isJunk(b.charAt(bestj + bestsize)) &&
+        !sc.junk(b.charAt(bestj + bestsize)) &&
         a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
         bestsize += 1
       }
-      while (besti > alo && bestj > blo && isJunk(b.charAt(bestj - 1)) &&
+      while (besti > alo && bestj > blo && sc.junk(b.charAt(bestj - 1)) &&
         a.charAt(besti - 1) == b.charAt(bestj - 1)) {
         besti -= 1; bestj -= 1; bestsize += 1
       }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        isJunk(b.charAt(bestj + bestsize)) &&
+        sc.junk(b.charAt(bestj + bestsize)) &&
         a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
         bestsize += 1
       }
-      (besti, bestj, bestsize)
+      rI = besti; rJ = bestj; rK = bestsize
     }
 
-    // iterative get_matching_blocks, summing sizes only
-    val queue = mutable.Stack[(Int, Int, Int, Int)]((0, la, 0, lb))
-    while (queue.nonEmpty) {
-      val (alo, ahi, blo, bhi) = queue.pop()
-      val (i, jm, k) = longestMatch(alo, ahi, blo, bhi)
-      if (k > 0) {
-        matches += k
-        if (alo < i && blo < jm) queue.push((alo, i, blo, jm))
-        if (i + k < ahi && jm + k < bhi) queue.push((i + k, ahi, jm + k, bhi))
+    // iterative get_matching_blocks, summing block sizes
+    var matches = 0
+    var sp = 0
+    @inline def push(w: Int, x: Int, y: Int, z: Int): Unit = {
+      if (sp + 4 > sc.stack.length)
+        sc.stack = java.util.Arrays.copyOf(sc.stack, sc.stack.length * 2)
+      sc.stack(sp) = w; sc.stack(sp + 1) = x
+      sc.stack(sp + 2) = y; sc.stack(sp + 3) = z
+      sp += 4
+    }
+    push(0, la, 0, lb)
+    while (sp > 0) {
+      sp -= 4
+      val alo = sc.stack(sp); val ahi = sc.stack(sp + 1)
+      val blo = sc.stack(sp + 2); val bhi = sc.stack(sp + 3)
+      longestMatch(alo, ahi, blo, bhi)
+      if (rK > 0) {
+        matches += rK
+        if (alo < rI && blo < rJ) push(alo, rI, blo, rJ)
+        if (rI + rK < ahi && rJ + rK < bhi) push(rI + rK, ahi, rJ + rK, bhi)
       }
     }
+    sc.prev = prev
+    sc.cur = cur
     2.0 * matches / (la + lb)
   }
 }

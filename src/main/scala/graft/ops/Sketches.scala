@@ -60,6 +60,17 @@ object Sketches {
     }
   }
 
+  /** Sorted distinct FNV-1a hashes of the k-token shingles — the compact
+    * set image used for O(n+m) merge-based Jaccard in [[Dedup]]. */
+  def hashedShingleSet(text: String, k: Int): Array[Long] = {
+    val sh = tokenShingles(text, k)
+    val out = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { out(i) = fnv1a64(sh(i)); i += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
   /** MinHash signature over distinct k-token shingles: sig_j =
     * min over shingles of (a_j * (fnv(s) mod p) + b_j) mod p.
     * One pass over shingles × numHashes; empty text → all-p sentinel

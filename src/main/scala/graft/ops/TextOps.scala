@@ -65,6 +65,22 @@ object TextOps {
     * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:98. */
   def recordToJsonString(cols: Column*): Column = to_json(struct(cols: _*))
 
+  /** P3 — resolve an href against a base url: absolute hrefs pass
+    * through, others get the base prefixed (the reference's urljoin use is
+    * root-relative hrefs only, fda_watcher.py:321-323). */
+  def urlResolve(base: Column, href: Column): Column = {
+    val h = trim(href)
+    when(h.startsWith("http"), h)
+      .when(h.startsWith("/"), concat(regexp_replace(trim(base), "/+$", ""), h))
+      .otherwise(concat(regexp_replace(trim(base), "/+$", ""), lit("/"), h))
+  }
+
+  /** F14 — formatted "now"; the instant is an explicit column so callers
+    * pin it for determinism (current_timestamp() in production,
+    * fda_watcher.py:338 / SURVEY §7.4 #5). */
+  def formatNow(instant: Column, pattern: String): Column =
+    date_format(instant, pattern)
+
   /** P6 — non-empty default: value if non-blank else fallback.
     * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:96-104. */
   def defaultNonEmpty(c: Column, fallback: Column): Column =
