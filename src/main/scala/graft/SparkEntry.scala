@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -237,10 +237,11 @@ object SparkEntry {
     },
 
     "o6_topk_per_group" -> { (s, dir) =>
-      val w = Window.partitionBy(col("event_type"))
-        .orderBy(col("value").desc, col("event_id"))
-      events(s, dir)
-        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      // salted two-phase top-k (skew-resistant; exact — see ops/TopK)
+      TopK.perGroup(events(s, dir),
+          key = Seq(col("event_type")),
+          order = Seq(col("value").desc, col("event_id")),
+          saltBy = Seq(col("event_id")), k = 3)
         .select(col("event_type"), col("event_id"), col("value"), col("rk"))
     },
 
@@ -336,6 +337,13 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("value_sum"))
+    },
+
+    "t3_session_window" -> { (s, dir) =>
+      // session windows (30-min gap) over the events stream table —
+      // built-in session_window; the custom-state streaming twin is
+      // streaming/Sessionize (flatMapGroupsWithState, SessionizeSpec)
+      graft.streaming.Sessionize.sessionsBatch(events(s, dir), gapMinutes = 30)
     },
 
     // ── Non-SQL-expressible ops: rows-only driver check + ScalaTest ─────
@@ -678,6 +686,23 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+
+    "t3_session_window" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
+         d AS (SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     >= INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+           FROM e),
+         g AS (SELECT user_id, ts,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             ROWS UNBOUNDED PRECEDING) AS sid
+           FROM d)
+         SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+         FROM g GROUP BY user_id, sid""",
 
     "t2_window_hourly" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts, count(*) AS n_events,
