@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -346,6 +346,14 @@ object SparkEntry {
       graft.streaming.Sessionize.sessionsBatch(events(s, dir), gapMinutes = 30)
     },
 
+    "rag_chunk_documents" -> { (s, dir) =>
+      // RAG chunking (north star): 64-token windows, stride 48
+      Chunker.chunkByTokens(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "text", size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    },
+
     // ── Non-SQL-expressible ops: rows-only driver check + ScalaTest ─────
     "f1_clean_corpus" -> { (s, dir) =>
       // full stateful clean (custom codegen'd expression); regex layers are
@@ -438,6 +446,12 @@ object SparkEntry {
     "text_lang_id" -> { (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
+    },
+
+    "rag_tfidf_embed" -> { (s, dir) =>
+      // rows-only: MLlib hashing-TF/IDF embeddings (hash-seeded, not
+      // SQL-expressible); unit-norm + ANN-compat pinned in ChunkEmbedSpec
+      TfIdfEmbed.embed(t(s, dir, "documents"), "doc_id", "text", dim = 128)
     },
 
     "text_fingerprint" -> { (s, dir) =>
@@ -703,6 +717,16 @@ object SparkEntry {
            max(ts) + INTERVAL 30 MINUTE AS session_end,
            count(*) AS n_events
          FROM g GROUP BY user_id, sid""",
+
+    "rag_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, toks,
+           unnest(range(0, greatest(CAST(ceil(len(toks)*1.0/48) AS INT), 1))) AS i
+           FROM t)
+         SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, CAST(i*48+1 AS INT), CAST(i*48+64 AS INT)), ' ') AS chunk_text
+         FROM c""",
 
     "t2_window_hourly" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts, count(*) AS n_events,

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Chunker, TfIdfEmbed, Vectors}
+
+/** RAG chunking + MLlib embedding generation + ANN composition. */
+class ChunkEmbedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("chunkByTokens: windows, overlap, trailing chunk, tiny doc") {
+    val doc = (1 to 150).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, doc), (2L, "a b")).toDF("doc_id", "text")
+    val got = Chunker.chunkByTokens(df, "text", size = 64, stride = 48)
+      .select("doc_id", "chunk_idx", "chunk_text")
+      .as[(Long, Int, String)].collect()
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // ceil(150/48) = 4 chunks
+    assert(d1.map(_._2).toList == List(0, 1, 2, 3))
+    assert(d1(0)._3.startsWith("w1 ") && d1(0)._3.split(" ").length == 64)
+    // overlap: chunk1 starts at token 49
+    assert(d1(1)._3.startsWith("w49 "))
+    // trailing chunk is short: tokens 145..150
+    assert(d1(3)._3.split(" ").length == 6)
+    // tiny doc → single chunk, whole text
+    assert(got.filter(_._1 == 2L).toList == List((2L, 0, "a b")))
+  }
+
+  test("tf-idf embeddings: fixed dim, unit norm, identical docs coincide") {
+    val df = Seq((1L, "spark engine fast"), (2L, "spark engine fast"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val emb = TfIdfEmbed.embed(df, "doc_id", "text", dim = 64)
+      .as[(Long, Array[Float])].collect().toMap
+    assert(emb.values.forall(_.length == 64))
+    def norm(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+    assert(emb.values.forall(v => math.abs(norm(v) - 1.0) < 1e-6))
+    assert(emb(1L).sameElements(emb(2L)))
+    val cos13 = emb(1L).zip(emb(3L)).map { case (x, y) => x.toDouble * y }.sum
+    assert(cos13 < 0.5)
+  }
+
+  test("embeddings compose with the ANN operator") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val emb = TfIdfEmbed.embed(docs, "doc_id", "text", dim = 128)
+    val q = emb.filter($"doc_id" < 2)
+    val top = Vectors.annBruteForceTopK(q, emb, "doc_id", "doc_id",
+      "embedding", "embedding", k = 3).collect()
+    assert(top.length == 2 * 3)
+  }
+
+  test("GraftExtensions registers SQL functions at session build") {
+    val prev = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").appName("graft-ext")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions())
+      .getOrCreate()
+    try {
+      val r = s2.sql(
+        "SELECT similarity('kitten','sitting') s, simhash64('a b c') h").collect()(0)
+      assert(math.abs(r.getDouble(0) - 8.0 / 13) < 1e-12)
+      assert(r.getLong(1) == graft.ops.Sketches.simHash64("a b c"))
+    } finally {
+      // do NOT stop s2 — it shares the JVM-wide SparkContext
+      prev.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+      prev.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+    }
+  }
+}
