@@ -433,6 +433,14 @@ object SparkEntry {
         "vec_id", "vec_id", "embedding", "embedding", k = 5)
     },
 
+    "ann_ivf_topk" -> { (s, dir) =>
+      // rows-only: IVF cell assignment is KMeans-fit-dependent;
+      // candidate/ranking correctness pinned in VectorsSpec
+      val e = t(s, dir, "embeddings")
+      Vectors.annIvfTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+    },
+
     "text_token_stats" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id") +: TextAnalysis.tokenStats(col("text")): _*)

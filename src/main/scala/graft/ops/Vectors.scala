@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.expr.vectorFunctions.dot_product
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
 
 /** Similarity search over embedding columns (`array<float>`) — builder-
   * prompt extension family. All math runs inside whole-stage codegen via
@@ -60,6 +62,53 @@ object Vectors {
     (0 until planes.length).map { i =>
       when(dot(vec, typedlit(planes(i))) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
+
+  /** IVF (inverted-file) approximate top-k: a seed-fixed MLlib KMeans
+    * coarse quantizer partitions the corpus into `nCells` cells; each
+    * query scores only the cells whose centroids are nearest (`nProbe`).
+    * This is the classic FAISS-style scale path: the corpus is read once
+    * to fit/assign (both single-pass, seed-deterministic), candidates per
+    * query shrink by ~nProbe/nCells, and the assignment column can be
+    * written back as a partition key so future queries prune whole files.
+    * Recall grows with nProbe; nProbe = nCells degenerates to exact. */
+  def annIvfTopK(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, qVecCol: String, cVecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val asVec = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))
+      .withColumn("__features", array_to_vector(col("cv").cast("array<double>")))
+    val km = new KMeans().setK(nCells).setSeed(42L)
+      .setFeaturesCol("__features").setPredictionCol("cell")
+      .fit(asVec)
+    val assigned = km.transform(asVec)
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cn"), col("cell"))
+
+    // nProbe nearest centroids per query, computed driver-side against the
+    // tiny centroid table (nCells rows) and broadcast with the queries
+    val centroids = km.clusterCenters.map(_.toArray).zipWithIndex
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+      norm(col(qVecCol)).as("qn"))
+    val probeCells = udf { (v: Seq[Float]) =>
+      centroids.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < v.length) {
+          val diff = v(j) - c(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val qProbed = q.withColumn("cell", explode(probeCells(col("qv"))))
+
+    val scored = assigned.join(broadcast(qProbed), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"))
+  }
 
   /** Approximate top-k: score only candidates sharing the query's
     * hyperplane bucket. Recall trades against bucket count (2^nPlanes);

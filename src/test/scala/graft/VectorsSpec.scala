@@ -46,6 +46,30 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k: recall vs brute force, ranks contiguous, deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter($"vec_id" < 4)
+    val exact = Vectors.annBruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5).as[(Long, Long, Int)].collect().toSet
+    val ivf = Vectors.annIvfTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, nCells = 8, nProbe = 4)
+      .as[(Long, Long, Int)].collect()
+    // ranks are 1..n per query without gaps
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toList == (1 to rows.length).toList)
+    }
+    // probing half the cells recovers a reasonable share of the true top-5
+    val recall = ivf.map(r => (r._1, r._2)).toSet
+      .intersect(exact.map(r => (r._1, r._2)).toSet).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall=$recall")
+    // determinism: same seed → same result
+    val again = Vectors.annIvfTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, nCells = 8, nProbe = 4)
+      .as[(Long, Long, Int)].collect()
+    assert(ivf.toSet == again.toSet)
+  }
+
   test("hyperplanes are deterministic under the fixed seed") {
     assert(Vectors.hyperplanes(3, 8) == Vectors.hyperplanes(3, 8))
   }
