@@ -38,8 +38,8 @@ object Fingerprint {
     // aggregate — single shuffle on the fingerprint, no window sort.
     df.groupBy(col(idCol))
       .agg(min(col(tieBreak)).as(tieBreak),
-        others.map(c => min_by(col(c), col(tieBreak)).as(c)): _*)
-      .select(df.columns.map(col): _*)
+        others.toIndexedSeq.map(c => min_by(col(c), col(tieBreak)).as(c)): _*)
+      .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
   /** J1 — delta detection: rows of `fresh` whose id is absent from

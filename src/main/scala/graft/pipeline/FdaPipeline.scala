@@ -54,7 +54,7 @@ object FdaPipeline {
       col("rag_id"))
 
     val updatedMaster = Fingerprint.unionMasterUpdate(
-      cleaned.select(master.columns.map(col): _*), master, "ingest_seq")
+      cleaned.select(master.columns.toIndexedSeq.map(col): _*), master, "ingest_seq")
       .drop("ingest_seq")
 
     Result(published, updatedMaster)

@@ -79,7 +79,7 @@ object PdfPipeline {
 
     // title path only where the DOI path failed (reference order, :397-409)
     val needTitle = withDoiMatch.filter(col("dim_doi_norm").isNull)
-      .drop(dim.columns.map(_.toString): _*)
+      .drop(dim.columns.toIndexedSeq: _*)
     val titleDim = broadcast(dim.withColumnRenamed("dim_doi_norm", "t_doi_norm"))
     val titleMatched = needTitle.join(titleDim,
         gf.similarity(
@@ -98,7 +98,7 @@ object PdfPipeline {
       .withColumn("verified", col("pmid").isNotNull)
       .withColumn("use_doi", lit(false))
 
-    doiMatched.unionByName(titleVerified.select(doiMatched.columns.map(col): _*))
+    doiMatched.unionByName(titleVerified.select(doiMatched.columns.toIndexedSeq.map(col): _*))
   }
 
   /** Phase 3: build the EnrichedDocument projection

@@ -35,6 +35,16 @@ object Sinks {
   def writeMaster(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 
+  /** S7-at-scale — master state as a BUCKETED table: co-partitions the
+    * delta anti-join (J1) on `rag_id`, so only the fresh side shuffles —
+    * at 100 TB the master never moves. Requires a table catalog
+    * (`saveAsTable`); plain parquet master remains the simple form. */
+  def writeBucketedMaster(df: DataFrame, table: String, buckets: Int,
+      keyCol: String = "rag_id"): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .format("parquet").saveAsTable(table)
+
   /** S10 — dead-letter split: ok rows to `okPath`, failures to
     * `failedPath` (reference moves files, pubmed_enrichment.py:450-456).
     * Two filtered writes over one cached pass. */
