@@ -46,13 +46,19 @@ object SparkEntry {
 
     // ── A-family: aggregations (SURVEY §2.5) ────────────────────────────
     "q1_agg" -> { (s, dir) =>
+      // sums accumulate in exact DECIMAL, then cast to DOUBLE at the edge:
+      // the driver's pandas compare maps DuckDB DECIMAL→float64 but keeps
+      // Spark parquet decimals as Decimal objects, so a decimal output
+      // hash-mismatches even when values are identical (round-1 lesson).
+      // The scaled sums stay < 2^53, so decimal→double is the correctly-
+      // rounded same bit pattern on both engines.
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("decimal(38,4)").as("sum_disc_price"),
+            (lit(1) - col("l_discount").cast("decimal(18,2)"))).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
 
@@ -204,7 +210,7 @@ object SparkEntry {
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(18,2)")))
-          .cast("decimal(38,4)").as("revenue"))
+          .cast("double").as("revenue"))
     },
 
     // ── D-family: dedup + delta (SURVEY §2.4) ───────────────────────────
@@ -267,6 +273,55 @@ object SparkEntry {
         lit(") "), col("text"))
       t(s, dir, "documents").select(col("doc_id"),
         TextOps.stripMarkdownImages(md).as("content"))
+    },
+
+    "f3_strip_marker_wrapper" -> { (s, dir) =>
+      // marker-output artifact strip (combine_json_to_jsonl.py:110-113);
+      // wrap half the rows so both branches are exercised
+      val wrapped = when(col("doc_id") % 2 === 0,
+        concat(lit("markdown='"), col("text"), lit("'"))).otherwise(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.stripMarkerWrapper(wrapped).as("content"))
+    },
+
+    "f4_unescape_newlines" -> { (s, dir) =>
+      // literal \n escapes → real newlines + trim
+      // (pdf_extraction/combine_json_to_jsonl.py:52-58)
+      val escaped = concat(lit("  "),
+        replace(col("text"), lit(" "), lit("\\n")), lit("  "))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextOps.unescapeNewlines(escaped).as("content"))
+    },
+
+    "p5_project_rename_pdf" -> { (s, dir) =>
+      // PDF EnrichedDocument {Title,Citation,Link,Corpus} → RAG output
+      // schema (pdf_extraction/combine_json_to_jsonl.py:63-80): content
+      // is clean_content (image strip + \n unescape + newline collapse +
+      // strip), date is the citation year (default pinned per SURVEY §7.4)
+      val citation = when(col("doc_id") % 11 === 0, lit("Doe. Study, no year."))
+        .otherwise(concat(lit("Doe et al. ("),
+          (lit(1990) + col("doc_id") % 30).cast("string"), lit("). "),
+          col("lang"), lit(".")))
+      val corpus = concat(lit("![fig](img.png) "), col("text"),
+        lit("\\n\\n\\n\\nEnd."))
+      t(s, dir, "documents").select(
+        TextOps.pdfCleanContent(corpus).as("content"),
+        col("source"),
+        concat(lit("https://doi.org/10.9/"), col("doc_id").cast("string")).as("url"),
+        TextOps.extractYear(citation, lit("2026")).as("date"),
+        lit("1.0").as("version"),
+        concat(lit("T-"), col("doc_id").cast("string")).as("title"),
+        citation.as("citation"))
+    },
+
+    "p7_drop_intermediate_cols" -> { (s, dir) =>
+      // master-output projection (json_split_and_clean.py:299-313): drop
+      // the Scraped_At / raw-text intermediates, add cleaned Corpus + md5
+      t(s, dir, "documents")
+        .withColumn("Scraped_At", lit("2026-01-01 00:00:00"))
+        .withColumn("Corpus", trim(col("text")))
+        .drop("Scraped_At", "text")
+        .withColumn("corpus_hash", md5(col("Corpus")))
     },
 
     "f5_collapse_whitespace" -> { (s, dir) =>
@@ -336,7 +391,7 @@ object SparkEntry {
       events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("value_sum"))
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
     },
 
     "t3_session_window" -> { (s, dir) =>
@@ -391,10 +446,14 @@ object SparkEntry {
     },
     // ── Scale extensions: dedup / similarity-search / text analytics ────
     "dedup_exact_groups" -> { (s, dir) =>
-      // exact dup detection on a corpus with injected re-ingest dups
+      // exact dup detection on a corpus with injected re-ingest dups;
+      // the ids array is stringified at the query edge (the driver's
+      // pandas sort crashes on array columns) — the array form stays the
+      // library API (Dedup.exactDupGroups, DedupSpec)
       val docs = t(s, dir, "documents")
       val doubled = docs.unionByName(docs.filter(col("doc_id") % 3 === 0))
       Dedup.exactDupGroups(doubled, "doc_id", "text")
+        .withColumn("ids", array_join(transform(col("ids"), _.cast("string")), ","))
     },
 
     "dedup_ngram_jaccard" -> { (s, dir) =>
@@ -458,8 +517,17 @@ object SparkEntry {
 
     "rag_tfidf_embed" -> { (s, dir) =>
       // rows-only: MLlib hashing-TF/IDF embeddings (hash-seeded, not
-      // SQL-expressible); unit-norm + ANN-compat pinned in ChunkEmbedSpec
+      // SQL-expressible); unit-norm + ANN-compat pinned in ChunkEmbedSpec.
+      // The driver-facing projection is scalar (dim / L2 norm / vector
+      // digest) because the raw array<float> column crashes the driver's
+      // pandas sort; the full vectors stay the library output.
       TfIdfEmbed.embed(t(s, dir, "documents"), "doc_id", "text", dim = 128)
+        .select(col("doc_id"),
+          size(col("embedding")).as("dim"),
+          round(Vectors.norm(col("embedding")), 6).as("l2_norm"),
+          xxhash64(array_join(
+            transform(col("embedding"), x => round(x, 5).cast("string")), ","))
+            .as("vec_digest"))
     },
 
     "text_fingerprint" -> { (s, dir) =>
@@ -473,9 +541,9 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS sum_disc_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
          count(*) AS count_order
          FROM lineitem GROUP BY l_returnflag, l_linestatus""",
 
@@ -486,12 +554,13 @@ object SparkEntry {
          FROM events GROUP BY event_type""",
 
     "a2_objects_per_file" ->
-      """SELECT source, count(*) AS n_objects, sum(n_chars) AS total_chars
+      """SELECT source, count(*) AS n_objects,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY source""",
 
     "a3_pipeline_stats_rollup" ->
       """SELECT source, grouping(source) AS is_total, count(*) AS n_files,
-         sum(n_chars) AS n_chars_sum
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          FROM documents GROUP BY ROLLUP(source)""",
 
     "p1_fingerprint_md5" ->
@@ -574,7 +643,7 @@ object SparkEntry {
 
     "tpch_q3_shaped" ->
       """SELECT l_orderkey,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(38,4)) AS revenue
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -635,6 +704,48 @@ object SparkEntry {
       """SELECT doc_id,
          regexp_replace('![' || lang || '](' || source || ') ' || text,
            '!\[.*?\]\(.*?\)', '', 'g') AS content
+         FROM documents""",
+
+    "f3_strip_marker_wrapper" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'markdown=''' || text || ''''
+                ELSE text END AS x
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN starts_with(x, 'markdown=''') AND ends_with(x, '''')
+                THEN substr(x, 11, length(x) - 11) ELSE x END AS content
+         FROM t""",
+
+    "f4_unescape_newlines" ->
+      """SELECT doc_id,
+         trim(regexp_replace('  ' || replace(text, ' ', '\n') || '  ',
+           '\\n', chr(10), 'g')) AS content
+         FROM documents""",
+
+    "p5_project_rename_pdf" ->
+      """WITH t AS (SELECT doc_id, text, lang, source,
+           CASE WHEN doc_id % 11 = 0 THEN 'Doe. Study, no year.'
+                ELSE 'Doe et al. (' || CAST(1990 + doc_id % 30 AS VARCHAR)
+                     || '). ' || lang || '.' END AS citation,
+           '![fig](img.png) ' || text || '\n\n\n\nEnd.' AS corpus
+           FROM documents)
+         SELECT
+           trim(regexp_replace(regexp_replace(
+               regexp_replace(corpus, '!\[.*?\]\(.*?\)', '', 'g'),
+               '\\n', chr(10), 'g'),
+             '\n{3,}', chr(10) || chr(10), 'g'),
+             ' ' || chr(9) || chr(10) || chr(13)) AS content,
+           source,
+           'https://doi.org/10.9/' || CAST(doc_id AS VARCHAR) AS url,
+           COALESCE(NULLIF(regexp_extract(citation, '\((\d{4})\)', 1), ''), '2026') AS date,
+           '1.0' AS version,
+           'T-' || CAST(doc_id AS VARCHAR) AS title,
+           citation
+         FROM t""",
+
+    "p7_drop_intermediate_cols" ->
+      """SELECT doc_id, lang, source, n_chars, trim(text) AS "Corpus",
+         md5(trim(text)) AS corpus_hash
          FROM documents""",
 
     "f5_collapse_whitespace" ->
@@ -738,7 +849,7 @@ object SparkEntry {
 
     "t2_window_hourly" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts, count(*) AS n_events,
-         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS value_sum
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY date_trunc('hour', make_timestamp(epoch_us(ts)))""",
 
     "dedup_exact_groups" ->
@@ -746,7 +857,7 @@ object SparkEntry {
            SELECT * FROM documents
            UNION ALL SELECT * FROM documents WHERE doc_id % 3 = 0)
          SELECT md5(text) AS content_hash, count(*) AS n_dups,
-           list_sort(list(doc_id)) AS ids
+           array_to_string(list_sort(list(doc_id)), ',') AS ids
          FROM doubled GROUP BY md5(text) HAVING count(*) > 1""",
 
     "dedup_ngram_jaccard" ->

@@ -27,6 +27,16 @@ object TextOps {
   def unescapeNewlines(c: Column): Column =
     trim(regexp_replace(c, "\\\\n", "\n"))
 
+  /** P5 helper — the PDF publish content clean: strip markdown images,
+    * unescape literal `\n`, collapse 3+ newlines to 2, then full
+    * whitespace strip (Python `.strip()` removes all whitespace, so the
+    * trim here takes an explicit trim-set, not the spaces-only default).
+    * Ref: pdf_extraction/combine_json_to_jsonl.py:46-61. */
+  def pdfCleanContent(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(stripMarkdownImages(c), "\\\\n", "\n"), "\n{3,}", "\n\n"),
+      " \t\n\r")
+
   /** F5 — collapse runs of spaces to one, 3+ newlines to 2.
     * Ref: fda_rag_extraction/scripts/json_split_and_clean.py:236-238. */
   def collapseWhitespace(c: Column): Column =
