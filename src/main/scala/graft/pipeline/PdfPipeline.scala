@@ -22,9 +22,11 @@ import graft.expr.{functions => gf}
   *  - PubMed is a broadcast dimension table (doi_norm, title, journal,
   *    year, authors, pmid) instead of a live rate-limited API; the
   *    verify semantics (pubmed_enrichment.py:270-296) are preserved:
-  *    DOI equality (normalized) → verified with DOI link; else title
-  *    similarity >= 0.90 (difflib parity) → verified with PubMed link;
-  *    else the "(Unverified)" fallback (pubmed_enrichment.py:439-448).
+  *    DOI equality (normalized) → verified with DOI link; both DOIs
+  *    present but different → conflict, unverified (title never
+  *    consulted); else title similarity >= 0.90 (difflib parity) →
+  *    verified with PubMed link; else the "(Unverified)" fallback
+  *    (pubmed_enrichment.py:439-448).
   */
 object PdfPipeline {
 
@@ -94,8 +96,15 @@ object PdfPipeline {
 
     val doiMatched = withDoiMatch.filter(col("dim_doi_norm").isNotNull)
       .withColumn("verified", lit(true)).withColumn("use_doi", lit(true))
+    // DOI-conflict veto (pubmed_enrichment.py:277-284): when BOTH the local
+    // and the matched PubMed DOI exist, verify() compares them and returns
+    // unverified on mismatch — title similarity is only consulted when one
+    // side lacks a DOI. Equal pairs already matched on the DOI path above,
+    // so both-present on the title path is necessarily a conflict.
     val titleVerified = titleMatched
-      .withColumn("verified", col("pmid").isNotNull)
+      .withColumn("verified", col("pmid").isNotNull &&
+        (col("doi_norm").isNull || col("dim_doi_norm").isNull ||
+          col("doi_norm") === col("dim_doi_norm")))
       .withColumn("use_doi", lit(false))
 
     doiMatched.unionByName(titleVerified.select(doiMatched.columns.toIndexedSeq.map(col): _*))

@@ -46,7 +46,11 @@ class PipelinesSpec extends AnyFunSuite {
     val binaries = Seq(
       ("f1.pdf", mk("# Paper One\n\nBody text doi: 10.1234/jex.2023.001 rest.")),
       ("f2.pdf", mk("# A Study of Examplinib In Mice\n\nNo doi present here.")),
-      ("f3.pdf", mk("# Completely Unrelated\n\nNothing matches this one."))
+      ("f3.pdf", mk("# Completely Unrelated\n\nNothing matches this one.")),
+      // DOI conflict: title matches dim row 1 exactly, but the local DOI
+      // differs from that row's DOI → verify() vetoes (pubmed_enrichment
+      // .py:277-284 returns unverified before the title check is reached)
+      ("f4.pdf", mk("# Paper One Exact\n\nBody doi: 10.9999/conflict.404 x."))
     ).toDF("path", "content")
 
     val dim = Seq(
@@ -66,6 +70,10 @@ class PipelinesSpec extends AnyFunSuite {
     assert(out("f2.pdf").getAs[Boolean]("verified"))   // title sim ≥ 0.90
     assert(out("f2.pdf").getAs[String]("Link") == "https://pubmed.ncbi.nlm.nih.gov/222")
     assert(out("f2.pdf").getAs[String]("Citation").startsWith("Doe, A, & Roe, B."))
+
+    assert(!out("f4.pdf").getAs[Boolean]("verified"))  // DOI-conflict veto
+    assert(out("f4.pdf").getAs[String]("Citation") ==
+      "Document. Paper One Exact. (Unverified)")
 
     assert(!out("f3.pdf").getAs[Boolean]("verified"))
     assert(out("f3.pdf").getAs[String]("Citation") ==
