@@ -474,6 +474,17 @@ object SparkEntry {
     },
 
     "dedup_embedding_cosine" -> { (s, dir) =>
+      // exhaustive = the exact O(n²) baseline, which is what the SQL
+      // oracle expresses; the operator's DEFAULT is the LSH candidate
+      // path exercised by dedup_embedding_lsh below
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, exhaustive = true)
+    },
+
+    "dedup_embedding_lsh" -> { (s, dir) =>
+      // rows-only: the default multi-table hyperplane-LSH candidate path
+      // (plane-seed-dependent, not SQL-expressible); recall vs the
+      // exhaustive pairs is pinned in DedupSpec
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)
     },

@@ -26,20 +26,13 @@ import graft.expr.vectorFunctions.{dot_product, sorted_intersect_count}
   */
 object Dedup {
 
-  /** Pair operators explode a small row count quadratically: a scan of a
-    * few MB arrives as ONE partition, so without an explicit fan-out the
-    * whole O(n²) condition evaluation runs on one core (measured: 483 s →
-    * 16 s on the sf0.1 ngram workload). Round-robin repartition of the
-    * probe side restores parallelism; the build side stays broadcastable. */
-  private def fanout(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sparkContext.defaultParallelism * 2)
-
   // The pair joins below broadcast the compact (per-doc sketch) side and
-  // stream the fanned-out side. At bench scale every sketch table fits a
-  // broadcast comfortably; at 100 TB the same operators run with the hint
-  // removed — the join keys (band/bucket ids) already make them plain
-  // shuffled equi-joins, and MinHash/SimHash banding (not exhaustive
-  // ngram pairing) is the intended path at that scale.
+  // stream the fanned-out side — both via ScaleHints, which gates the
+  // broadcast hint on the optimizer's size estimate and the fan-out on
+  // the current partition count, so the same operator plans correctly at
+  // bench scale (hint on, fan-out on) and at 100 TB (plain shuffled
+  // equi-join on the band/bucket keys, no injected shuffle).
+  import ScaleHints.{fanout, maybeBroadcast}
 
   /** Distinct k-token shingles as a column op (mirrors
     * [[Sketches.tokenShingles]]; kept columnar for oracle parity). */
@@ -94,7 +87,7 @@ object Dedup {
     val build = t.withColumn("bkt", bkt)
       .select(col("bkt"), col(idCol).as("j"), col(lenCol).as("len_j"),
         col("n").as("n_j"), col("hs").as("hs_j"))
-    probe.join(broadcast(build),
+    probe.join(maybeBroadcast(build),
         probe("bkt") === build("bkt") && col("i") < col("j") &&
           abs(col("len_i") - col("len_j")) <= maxLenDiff)
       .select(col("i"), col("j"),
@@ -108,18 +101,22 @@ object Dedup {
     * (64 = 16×4 → ≥0.9998 at s = 0.8). */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 3, numHashes: Int = 64,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, persistSketches: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // the per-doc sketch table feeds three consumers (banding + both
     // sides of the verify join); persist it so the sketches are computed
-    // once — at corpus scale this IS the materialize-sketches stage
-    val base = df.select(col(idCol),
+    // once — at corpus scale this IS the materialize-sketches stage.
+    // CALLER CONTRACT: the cache cannot be released from inside a lazy
+    // plan — after materializing the result, call
+    // `spark.catalog.clearCache()` (what Bench/Verify do) or pass
+    // persistSketches = false to trade the cache for recomputation.
+    val base0 = df.select(col(idCol),
       hashedShingles(col(textCol), shingleK).as("hs"),
       minhash_signature(col(textCol), shingleK, numHashes).as("sig"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
-      .persist()
+    val base = if (persistSketches) base0.persist() else base0
 
     // one (band_idx, band_key) row per band; key = hash of the band's slice
     val bandKeys = array((0 until bands).map(i =>
@@ -151,7 +148,7 @@ object Dedup {
       shiftrightunsigned(col("sh"), 16 * c).bitwiseAND(lit(0xffffL))): _*)
     val banded = base.select(col(idCol), col("sh"),
       posexplode(chunks).as(Seq("chunk_idx", "chunk_val")))
-    fanout(banded).as("a").join(broadcast(banded).as("b"),
+    fanout(banded).as("a").join(maybeBroadcast(banded).as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") &&
           col("a.chunk_val") === col("b.chunk_val") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
@@ -163,19 +160,55 @@ object Dedup {
       .select(col("i"), col("j"), col("hamming"))
   }
 
-  /** Embedding near-dup pairs above a cosine threshold. Exhaustive pair
-    * join at test scale; at corpus scale swap the pair source for
-    * [[Vectors.hyperplaneBuckets]] candidates (same verification tail). */
+  /** Embedding near-dup pairs above a cosine threshold.
+    *
+    * Default path is multi-table hyperplane LSH: `nTables` independent
+    * sign-pattern signatures of `nPlanes` bits each
+    * ([[Vectors.hyperplaneBuckets]], seed-shifted per table); a pair is a
+    * candidate iff it collides in at least one table, then the exact
+    * cosine verifies. Collision probability per table for angle θ is
+    * (1 − θ/π)^nPlanes, so recall = 1 − (1 − p)^nTables: ≈ 0.99 at
+    * cos 0.95 with the 8×8 default, falling off for far pairs — which is
+    * the correct trade for near-dup dedup (thresholds ≥ 0.8). Each join
+    * is a bounded equi-join on (table, bucket): no all-pairs anywhere,
+    * shuffle keyed by 2^nPlanes buckets per table.
+    *
+    * `exhaustive = true` is the exact O(n²) baseline — the oracle shape
+    * for tests and small corpora, a scale-killer beyond that. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, exhaustive: Boolean = false, dim: Int = 64,
+      nPlanes: Int = 8, nTables: Int = 8, seed: Long = 42L): DataFrame = {
     val withNorm = df.select(col(idCol), col(vecCol),
       Vectors.norm(col(vecCol)).as("nrm"))
-    val a = fanout(withNorm.select(col(idCol).as("i"), col(vecCol).as("v_i"), col("nrm").as("n_i")))
-    val b = withNorm.select(col(idCol).as("j"), col(vecCol).as("v_j"), col("nrm").as("n_j"))
-    a.join(broadcast(b), col("i") < col("j"))
-      .select(col("i"), col("j"),
-        (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("i"), col("j"))
+    if (exhaustive) {
+      val a = fanout(withNorm.select(col(idCol).as("i"), col(vecCol).as("v_i"), col("nrm").as("n_i")))
+      val b = withNorm.select(col(idCol).as("j"), col(vecCol).as("v_j"), col("nrm").as("n_j"))
+      a.join(maybeBroadcast(b), col("i") < col("j"))
+        .select(col("i"), col("j"),
+          (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("i"), col("j"))
+    } else {
+      val tableBuckets = array((0 until nTables).map { t =>
+        Vectors.hyperplaneBuckets(col(vecCol),
+          Vectors.hyperplanes(nPlanes, dim, seed + t))
+      }: _*)
+      val banded = withNorm.select(col(idCol), col(vecCol), col("nrm"),
+        posexplode(tableBuckets).as(Seq("tbl", "bkt")))
+      // distinct column names per side: self-join refs on a derived df
+      // resolve to the SAME attribute and degrade to `true` (all-pairs)
+      val a = fanout(banded.select(col("tbl").as("tbl_i"), col("bkt").as("bkt_i"),
+        col(idCol).as("i"), col(vecCol).as("v_i"), col("nrm").as("n_i")))
+      val b = banded.select(col("tbl").as("tbl_j"), col("bkt").as("bkt_j"),
+        col(idCol).as("j"), col(vecCol).as("v_j"), col("nrm").as("n_j"))
+      a.join(maybeBroadcast(b),
+          col("tbl_i") === col("tbl_j") && col("bkt_i") === col("bkt_j") &&
+            col("i") < col("j"))
+        .select(col("i"), col("j"),
+          (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
+        .filter(col("cos") >= threshold)
+        .select(col("i"), col("j"))
+        .distinct() // a pair may collide in several tables
+    }
   }
 }

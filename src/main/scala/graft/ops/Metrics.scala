@@ -32,10 +32,20 @@ object Metrics {
     spark.listenerManager.register(rec)
     try {
       val out = body
-      // listener events are delivered asynchronously; poll briefly
+      // listener events arrive asynchronously, one per action — a body
+      // with several actions delivers them over time, so polling until
+      // the FIRST event would truncate the list. Poll until the count
+      // has been stable for a quiet period (or the deadline passes).
       val deadline = System.nanoTime() + 10e9.toLong
-      while (rec.metrics.isEmpty && System.nanoTime() < deadline)
-        Thread.sleep(50)
+      val quietNs = 200e6.toLong
+      var last = -1
+      var lastChange = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+          (rec.metrics.isEmpty || System.nanoTime() - lastChange < quietNs)) {
+        Thread.sleep(25)
+        val n = rec.metrics.size
+        if (n != last) { last = n; lastChange = System.nanoTime() }
+      }
       (out, rec.metrics.toArray(Array.empty[QueryMetric]).toSeq)
     } finally spark.listenerManager.unregister(rec)
   }

@@ -20,6 +20,8 @@ import org.apache.spark.ml.functions.array_to_vector
   */
 object Vectors {
 
+  import ScaleHints.{fanout, maybeBroadcast}
+
   /** Σ aᵢ·bᵢ in double, left-to-right — a native codegen'd kernel
     * ([[graft.expr.DotProductExpr]]); the HOF formulation
     * (`aggregate(zip_with(...))`) computes the same value ~50× slower
@@ -40,10 +42,9 @@ object Vectors {
     // norms precomputed once per row, not once per pair
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
       norm(col(qVecCol)).as("qn"))
-    val c = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
-      norm(col(cVecCol)).as("cn"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
-    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+    val c = fanout(corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
+      norm(col(cVecCol)).as("cn")))
+    val scored = c.join(maybeBroadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
@@ -63,30 +64,47 @@ object Vectors {
       when(dot(vec, typedlit(planes(i))) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** IVF (inverted-file) approximate top-k: a seed-fixed MLlib KMeans
-    * coarse quantizer partitions the corpus into `nCells` cells; each
-    * query scores only the cells whose centroids are nearest (`nProbe`).
-    * This is the classic FAISS-style scale path: the corpus is read once
-    * to fit/assign (both single-pass, seed-deterministic), candidates per
-    * query shrink by ~nProbe/nCells, and the assignment column can be
-    * written back as a partition key so future queries prune whole files.
-    * Recall grows with nProbe; nProbe = nCells degenerates to exact. */
-  def annIvfTopK(queries: DataFrame, corpus: DataFrame,
-      qIdCol: String, cIdCol: String, qVecCol: String, cVecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = corpus.sparkSession
-    import spark.implicits._
+  /** A prebuilt IVF (inverted-file) coarse quantizer: the centroid table
+    * (driver-side, nCells rows) plus the cell-assigned corpus. Build once
+    * with [[ivfBuild]], query many times with [[annIvfTopK]] — the
+    * corpus-scale contract, where `assigned` is persisted or written back
+    * with `cell` as a partition key so future queries prune whole files. */
+  final case class IvfIndex(
+      centroids: Array[(Array[Double], Int)], assigned: DataFrame)
+
+  /** Fit the KMeans coarse quantizer and assign every corpus row a cell.
+    *
+    * The fit input is capped at `fitSampleRows` via a seed-fixed sample:
+    * KMeans is iterative, so fitting the full corpus would be a
+    * multi-pass 100 TB ML job just to place nCells centroids — a bounded
+    * sample estimates the same density at fixed cost (FAISS trains its
+    * quantizers the same way). Assignment stays a single full pass.
+    * Everything is seed-deterministic, sample included. */
+  def ivfBuild(corpus: DataFrame, cIdCol: String, cVecCol: String,
+      nCells: Int = 16, fitSampleRows: Long = 100000L,
+      seed: Long = 42L): IvfIndex = {
     val asVec = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))
       .withColumn("__features", array_to_vector(col("cv").cast("array<double>")))
-    val km = new KMeans().setK(nCells).setSeed(42L)
+    val n = asVec.count()
+    val fitDf = if (n <= fitSampleRows) asVec
+      else asVec.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+    val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("cell")
-      .fit(asVec)
+      .fit(fitDf)
     val assigned = km.transform(asVec)
       .select(col("cid"), col("cv"), norm(col("cv")).as("cn"), col("cell"))
+    IvfIndex(km.clusterCenters.map(_.toArray).zipWithIndex, assigned)
+  }
 
-    // nProbe nearest centroids per query, computed driver-side against the
-    // tiny centroid table (nCells rows) and broadcast with the queries
-    val centroids = km.clusterCenters.map(_.toArray).zipWithIndex
+  /** IVF approximate top-k against a prebuilt index: each query scores
+    * only the cells whose centroids are nearest (`nProbe`), shrinking
+    * candidates by ~nProbe/nCells. Recall grows with nProbe;
+    * nProbe = nCells degenerates to exact. */
+  def annIvfTopK(queries: DataFrame, index: IvfIndex,
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int): DataFrame = {
+    // nProbe nearest centroids per query, computed against the tiny
+    // driver-side centroid table carried into the closure
+    val centroids = index.centroids
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
       norm(col(qVecCol)).as("qn"))
     val probeCells = udf { (v: Seq[Float]) =>
@@ -101,7 +119,7 @@ object Vectors {
     }
     val qProbed = q.withColumn("cell", explode(probeCells(col("qv"))))
 
-    val scored = assigned.join(broadcast(qProbed), Seq("cell"))
+    val scored = index.assigned.join(maybeBroadcast(qProbed), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
@@ -109,6 +127,17 @@ object Vectors {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"))
   }
+
+  /** Convenience: build-and-query in one call (bench/test shape). At
+    * corpus scale prefer [[ivfBuild]] once + the index overload per
+    * query batch — fit-per-call was the round-1 scale flaw here. */
+  def annIvfTopK(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, cIdCol: String, qVecCol: String, cVecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4,
+      fitSampleRows: Long = 100000L): DataFrame =
+    annIvfTopK(queries,
+      ivfBuild(corpus, cIdCol, cVecCol, nCells, fitSampleRows),
+      qIdCol, qVecCol, k, nProbe)
 
   /** Approximate top-k: score only candidates sharing the query's
     * hyperplane bucket. Recall trades against bucket count (2^nPlanes);
@@ -122,11 +151,10 @@ object Vectors {
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
       norm(col(qVecCol)).as("qn"),
       hyperplaneBuckets(col(qVecCol), planes).as("bucket"))
-    val c = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
+    val c = fanout(corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
       norm(col(cVecCol)).as("cn"),
-      hyperplaneBuckets(col(cVecCol), planes).as("bucket"))
-      .repartition(corpus.sparkSession.sparkContext.defaultParallelism * 2)
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      hyperplaneBuckets(col(cVecCol), planes).as("bucket")))
+    val scored = c.join(maybeBroadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))

@@ -68,8 +68,40 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(-1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9)
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.9,
+      exhaustive = true)
       .as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("embedding LSH default equals exhaustive on a near-dup corpus") {
+    // 20 random base vectors, each with a tiny-perturbation twin
+    // (cos ≈ 0.999) plus the bases themselves as fillers; at that angle a
+    // pair escapes all 8 hyperplane tables with probability ~1e-6, and
+    // the whole construction is seed-fixed, so set equality is stable
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val rows = (0 until 20).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95,
+      exhaustive = true, dim = dim).as[(Long, Long)].collect().toSet
+    val lshDf = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95,
+      dim = dim)
+    // the candidate join must be an equi hash join on (table, bucket) —
+    // a self-join ambiguity can silently degrade the condition to `true`
+    // and all-pairs (the verify tail hides it from the result set)
+    val plan = lshDf.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH candidate join degenerated to all-pairs:\n$plan")
+    val lsh = lshDf.as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)              // guard against a vacuous pass
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+    // precision is structural: every returned pair was verified by the
+    // exact cosine, so lsh ⊆ exact even when recall dips
+    assert(lsh.subsetOf(exact))
   }
 }

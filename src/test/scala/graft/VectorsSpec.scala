@@ -70,6 +70,22 @@ class VectorsSpec extends AnyFunSuite {
     assert(ivf.toSet == again.toSet)
   }
 
+  test("IVF prebuilt index: build once, query many — matches the convenience path") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Vectors.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    val q = e.filter($"vec_id" < 4)
+    val viaIndex = Vectors.annIvfTopK(q, idx, "vec_id", "embedding",
+      k = 5, nProbe = 4).as[(Long, Long, Int)].collect().toSet
+    val convenience = Vectors.annIvfTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5, nCells = 8, nProbe = 4)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaIndex == convenience)
+    // second batch against the SAME index — no refit
+    val q2 = e.filter($"vec_id" >= 4 && $"vec_id" < 6)
+    assert(Vectors.annIvfTopK(q2, idx, "vec_id", "embedding",
+      k = 3, nProbe = 4).count() > 0)
+  }
+
   test("hyperplanes are deterministic under the fixed seed") {
     assert(Vectors.hyperplanes(3, 8) == Vectors.hyperplanes(3, 8))
   }
