@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -415,6 +415,26 @@ object SparkEntry {
       // oracle-checked via f5/f6, semantics via CleanCorpusSpec goldens
       t(s, dir, "documents").select(col("doc_id"),
         gf.clean_corpus(col("text")).as("content"))
+    },
+
+    "j3_fuzzy_match_scale" -> { (s, dir) =>
+      // rows-only: the 100 TB twin of j3 — deletion-neighborhood
+      // candidates (FuzzyJoin) replace the brand block, so pair work is
+      // O(n·tokens) not O(block²); recall contract (exact for one-token
+      // edits, 98.6% measured vs all-pairs lev ≤ 4) pinned in
+      // FuzzyJoinSpec, so no SQL oracle
+      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name")(
+          (a, b) => levenshtein(a, b) <= 4)
+        .select(col("i").as("k1"), col("j").as("k2"),
+          levenshtein(col("str_i"), col("str_j")).as("dist"))
+    },
+
+    "f12_similarity_scale" -> { (s, dir) =>
+      // rows-only: F12 at scale — same candidates, difflib-parity verify
+      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name")(
+          (a, b) => gf.similarity(a, b) >= 0.9)
+        .select(col("i").as("k1"), col("j").as("k2"),
+          gf.similarity(col("str_i"), col("str_j")).as("sim"))
     },
 
     "f12_similarity_ratcliff" -> { (s, dir) =>

@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-safe fuzzy string matching — the 100 TB twin of the J3/F12
+  * oracle queries (reference: pubmed_enrichment.py title matching,
+  * fda_watcher fuzzy title lookup).
+  *
+  * The oracle-shaped queries block pairs on an attribute (p_brand): block
+  * size grows linearly with the corpus, so pair work grows quadratically —
+  * at 100× the data each block does ~10,000× the work. This operator
+  * replaces the block with DELETION-NEIGHBORHOOD candidates (the SymSpell
+  * construction lifted to tokens): every string emits one key per
+  * single-token deletion plus the identity key, so any two strings within
+  * one whole-token substitution / insertion / deletion share at least one
+  * key. Key count is O(n · tokens), the candidate join is a plain equi
+  * hash join on the key, and the expensive distance (levenshtein /
+  * difflib ratio) runs only on candidates.
+  *
+  * Recall contract: EXACT for pairs within one token-level edit;
+  * char-level edits that straddle two or more tokens ("old bolt" →
+  * "cold rod") can be missed — measured 98.6% recall vs all-pairs
+  * levenshtein ≤ 4 on the sf0.01 part names, pinned in FuzzyJoinSpec.
+  * Precision is structural: every emitted pair passed the exact verify.
+  */
+object FuzzyJoin {
+
+  import ScaleHints.{fanout, maybeBroadcast}
+
+  /** One row per (deletion-neighborhood key, id, string); the key column
+    * and id/str columns carry the given names so the two sides of the
+    * self-join cannot collapse into the same attribute. */
+  private def withKeys(df: DataFrame, idCol: String, strCol: String,
+      keyName: String, idName: String, strName: String): DataFrame = {
+    val toks = split(trim(col(strCol)), "\\s+")
+    val identity = concat_ws(" ", toks)
+    val delKeys = transform(sequence(lit(0), size(toks) - 1), i =>
+      concat_ws(" ", concat(slice(toks, lit(1), i),
+        slice(toks, i + lit(2), size(toks)))))
+    df.filter(length(trim(col(strCol))) > 0)
+      .select(col(idCol).as(idName), col(strCol).as(strName),
+        explode(array_distinct(concat(array(identity), delKeys))).as(keyName))
+  }
+
+  /** Self-match: (i, j, str_i, str_j) with i < j and `verify` true.
+    * `verify` is the exact predicate — e.g.
+    * `(a, b) => levenshtein(a, b) <= 4` or
+    * `(a, b) => gf.similarity(a, b) >= 0.9`. */
+  def selfPairs(df: DataFrame, idCol: String, strCol: String)
+      (verify: (Column, Column) => Column): DataFrame = {
+    val a = fanout(withKeys(df, idCol, strCol, "key_i", "i", "str_i"))
+    val b = withKeys(df, idCol, strCol, "key_j", "j", "str_j")
+    a.join(maybeBroadcast(b), col("key_i") === col("key_j") && col("i") < col("j"))
+      .select(col("i"), col("j"), col("str_i"), col("str_j"))
+      .distinct() // a pair can share several keys; dedupe BEFORE the verify
+      .filter(verify(col("str_i"), col("str_j")))
+  }
+
+  /** Two-table match (probe × dimension), same candidate construction;
+    * use when the dimension is too large to broadcast against every
+    * probe row (otherwise a plain broadcast similarity join is simpler —
+    * see PdfPipeline.enrich). */
+  def pairs(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String)
+      (verify: (Column, Column) => Column): DataFrame = {
+    val a = fanout(withKeys(left, leftId, leftStr, "key_i", "i", "str_i"))
+    val b = withKeys(right, rightId, rightStr, "key_j", "j", "str_j")
+    a.join(maybeBroadcast(b), col("key_i") === col("key_j"))
+      .select(col("i"), col("j"), col("str_i"), col("str_j"))
+      .distinct()
+      .filter(verify(col("str_i"), col("str_j")))
+  }
+}

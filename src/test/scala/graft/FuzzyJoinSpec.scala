@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.FuzzyJoin
+import graft.expr.{functions => gf}
+
+/** The deletion-neighborhood fuzzy join must (a) never degenerate to an
+  * all-pairs plan, (b) find EVERY pair within one whole-token edit, and
+  * (c) keep high recall vs the exact all-pairs answer on real part names
+  * (char edits straddling two tokens are the only misses). */
+class FuzzyJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("one-token substitution / insertion / deletion pairs are always found") {
+    val rows = Seq(
+      (1L, "misty rose quartz"), (2L, "misty red quartz"),   // substitution
+      (3L, "deep forest green"), (4L, "deep forest"),        // deletion
+      (5L, "pale gold"), (6L, "pale antique gold"),          // insertion
+      (7L, "unrelated words entirely")
+    ).toDF("id", "name")
+    val got = FuzzyJoin.selfPairs(rows, "id", "name")(
+        (a, b) => lit(true))
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(Set((1L, 2L), (3L, 4L), (5L, 6L)).subsetOf(got))
+    assert(!got.contains((1L, 7L)) && !got.contains((3L, 5L)))
+  }
+
+  test("candidate join is an equi hash join, not all-pairs") {
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "d e")).toDF("id", "name")
+    val plan = FuzzyJoin.selfPairs(df, "id", "name")((a, b) => lit(true))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate join degenerated:\n$plan")
+  }
+
+  test("recall vs exact all-pairs lev<=4 on sf0.001 part names") {
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"))
+    val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"))
+    val exact = a.join(b, $"k1" < $"k2" && levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val scale = FuzzyJoin.selfPairs(p, "p_partkey", "p_name")(
+        (x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(scale.subsetOf(exact))               // precision is structural
+    val recall = scale.size.toDouble / exact.size
+    assert(recall >= 0.95, s"recall=$recall (${scale.size}/${exact.size})")
+  }
+
+  test("two-table variant matches probe rows to a dimension") {
+    val dim = Seq((10L, "acid green"), (11L, "royal blue")).toDF("id", "name")
+    val probe = Seq((1L, "acid lime green"), (2L, "royal blue"),
+      (3L, "nothing close")).toDF("id", "name")
+    val got = FuzzyJoin.pairs(probe, "id", "name", dim, "id", "name")(
+        (a, b) => gf.similarity(a, b) >= 0.8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got.contains((2L, 11L)))
+    assert(!got.exists(_._1 == 3L))
+  }
+}
