@@ -418,21 +418,22 @@ object SparkEntry {
     },
 
     "j3_fuzzy_match_scale" -> { (s, dir) =>
-      // rows-only: the 100 TB twin of j3 — deletion-neighborhood
-      // candidates (FuzzyJoin) replace the brand block, so pair work is
-      // O(n·tokens) not O(block²); recall contract (exact for one-token
-      // edits, 98.6% measured vs all-pairs lev ≤ 4) pinned in
-      // FuzzyJoinSpec, so no SQL oracle
-      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name")(
-          (a, b) => levenshtein(a, b) <= 4)
+      // rows-only: the 100 TB twin of j3 — the same brand block folds
+      // into the deletion-neighborhood candidate key, so a block's pair
+      // work is O(|block|·tokens) candidates instead of O(|block|²)
+      // comparisons; recall contract (exact for one-token edits, 98.6%
+      // measured vs all-pairs lev ≤ 4) pinned in FuzzyJoinSpec, so no
+      // SQL oracle
+      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
+          blockCols = Seq("p_brand"))((a, b) => levenshtein(a, b) <= 4)
         .select(col("i").as("k1"), col("j").as("k2"),
           levenshtein(col("str_i"), col("str_j")).as("dist"))
     },
 
     "f12_similarity_scale" -> { (s, dir) =>
       // rows-only: F12 at scale — same candidates, difflib-parity verify
-      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name")(
-          (a, b) => gf.similarity(a, b) >= 0.9)
+      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
+          blockCols = Seq("p_brand"))((a, b) => gf.similarity(a, b) >= 0.9)
         .select(col("i").as("k1"), col("j").as("k2"),
           gf.similarity(col("str_i"), col("str_j")).as("sim"))
     },

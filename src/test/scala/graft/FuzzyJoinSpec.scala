@@ -50,6 +50,22 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall=$recall (${scale.size}/${exact.size})")
   }
 
+  test("block columns restrict pairs to the block and keep recall") {
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"), $"p_brand".as("b1"))
+    val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"), $"p_brand".as("b2"))
+    val exactBlocked = a.join(b,
+        $"b1" === $"b2" && $"k1" < $"k2" && levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val scale = FuzzyJoin.selfPairs(p, "p_partkey", "p_name",
+        blockCols = Seq("p_brand"))((x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exactBlocked.nonEmpty)
+    assert(scale.subsetOf(exactBlocked))        // block equality is implied by the key
+    val recall = scale.size.toDouble / exactBlocked.size
+    assert(recall >= 0.95, s"recall=$recall (${scale.size}/${exactBlocked.size})")
+  }
+
   test("two-table variant matches probe rows to a dimension") {
     val dim = Seq((10L, "acid green"), (11L, "royal blue")).toDF("id", "name")
     val probe = Seq((1L, "acid lime green"), (2L, "royal blue"),
