@@ -139,18 +139,63 @@ object Vectors {
       ivfBuild(corpus, cIdCol, cVecCol, nCells, fitSampleRows),
       qIdCol, qVecCol, k, nProbe)
 
-  /** Approximate top-k: score only candidates sharing the query's
-    * hyperplane bucket. Recall trades against bucket count (2^nPlanes);
-    * verification/ranking tail is identical to the exact path, so a
-    * multi-probe upgrade (explode neighboring buckets) slots in at the
-    * bucket column without touching the rest. */
+  /** Persist an IVF index: the centroid table as a tiny parquet file and
+    * the assigned corpus PARTITIONED BY CELL — on disk each cell is its
+    * own directory, so a query batch that probes nProbe of nCells cells
+    * reads only that fraction of the files (static pruning via an IN
+    * filter, or Spark's dynamic partition pruning through the cell join).
+    * This is the "write the assignment back as a partition key" 100 TB
+    * contract from the scaladoc above, made concrete. */
+  def ivfSave(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+  }
+
+  /** Load a persisted IVF index; `assigned` comes back partition-pruned
+    * by `cell` at the file level. */
+  def ivfLoad(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("centroid")).collect()
+      .map(r => (r.getSeq[Double](1).toArray, r.getInt(0)))
+      .sortBy(_._2)
+    IvfIndex(centroids, spark.read.parquet(s"$path/assigned"))
+  }
+
+  /** Approximate top-k: score only candidates sharing one of the query's
+    * probed hyperplane buckets. Recall trades against bucket count
+    * (2^nPlanes); `nProbe` > 1 turns on multi-probe — the query side also
+    * probes the buckets at Hamming distance 1 in nearest-hyperplane-first
+    * order (the classic multi-probe LSH heuristic: a near neighbor that
+    * falls on the other side of ONE hyperplane is in a 1-bit-flip
+    * bucket), recovering most of the recall lost to bucketing without
+    * touching the corpus side or the ranking tail. */
   def annLshTopK(queries: DataFrame, corpus: DataFrame,
       qIdCol: String, cIdCol: String, qVecCol: String, cVecCol: String,
-      k: Int, nPlanes: Int = 4, dim: Int = 64): DataFrame = {
+      k: Int, nPlanes: Int = 4, dim: Int = 64, nProbe: Int = 1): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nPlanes + 1,
+      "nProbe counts the home bucket plus up to nPlanes 1-bit flips")
     val planes = hyperplanes(nPlanes, dim)
+    // distance of the vector to plane i = |dot| / ||plane||; the planes
+    // with the smallest margin are the most likely to have cut off a
+    // true neighbor, so their flips are probed first
+    val margins = (0 until nPlanes).map { i =>
+      val p = planes(i)
+      abs(dot(col(qVecCol), typedlit(p))) / lit(math.sqrt(p.map(x => x * x).sum))
+    }
+    val home = hyperplaneBuckets(col(qVecCol), planes)
+    val flipOrder = array_sort(arrays_zip(
+      array(margins: _*).as("m"),
+      array((0 until nPlanes).map(i => home.bitwiseXOR(lit(1 << i))): _*).as("b")))
+    val probes = slice(
+      concat(array(home), transform(flipOrder, s => s.getField("b"))),
+      1, nProbe)
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
-      norm(col(qVecCol)).as("qn"),
-      hyperplaneBuckets(col(qVecCol), planes).as("bucket"))
+      norm(col(qVecCol)).as("qn"), explode(probes).as("bucket"))
     val c = fanout(corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
       norm(col(cVecCol)).as("cn"),
       hyperplaneBuckets(col(cVecCol), planes).as("bucket")))
@@ -158,6 +203,8 @@ object Vectors {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+    // no dedupe needed: probes are distinct buckets and each corpus row
+    // lives in exactly one bucket, so a (qid, cid) pair matches at most once
     val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"))

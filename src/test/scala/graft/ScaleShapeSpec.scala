@@ -38,4 +38,36 @@ class ScaleShapeSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     } finally spark.sql("DROP TABLE IF EXISTS graft_master_bucketed")
   }
+
+  test("gated broadcast hints: BHJ at bench scale, shuffled equi-join when estimates are corpus-sized") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val parts = spark.read.parquet(s"$dir/part.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+    val pairOps = Seq(
+      "ngram" -> graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars", 0.5),
+      "simhash" -> graft.ops.Dedup.simHashNearDups(docs, "doc_id", "text", 6),
+      "emb_lsh" -> graft.ops.Dedup.embeddingNearDups(emb, "vec_id", "embedding", 0.4),
+      "fuzzy" -> graft.ops.FuzzyJoin.selfPairs(parts, "p_partkey", "p_name",
+        Seq("p_brand"))((a, b) => levenshtein(a, b) <= 4))
+    // small inputs: the size-gated hint must recover the broadcast join
+    pairOps.foreach { case (name, df) =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin"), s"$name lost its bench-scale broadcast:\n$p")
+      assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name degenerated to all-pairs:\n$p")
+    }
+    // corpus-sized estimate (threshold 1 byte → estimate 8× over): the
+    // hint must drop and the band/bucket keys keep it an equi join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try {
+      val p = plan(graft.ops.Dedup.simHashNearDups(docs, "doc_id", "text", 6))
+      assert(!p.contains("BroadcastHashJoin"),
+        s"hint should drop when the estimate dwarfs the threshold:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffled equi-join on the chunk keys:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

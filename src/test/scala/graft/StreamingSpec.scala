@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.streaming.EventsStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{DedupStream, EventsStream}
 
 /** T1/T2 as Structured Streaming: the events parquet drives an
   * AvailableNow micro-batch run; the result must equal the equivalent
@@ -27,5 +28,47 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed == batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming dedup: forever-state drops re-ingested keys across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = DedupStream.exactForever(
+        input.toDF().toDF("rag_id", "payload"), Seq("rag_id"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    try {
+      input.addData(("a", "v1"), ("b", "v1"), ("a", "v1dup"))
+      q.processAllAvailable()
+      // re-scrape in a LATER batch: both keys already in state
+      input.addData(("a", "v2"), ("b", "v2"), ("c", "v1"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT rag_id, payload FROM dedup_out")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == Set(("a", "v1"), ("b", "v1"), ("c", "v1")))
+    } finally q.stop()
+  }
+
+  test("streaming dedup: watermark-bounded state suppresses in-window dups, evicts old keys") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(s"2026-01-01 ${10 + min / 60}:${"%02d".format(min % 60)}:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = DedupStream.exactWithinWatermark(
+        input.toDF().toDF("rag_id", "ts"), Seq("rag_id"), "ts", "10 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_wm_out").start()
+    try {
+      input.addData(("a", ts(0)), ("a", ts(5)))        // dup inside window
+      q.processAllAvailable()
+      input.addData(("x", ts(60)))                     // advance watermark far
+      q.processAllAvailable()
+      input.addData(("a", ts(65)))                     // key a's state evicted → re-emitted
+      q.processAllAvailable()
+      val got = spark.sql("SELECT rag_id, ts FROM dedup_wm_out")
+        .collect().map(r => (r.getString(0), r.getTimestamp(1))).toList.sorted
+      assert(got == List(("a", ts(0)), ("a", ts(65)), ("x", ts(60))).sorted)
+    } finally q.stop()
   }
 }

@@ -86,6 +86,44 @@ class VectorsSpec extends AnyFunSuite {
       k = 3, nProbe = 4).count() > 0)
   }
 
+  test("IVF save/load round-trip: cell-partitioned layout, identical results") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Vectors.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    val q = e.filter($"vec_id" < 4)
+    val direct = Vectors.annIvfTopK(q, idx, "vec_id", "embedding",
+      k = 5, nProbe = 4).as[(Long, Long, Int)].collect().toSet
+
+    val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    Vectors.ivfSave(idx, path)
+    // the on-disk assignment is physically partitioned by cell
+    val cellDirs = new java.io.File(s"$path/assigned").listFiles()
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.length > 1, "assigned corpus should be cell-partitioned")
+    val loaded = Vectors.ivfLoad(spark, path)
+    assert(loaded.centroids.map(_._2).toList == idx.centroids.map(_._2).toList)
+    val viaDisk = Vectors.annIvfTopK(q, loaded, "vec_id", "embedding",
+      k = 5, nProbe = 4).as[(Long, Long, Int)].collect().toSet
+    assert(viaDisk == direct)
+  }
+
+  test("multi-probe LSH: superset of single-probe, recall climbs toward exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 8)
+    def hits(nProbe: Int) = Vectors.annLshTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5, nPlanes = 4, nProbe = nProbe)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val exact = Vectors.annBruteForceTopK(q, e, "vec_id", "vec_id",
+        "embedding", "embedding", k = 5)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2)).toSet
+    val one = hits(1); val three = hits(3); val five = hits(5)
+    def recall(s: Set[(Long, Long)]) = s.intersect(exact).size.toDouble / exact.size
+    // more probes → more candidates → monotonically better recall
+    assert(recall(three) >= recall(one))
+    assert(recall(five) >= recall(three))
+    assert(recall(five) > recall(one), s"multi-probe should add candidates: " +
+      s"r1=${recall(one)} r3=${recall(three)} r5=${recall(five)}")
+  }
+
   test("hyperplanes are deterministic under the fixed seed") {
     assert(Vectors.hyperplanes(3, 8) == Vectors.hyperplanes(3, 8))
   }
