@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -562,6 +562,20 @@ object SparkEntry {
             .as("vec_digest"))
     },
 
+    "dedup_components" -> { (s, dir) =>
+      // connected components over chain edges (consecutive events per
+      // user): hundreds-of-hops paths exercise the pointer-jumping
+      // convergence; component = min event_id of the user's chain. The
+      // oracle is DuckDB's recursive CTE computing the same fixpoint.
+      val e = events(s, dir).filter(col("event_id") < 2000)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      val edges = e.select(col("event_id").as("i"),
+          lead("event_id", 1).over(w).as("j"))
+        .filter(col("j").isNotNull)
+      Components.connectedComponents(edges)
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       // rows-only: winnowing fingerprint (stateful scan); semantics pinned
       // in SketchesSpec; the md5 content-hash variant is oracle-checked (d2)
@@ -915,6 +929,21 @@ object SparkEntry {
       """SELECT a.vec_id AS i, b.vec_id AS j
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+
+    "dedup_components" ->
+      """WITH RECURSIVE
+         e AS (SELECT event_id, user_id FROM events WHERE event_id < 2000),
+         edges AS (SELECT event_id AS i,
+             lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS j
+           FROM e),
+         sym AS (SELECT i AS a, j AS b FROM edges WHERE j IS NOT NULL
+                 UNION
+                 SELECT j, i FROM edges WHERE j IS NOT NULL),
+         cc(node, label) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT s.a, cc.label FROM sym s JOIN cc ON s.b = cc.node)
+         SELECT node, min(label) AS component FROM cc GROUP BY node""",
 
     "ann_bruteforce_topk" ->
       """SELECT qid, cid, rk FROM (

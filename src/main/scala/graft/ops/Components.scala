@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the grouping tail
+  * of every near-dup family: pair detection (ngram / MinHash / SimHash /
+  * embedding) yields EDGES, but dedup decisions need GROUPS (a transitive
+  * near-dup cluster keeps one survivor). The reference never needs this —
+  * its dedup is exact-identity — but any corpus-scale near-dup pipeline
+  * does.
+  *
+  * Algorithm: iterative min-label propagation with a pointer-jumping
+  * step (label ← label of label) per round, the DataFrame rendering of
+  * the classic large-star/small-star idea: propagation alone needs
+  * O(diameter) rounds, the jump step collapses resolved chains so long
+  * paths converge in ~O(log d). Every round is two shuffles on node id
+  * (neighbor-min join + jump join); lineage is truncated per round with
+  * `localCheckpoint` so the plan does not grow with iterations — the
+  * standard hygiene for iterative DataFrame jobs.
+  *
+  * Convergence is detected by counting changed labels (one count per
+  * round, like GraphX Pregel); component id = min node id reachable,
+  * which makes the output deterministic and oracle-checkable (DuckDB
+  * recursive CTE computes the same fixpoint).
+  */
+object Components {
+
+  /** (node, component) for every node appearing in `edges`; `iCol`/`jCol`
+    * name the edge endpoints. Isolated nodes (no edges) are absent by
+    * construction — union the node universe afterwards if needed. */
+  def connectedComponents(edges: DataFrame, iCol: String = "i",
+      jCol: String = "j", maxIter: Int = 30): DataFrame = {
+    val sym = edges.select(col(iCol).as("a"), col(jCol).as("b"))
+      .unionByName(edges.select(col(jCol).as("a"), col(iCol).as("b")))
+      .distinct()
+      .persist()
+
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = 1L
+    while (changed > 0 && it < maxIter) {
+      // neighbor-min: the smallest label among my neighbors
+      val nbrMin = sym.join(labels.withColumnRenamed("node", "b"), Seq("b"))
+        .groupBy(col("a").as("node")).agg(min("label").as("nbr_label"))
+      val prop = labels.join(nbrMin, Seq("node"), "left_outer")
+        .select(col("node"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jump: adopt my label's own label (collapses chains)
+      val jumped = prop.join(
+          prop.select(col("node").as("label"), col("label").as("jump"))
+            .groupBy("label").agg(min("jump").as("jump")),
+          Seq("label"), "left_outer")
+        .select(col("node"), col("old_label"),
+          least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = jumped.filter(col("label") < col("old_label")).count()
+      labels = jumped.select(col("node"), col("label"))
+      it += 1
+    }
+    sym.unpersist()
+    labels.withColumnRenamed("label", "component")
+  }
+
+  /** Near-dup GROUPS from a pair list: every transitive cluster keyed by
+    * its smallest member (the survivor under keep-first policy).
+    * Output: (component, n_members, members-as-sorted-csv). */
+  def dupGroups(pairs: DataFrame, iCol: String = "i", jCol: String = "j"): DataFrame =
+    connectedComponents(pairs, iCol, jCol)
+      .groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_list(col("node"))), ",").as("members"))
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Components
+
+/** Connected components must be transitive (the whole point vs raw
+  * pairs), deterministic (component = min member id), and converge on
+  * long chains well inside the iteration cap (pointer jumping). */
+class ComponentsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("transitive clusters and isolated pairs") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 8L), (3L, 9L))
+      .toDF("i", "j")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      4L -> 4L, 5L -> 4L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("a 200-node chain converges inside the iteration cap") {
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("i", "j")
+    val got = Components.connectedComponents(edges)
+      .as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L), "every chain node must reach label 0")
+  }
+
+  test("dupGroups keys every cluster by its smallest member") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("i", "j")
+    val got = Components.dupGroups(edges)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set((10L, 3L, "10,11,12"), (20L, 2L, "20,21")))
+  }
+}
