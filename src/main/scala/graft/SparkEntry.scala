@@ -553,6 +553,18 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    "rag_chunk_paragraphs" -> { (s, dir) =>
+      // paragraph-aware chunking: the documents text is a flat token
+      // stream (no sentence punctuation), so paragraph breaks are
+      // injected after every literal " table " occurrence — frequent in
+      // the generator vocabulary — then whole paragraphs pack into
+      // 64-token-budget chunks
+      val p = t(s, dir, "documents").select(col("doc_id"),
+        replace(col("text"), lit(" table "), lit(" table\n\n")).as("ptext"))
+      Chunker.chunkByParagraphs(p, "ptext", maxTokens = 64)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+    },
+
     "rag_tfidf_embed" -> { (s, dir) =>
       // rows-only: MLlib hashing-TF/IDF embeddings (hash-seeded, not
       // SQL-expressible); unit-norm + ANN-compat pinned in ChunkEmbedSpec.
@@ -931,6 +943,26 @@ object SparkEntry {
          SELECT doc_id, CAST(i AS INT) AS chunk_idx,
            array_to_string(list_slice(toks, CAST(i*48+1 AS INT), CAST(i*48+64 AS INT)), ' ') AS chunk_text
          FROM c""",
+
+    "rag_chunk_paragraphs" ->
+      """WITH t AS (SELECT doc_id,
+           string_split_regex(
+             replace(text, ' table ', ' table' || chr(10) || chr(10)),
+             '\n{2,}') AS ps0
+           FROM documents),
+         f AS (SELECT doc_id,
+           list_filter(list_transform(ps0, x -> trim(x)), x -> length(x) > 0) AS ps
+           FROM t),
+         e AS (SELECT doc_id, ps, CAST(unnest(range(1, len(ps) + 1)) AS INT) AS pos FROM f),
+         c AS (SELECT doc_id, pos, ps[pos] AS para,
+           len(string_split_regex(ps[pos], '\s+')) AS ntok FROM e),
+         w AS (SELECT doc_id, pos, para,
+           COALESCE(sum(ntok) OVER (PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+           FROM c)
+         SELECT doc_id, CAST(floor(off / 64) AS INT) AS chunk_idx,
+           string_agg(para, chr(10) || chr(10) ORDER BY pos) AS chunk_text
+         FROM w GROUP BY doc_id, CAST(floor(off / 64) AS INT)""",
 
     "t2_window_hourly" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts, count(*) AS n_events,

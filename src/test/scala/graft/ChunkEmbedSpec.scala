@@ -27,6 +27,25 @@ class ChunkEmbedSpec extends AnyFunSuite {
     assert(got.filter(_._1 == 2L).toList == List((2L, 0, "a b")))
   }
 
+  test("chunkByParagraphs: boundaries kept, budget packing, oversized para intact") {
+    val doc = Seq((1L, Seq(
+      "one two three",          // 3 tokens → chunk 0 (off 0)
+      "four five",              // 2 tokens → chunk 0 (off 3)
+      "six seven eight nine",   // 4 tokens → chunk 0 (off 5 < 8)
+      (10 to 18).map(i => s"t$i").mkString(" "), // 9 tokens → chunk 1 (off 9)
+      (1 to 20).map(i => s"w$i").mkString(" ")   // oversized → own chunk (off 18)
+    ).mkString("\n\n"))).toDF("doc_id", "text")
+    val got = Chunker.chunkByParagraphs(doc, "text", maxTokens = 8)
+      .select("chunk_idx", "chunk_text")
+      .as[(Int, String)].collect().sortBy(_._1).toList
+    assert(got.map(_._1) == List(0, 1, 2))
+    assert(got(0)._2 == "one two three\n\nfour five\n\nsix seven eight nine")
+    assert(got(1)._2 == (10 to 18).map(i => s"t$i").mkString(" "))
+    assert(got(2)._2.startsWith("w1 ") && got(2)._2.endsWith(" w20"))
+    // no paragraph is ever torn across chunks
+    assert(got.forall(c => !c._2.split("\n\n").exists(_.isEmpty)))
+  }
+
   test("tf-idf embeddings: fixed dim, unit norm, identical docs coincide") {
     val df = Seq((1L, "spark engine fast"), (2L, "spark engine fast"),
       (3L, "completely different words here")).toDF("doc_id", "text")
