@@ -89,6 +89,19 @@ object SparkEntry {
           count(lit(1)).as("n_files"), sum(col("n_chars")).as("n_chars_sum"))
     },
 
+    "a4_length_quantiles" -> { (s, dir) =>
+      // distribution stats per source (the run-stats extension A4 wants
+      // at corpus scale: exact interpolated percentiles — Spark
+      // `percentile` and DuckDB `quantile_cont` compute the identical
+      // (n−1)·p linear interpolation, verified bit-equal at sf0.01)
+      t(s, dir, "documents").groupBy(col("source")).agg(
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        min(col("n_chars")).as("len_min"),
+        max(col("n_chars")).as("len_max"))
+    },
+
     // ── P-family: projections / filters / row transforms (SURVEY §2.2) ──
     "p1_fingerprint_md5" -> { (s, dir) =>
       docsWithId(s, dir).select(col("doc_id"), col("rag_id"))
@@ -659,6 +672,15 @@ object SparkEntry {
       """SELECT source, grouping(source) AS is_total, count(*) AS n_files,
          CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          FROM documents GROUP BY ROLLUP(source)""",
+
+    "a4_length_quantiles" ->
+      """SELECT source,
+         quantile_cont(n_chars, 0.5) AS p50,
+         quantile_cont(n_chars, 0.9) AS p90,
+         quantile_cont(n_chars, 0.99) AS p99,
+         min(n_chars) AS len_min,
+         max(n_chars) AS len_max
+         FROM documents GROUP BY source""",
 
     "p1_fingerprint_md5" ->
       """SELECT doc_id, md5(concat_ws('_', source, CAST(doc_id AS VARCHAR))) AS rag_id
