@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -224,6 +224,21 @@ object SparkEntry {
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(18,2)")))
           .cast("double").as("revenue"))
+    },
+
+    "j4_asof_join" -> { (s, dir) =>
+      // as-of temporal lookup: every purchase gets the most recent click
+      // at-or-before it per user; oracle is DuckDB's NATIVE ASOF JOIN
+      // against our union+window composition
+      val e = events(s, dir)
+      val l = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val r = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("click_value"))
+        .withColumn("click_ts", col("ts"))
+      AsofJoin.asofJoin(l, r, "user_id", "ts",
+        Seq("click_value", "click_ts"))
     },
 
     // ── D-family: dedup + delta (SURVEY §2.4) ───────────────────────────
@@ -759,6 +774,16 @@ object SparkEntry {
          FROM part a JOIN part b
          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          AND levenshtein(a.p_name, b.p_name) <= 4""",
+
+    "j4_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id,
+           make_timestamp(epoch_us(ts)) AS ts, event_type, value FROM events),
+         l AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+         r AS (SELECT user_id, ts AS click_ts, max(value) AS click_value
+               FROM e WHERE event_type = 'click' GROUP BY user_id, ts)
+         SELECT l.event_id, l.user_id, l.ts, r.click_value, r.click_ts
+         FROM l ASOF LEFT JOIN r
+           ON l.user_id = r.user_id AND l.ts >= r.click_ts""",
 
     "tpch_q3_shaped" ->
       """SELECT l_orderkey,
