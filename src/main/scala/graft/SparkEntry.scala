@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -239,6 +239,20 @@ object SparkEntry {
         .withColumn("click_ts", col("ts"))
       AsofJoin.asofJoin(l, r, "user_id", "ts",
         Seq("click_value", "click_ts"))
+    },
+
+    "j5_range_join" -> { (s, dir) =>
+      // point-in-range join: event values against 25 overlapping nation
+      // bands — banded equi-join composition vs DuckDB's raw inequality
+      // join (which its optimizer runs as an IEJoin)
+      val bands = t(s, dir, "nation").select(
+        col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 18).cast("double").as("lo"),
+        (col("n_nationkey") * 18 + 35).cast("double").as("hi"))
+      RangeJoin.pointInRange(
+          t(s, dir, "events").select(col("event_id"), col("value")),
+          "value", bands, "lo", "hi", binWidth = 32)
+        .select(col("event_id"), col("band_id"), col("value"))
     },
 
     // ── D-family: dedup + delta (SURVEY §2.4) ───────────────────────────
@@ -774,6 +788,14 @@ object SparkEntry {
          FROM part a JOIN part b
          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          AND levenshtein(a.p_name, b.p_name) <= 4""",
+
+    "j5_range_join" ->
+      """WITH b AS (SELECT n_nationkey AS band_id,
+           CAST(n_nationkey * 18 AS DOUBLE) AS lo,
+           CAST(n_nationkey * 18 + 35 AS DOUBLE) AS hi
+           FROM nation)
+         SELECT e.event_id, b.band_id, e.value
+         FROM events e JOIN b ON e.value >= b.lo AND e.value <= b.hi""",
 
     "j4_asof_join" ->
       """WITH e AS (SELECT event_id, user_id,

@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Point-in-range join — the second temporal/interval operator Spark's
+  * join zoo lacks (builder prompt: as-of join, range join). A raw
+  * inequality join (`p.v BETWEEN r.lo AND r.hi`) has no equi keys, so
+  * Spark plans a broadcast nested loop — O(|points|·|ranges|) evaluated
+  * pairs regardless of selectivity. The banded composition makes it an
+  * equi join: every range explodes across the fixed-width bins it spans,
+  * every point lands in exactly one bin, and the join key is the bin with
+  * the exact BETWEEN as residual. Fan-out per range is O(span/binWidth),
+  * so bin width tunes replication vs candidate precision; the shuffle is
+  * keyed by bin — bounded cardinality, AQE-splittable.
+  */
+object RangeJoin {
+
+  import ScaleHints.{fanout, maybeBroadcast}
+
+  /** Inner join of points to every range containing them; all columns of
+    * both inputs pass through. `binWidth` should be on the order of the
+    * typical range span. */
+  def pointInRange(points: DataFrame, pointCol: String,
+      ranges: DataFrame, loCol: String, hiCol: String,
+      binWidth: Int): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val p = fanout(points.withColumn("__bin",
+      floor(col(pointCol) / binWidth).cast("long")))
+    val r = ranges.withColumn("__bin", explode(sequence(
+      floor(col(loCol) / binWidth).cast("long"),
+      floor(col(hiCol) / binWidth).cast("long"))))
+    p.join(maybeBroadcast(r), p("__bin") === r("__bin") &&
+        col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bin")
+  }
+}
