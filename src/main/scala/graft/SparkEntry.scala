@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -253,6 +253,45 @@ object SparkEntry {
           t(s, dir, "events").select(col("event_id"), col("value")),
           "value", bands, "lo", "hi", binWidth = 32)
         .select(col("event_id"), col("band_id"), col("value"))
+    },
+
+    "j6_salted_join" -> { (s, dir) =>
+      // manual key salting: semantics are EXACTLY the plain equi join
+      // (the oracle), the salt only respreads hot keys — aggregated so
+      // the check covers the join result, not row order
+      val joined = SkewJoin.saltedEquiJoin(
+        t(s, dir, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        t(s, dir, "orders"), "o_orderkey", "l_linenumber", saltFactor = 8)
+      joined.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"))
+    },
+
+    "j7_interval_overlap" -> { (s, dir) =>
+      // interval-overlap join of two derived band tables (nation 25 x
+      // region 5, overlapping spans) — banded equi composition vs the
+      // raw inequality oracle
+      val nb = t(s, dir, "nation").select(col("n_nationkey"),
+        (col("n_nationkey") * 18).cast("double").as("n_lo"),
+        (col("n_nationkey") * 18 + 35).cast("double").as("n_hi"))
+      val rb = t(s, dir, "region").select(col("r_regionkey"),
+        (col("r_regionkey") * 90).cast("double").as("r_lo"),
+        (col("r_regionkey") * 90 + 120).cast("double").as("r_hi"))
+      RangeJoin.intervalOverlap(nb, "n_lo", "n_hi", rb, "r_lo", "r_hi",
+          binWidth = 64)
+        .select(col("n_nationkey"), col("r_regionkey"))
+    },
+
+    "text_quality_filter" -> { (s, dir) =>
+      // training-data curation: keep documents at or above their
+      // source's median quality score (window percentile both engines)
+      val scored = t(s, dir, "documents").select(
+        col("doc_id") +: col("source") +: TextAnalysis.qualityScore(col("text")): _*)
+      val w = Window.partitionBy(col("source"))
+      scored
+        .withColumn("med", expr("percentile(q_score, 0.5)").over(w))
+        .filter(col("q_score") >= col("med"))
+        .select(col("doc_id"), col("source"), col("q_score"), col("med"))
     },
 
     // ── D-family: dedup + delta (SURVEY §2.4) ───────────────────────────
@@ -788,6 +827,39 @@ object SparkEntry {
          FROM part a JOIN part b
          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          AND levenshtein(a.p_name, b.p_name) <= 4""",
+
+    "j6_salted_join" ->
+      """SELECT o.o_orderpriority, count(*) AS n_items,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         GROUP BY o.o_orderpriority""",
+
+    "j7_interval_overlap" ->
+      """WITH nb AS (SELECT n_nationkey,
+           CAST(n_nationkey * 18 AS DOUBLE) AS n_lo,
+           CAST(n_nationkey * 18 + 35 AS DOUBLE) AS n_hi FROM nation),
+         rb AS (SELECT r_regionkey,
+           CAST(r_regionkey * 90 AS DOUBLE) AS r_lo,
+           CAST(r_regionkey * 90 + 120 AS DOUBLE) AS r_hi FROM region)
+         SELECT nb.n_nationkey, rb.r_regionkey
+         FROM nb JOIN rb ON nb.n_lo <= rb.r_hi AND rb.r_lo <= nb.n_hi""",
+
+    "text_quality_filter" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, source, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t),
+         q AS (SELECT doc_id, source,
+           CAST(floor(100 * (0.7 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+             0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS q_score
+           FROM c),
+         m AS (SELECT doc_id, source, q_score,
+           quantile_cont(q_score, 0.5) OVER (PARTITION BY source) AS med
+           FROM q)
+         SELECT doc_id, source, q_score, med FROM m WHERE q_score >= med""",
 
     "j5_range_join" ->
       """WITH b AS (SELECT n_nationkey AS band_id,

@@ -34,4 +34,31 @@ object RangeJoin {
         col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bin")
   }
+
+  /** Interval-overlap join: every (left, right) pair whose ranges
+    * intersect ([lo1,hi1] ∩ [lo2,hi2] ≠ ∅ ⇔ lo1 ≤ hi2 ∧ lo2 ≤ hi1).
+    * Same banding: BOTH sides explode across their bins, pairs join on
+    * the shared bin; a pair spanning several common bins would match
+    * multiple times, so the bin-equality residual keeps only the FIRST
+    * shared bin (max of the two start bins) — exactly-once without a
+    * distinct. Left columns must not collide with right columns. */
+  def intervalOverlap(left: DataFrame, leftLo: String, leftHi: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      binWidth: Int): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def binned(df: DataFrame, lo: String, hi: String, binName: String) =
+      df.withColumn(binName, explode(sequence(
+        floor(col(lo) / binWidth).cast("long"),
+        floor(col(hi) / binWidth).cast("long"))))
+    val l = fanout(binned(left, leftLo, leftHi, "__bin_l"))
+    val r = binned(right, rightLo, rightHi, "__bin_r")
+    l.join(maybeBroadcast(r),
+        col("__bin_l") === col("__bin_r") &&
+          col(leftLo) <= col(rightHi) && col(rightLo) <= col(leftHi) &&
+          // dedupe: emit only in the first bin both intervals share
+          col("__bin_l") === greatest(
+            floor(col(leftLo) / binWidth).cast("long"),
+            floor(col(rightLo) / binWidth).cast("long")))
+      .drop("__bin_l", "__bin_r")
+  }
 }

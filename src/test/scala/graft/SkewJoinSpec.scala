@@ -1,0 +1,24 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.SkewJoin
+
+/** Salting is an implementation detail: the salted join must equal the
+  * plain equi join row-for-row, including a pathologically hot key. */
+class SkewJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("salted equi join equals the plain join on a hot-key workload") {
+    val left = ((1 to 500).map(i => (1L, i)) ++ Seq((2L, 900), (3L, 901)))
+      .toDF("k", "lid")                       // key 1 holds 500 of 502 rows
+    val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "rv")
+    val plain = left.join(right, "k")
+      .select("k", "lid", "rv").as[(Long, Int, String)].collect().toSet
+    val salted = SkewJoin.saltedEquiJoin(left, right, "k", "lid", saltFactor = 8)
+      .select("k", "lid", "rv").as[(Long, Int, String)].collect().toSet
+    assert(salted == plain)
+    assert(plain.size == 501)                 // 500 hot + 1, key 3/4 drop
+  }
+}
