@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -292,6 +292,22 @@ object SparkEntry {
         .withColumn("med", expr("percentile(q_score, 0.5)").over(w))
         .filter(col("q_score") >= col("med"))
         .select(col("doc_id"), col("source"), col("q_score"), col("med"))
+    },
+
+    "u3_merge_upsert" -> { (s, dir) =>
+      // MERGE semantics: update rows win over their keyed master rows,
+      // untouched master rows survive (updates ∪ master-anti-updates)
+      val master = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val updates = master.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), concat(lit("UPDATED "), col("text")).as("text"))
+      Fingerprint.mergeUpsert(master, updates, "doc_id")
+    },
+
+    "profile_documents" -> { (s, dir) =>
+      // one-pass per-column profiling (nulls / exact distincts / min-max)
+      Profile.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .withColumnRenamed("column", "col_name")
     },
 
     // ── D-family: dedup + delta (SURVEY §2.4) ───────────────────────────
@@ -827,6 +843,33 @@ object SparkEntry {
          FROM part a JOIN part b
          ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
          AND levenshtein(a.p_name, b.p_name) <= 4""",
+
+    "u3_merge_upsert" ->
+      """WITH u AS (SELECT doc_id, 'UPDATED ' || text AS text
+           FROM documents WHERE doc_id % 4 = 0)
+         SELECT doc_id, text FROM u
+         UNION ALL
+         SELECT m.doc_id, m.text FROM documents m
+         WHERE m.doc_id NOT IN (SELECT doc_id FROM u)""",
+
+    "profile_documents" ->
+      """SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_null,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_str, CAST(max(doc_id) AS VARCHAR) AS max_str
+         FROM documents
+         UNION ALL
+         SELECT 'lang', count(*),
+           count(*) - count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'source', count(*),
+           count(*) - count(source), count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR) FROM documents
+         UNION ALL
+         SELECT 'n_chars', count(*),
+           count(*) - count(n_chars), count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
 
     "j6_salted_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,

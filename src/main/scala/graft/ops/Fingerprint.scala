@@ -67,4 +67,13 @@ object Fingerprint {
   def unionMasterUpdate(fresh: DataFrame, master: DataFrame, seqCol: String): DataFrame =
     fresh.withColumn(seqCol, lit(0L))
       .unionByName(master.withColumn(seqCol, lit(1L)))
+
+  /** MERGE/upsert semantics over the master table: every update row wins
+    * over its keyed master row; master rows without an update survive.
+    * Composed as updates ∪ (master ⟕anti updates) — one broadcast/hash
+    * anti-join when updates are the small side, no full-table rewrite of
+    * unmatched rows beyond the copy the storage layer needs anyway (the
+    * Delta/Iceberg MERGE shape without the format). */
+  def mergeUpsert(master: DataFrame, updates: DataFrame, idCol: String): DataFrame =
+    updates.unionByName(master.join(updates.select(idCol), Seq(idCol), "left_anti"))
 }

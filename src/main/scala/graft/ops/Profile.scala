@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass data profiling — the constraint/quality summary a 100 TB
+  * ingest job runs before committing a batch (the Deequ/dbt-test shape):
+  * per column its null count, exact distinct count, and min/max, as ONE
+  * aggregate over the scan. Everything is a plain hash aggregate —
+  * `count(distinct)` per column expands to the standard expand-plan, so
+  * the pass stays shuffle-bounded and columnar; no driver-side loops.
+  *
+  * Output is LONG-format (one row per column) so downstream checks are
+  * joins against expectation tables, and min/max are stringified so one
+  * schema fits every column type.
+  */
+object Profile {
+
+  /** (column, n_rows, n_null, n_distinct, min_str, max_str) for each of
+    * `cols` (default: every column of `df`). */
+  def profile(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val targets = if (cols.nonEmpty) cols else df.columns.toIndexedSeq
+    val aggs = targets.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"__rows_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = targets.map { c =>
+      struct(lit(c).as("column"),
+        col(s"__rows_$c").as("n_rows"), col(s"__null_$c").as("n_null"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_str"), col(s"__max_$c").as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+}

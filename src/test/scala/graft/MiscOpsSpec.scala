@@ -48,6 +48,24 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("profile: nulls, exact distincts, min/max per column in one pass") {
+    val df = Seq((1, Some("a")), (2, None), (3, Some("a")), (3, Some("b")))
+      .toDF("id", "v")
+    val got = graft.ops.Profile.profile(df)
+      .as[(String, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("id") == ("id", 4L, 0L, 3L, "1", "3"))
+    assert(got("v") == ("v", 4L, 1L, 2L, "a", "b"))
+  }
+
+  test("mergeUpsert: updates win, untouched master rows survive") {
+    val master = Seq((1, "m1"), (2, "m2"), (3, "m3")).toDF("id", "text")
+    val updates = Seq((2, "u2"), (4, "u4")).toDF("id", "text")
+    val got = graft.ops.Fingerprint.mergeUpsert(master, updates, "id")
+      .as[(Int, String)].collect().toSet
+    assert(got == Set((1, "m1"), (2, "u2"), (3, "m3"), (4, "u4")))
+  }
+
   test("writePerKeyJson lays out one directory per key") {
     val dir = java.nio.file.Files.createTempDirectory("perkey").toString
     val df = Seq(("k1", 1), ("k2", 2), ("k1", 3)).toDF("rag_id", "v")
