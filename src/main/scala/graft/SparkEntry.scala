@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -691,6 +691,16 @@ object SparkEntry {
       Components.connectedComponents(edges)
     },
 
+    "text_contamination" -> { (s, dir) =>
+      // benchmark decontamination: every 50th document plays the eval
+      // set, the rest the training corpus; injected near-dups make some
+      // benchmark docs fully contaminated
+      val docs = t(s, dir, "documents")
+      Contamination.benchmarkOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0), "text",
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 3)
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       // rows-only: winnowing fingerprint (stateful scan); semantics pinned
       // in SketchesSpec; the md5 content-hash variant is oracle-checked (d2)
@@ -1231,6 +1241,22 @@ object SparkEntry {
            FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
            WHERE q.vec_id < 8)
          WHERE rk <= 5""",
+
+    "text_contamination" ->
+      """WITH sh AS (SELECT doc_id,
+           CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+           ELSE [] END AS shs
+           FROM documents),
+         cs AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 50 <> 0),
+         bs AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 50 = 0),
+         tot AS (SELECT doc_id, count(*) AS n_shingles FROM bs GROUP BY doc_id),
+         hit AS (SELECT doc_id, count(*) AS n_hit FROM bs
+                 WHERE s IN (SELECT s FROM cs) GROUP BY doc_id)
+         SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) / CAST(t.n_shingles AS DOUBLE) AS contamination
+         FROM tot t LEFT JOIN hit h USING (doc_id)""",
 
     "text_token_stats" ->
       """SELECT doc_id,
