@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -32,6 +32,25 @@ object SparkEntry {
     * oracle side mirrors it with make_timestamp(epoch_us(ts))). */
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+
+  /** The IVF quantizer is an offline artifact (see [[graft.ops.Vectors.ivfSave]]):
+    * built and saved once per corpus dir — seed-fixed KMeans makes the
+    * rebuild byte-identical — then loaded by every query batch, with the
+    * assigned corpus coming back cell-partitioned for file pruning. The
+    * first call on a machine pays the build; after that, probes only. */
+  private def ivfIndexFor(s: SparkSession, dir: String): graft.ops.Vectors.IvfIndex = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    val marker = new java.io.File(s"$path/_built")
+    this.synchronized {
+      if (!marker.exists()) {
+        Vectors.ivfSave(
+          Vectors.ivfBuild(t(s, dir, "embeddings"), "vec_id", "embedding"), path)
+        new java.io.FileOutputStream(marker).close()
+      }
+    }
+    Vectors.ivfLoad(s, path)
+  }
 
   /** documents + deterministic fingerprint (P1) — shared by several ops. */
   private def docsWithId(s: SparkSession, dir: String): DataFrame =
@@ -629,10 +648,13 @@ object SparkEntry {
 
     "ann_ivf_topk" -> { (s, dir) =>
       // rows-only: IVF cell assignment is KMeans-fit-dependent;
-      // candidate/ranking correctness pinned in VectorsSpec
+      // candidate/ranking correctness pinned in VectorsSpec.
+      // Probes a PREBUILT index (built+saved once per corpus dir, loaded
+      // thereafter) — the production contract: the quantizer is an
+      // offline artifact like a bucketed table, not a per-query fit.
       val e = t(s, dir, "embeddings")
-      Vectors.annIvfTopK(e.filter(col("vec_id") < 8), e,
-        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      Vectors.annIvfTopK(e.filter(col("vec_id") < 8), ivfIndexFor(s, dir),
+        "vec_id", "embedding", k = 5, nProbe = 4)
     },
 
     "text_token_stats" -> { (s, dir) =>
@@ -699,6 +721,37 @@ object SparkEntry {
       Contamination.benchmarkOverlap(
         docs.filter(col("doc_id") % 50 =!= 0), "text",
         docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", k = 3)
+    },
+
+    "text_repetition" -> { (s, dir) =>
+      // Gopher-style duplicate-bigram quality signals per document
+      TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+    },
+
+    "sample_stratified" -> { (s, dir) =>
+      // deterministic per-source Bernoulli sample: src0 half, src1 none,
+      // src2 full, everything else 25% — pure pushed-down filter
+      val docs = t(s, dir, "documents")
+      Sampling.stratifiedSample(docs.select("doc_id", "source"),
+        col("doc_id").cast("string"), col("source"),
+        Map("src0" -> 5000, "src1" -> 0, "src2" -> 10000),
+        defaultPerMyriad = 2500)
+    },
+
+    "mix_domains" -> { (s, dir) =>
+      // training-mix epochs: src0 seen 2.5x, src1 0.25x, default 1x —
+      // hash-deterministic fractional replication, exploded per epoch
+      val docs = t(s, dir, "documents")
+      Sampling.mixEpochs(docs.select("doc_id", "source"),
+        col("doc_id").cast("string"), col("source"),
+        Map("src0" -> 2.5, "src1" -> 0.25), defaultWeight = 1.0)
+    },
+
+    "shuffle_shards" -> { (s, dir) =>
+      // deterministic global shuffle as 8 hash shards with in-shard
+      // positions — one shuffle on the shard key, no global sort
+      Sampling.shuffleShards(t(s, dir, "documents").select("doc_id"),
+        col("doc_id").cast("string"), nShards = 8)
     },
 
     "text_fingerprint" -> { (s, dir) =>
@@ -1257,6 +1310,49 @@ object SparkEntry {
          SELECT t.doc_id, t.n_shingles, COALESCE(h.n_hit, 0) AS n_hit,
            COALESCE(h.n_hit, 0) / CAST(t.n_shingles AS DOUBLE) AS contamination
          FROM tot t LEFT JOIN hit h USING (doc_id)""",
+
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram
+           FROM toks WHERE len(w) >= 2),
+         c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram)
+         SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_grams,
+           count(*) AS n_distinct,
+           CAST(max(cnt) AS BIGINT) AS top_cnt,
+           CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS BIGINT) AS dup_cnt,
+           CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) AS top_frac,
+           CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE) AS dup_frac
+         FROM c GROUP BY doc_id""",
+
+    "sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000
+           < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0
+                         WHEN 'src2' THEN 10000 ELSE 2500 END""",
+
+    "mix_domains" ->
+      """WITH b AS (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS bucket
+           FROM documents),
+         n AS (SELECT doc_id, source,
+             CASE source
+               WHEN 'src0' THEN 2 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+               WHEN 'src1' THEN 0 + CASE WHEN bucket < 2500 THEN 1 ELSE 0 END
+               ELSE 1 END AS n
+           FROM b)
+         SELECT doc_id, source, unnest(range(1, n + 1)) AS epoch
+         FROM n WHERE n > 0""",
+
+    "shuffle_shards" ->
+      """SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h) AS BIGINT) AS pos
+         FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 8 AS BIGINT) AS shard
+           FROM documents)""",
 
     "text_token_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling, domain mixing, and shuffle-sharding for
+  * training-data preparation (builder-prompt extension family; the
+  * reference pipeline stops at publish — these are the steps a corpus
+  * takes between publish and the training job).
+  *
+  * Everything keys off a content hash, never an RNG: the same input
+  * always produces the same sample/mix/shard, any subset of the data can
+  * be re-processed independently (no coordination, no seed state), and
+  * the oracle can replay the exact decision in SQL. That is the property
+  * that matters at 100 TB — a resumable job must not re-roll the dice.
+  *
+  * All decisions are narrow per-row expressions (codegen'd, no shuffle);
+  * only [[shuffleShards]] shuffles, and only by its shard key.
+  */
+object Sampling {
+
+  /** Uniform deterministic bucket in [0, mod) from the md5 of a key.
+    * 15 hex digits = 60 bits, so the parse never overflows a long and
+    * the low-mod remainder is unbiased for any practical `mod`.
+    * Cross-engine: DuckDB computes the identical value as
+    * `CAST(('0x' || substr(md5(k),1,15)) AS UBIGINT) % mod`. */
+  def hashBucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key), 1, 15), 16, 10).cast("long") % mod
+
+  /** Per-stratum deterministic Bernoulli sample: keep a row iff its hash
+    * bucket (out of 10000) falls under the stratum's per-myriad rate.
+    * A stratum absent from `rates` keeps `defaultPerMyriad`. Pure filter —
+    * pushes to the scan, no shuffle, no RNG. */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+      rates: Map[String, Int], defaultPerMyriad: Int): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultPerMyriad)) { case (acc, (s, r)) =>
+      when(strataCol === s, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(keyCol, 10000) < rate)
+  }
+
+  /** Domain mixing by fractional epoch weights (the "see high-quality
+    * sources 2.5 times" step of a training-mix recipe): every row gets
+    * floor(w) copies, plus one more iff its hash bucket lands under the
+    * fractional remainder — so a stratum with weight w is replicated
+    * w× in expectation and deterministically per row. Output adds an
+    * `epoch` column (1..n); rows with n = 0 drop out. Weights must be
+    * exact in quarter-myriads (w*10000 integral) so the threshold
+    * compare is integer-exact on both engines. */
+  def mixEpochs(df: DataFrame, keyCol: Column, strataCol: Column,
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    def wholeAndFrac(w: Double): (Int, Int) = {
+      val whole = math.floor(w).toInt
+      val frac = math.round((w - whole) * 10000).toInt
+      require(math.abs((w - whole) * 10000 - frac) < 1e-6,
+        s"weight $w is not exact in 1/10000ths")
+      (whole, frac)
+    }
+    val (dw, df0) = wholeAndFrac(defaultWeight)
+    val copies = weights.foldLeft(
+        lit(dw) + when(hashBucket(keyCol, 10000) < df0, 1).otherwise(0)) {
+      case (acc, (s, w)) =>
+        val (wh, fr) = wholeAndFrac(w)
+        when(strataCol === s,
+          lit(wh) + when(hashBucket(keyCol, 10000) < fr, 1).otherwise(0))
+          .otherwise(acc)
+    }
+    df.withColumn("__n", copies)
+      .filter(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(1), col("__n"))))
+      .drop("__n")
+      .withColumn("epoch", col("epoch").cast("long"))
+  }
+
+  /** Deterministic global shuffle, the scalable way: no total order (a
+    * global sort/row_number pulls everything through one range exchange),
+    * but hash-assigned shards with a deterministic position inside each —
+    * one shuffle on the shard key, per-shard sorts run in parallel, and
+    * a training job reads shards in any order knowing the permutation is
+    * reproducible. Position ties are impossible: md5 of a unique key. */
+  def shuffleShards(df: DataFrame, keyCol: Column, nShards: Int): DataFrame = {
+    val h = md5(keyCol)
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__h"))
+    df.withColumn("__h", h)
+      .withColumn("__shard", hashBucket(keyCol, nShards))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .withColumnRenamed("__shard", "shard")
+      .drop("__h")
+  }
+}

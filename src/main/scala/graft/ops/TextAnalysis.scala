@@ -59,6 +59,37 @@ object TextAnalysis {
       regexp_count(text, lit("[A-Za-z0-9]+")).as("n_alpha"))
   }
 
+  /** Repetition signals per document (the Gopher-style duplicate-n-gram
+    * quality filters): for each doc with at least one n-gram, the total /
+    * distinct gram counts, the count of the single most frequent gram,
+    * and the mass sitting in duplicated grams. `top_frac` high ⇒ one
+    * phrase dominates (boilerplate); `dup_frac` high ⇒ looped text.
+    *
+    * Relational shape on purpose: explode → two-level aggregate, so the
+    * per-gram count gets map-side partial aggregation and the whole thing
+    * is two hash shuffles regardless of document length — the columnar
+    * alternative (per-row lambda over distinct grams) is O(n²) per row in
+    * interpreted HOF calls. */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
+    val w = tokens(col(textCol))
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("gram"))
+      .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol)).agg(
+        sum("cnt").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt"))), lit(0L)).as("dup_cnt"))
+      .select(col(idCol),
+        col("n_grams"), col("n_distinct"), col("top_cnt"), col("dup_cnt"),
+        (col("top_cnt").cast("double") / col("n_grams").cast("double")).as("top_frac"),
+        (col("dup_cnt").cast("double") / col("n_grams").cast("double")).as("dup_frac"))
+  }
+
   /** Quality score in [0,100]: lexical diversity (70%) + stopword
     * presence (30%) — floored to an integer for engine-exact compare.
     * High diversity and a natural stopword rate indicate prose; word-salad
