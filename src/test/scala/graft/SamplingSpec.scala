@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Sampling, TextAnalysis}
+
+/** Training-data prep invariants: hash-deterministic sampling/mixing must
+  * be exactly reproducible (same input → same rows, run to run), rates
+  * must land near their targets, and sharding must be a permutation. */
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+  test("stratifiedSample: deterministic, rate-accurate, filter-only plan") {
+    val key = $"doc_id".cast("string")
+    def run() = Sampling.stratifiedSample(docs.select("doc_id", "source"),
+      key, $"source", Map("src0" -> 10000, "src1" -> 0), 5000)
+    val a = run().as[(Long, String)].collect().toSet
+    assert(a == run().as[(Long, String)].collect().toSet)
+    val bySrc = run().groupBy("source").count().as[(String, Long)].collect().toMap
+    val total = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc("src0") == total("src0"))            // rate 1.0 keeps all
+    assert(!bySrc.contains("src1"))                   // rate 0 drops all
+    val restKept = bySrc.collect { case (s, n) if s != "src0" && s != "src1" => n }.sum
+    val restTotal = total.collect { case (s, n) if s != "src0" && s != "src1" => n }.sum
+    assert(math.abs(restKept.toDouble / restTotal - 0.5) < 0.15)
+    // pure filter: no exchange in the plan
+    val plan = run().queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("mixEpochs: per-stratum copy counts match the weight exactly per row") {
+    val mixed = Sampling.mixEpochs(docs.select("doc_id", "source"),
+      $"doc_id".cast("string"), $"source", Map("src0" -> 2.5, "src1" -> 0.25), 1.0)
+    val copies = mixed.groupBy("doc_id", "source").count()
+    // every row's copy count is floor(w) or floor(w)+1
+    assert(copies.filter($"source" === "src0" && ($"count" < 2 || $"count" > 3)).count() == 0)
+    assert(copies.filter($"source" === "src1" && $"count" =!= 1).count() == 0)
+    assert(copies.filter($"source" =!= "src0" && $"source" =!= "src1" && $"count" =!= 1).count() == 0)
+    // epochs are contiguous 1..n
+    val bad = mixed.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n"), max("epoch").as("mx"), min("epoch").as("mn"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1)
+    assert(bad.count() == 0)
+    // aggregate replication of src0 ≈ 2.5× (hash-deterministic Bernoulli)
+    val n0 = docs.filter($"source" === "src0").count().toDouble
+    val m0 = mixed.filter($"source" === "src0").count().toDouble
+    assert(m0 / n0 >= 2.0 && m0 / n0 <= 3.0)
+  }
+
+  test("shuffleShards: a reproducible permutation in nShards shards") {
+    def run() = Sampling.shuffleShards(docs.select("doc_id"),
+      $"doc_id".cast("string"), 4)
+    val a = run().as[(Long, Long, Long)].collect()
+    assert(a.toSet == run().as[(Long, Long, Long)].collect().toSet)
+    assert(a.length == docs.count())                  // no row lost or duplicated
+    assert(a.map(_._2).distinct.sorted.toSeq.forall(s => s >= 0 && s < 4))
+    // positions within each shard are 1..count(shard)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
+  test("repetitionStats: hand-computed bigram fractions") {
+    val df = Seq(
+      (1L, "a b a b a"),          // bigrams: ab,ba,ab,ba → top 2/4, dup 4/4
+      (2L, "w x y z"),            // all distinct → top 1/3, dup 0
+      (3L, "solo")                // no bigram → absent from output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text", 2)
+      .select("doc_id", "n_grams", "n_distinct", "top_cnt", "dup_cnt")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map { case (id, a, b, c, d) => id -> ((a, b, c, d)) }.toMap
+    assert(out(1L) == ((4L, 2L, 2L, 4L)))
+    assert(out(2L) == ((3L, 3L, 1L, 0L)))
+    assert(!out.contains(3L))
+  }
+}
