@@ -37,11 +37,16 @@ object Dedup {
   /** Distinct k-token shingles as a column op (mirrors
     * [[Sketches.tokenShingles]]; kept columnar for oracle parity). */
   def tokenShingles(text: Column, k: Int): Column = {
-    val w = split(text, " ")
-    when(size(w) >= k,
-      array_distinct(transform(sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
-      .otherwise(array().cast("array<string>"))
+    // the split array is bound as a LAMBDA ARGUMENT (via the one-element
+    // array wrap) so the inner per-element lambda references a variable:
+    // HOF lambdas are interpreted and re-evaluate non-argument subtrees,
+    // so inlining split() directly would re-split the text per shingle
+    val w0 = split(text, " ")
+    flatten(transform(array(w0), w =>
+      when(size(w) >= k,
+        array_distinct(transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
+        .otherwise(array().cast("array<string>"))))
   }
 
   /** Set Jaccard of two (already-distinct) arrays. */

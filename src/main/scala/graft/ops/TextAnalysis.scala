@@ -72,12 +72,16 @@ object TextAnalysis {
     * interpreted HOF calls. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
-    val w = tokens(col(textCol))
+    // materialize the token array as an attribute FIRST: higher-order
+    // lambdas are interpreted and re-evaluate non-argument subtrees per
+    // element, so an inlined split() would run O(tokens) times per row
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
     val grams = when(size(w) >= n,
       transform(sequence(lit(1), size(w) - (n - 1)),
         i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(grams).as("gram"))
+    toks.select(col(idCol), explode(grams).as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(
         sum("cnt").as("n_grams"),
