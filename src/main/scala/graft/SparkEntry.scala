@@ -654,7 +654,7 @@ object SparkEntry {
       // offline artifact like a bucketed table, not a per-query fit.
       val e = t(s, dir, "embeddings")
       Vectors.annIvfTopK(e.filter(col("vec_id") < 8), ivfIndexFor(s, dir),
-        "vec_id", "embedding", k = 5, nProbe = 4)
+        "vec_id", "embedding", k = 5, nProbe = 4, pruneFiles = true)
     },
 
     "text_token_stats" -> { (s, dir) =>
@@ -726,6 +726,20 @@ object SparkEntry {
     "text_repetition" -> { (s, dir) =>
       // Gopher-style duplicate-bigram quality signals per document
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
+    },
+
+    "text_pii_redact" -> { (s, dir) =>
+      // PII scrub: the testdata corpus is clean, so every third doc gets
+      // a deterministic injected snippet (email/IP/SSN/phone) that the
+      // oracle rebuilds identically — the redaction+counts must agree
+      val inj = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 ssn 123-45-6789 tel 415-555-0199")))
+        .otherwise(col("text"))
+      t(s, dir, "documents").select(
+        (col("doc_id") +: graft.ops.Privacy.piiStats(inj)) :+
+          graft.ops.Privacy.redactPii(inj).as("redacted"): _*)
     },
 
     "sample_stratified" -> { (s, dir) =>
@@ -1327,6 +1341,25 @@ object SparkEntry {
            CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
              / CAST(sum(cnt) AS DOUBLE) AS dup_frac
          FROM c GROUP BY doc_id""",
+
+    "text_pii_redact" ->
+      """WITH inj AS (SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN text || ' contact user' ||
+               CAST(doc_id AS VARCHAR) || '@example.com or 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 tel 415-555-0199'
+             ELSE text END AS t
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS INT) AS n_ssn,
+           CAST(len(regexp_extract_all(t, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INT) AS n_phone,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+             '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM inj""",
 
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents

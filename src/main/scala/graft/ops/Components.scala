@@ -48,7 +48,11 @@ object Components {
       val prop = labels.join(nbrMin, Seq("node"), "left_outer")
         .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
-      // pointer jump: adopt my label's own label (collapses chains)
+      // pointer jump: adopt my label's own label (collapses chains).
+      // One jump per round — a second jump was measured SLOWER here: the
+      // self-referential frame is consumed twice per jump, and the
+      // recompute across the AQE/checkpoint boundary outweighs the saved
+      // rounds. Chain depth still halves every round (O(log d) total).
       val jumped = prop.join(
           prop.select(col("node").as("label"), col("label").as("jump"))
             .groupBy("label").agg(min("jump").as("jump")),

@@ -101,7 +101,8 @@ object Vectors {
     * candidates by ~nProbe/nCells. Recall grows with nProbe;
     * nProbe = nCells degenerates to exact. */
   def annIvfTopK(queries: DataFrame, index: IvfIndex,
-      qIdCol: String, qVecCol: String, k: Int, nProbe: Int): DataFrame = {
+      qIdCol: String, qVecCol: String, k: Int, nProbe: Int,
+      pruneFiles: Boolean): DataFrame = {
     // nProbe nearest centroids per query, computed against the tiny
     // driver-side centroid table carried into the closure
     val centroids = index.centroids
@@ -119,7 +120,18 @@ object Vectors {
     }
     val qProbed = q.withColumn("cell", explode(probeCells(col("qv"))))
 
-    val scored = index.assigned.join(maybeBroadcast(qProbed), Seq("cell"))
+    // With a saved index (assigned partitioned by cell on disk), turning
+    // the batch's probe set into a STATIC IN-filter prunes whole files at
+    // planning time — the one driver-side collect is bounded by nCells
+    // (≤ distinct cells, never data size), the standard static-partition-
+    // pruning shape. Off by default: an unsaved in-memory index gains
+    // nothing and the collect would force an extra job.
+    val corpus =
+      if (pruneFiles) {
+        val cells = qProbed.select("cell").distinct().collect().map(_.getInt(0))
+        index.assigned.filter(col("cell").isin(cells.toIndexedSeq: _*))
+      } else index.assigned
+    val scored = corpus.join(maybeBroadcast(qProbed), Seq("cell"))
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
@@ -137,7 +149,7 @@ object Vectors {
       fitSampleRows: Long = 100000L): DataFrame =
     annIvfTopK(queries,
       ivfBuild(corpus, cIdCol, cVecCol, nCells, fitSampleRows),
-      qIdCol, qVecCol, k, nProbe)
+      qIdCol, qVecCol, k, nProbe, pruneFiles = false)
 
   /** Persist an IVF index: the centroid table as a tiny parquet file and
     * the assigned corpus PARTITIONED BY CELL — on disk each cell is its

@@ -75,7 +75,7 @@ class VectorsSpec extends AnyFunSuite {
     val idx = Vectors.ivfBuild(e, "vec_id", "embedding", nCells = 8)
     val q = e.filter($"vec_id" < 4)
     val viaIndex = Vectors.annIvfTopK(q, idx, "vec_id", "embedding",
-      k = 5, nProbe = 4).as[(Long, Long, Int)].collect().toSet
+      k = 5, nProbe = 4, pruneFiles = false).as[(Long, Long, Int)].collect().toSet
     val convenience = Vectors.annIvfTopK(q, e, "vec_id", "vec_id",
       "embedding", "embedding", k = 5, nCells = 8, nProbe = 4)
       .as[(Long, Long, Int)].collect().toSet
@@ -83,7 +83,7 @@ class VectorsSpec extends AnyFunSuite {
     // second batch against the SAME index — no refit
     val q2 = e.filter($"vec_id" >= 4 && $"vec_id" < 6)
     assert(Vectors.annIvfTopK(q2, idx, "vec_id", "embedding",
-      k = 3, nProbe = 4).count() > 0)
+      k = 3, nProbe = 4, pruneFiles = false).count() > 0)
   }
 
   test("IVF save/load round-trip: cell-partitioned layout, identical results") {
@@ -91,7 +91,7 @@ class VectorsSpec extends AnyFunSuite {
     val idx = Vectors.ivfBuild(e, "vec_id", "embedding", nCells = 8)
     val q = e.filter($"vec_id" < 4)
     val direct = Vectors.annIvfTopK(q, idx, "vec_id", "embedding",
-      k = 5, nProbe = 4).as[(Long, Long, Int)].collect().toSet
+      k = 5, nProbe = 4, pruneFiles = false).as[(Long, Long, Int)].collect().toSet
 
     val path = java.nio.file.Files.createTempDirectory("ivf_idx").toString
     Vectors.ivfSave(idx, path)
@@ -102,8 +102,21 @@ class VectorsSpec extends AnyFunSuite {
     val loaded = Vectors.ivfLoad(spark, path)
     assert(loaded.centroids.map(_._2).toList == idx.centroids.map(_._2).toList)
     val viaDisk = Vectors.annIvfTopK(q, loaded, "vec_id", "embedding",
-      k = 5, nProbe = 4).as[(Long, Long, Int)].collect().toSet
+      k = 5, nProbe = 4, pruneFiles = false).as[(Long, Long, Int)].collect().toSet
     assert(viaDisk == direct)
+
+    // pruneFiles turns the probe set into a static partition filter:
+    // same results, and the scan's PartitionFilters carries the cell
+    // IN-list so non-probed cell directories are never read
+    val pruned = Vectors.annIvfTopK(q, loaded, "vec_id", "embedding",
+      k = 5, nProbe = 2, pruneFiles = true)
+    val unpruned = Vectors.annIvfTopK(q, loaded, "vec_id", "embedding",
+      k = 5, nProbe = 2, pruneFiles = false)
+    assert(pruned.as[(Long, Long, Int)].collect().toSet ==
+      unpruned.as[(Long, Long, Int)].collect().toSet)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
   }
 
   test("multi-probe LSH: superset of single-probe, recall climbs toward exact") {
