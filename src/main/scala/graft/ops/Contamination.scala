@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
   * document's n-grams already appear in the training data (the
   * GPT-3/PaLM-style n-gram overlap test).
   *
-  * Shape at 100 TB: the corpus side reduces to a DISTINCT shingle set
-  * (one hash-shuffle, heavily combinable map-side), the benchmark side
-  * is tiny and explodes to (doc, shingle) rows, and the hit test is a
-  * LEFT SEMI join on the shingle — benchmark side broadcast, corpus
-  * streamed, no row of the corpus ever leaves its executor twice.
+  * Shape at 100 TB: the benchmark side is tiny and the corpus side is
+  * everything, so the corpus must STREAM and never be a hash build side.
+  * The corpus's exploded shingles are semi-joined against the broadcast
+  * benchmark shingle set (no corpus-wide DISTINCT, no corpus shuffle at
+  * all — duplicates are harmless to a semi probe), the surviving hit
+  * set is at most the benchmark's size, and it broadcasts back for the
+  * per-document hit count. Both joins broadcast the small side; no row
+  * of the corpus ever crosses the network.
   */
 object Contamination {
+
+  import ScaleHints.maybeBroadcast
 
   /** (benchId, n_shingles, n_hit, contamination∈[0,1]) per benchmark
     * document, where contamination = fraction of the doc's DISTINCT
@@ -24,12 +29,16 @@ object Contamination {
       k: Int = 3): DataFrame = {
     val corpusShingles = corpus
       .select(explode(Dedup.tokenShingles(col(corpusText), k)).as("sh"))
-      .distinct()
     val benchShingles = bench.select(col(benchId),
       explode(Dedup.tokenShingles(col(benchText), k)).as("sh"))
+    val benchDistinct = benchShingles.select("sh").distinct()
+    // corpus streams; hit set ⊆ benchmark shingles, so it stays tiny
+    val hitShingles = corpusShingles
+      .join(maybeBroadcast(benchDistinct), Seq("sh"), "left_semi")
+      .distinct()
     val total = benchShingles.groupBy(benchId)
       .agg(count(lit(1)).as("n_shingles"))
-    val hit = benchShingles.join(corpusShingles, Seq("sh"), "left_semi")
+    val hit = benchShingles.join(maybeBroadcast(hitShingles), Seq("sh"), "left_semi")
       .groupBy(benchId).agg(count(lit(1)).as("n_hit"))
     total.join(hit, Seq(benchId), "left_outer")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))

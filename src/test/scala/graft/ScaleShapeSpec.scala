@@ -70,4 +70,19 @@ class ScaleShapeSpec extends AnyFunSuite {
         s"expected a shuffled equi-join on the chunk keys:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("contamination: corpus side streams, benchmark side is the build side") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val out = graft.ops.Contamination.benchmarkOverlap(
+      docs.filter($"doc_id" % 10 =!= 0), "text",
+      docs.filter($"doc_id" % 10 === 0), "doc_id", "text", k = 3)
+    val p = out.queryExecution.executedPlan.toString
+    // both hit tests are broadcast semi joins (small side built, corpus
+    // probed in place); the corpus must never be sort-merge shuffled
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
+    // sanity: contaminated docs exist (injected near-dups overlap corpus)
+    assert(out.filter($"contamination" > 0).count() > 0)
+  }
 }
