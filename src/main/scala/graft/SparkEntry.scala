@@ -768,6 +768,36 @@ object SparkEntry {
         col("doc_id").cast("string"), nShards = 8)
     },
 
+    "sample_split" -> { (s, dir) =>
+      // hash-deterministic 5%/5% test/val split, rolled up per source —
+      // every row's split is a pure function of its key (leakage-proof
+      // across re-runs); emitted per-row then aggregated for the check
+      Sampling.assignSplit(t(s, dir, "documents"),
+          col("doc_id").cast("string"), testPerMyriad = 500, valPerMyriad = 500)
+        .groupBy("source", "split").agg(count(lit(1)).as("n"))
+    },
+
+    "curate_corpus" -> { (s, dir) =>
+      // the end-to-end curation pass a training corpus takes, composed
+      // from the library's own operators: quality gate → token-length
+      // gate → exact dedup (deterministic min-id survivor per content
+      // hash) → train/val/test assignment → per-source/split rollup.
+      // One linear chain: filters push to the scan, the dedup is the
+      // only wide stage before the rollup.
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(
+        (col("doc_id") +: col("source") +: col("text") +:
+          TextAnalysis.qualityScore(col("text"))): _*)
+      val gated = scored.filter(col("q_score") >= 30 && col("n_tokens") >= 50)
+      val deduped = Fingerprint.dedupByFingerprint(
+        gated.withColumn("fp", md5(col("text"))), "fp", "doc_id")
+      Sampling.assignSplit(deduped, col("doc_id").cast("string"),
+          testPerMyriad = 500, valPerMyriad = 500)
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast("long").as("sum_tokens"))
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       // rows-only: winnowing fingerprint (stateful scan); semantics pinned
       // in SketchesSpec; the md5 content-hash variant is oracle-checked (d2)
@@ -1379,6 +1409,42 @@ object SparkEntry {
            FROM b)
          SELECT doc_id, source, unnest(range(1, n + 1)) AS epoch
          FROM n WHERE n > 0""",
+
+    "sample_split" ->
+      """WITH b AS (SELECT source,
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS bucket
+           FROM documents)
+         SELECT source,
+           CASE WHEN bucket < 500 THEN 'test'
+                WHEN bucket < 1000 THEN 'val'
+                ELSE 'train' END AS split,
+           count(*) AS n
+         FROM b GROUP BY 1, 2""",
+
+    "curate_corpus" ->
+      """WITH t AS (SELECT doc_id, source, text,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, source, text, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_uniq,
+             len(list_filter(toks, tk -> list_contains(
+               ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t),
+         q AS (SELECT *, CAST(floor(100 * (0.7 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+             0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS q_score
+           FROM c),
+         g AS (SELECT * FROM q WHERE q_score >= 30 AND n_tokens >= 50),
+         d AS (SELECT * FROM (SELECT *, row_number() OVER
+             (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM g)
+           WHERE rn = 1),
+         s AS (SELECT source, n_tokens,
+             CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 < 500 THEN 'test'
+                  WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 < 1000 THEN 'val'
+                  ELSE 'train' END AS split
+           FROM d)
+         SELECT source, split, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         FROM s GROUP BY 1, 2""",
 
     "shuffle_shards" ->
       """SELECT doc_id, shard,

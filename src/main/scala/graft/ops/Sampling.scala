@@ -73,6 +73,20 @@ object Sampling {
       .withColumn("epoch", col("epoch").cast("long"))
   }
 
+  /** Deterministic train/val/test assignment from the key hash: the
+    * split is a pure function of the row, so re-runs, backfills, and
+    * late-arriving partitions all land in the same split — no leakage
+    * between sets across pipeline versions. Thresholds in per-myriad
+    * (test first, then val, remainder train). */
+  def assignSplit(df: DataFrame, keyCol: Column,
+      testPerMyriad: Int, valPerMyriad: Int): DataFrame = {
+    val b = hashBucket(keyCol, 10000)
+    df.withColumn("split",
+      when(b < testPerMyriad, lit("test"))
+        .when(b < testPerMyriad + valPerMyriad, lit("val"))
+        .otherwise(lit("train")))
+  }
+
   /** Deterministic global shuffle, the scalable way: no total order (a
     * global sort/row_number pulls everything through one range exchange),
     * but hash-assigned shards with a deterministic position inside each —
