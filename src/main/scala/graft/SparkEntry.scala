@@ -777,6 +777,16 @@ object SparkEntry {
         .groupBy("source", "split").agg(count(lit(1)).as("n"))
     },
 
+    "pack_sequences" -> { (s, dir) =>
+      // concat-and-cut training sequence packing: 4 shards, 2048-token
+      // sequences; each doc labeled with its start offset and sequence
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.packSequences(docs, col("doc_id").cast("string"),
+        col("n_tokens"), budgetTokens = 2048, nShards = 4)
+    },
+
     "curate_corpus" -> { (s, dir) =>
       // the end-to-end curation pass a training corpus takes, composed
       // from the library's own operators: quality gate → token-length
@@ -1420,6 +1430,17 @@ object SparkEntry {
                 ELSE 'train' END AS split,
            count(*) AS n
          FROM b GROUP BY 1, 2""",
+
+    "pack_sequences" ->
+      """WITH d AS (SELECT doc_id, source,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           md5(CAST(doc_id AS VARCHAR)) AS h,
+           CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 4 AS BIGINT) AS shard
+           FROM documents)
+         SELECT doc_id, source, n_tokens, shard,
+           CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY h) - n_tokens AS BIGINT) AS start_tok,
+           CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY h) - n_tokens) / 2048) AS BIGINT) AS seq_no
+         FROM d""",
 
     "curate_corpus" ->
       """WITH t AS (SELECT doc_id, source, text,

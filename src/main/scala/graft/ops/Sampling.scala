@@ -87,6 +87,25 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Training-sequence packing: documents are (conceptually) concatenated
+    * in a deterministic order and cut every `budgetTokens` tokens; each
+    * document is labeled with the sequence its FIRST token lands in —
+    * the concat-and-cut packing step before a training job, as a running
+    * sum. Sharded like [[shuffleShards]] so the order is reproducible and
+    * the window never sees more than one shard: one shuffle, per-shard
+    * sort, no global coordination. Output adds (shard, start_tok, seq_no). */
+  def packSequences(df: DataFrame, keyCol: Column, tokenCol: Column,
+      budgetTokens: Int, nShards: Int): DataFrame = {
+    val w = Window.partitionBy(col("__shard")).orderBy(col("__h"))
+    df.withColumn("__h", md5(keyCol))
+      .withColumn("__shard", hashBucket(keyCol, nShards))
+      .withColumn("start_tok",
+        coalesce(sum(tokenCol).over(w) - tokenCol, lit(0L)).cast("long"))
+      .withColumn("seq_no", floor(col("start_tok") / budgetTokens).cast("long"))
+      .withColumnRenamed("__shard", "shard")
+      .drop("__h")
+  }
+
   /** Deterministic global shuffle, the scalable way: no total order (a
     * global sort/row_number pulls everything through one range exchange),
     * but hash-assigned shards with a deterministic position inside each —
