@@ -777,6 +777,24 @@ object SparkEntry {
         .groupBy("source", "split").agg(count(lit(1)).as("n"))
     },
 
+    "media_probe" -> { (s, dir) =>
+      // multimodal plumbing, driver-checked: synthesized media paths
+      // (extension cycles by doc_id), extension→modality routing, exact
+      // byte length and content digest of the payload. The decode stage
+      // stays an honest stub (no codecs in this container); everything
+      // the cluster actually schedules on — schema, routing, sizes,
+      // hashes — is real and oracle-checked here.
+      val ext = element_at(
+        typedlit(Seq(".jpg", ".wav", ".mp4", ".txt", ".png")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val path = concat(lit("media/doc_"), col("doc_id").cast("string"), ext)
+      t(s, dir, "documents").select(col("doc_id"),
+        path.as("path"),
+        graft.multimodal.MediaOps.modalityOf(path).as("modality"),
+        octet_length(col("text")).as("n_bytes"),
+        sha2(col("text").cast("binary"), 256).as("sha"))
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // concat-and-cut training sequence packing: 4 shards, 2048-token
       // sequences; each doc labeled with its start offset and sequence
@@ -1430,6 +1448,16 @@ object SparkEntry {
                 ELSE 'train' END AS split,
            count(*) AS n
          FROM b GROUP BY 1, 2""",
+
+    "media_probe" ->
+      """SELECT doc_id,
+           'media/doc_' || CAST(doc_id AS VARCHAR) ||
+             (['.jpg','.wav','.mp4','.txt','.png'])[(doc_id % 5) + 1] AS path,
+           CASE (doc_id % 5) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             WHEN 2 THEN 'video' WHEN 3 THEN 'other' WHEN 4 THEN 'image' END AS modality,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS sha
+         FROM documents""",
 
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, source,
