@@ -1506,7 +1506,8 @@ object SparkEntry {
       """SELECT doc_id,
          len(string_split_regex(trim(text), '\s+')) AS n_tokens,
          len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq,
-         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha,
+         len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
 
     "text_quality_score" ->

@@ -50,13 +50,22 @@ object TextAnalysis {
     pick
   }
 
-  /** Token statistics: total / distinct / alphanumeric-token counts. */
+  /** GPT-2-style pre-tokenizer pieces, minus the trailing-space lookahead
+    * (RE2 has no lookahead, and the DuckDB oracle runs RE2): contractions,
+    * space-prefixed letter/digit runs, punctuation runs, whitespace runs.
+    * Leftmost-first alternation in both engines ⇒ identical piece counts. */
+  val bpePieceRegex: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Token statistics: whitespace total / distinct / alphanumeric-run /
+    * BPE-ish piece counts. */
   def tokenStats(text: Column): Seq[Column] = {
     val toks = tokens(text)
     Seq(
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_uniq"),
-      regexp_count(text, lit("[A-Za-z0-9]+")).as("n_alpha"))
+      regexp_count(text, lit("[A-Za-z0-9]+")).as("n_alpha"),
+      regexp_count(text, lit(bpePieceRegex)).as("n_bpe"))
   }
 
   /** Repetition signals per document (the Gopher-style duplicate-n-gram
