@@ -111,7 +111,10 @@ object Sampling {
     * but hash-assigned shards with a deterministic position inside each —
     * one shuffle on the shard key, per-shard sorts run in parallel, and
     * a training job reads shards in any order knowing the permutation is
-    * reproducible. Position ties are impossible: md5 of a unique key. */
+    * reproducible. Position ties are impossible: md5 of a unique key.
+    * Size `nShards` to the cluster, not the data: each shard is one sort
+    * partition, so at corpus scale pick thousands (shards ≈ a few GB),
+    * never a handful. */
   def shuffleShards(df: DataFrame, keyCol: Column, nShards: Int): DataFrame = {
     val h = md5(keyCol)
     val w = Window.partitionBy(col("__shard")).orderBy(col("__h"))

@@ -64,6 +64,20 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("shard family plans: one hash exchange on the shard key, no range sort") {
+    val shards = Sampling.shuffleShards(docs.select("doc_id"),
+      $"doc_id".cast("string"), 4)
+    val packed = Sampling.packSequences(
+      docs.select($"doc_id", lit(10L).as("n_tokens")),
+      $"doc_id".cast("string"), $"n_tokens", 2048, 4)
+    for (df <- Seq(shards, packed)) {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges == 1, s"expected exactly one hash exchange:\n$plan")
+      assert(!plan.contains("rangepartitioning"), s"global sort crept in:\n$plan")
+    }
+  }
+
   test("repetitionStats: hand-computed bigram fractions") {
     val df = Seq(
       (1L, "a b a b a"),          // bigrams: ab,ba,ab,ba → top 2/4, dup 4/4
