@@ -204,6 +204,16 @@ object SparkEntry {
         .select(col("doc_id"), col("rag_id"))
     },
 
+    "j1_delta_bloom" -> { (s, dir) =>
+      // J1's corpus-scale shape: bloom pre-filter + exact residual join —
+      // identical result to j1_delta_anti_join, same oracle
+      val all = docsWithId(s, dir)
+      val master = all.filter(col("doc_id") % 10 < 3)
+      Fingerprint.deltaAntiJoinBloom(all, master, "rag_id",
+          expectedItems = 1000L)
+        .select(col("doc_id"), col("rag_id"))
+    },
+
     "j2_lookup_enrich_join" -> { (s, dir) =>
       t(s, dir, "customer")
         .join(broadcast(t(s, dir, "nation")),
@@ -959,6 +969,13 @@ object SparkEntry {
          FROM documents""",
 
     "j1_delta_anti_join" ->
+      """WITH d AS (SELECT doc_id,
+           md5(concat_ws('_', source, CAST(doc_id AS VARCHAR))) AS rag_id
+           FROM documents)
+         SELECT doc_id, rag_id FROM d
+         WHERE rag_id NOT IN (SELECT rag_id FROM d WHERE doc_id % 10 < 3)""",
+
+    "j1_delta_bloom" ->
       """WITH d AS (SELECT doc_id,
            md5(concat_ws('_', source, CAST(doc_id AS VARCHAR))) AS rag_id
            FROM documents)

@@ -48,6 +48,27 @@ object Fingerprint {
   def deltaAntiJoin(fresh: DataFrame, master: DataFrame, idCol: String): DataFrame =
     fresh.join(master.select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** J1 at corpus scale: a Bloom pre-filter splits `fresh` BEFORE any
+    * shuffle — ids the filter has definitely never seen are new by
+    * construction and skip the join entirely; only the (churn-sized)
+    * possible-hit remainder pays the exact anti-join, which also makes
+    * the result exact despite Bloom false positives. The filter is built
+    * with one master scan (`stat.bloomFilter`, driver-merged, broadcast);
+    * size `expectedItems` to the master's id cardinality and keep
+    * `fpp` moderate — at 1% only ~1% of genuinely-new rows take the
+    * expensive path by accident. Semantics are EXACTLY [[deltaAntiJoin]]
+    * (asserted in OpsSpec, including under a deliberately tiny, high-FPP
+    * filter). */
+  def deltaAntiJoinBloom(fresh: DataFrame, master: DataFrame, idCol: String,
+      expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = master.stat.bloomFilter(idCol, expectedItems, fpp)
+    val bfB = fresh.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((s: String) => bfB.value.mightContainString(s))
+    val definitelyNew = fresh.filter(!mightContain(col(idCol)))
+    val possibleHits = fresh.filter(mightContain(col(idCol)))
+    definitelyNew.unionByName(deltaAntiJoin(possibleHits, master, idCol))
+  }
+
   /** D3 — checkpoint semantics: drop inputs whose id already appears in
     * the processed-output listing (reference: skip-if-output-file-exists,
     * pdf_marker_extraction.py:355-360, pubmed_enrichment.py:338-343).

@@ -104,4 +104,21 @@ class OpsSpec extends AnyFunSuite {
     val ids = delta.select("rag_id").as[String].collect().toSet
     assert(ids == Set("b", "c"))
   }
+
+  test("deltaAntiJoinBloom == deltaAntiJoin, even under a saturated filter") {
+    val all = (1 to 500).map(i => (s"id$i", i)).toDF("rag_id", "v")
+    val master = (1 to 500).filter(_ % 3 == 0).map(i => (s"id$i", i))
+      .toDF("rag_id", "v")
+    val exact = Fingerprint.deltaAntiJoin(all, master, "rag_id")
+      .as[(String, Int)].collect().toSet
+    // healthy filter
+    val bloom = Fingerprint.deltaAntiJoinBloom(all, master, "rag_id",
+      expectedItems = 1000L).as[(String, Int)].collect().toSet
+    assert(bloom == exact)
+    // deliberately undersized, high-FPP filter: false positives merely
+    // route rows to the exact residual join — the result cannot change
+    val saturated = Fingerprint.deltaAntiJoinBloom(all, master, "rag_id",
+      expectedItems = 5L, fpp = 0.5).as[(String, Int)].collect().toSet
+    assert(saturated == exact)
+  }
 }
