@@ -204,6 +204,29 @@ object SparkEntry {
         .select(col("doc_id"), col("rag_id"))
     },
 
+    "u4_scd2_history" -> { (s, dir) =>
+      // type-2 versioned master: every doc current as of 2026-01-01 (docs
+      // divisible by 9 also carry an already-closed older version); the
+      // update batch changes n_chars for %4==0, no-ops %4==1, and brings
+      // new ids — changed rows close and reopen, no-ops stay untouched
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val hist = docs
+        .withColumn("valid_from", lit("2026-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .withColumn("n_chars", col("n_chars") - 5)
+          .withColumn("valid_from", lit("2025-01-01"))
+          .withColumn("valid_to", lit("2026-01-01")))
+      val upd = docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 1)
+        .unionByName(docs.filter(col("doc_id") % 4 === 1))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("source", lit("srcNew")))
+      Fingerprint.scd2Apply(hist, upd, "doc_id",
+        Seq("source", "n_chars"), "2026-02-01")
+    },
+
     "j1_delta_bloom" -> { (s, dir) =>
       // J1's corpus-scale shape: bloom pre-filter + exact residual join —
       // identical result to j1_delta_anti_join, same oracle
@@ -974,6 +997,38 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, rag_id FROM d
          WHERE rag_id NOT IN (SELECT rag_id FROM d WHERE doc_id % 10 < 3)""",
+
+    "u4_scd2_history" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+         hist AS (SELECT doc_id, source, n_chars,
+             '2026-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+           FROM docs),
+         closed AS (SELECT doc_id, source, n_chars - 5 AS n_chars,
+             '2025-01-01' AS valid_from, '2026-01-01' AS valid_to
+           FROM docs WHERE doc_id % 9 = 0),
+         upd AS (
+           SELECT doc_id, source, n_chars + 1 AS n_chars FROM docs WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id, source, n_chars FROM docs WHERE doc_id % 4 = 1
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, 'srcNew' AS source, n_chars
+           FROM docs WHERE doc_id % 10 = 0),
+         j AS (SELECT COALESCE(h.doc_id, u.doc_id) AS doc_id,
+             h.source AS hs, h.n_chars AS hn, h.valid_from AS hvf,
+             u.source AS us, u.n_chars AS un,
+             h.doc_id IS NOT NULL AS has_h, u.doc_id IS NOT NULL AS has_u,
+             (h.source = u.source AND h.n_chars = u.n_chars) AS same
+           FROM hist h FULL OUTER JOIN upd u ON h.doc_id = u.doc_id)
+         SELECT doc_id, source, n_chars, valid_from, valid_to FROM closed
+         UNION ALL
+         SELECT doc_id, hs, hn, hvf, CAST(NULL AS VARCHAR)
+         FROM j WHERE has_h AND (NOT has_u OR same)
+         UNION ALL
+         SELECT doc_id, hs, hn, hvf, '2026-02-01'
+         FROM j WHERE has_h AND has_u AND NOT same
+         UNION ALL
+         SELECT doc_id, us, un, '2026-02-01', CAST(NULL AS VARCHAR)
+         FROM j WHERE has_u AND (NOT has_h OR NOT same)""",
 
     "j1_delta_bloom" ->
       """WITH d AS (SELECT doc_id,

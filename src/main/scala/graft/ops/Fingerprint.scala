@@ -48,6 +48,45 @@ object Fingerprint {
   def deltaAntiJoin(fresh: DataFrame, master: DataFrame, idCol: String): DataFrame =
     fresh.join(master.select(col(idCol)), Seq(idCol), "left_anti")
 
+  /** U-family extension — SCD2 (type-2 slowly-changing-dimension) history
+    * maintenance, the versioned form of the master-table update: instead
+    * of overwriting a changed record, the current row is CLOSED
+    * (`valid_to` stamped) and the new version opens (`valid_from`
+    * stamped, `valid_to` null). History rows must carry `valid_from` /
+    * `valid_to` (null = current). One full-outer equi-join on the id —
+    * already-closed rows never join; change detection is an md5 over the
+    * payload columns computed per side (never per pair). Deterministic:
+    * the stamp is an injected literal, not now(). */
+  def scd2Apply(history: DataFrame, updates: DataFrame, idCol: String,
+      payloadCols: Seq[String], ts: String): DataFrame = {
+    def payloadHash(prefix: String): Column = md5(concat_ws("\u0001",
+      payloadCols.map(c => coalesce(col(prefix + c).cast("string"), lit("\u0002"))): _*))
+    val closed = history.filter(col("valid_to").isNotNull)
+    val current = history.filter(col("valid_to").isNull)
+
+    val u = updates.select(
+      col(idCol) +: payloadCols.map(c => col(c).as(s"__u_$c")): _*)
+      .withColumn("__has_u", lit(1))
+    val j = current.join(u, Seq(idCol), "full_outer")
+      .withColumn("__same",
+        payloadHash("") === payloadHash("__u_"))
+
+    val keep = j.filter(col("valid_from").isNotNull &&
+        (col("__has_u").isNull || col("__same")))
+      .select(history.columns.map(col).toIndexedSeq: _*)
+    val closeNow = j.filter(col("valid_from").isNotNull &&
+        col("__has_u").isNotNull && !col("__same"))
+      .withColumn("valid_to", lit(ts))
+      .select(history.columns.map(col).toIndexedSeq: _*)
+    val openNow = j.filter(col("__has_u").isNotNull &&
+        (col("valid_from").isNull || !col("__same")))
+      .select(col(idCol) +: payloadCols.map(c => col(s"__u_$c").as(c))
+        :+ lit(ts).as("valid_from") :+ lit(null).cast("string").as("valid_to"): _*)
+      .select(history.columns.map(col).toIndexedSeq: _*)
+
+    closed.unionByName(keep).unionByName(closeNow).unionByName(openNow)
+  }
+
   /** J1 at corpus scale: a Bloom pre-filter splits `fresh` BEFORE any
     * shuffle — ids the filter has definitely never seen are new by
     * construction and skip the join entirely; only the (churn-sized)
