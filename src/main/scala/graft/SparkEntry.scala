@@ -859,6 +859,25 @@ object SparkEntry {
           sum("n_tokens").cast("long").as("sum_tokens"))
     },
 
+    "corpus_overlap" -> { (s, dir) =>
+      // inter-source overlap matrix: the share of each source's distinct
+      // 3-gram vocabulary that appears in every other source — corpus-
+      // level contamination analysis. Distinct (source, shingle) pairs,
+      // one self-equi-join on the shingle, two hash aggregates.
+      val docs = t(s, dir, "documents")
+      val sh = docs.select(col("source"),
+        explode(Dedup.tokenShingles(col("text"), 3)).as("sh")).distinct()
+      val shared = sh.select(col("source").as("src_a"), col("sh"))
+        .join(sh.select(col("source").as("src_b"), col("sh")), Seq("sh"))
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      val totals = sh.groupBy(col("source").as("src_a"))
+        .agg(count(lit(1)).as("n_total"))
+      shared.join(totals, Seq("src_a"))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_total"),
+          (col("n_shared").cast("double") / col("n_total").cast("double")).as("overlap"))
+    },
+
     "text_fingerprint" -> { (s, dir) =>
       // rows-only: winnowing fingerprint (stateful scan); semantics pinned
       // in SketchesSpec; the md5 content-hash variant is oracle-checked (d2)
@@ -1471,6 +1490,22 @@ object SparkEntry {
            CAST(COALESCE(sum(cnt) FILTER (WHERE cnt > 1), 0) AS DOUBLE)
              / CAST(sum(cnt) AS DOUBLE) AS dup_frac
          FROM c GROUP BY doc_id""",
+
+    "corpus_overlap" ->
+      """WITH w AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+         sh AS (SELECT DISTINCT source, unnest(
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END) AS sh
+           FROM w),
+         tot AS (SELECT source AS src_a, count(*) AS n_total FROM sh GROUP BY 1),
+         shared AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+           FROM sh a JOIN sh b USING (sh)
+           WHERE a.source <> b.source GROUP BY 1, 2)
+         SELECT src_a, src_b, n_shared, n_total,
+           CAST(n_shared AS DOUBLE) / CAST(n_total AS DOUBLE) AS overlap
+         FROM shared JOIN tot USING (src_a)""",
 
     "text_pii_redact" ->
       """WITH inj AS (SELECT doc_id,
