@@ -543,6 +543,21 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
     },
 
+    "t4_sliding_window" -> { (s, dir) =>
+      // 3-hour sliding aggregates per event type: RANGE frame over event
+      // time in micros; sums accumulate in DECIMAL (order-independent,
+      // engine-exact) and surface as DOUBLE. Note the partition count
+      // here is the type cardinality — at corpus scale this query shape
+      // wants day-bucketed sub-windows or the streaming path (T1/T2);
+      // kept as the analysis form, matching DuckDB's RANGE window.
+      val e = events(s, dir).withColumn("ts_us", expr("unix_micros(ts)"))
+      val w = Window.partitionBy("event_type").orderBy("ts_us")
+        .rangeBetween(-10800000000L, 0L)
+      e.select(col("event_id"), col("event_type"),
+        count(lit(1)).over(w).as("n_3h"),
+        sum(col("value").cast("decimal(18,2)")).over(w).cast("double").as("sum_3h"))
+    },
+
     "t3_session_window" -> { (s, dir) =>
       // session windows (30-min gap) over the events stream table —
       // built-in session_window; the custom-state streaming twin is
@@ -1326,6 +1341,15 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+
+    "t4_sliding_window" ->
+      """SELECT event_id, event_type,
+           count(*) OVER w AS n_3h,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_3h
+         FROM (SELECT event_id, event_type, value, epoch_us(ts) AS ts_us
+               FROM events)
+         WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+           RANGE BETWEEN 10800000000 PRECEDING AND CURRENT ROW)""",
 
     "t3_session_window" ->
       """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events),
