@@ -816,6 +816,26 @@ object SparkEntry {
         col("doc_id").cast("string"), nShards = 8)
     },
 
+    "profile_approx" -> { (s, dir) =>
+      // rows-only: HLL++ approximate distincts per column — the one-pass
+      // fixed-memory answer to profiling at corpus scale (the exact twin
+      // is profile_documents). Sketch is engine-specific, so no DuckDB
+      // oracle; relative error vs exact is pinned in MiscOpsSpec.
+      t(s, dir, "documents").select(
+        approx_count_distinct("doc_id").as("adc_doc_id"),
+        approx_count_distinct("source").as("adc_source"),
+        approx_count_distinct("lang").as("adc_lang"),
+        approx_count_distinct("n_chars").as("adc_n_chars"))
+    },
+
+    "sample_per_group" -> { (s, dir) =>
+      // deterministic 7-per-source sample: md5-ranked reservoir inside
+      // each stratum — stable across runs, one shuffle on the stratum
+      Sampling.samplePerStratum(
+        t(s, dir, "documents").select("doc_id", "source"),
+        col("doc_id").cast("string"), col("source"), n = 7)
+    },
+
     "sample_split" -> { (s, dir) =>
       // hash-deterministic 5%/5% test/val split, rolled up per source —
       // every row's split is a pure function of its key (leakage-proof
@@ -1568,6 +1588,13 @@ object SparkEntry {
            FROM b)
          SELECT doc_id, source, unnest(range(1, n + 1)) AS epoch
          FROM n WHERE n > 0""",
+
+    "sample_per_group" ->
+      """SELECT doc_id, source FROM (
+           SELECT doc_id, source, row_number() OVER
+             (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+           FROM documents)
+         WHERE rk <= 7""",
 
     "sample_split" ->
       """WITH b AS (SELECT source,

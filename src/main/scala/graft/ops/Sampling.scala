@@ -87,6 +87,19 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Exactly-n-per-stratum deterministic sample (the "show me 100 docs
+    * from every source" shape): rank rows inside each stratum by their
+    * key's md5 and keep the first n — a hash-ordered reservoir that is
+    * stable across runs and appends only at the margin. One shuffle on
+    * the stratum; rank ties impossible (md5 of a unique key). */
+  def samplePerStratum(df: DataFrame, keyCol: Column, strataCol: Column,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(md5(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Training-sequence packing: documents are (conceptually) concatenated
     * in a deterministic order and cut every `budgetTokens` tokens; each
     * document is labeled with the sequence its FIRST token lands in —

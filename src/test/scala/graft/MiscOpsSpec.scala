@@ -74,4 +74,14 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(sub.toList == List("rag_id=k1", "rag_id=k2"))
     assert(spark.read.json(s"$dir/rag_id=k1").count() == 2)
   }
+
+  test("approx_count_distinct stays within 5% of exact on the testdata") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (c <- Seq("doc_id", "source", "lang", "n_chars")) {
+      val exact = docs.select(countDistinct(col(c))).as[Long].head()
+      val approx = docs.select(approx_count_distinct(c)).as[Long].head()
+      val rel = math.abs(approx - exact).toDouble / exact
+      assert(rel <= 0.05, s"$c: approx=$approx exact=$exact rel=$rel")
+    }
+  }
 }
