@@ -71,6 +71,21 @@ class ScaleShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("filters and projections reach the parquet scan (pushdown proof)") {
+    val dir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the length gate's null-guard is pushed into the scan, and the scan
+    // reads only the referenced columns, not the full documents schema
+    assert("PushedFilters: \\[[^\\]]*IsNotNull".r.findFirstIn(plan).isDefined, plan)
+    // p9 touches only doc_id + text: source/lang/n_chars must be pruned
+    // from the scan's ReadSchema
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") &&
+      !readSchema.contains("n_chars") && !readSchema.contains("lang"),
+      s"scan not pruned to referenced columns: $readSchema")
+  }
+
   test("contamination: corpus side streams, benchmark side is the build side") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet")
