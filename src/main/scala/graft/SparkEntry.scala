@@ -34,13 +34,24 @@ object SparkEntry {
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
   /** The IVF quantizer is an offline artifact (see [[graft.ops.Vectors.ivfSave]]):
-    * built and saved once per corpus dir — seed-fixed KMeans makes the
+    * built and saved once per corpus — seed-fixed KMeans makes the
     * rebuild byte-identical — then loaded by every query batch, with the
     * assigned corpus coming back cell-partitioned for file pruning. The
-    * first call on a machine pays the build; after that, probes only. */
+    * first call on a machine pays the build; after that, probes only.
+    *
+    * The cache key is a CONTENT fingerprint of the embeddings table
+    * (canonical path + per-file name/size/mtime), not a hash of the dir
+    * string: regenerating testdata in place, or two dirs whose names
+    * collide under String.hashCode, must never serve stale centroids. */
   private def ivfIndexFor(s: SparkSession, dir: String): graft.ops.Vectors.IvfIndex = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+    val table = new java.io.File(s"$dir/embeddings.parquet")
+    val files = Option(table.listFiles()).map(_.toSeq).getOrElse(Seq(table))
+      .filter(_.isFile).sortBy(_.getName)
+    val ident = (table.getCanonicalPath +:
+      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")).mkString("|")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$digest"
     val marker = new java.io.File(s"$path/_built")
     this.synchronized {
       if (!marker.exists()) {
@@ -1071,7 +1082,8 @@ object SparkEntry {
              h.source AS hs, h.n_chars AS hn, h.valid_from AS hvf,
              u.source AS us, u.n_chars AS un,
              h.doc_id IS NOT NULL AS has_h, u.doc_id IS NOT NULL AS has_u,
-             (h.source = u.source AND h.n_chars = u.n_chars) AS same
+             (h.source IS NOT DISTINCT FROM u.source
+              AND h.n_chars IS NOT DISTINCT FROM u.n_chars) AS same
            FROM hist h FULL OUTER JOIN upd u ON h.doc_id = u.doc_id)
          SELECT doc_id, source, n_chars, valid_from, valid_to FROM closed
          UNION ALL

@@ -13,9 +13,13 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the single-shuffle UNION + WINDOW composition, not
   * a range join: tag right rows 0 and left rows 1, sort each key
-  * partition by (ts, tag), and carry the last non-null right payload
-  * forward with `last(_, ignoreNulls = true)`. A right row that shares
-  * the left row's timestamp sorts FIRST (tag 0 < 1), which yields the
+  * partition by (ts, tag), and carry the last right payload forward with
+  * `last(_, ignoreNulls = true)`. The payload is ONE struct(valueCols)
+  * built only on right rows — never per-column — so a matched right row
+  * whose payload value is legitimately NULL yields NULL (not a stale
+  * older row's value), and with several valueCols every output field
+  * comes from the SAME matched right row. A right row that shares the
+  * left row's timestamp sorts FIRST (tag 0 < 1), which yields the
   * inclusive `≤` match DuckDB's `ASOF JOIN ... ON l.ts >= r.ts` defines —
   * that native implementation is this operator's oracle.
   *
@@ -34,21 +38,25 @@ object AsofJoin {
     require(valueCols.forall(!left.columns.contains(_)),
       "right valueCols must not collide with left columns")
     val leftCols = left.columns.toIndexedSeq
-    val l = valueCols.foldLeft(left.withColumn("__tag", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
+    val payloadType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)).toArray)
+    val l = left.withColumn("__tag", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
     val r0 = right.select((keyCol +: tsCol +: valueCols).distinct.map(col): _*)
       .withColumn("__tag", lit(0))
+      .withColumn("__payload", struct(valueCols.map(col): _*))
+      .select(col(keyCol), col(tsCol), col("__tag"), col("__payload"))
     val r = leftCols.filterNot(r0.columns.contains)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(tsCol).asc, col("__tag").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1).drop("__tag")
+    val carried = l.unionByName(r.select(l.columns.map(col): _*))
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+    valueCols.foldLeft(carried.filter(col("__tag") === 1)) {
+        (df, c) => df.withColumn(c, col("__payload").getField(c))
+      }
       .select((leftCols ++ valueCols.filterNot(leftCols.contains)).map(col): _*)
   }
 }

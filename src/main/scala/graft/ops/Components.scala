@@ -28,7 +28,12 @@ object Components {
 
   /** (node, component) for every node appearing in `edges`; `iCol`/`jCol`
     * name the edge endpoints. Isolated nodes (no edges) are absent by
-    * construction — union the node universe afterwards if needed. */
+    * construction — union the node universe afterwards if needed.
+    *
+    * Throws `IllegalStateException` if the fixpoint is not reached within
+    * `maxIter` rounds: partially-propagated labels would silently split
+    * clusters downstream (dupGroups would keep extra "survivors"), so an
+    * unconverged result is never returned. */
   def connectedComponents(edges: DataFrame, iCol: String = "i",
       jCol: String = "j", maxIter: Int = 30): DataFrame = {
     val sym = edges.select(col(iCol).as("a"), col(jCol).as("b"))
@@ -65,6 +70,10 @@ object Components {
       it += 1
     }
     sym.unpersist()
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
     labels.withColumnRenamed("label", "component")
   }
 

@@ -32,17 +32,29 @@ object Contamination {
     val benchShingles = bench.select(col(benchId),
       explode(Dedup.tokenShingles(col(benchText), k)).as("sh"))
     val benchDistinct = benchShingles.select("sh").distinct()
-    // corpus streams; hit set ⊆ benchmark shingles, so it stays tiny
+    // corpus streams; hit set ⊆ benchmark shingles, so it stays tiny.
+    // Persist + materialize BEFORE the second join: the hit set's logical
+    // plan contains the full corpus scan, so the optimizer's size estimate
+    // is corpus-sized and maybeBroadcast would refuse the hint; the
+    // materialized InMemoryRelation reports its true (benchmark-bounded)
+    // size, which is what makes the broadcast-back actually plan.
     val hitShingles = corpusShingles
       .join(maybeBroadcast(benchDistinct), Seq("sh"), "left_semi")
       .distinct()
+      .persist()
+    hitShingles.count()
     val total = benchShingles.groupBy(benchId)
       .agg(count(lit(1)).as("n_shingles"))
     val hit = benchShingles.join(maybeBroadcast(hitShingles), Seq("sh"), "left_semi")
       .groupBy(benchId).agg(count(lit(1)).as("n_hit"))
-    total.join(hit, Seq(benchId), "left_outer")
+    val out = total.join(hit, Seq(benchId), "left_outer")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("contamination",
         col("n_hit") / col("n_shingles").cast("double"))
+    // result is per-benchmark-doc (tiny): materialize it eagerly, then
+    // release the cached hit set so the operator leaves nothing pinned
+    val result = out.localCheckpoint(true)
+    hitShingles.unpersist()
+    result
   }
 }

@@ -28,4 +28,29 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got(("k1", 25L)).contains(2.0))
     assert(got(("k2", 12L)).contains(9.0))   // key isolation
   }
+
+  test("NULL payload on the matched row stays NULL (no stale carry)") {
+    val left = Seq(("k1", 10L), ("k1", 20L)).toDF("key", "ts")
+    val right = Seq(
+      ("k1", 5L, Some(1.0)), ("k1", 15L, None) // newer row has NULL v
+    ).toDF("key", "ts", "v")
+    val got = AsofJoin.asofJoin(left, right, "key", "ts", Seq("v"))
+      .select("ts", "v").as[(Long, Option[Double])].collect().toMap
+    assert(got(10L).contains(1.0))
+    assert(got(20L).isEmpty) // matched row (ts=15) carries NULL, not 1.0
+  }
+
+  test("multiple valueCols always come from the SAME matched right row") {
+    val left = Seq(("k1", 10L), ("k1", 20L)).toDF("key", "ts")
+    val right = Seq(
+      ("k1", 5L, Some("a"), Some(1.0)),
+      ("k1", 15L, None, Some(2.0)) // a NULL in one col must not mix rows
+    ).toDF("key", "ts", "s", "v")
+    val got = AsofJoin.asofJoin(left, right, "key", "ts", Seq("s", "v"))
+      .select("ts", "s", "v")
+      .as[(Long, Option[String], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((Some("a"), Some(1.0))))
+    assert(got(20L) == ((None, Some(2.0)))) // both fields from ts=15 row
+  }
 }

@@ -28,6 +28,14 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), "every chain node must reach label 0")
   }
 
+  test("an unconverged run throws instead of returning split labels") {
+    val edges = (0L until 20L).map(i => (i, i + 1)).toDF("i", "j")
+    val ex = intercept[IllegalStateException] {
+      Components.connectedComponents(edges, maxIter = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("dupGroups keys every cluster by its smallest member") {
     val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("i", "j")
     val got = Components.dupGroups(edges)
