@@ -731,6 +731,46 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("lang_pred"))
     },
 
+    "text_entropy" -> { (s, dir) =>
+      // char-level Shannon entropy quality gate (Gopher-style "is this
+      // text" signal); milli-nat integers keep the double fold compare-
+      // stable (sequential char-sorted sum on BOTH engines)
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "text_vocab_topk" -> { (s, dir) =>
+      // corpus vocabulary: term count + document frequency, top-500 with
+      // a total (count desc, token asc) order → TakeOrderedAndProject,
+      // no global sort
+      TextAnalysis.vocabTopK(t(s, dir, "documents"), "doc_id", "text", 500)
+    },
+
+    "text_bigram_pmi" -> { (s, dir) =>
+      // collocation mining: top-200 adjacent bigrams with exact counts +
+      // PMI in floored milli-nats from the same expression tree as the
+      // oracle
+      TextAnalysis.bigramPmi(t(s, dir, "documents"), "doc_id", "text", 200)
+    },
+
+    "a5_zscore_per_source" -> { (s, dir) =>
+      // per-source outlier scoring of document length: moments from exact
+      // integer sums (never distributed floating stddev), z in milli-units
+      Profile.zscorePerGroup(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "z_milli")
+    },
+
+    "u5_keep_best" -> { (s, dir) =>
+      // dedup survivor policy: one row per content-hash group, best =
+      // longest text then smallest doc_id (total order ⇒ deterministic)
+      val d = t(s, dir, "documents")
+        .withColumn("content_hash", md5(col("text")))
+      Dedup.keepBestPerGroup(d, col("content_hash"),
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("doc_id", "content_hash", "n_chars")
+    },
+
     "rag_chunk_paragraphs" -> { (s, dir) =>
       // paragraph-aware chunking: the documents text is a flat token
       // stream (no sentence punctuation), so paragraph breaks are
@@ -1679,6 +1719,75 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha,
          len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
+
+    "text_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         c AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt
+           FROM ch WHERE len(ch) > 0 GROUP BY doc_id, ch),
+         s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars_tot,
+             sum(CAST(cnt AS DOUBLE) * ln(CAST(cnt AS DOUBLE)) ORDER BY ch)
+               AS sacc
+           FROM c GROUP BY doc_id)
+         SELECT doc_id, n_chars_tot,
+           CAST(floor(1000 * (ln(CAST(n_chars_tot AS DOUBLE)) -
+             sacc / CAST(n_chars_tot AS DOUBLE))) AS BIGINT) AS entropy_milli
+         FROM s""",
+
+    "text_vocab_topk" ->
+      """WITH tok AS (SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents)
+         SELECT token, CAST(count(*) AS BIGINT) AS term_cnt,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq
+         FROM tok WHERE len(token) > 0
+         GROUP BY token
+         ORDER BY term_cnt DESC, token ASC LIMIT 500""",
+
+    "text_bigram_pmi" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         bi AS (SELECT w[idx] AS w1, w[idx + 1] AS w2
+           FROM (SELECT w, unnest(range(1, len(w))) AS idx FROM t)),
+         uc AS (SELECT unnest(w) AS tk FROM t),
+         u AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM uc GROUP BY tk),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+           FROM bi GROUP BY w1, w2),
+         tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM u) AS n_uni,
+           (SELECT CAST(sum(c_xy) AS BIGINT) FROM bc) AS n_bi)
+         SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+           CAST(floor(1000 * (ln(CAST(c_xy AS DOUBLE)) -
+             ln(CAST(u1.c AS DOUBLE)) - ln(CAST(u2.c AS DOUBLE)) +
+             2 * ln(CAST(n_uni AS DOUBLE)) - ln(CAST(n_bi AS DOUBLE))))
+             AS BIGINT) AS pmi_milli
+         FROM bc JOIN u u1 ON bc.w1 = u1.tk JOIN u u2 ON bc.w2 = u2.tk, tot
+         ORDER BY c_xy DESC, w1 ASC, w2 ASC LIMIT 200""",
+
+    "a5_zscore_per_source" ->
+      """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS s,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents GROUP BY source)
+         SELECT doc_id, d.source, n_chars,
+           CASE WHEN n >= 2 AND
+               (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) /
+                 CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1) > 0
+             THEN CAST(floor(1000 * ((CAST(n_chars AS DOUBLE) -
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+               sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) *
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) /
+                 (CAST(n AS DOUBLE) - 1)))) AS BIGINT)
+           END AS z_milli
+         FROM documents d JOIN st ON d.source = st.source""",
+
+    "u5_keep_best" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS content_hash, n_chars
+           FROM documents),
+         r AS (SELECT doc_id, content_hash, n_chars,
+             row_number() OVER (PARTITION BY content_hash
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+           FROM d)
+         SELECT doc_id, content_hash, n_chars FROM r WHERE rn = 1""",
 
     "text_quality_score" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * everything, so the corpus must STREAM and never be a hash build side.
   * The corpus's exploded shingles are semi-joined against the broadcast
   * benchmark shingle set (no corpus-wide DISTINCT, no corpus shuffle at
-  * all — duplicates are harmless to a semi probe), the surviving hit
-  * set is at most the benchmark's size, and it broadcasts back for the
-  * per-document hit count. Both joins broadcast the small side; no row
-  * of the corpus ever crosses the network.
+  * all — duplicates are harmless to a semi probe), and the surviving hit
+  * set — at most the benchmark's size — joins back for the per-document
+  * hit count. The first join broadcasts the benchmark side; the second
+  * shuffles only benchmark-bounded rows. No row of the corpus ever
+  * crosses the network.
   */
 object Contamination {
 
@@ -33,28 +34,22 @@ object Contamination {
       explode(Dedup.tokenShingles(col(benchText), k)).as("sh"))
     val benchDistinct = benchShingles.select("sh").distinct()
     // corpus streams; hit set ⊆ benchmark shingles, so it stays tiny.
-    // Persist + materialize BEFORE the second join: the hit set's logical
-    // plan contains the full corpus scan, so the optimizer's size estimate
-    // is corpus-sized and maybeBroadcast would refuse the hint; the
-    // materialized InMemoryRelation reports its true (benchmark-bounded)
-    // size, which is what makes the broadcast-back actually plan.
+    // The second join is tiny ⋈ tiny: the hit set's PLAN still contains
+    // the corpus scan, so its size ESTIMATE is corpus-sized and the
+    // broadcast hint is (correctly) refused — but what actually shuffles
+    // is only the benchmark-bounded hit rows, so the plain shuffled
+    // equi-join is already the cheap plan. No corpus row crosses the
+    // network at any point.
     val hitShingles = corpusShingles
       .join(maybeBroadcast(benchDistinct), Seq("sh"), "left_semi")
       .distinct()
-      .persist()
-    hitShingles.count()
     val total = benchShingles.groupBy(benchId)
       .agg(count(lit(1)).as("n_shingles"))
-    val hit = benchShingles.join(maybeBroadcast(hitShingles), Seq("sh"), "left_semi")
+    val hit = benchShingles.join(hitShingles, Seq("sh"), "left_semi")
       .groupBy(benchId).agg(count(lit(1)).as("n_hit"))
-    val out = total.join(hit, Seq(benchId), "left_outer")
+    total.join(hit, Seq(benchId), "left_outer")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("contamination",
         col("n_hit") / col("n_shingles").cast("double"))
-    // result is per-benchmark-doc (tiny): materialize it eagerly, then
-    // release the cached hit set so the operator leaves nothing pinned
-    val result = out.localCheckpoint(true)
-    hitShingles.unpersist()
-    result
   }
 }

@@ -73,6 +73,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_dups") > 1)
 
+  /** Survivor selection — the "which copy do we keep" policy that turns
+    * dup GROUPS into a deduplicated corpus: within each `keyCol` group
+    * keep exactly the best row under `order` (e.g. quality desc, then id
+    * asc as the total tie-break — a non-total order makes the survivor
+    * nondeterministic). ONE shuffle on the group key; rank, not sort-all:
+    * row_number over the group window is a single window pass. */
+  def keepBestPerGroup(df: DataFrame, keyCol: Column,
+      order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs, blocked by a length band so the
     * pair space is |band|² not |corpus|²: docs within `maxLenDiff` chars
     * land in the same or adjacent `bucketWidth`-wide buckets, and the probe

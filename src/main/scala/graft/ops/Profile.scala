@@ -37,4 +37,32 @@ object Profile {
     }
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
+
+  /** Per-group standardization (outlier scoring) of an integer metric:
+    * attach each row's z-score within its group, as floored milli-units.
+    *
+    * The moments come from EXACT integer sums (Σx, Σx², n — one partial-
+    * aggregated shuffle on the group key), never from a distributed
+    * floating `stddev` whose merge order is nondeterministic; the double
+    * arithmetic downstream is the same expression tree on both engines
+    * over those exact integers, so the result is bit-reproducible:
+    * mean = S/n, var = (S2 − S·S/n)/(n−1), z = (x − mean)/√var.
+    * Groups with n < 2 or zero variance emit NULL. The stats table is
+    * group-cardinality-sized — tiny — so the join back is a broadcast. */
+  def zscorePerGroup(df: DataFrame, groupCol: String, metricCol: String):
+      DataFrame = {
+    val x = col(metricCol).cast("long")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"), sum(x).as("__s"), sum(x * x).as("__s2"))
+    val n = col("__n").cast("double")
+    val s = col("__s").cast("double")
+    val mean = s / n
+    val variance = (col("__s2").cast("double") - s * s / n) / (n - lit(1))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("z_milli",
+        when(col("__n") >= 2 && variance > 0,
+          floor(lit(1000) * ((x.cast("double") - mean) / sqrt(variance)))
+            .cast("long")))
+      .drop("__n", "__s", "__s2")
+  }
 }

@@ -103,6 +103,91 @@ object TextAnalysis {
         (col("dup_cnt").cast("double") / col("n_grams").cast("double")).as("dup_frac"))
   }
 
+  /** Character-level Shannon entropy per document — the "is this even
+    * text" quality gate (random bytes ≈ uniform entropy, templated
+    * boilerplate ≈ very low; natural prose sits in a narrow band).
+    *
+    * Relational shape: explode chars → (id, ch) count with map-side
+    * partial aggregation (compresses to ≤|alphabet| rows per doc per
+    * partition — the shuffle carries alphabet-sized groups, not the
+    * text), then ONE per-doc fold. The double summation is over the
+    * char-sorted count array via a sequential `aggregate` lambda, so
+    * the add order is deterministic and matches the oracle's
+    * `sum(... ORDER BY ch)` bit-for-bit; the result ships as floored
+    * milli-nats (BIGINT) so the driver compare never sees a
+    * non-reproducible double.
+    *
+    * H = ln(N) − (Σ c·ln c)/N over per-char counts c, N = total chars. */
+  def charEntropy(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(length(col("ch")) > 0) // Java split keeps a trailing ""
+      .groupBy(col(idCol), col("ch")).agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(idCol))
+      .agg(sum("cnt").as("n_chars_tot"),
+        sort_array(collect_list(struct(col("ch"), col("cnt")))).as("__cs"))
+      .select(col(idCol), col("n_chars_tot"),
+        floor(lit(1000) * (log(col("n_chars_tot").cast("double")) -
+          aggregate(col("__cs"), lit(0.0), (acc, x) =>
+            acc + x.getField("cnt").cast("double") *
+              log(x.getField("cnt").cast("double"))) /
+            col("n_chars_tot").cast("double")))
+          .cast("long").as("entropy_milli"))
+  }
+
+  /** Corpus vocabulary: per-token term count + document frequency, top-k
+    * by (count desc, token asc). The deterministic tie-break makes the
+    * cut reproducible; `orderBy+limit` plans as TakeOrderedAndProject
+    * (per-partition heaps merged on the driver), so no single-partition
+    * global sort exists even when the vocabulary is 10⁸ tokens. */
+  def vocabTopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token")
+      .agg(count(lit(1)).as("term_cnt"),
+        count_distinct(col(idCol)).as("doc_freq"))
+      .orderBy(col("term_cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** Pointwise mutual information over adjacent-token bigrams — the
+    * collocation signal (corpus phrase mining / tokenizer-merge
+    * candidates). Bigram and unigram counts are exact global aggregates
+    * (both partial-agg friendly: the shuffle carries vocabulary-sized
+    * groups); the PMI double is computed with an identical expression
+    * tree on both engines from those exact integers and shipped as
+    * floored milli-nats.
+    *
+    * pmi = ln c_xy − ln c_x − ln c_y + 2·ln N_uni − ln N_bi. */
+  def bigramPmi(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    // token array materialized as an attribute first (interpreted-HOF rule)
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
+    val bi = toks.select(explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(w).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c"))
+    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    val totals = uni.agg(sum("c").as("n_uni"))
+      .crossJoin(biCnt.agg(sum("c_xy").as("n_bi")))
+    val d = (c: Column) => c.cast("double")
+    biCnt
+      .join(uni.select(col("tk").as("w1"), col("c").as("c_x")), Seq("w1"))
+      .join(uni.select(col("tk").as("w2"), col("c").as("c_y")), Seq("w2"))
+      .crossJoin(totals)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"),
+        floor(lit(1000) * (log(d(col("c_xy"))) - log(d(col("c_x"))) -
+          log(d(col("c_y"))) + lit(2) * log(d(col("n_uni"))) -
+          log(d(col("n_bi"))))).cast("long").as("pmi_milli"))
+      .orderBy(col("c_xy").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Quality score in [0,100]: lexical diversity (70%) + stopword
     * presence (30%) — floored to an integer for engine-exact compare.
     * High diversity and a natural stopword rate indicate prose; word-salad
