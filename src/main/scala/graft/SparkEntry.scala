@@ -867,6 +867,40 @@ object SparkEntry {
         col("doc_id").cast("string"), nShards = 8)
     },
 
+    "mix_token_budget" -> { (s, dir) =>
+      // token-budget mixing: take ~20k tokens (n_chars as the proxy)
+      // per source in deterministic hash order, keeping whole documents
+      Sampling.takeTokenBudget(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          col("doc_id").cast("string"), col("source"), col("n_chars"),
+          lit(20000))
+        .select("doc_id", "source", "n_chars", "cum_tokens")
+    },
+
+    "s9_sink_roundtrip" -> { (s, dir) =>
+      // S9 sink proof the driver can SEE: write partitioned JSONL, read
+      // it back with an explicit schema, hash-match the original rows.
+      // Round-trips the sink+source pair instead of trusting the spec.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_roundtrip"
+      graft.sources.Sinks.writeJsonl(
+        t(s, dir, "documents").select("doc_id", "source", "n_chars"), out)
+      s.read.schema("doc_id LONG, source STRING, n_chars LONG").json(out)
+    },
+
+    "dedup_cross_corpus" -> { (s, dir) =>
+      // near-dup DEcontamination (the fuzzy twin of text_contamination):
+      // every 50th doc plays the benchmark; emit benchmark↔corpus
+      // near-dup pairs from the same blocked jaccard machinery — the
+      // injected near-dup pairs make some benchmark docs leak
+      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", "n_chars", threshold = 0.5)
+      pairs.filter((col("i") % 50 === 0) =!= (col("j") % 50 === 0))
+        .select(
+          when(col("i") % 50 === 0, col("i")).otherwise(col("j")).as("bench_id"),
+          when(col("i") % 50 === 0, col("j")).otherwise(col("i")).as("corpus_id"),
+          col("jac"))
+    },
+
     "profile_approx" -> { (s, dir) =>
       // rows-only: HLL++ approximate distincts per column — the one-pass
       // fixed-memory answer to profiling at corpus scale (the exact twin
@@ -1506,6 +1540,41 @@ object SparkEntry {
       """SELECT a.vec_id AS i, b.vec_id AS j
          FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+
+    "dedup_cross_corpus" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+             ELSE [] END AS sh,
+             CAST(floor(n_chars / 32) AS BIGINT) AS bkt
+           FROM documents),
+         probe AS (SELECT doc_id AS i, n_chars AS len_i, sh AS sh_i,
+           unnest([bkt - 1, bkt, bkt + 1]) AS bkt FROM t),
+         pairs AS (SELECT i, j, jac FROM (
+           SELECT probe.i, t.doc_id AS j,
+             len(list_intersect(probe.sh_i, t.sh)) * 1.0 /
+               len(list_distinct(list_concat(probe.sh_i, t.sh))) AS jac
+           FROM probe JOIN t ON probe.bkt = t.bkt AND probe.i < t.doc_id
+             AND abs(probe.len_i - t.n_chars) <= 20)
+         WHERE jac >= 0.5)
+         SELECT CASE WHEN i % 50 = 0 THEN i ELSE j END AS bench_id,
+           CASE WHEN i % 50 = 0 THEN j ELSE i END AS corpus_id, jac
+         FROM pairs WHERE (i % 50 = 0) <> (j % 50 = 0)""",
+
+    "mix_token_budget" ->
+      """WITH c AS (SELECT doc_id, source, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR))
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+           FROM documents)
+         SELECT doc_id, source, n_chars, cum_tokens FROM c
+         WHERE cum_tokens - n_chars < 20000""",
+
+    "s9_sink_roundtrip" ->
+      "SELECT doc_id, source, n_chars FROM documents",
 
     "dedup_minhash_lsh" ->
       """WITH t AS (

@@ -119,6 +119,24 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Token-budget domain mixing — real training mixes are specified as
+    * "N tokens from this source", not "a fraction of its documents":
+    * within each stratum, documents are taken in deterministic md5(key)
+    * order until the cumulative token count reaches `budget` (the doc
+    * whose FIRST token lands inside the budget is kept whole, so the
+    * take slightly overshoots rather than truncating a document).
+    * One shuffle on the stratum key; the running sum is a per-stratum
+    * window with an explicit ROWS frame (unique md5 keys make RANGE and
+    * ROWS agree, but the intent is positional). Output keeps the
+    * cumulative count for auditability. */
+  def takeTokenBudget(df: DataFrame, keyCol: Column, strataCol: Column,
+      tokenCol: Column, budget: Column): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(md5(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(tokenCol).over(w).cast("long"))
+      .filter(col("cum_tokens") - tokenCol < budget)
+  }
+
   /** Deterministic global shuffle, the scalable way: no total order (a
     * global sort/row_number pulls everything through one range exchange),
     * but hash-assigned shards with a deterministic position inside each —
