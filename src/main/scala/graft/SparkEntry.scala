@@ -330,6 +330,23 @@ object SparkEntry {
           sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("qty_sum"))
     },
 
+    "j6_salted_hotkey" -> { (s, dir) =>
+      // targeted salting: a mixed workload where 5 keys are provably hot
+      // (one per event type) and ~5000 synthetic keys are singletons —
+      // only the hot slice pays the salt replication, the cold slice
+      // takes the plain join; oracle is the plain equi join
+      val keyed = t(s, dir, "events").withColumn("k",
+        when(col("value") < 400, col("event_type"))
+          .otherwise(concat(col("event_type"), lit("#"),
+            pmod(col("event_id"), lit(997)).cast("string"))))
+      val dim = keyed.groupBy(col("k")).agg(count(lit(1)).as("key_n"))
+      SkewJoin.saltedHotKeyJoin(keyed, dim, "k", "event_id",
+          saltFactor = 8, hotThreshold = 500L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("key_n")).cast("long").as("key_n_sum"))
+    },
+
     "j7_interval_overlap" -> { (s, dir) =>
       // interval-overlap join of two derived band tables (nation 25 x
       // region 5, overlapping spans) — banded equi composition vs the
@@ -1223,6 +1240,18 @@ object SparkEntry {
          CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          GROUP BY o.o_orderpriority""",
+
+    "j6_salted_hotkey" ->
+      """WITH keyed AS (SELECT event_id, event_type,
+           CASE WHEN value < 400 THEN event_type
+                ELSE event_type || '#' || CAST(event_id % 997 AS VARCHAR)
+           END AS k
+           FROM events),
+         dim AS (SELECT k, count(*) AS key_n FROM keyed GROUP BY k)
+         SELECT keyed.event_type, count(*) AS n_rows,
+           CAST(sum(dim.key_n) AS BIGINT) AS key_n_sum
+         FROM keyed JOIN dim ON keyed.k = dim.k
+         GROUP BY keyed.event_type""",
 
     "j7_interval_overlap" ->
       """WITH nb AS (SELECT n_nationkey,

@@ -58,22 +58,33 @@ object FuzzyJoin {
   /** Self-match: (i, j, str_i, str_j) with i < j and `verify` true.
     * `verify` is the exact predicate — e.g.
     * `(a, b) => levenshtein(a, b) <= 4` or
-    * `(a, b) => gf.similarity(a, b) >= 0.9`. */
+    * `(a, b) => gf.similarity(a, b) >= 0.9`.
+    *
+    * Shuffle discipline: the candidate join and the (i, j) dedupe move
+    * ONLY id pairs — the candidate join multiplies rows by shared-key
+    * count, so every byte of payload carried there is shuffled once per
+    * candidate instead of once per surviving pair. Strings attach after
+    * the dedupe (one hash join per side against the original table) and
+    * the verify runs once per deduped pair. The dedupe is a groupBy, not
+    * distinct(), so the attach joins sit above an Aggregate and Catalyst
+    * cannot push the expensive verify below the dedupe into the
+    * candidate join residual (measured 16 s → 2 s on the sf0.1
+    * similarity variant when it does). */
   def selfPairs(df: DataFrame, idCol: String, strCol: String,
       blockCols: Seq[String] = Nil)
       (verify: (Column, Column) => Column): DataFrame = {
     val a = fanout(withKeys(df, idCol, strCol, blockCols, "key_i", "i", "str_i"))
+      .select("key_i", "i")
     val b = withKeys(df, idCol, strCol, blockCols, "key_j", "j", "str_j")
-    // dedupe candidates (a pair can share several keys) via groupBy, not
-    // distinct(): the strings come out as AGGREGATE outputs, so Catalyst
-    // cannot push the verify filter below the aggregate into the join
-    // residual — with distinct() it does, and an expensive verify then
-    // runs on every pre-dedup candidate row (measured 16 s → 2 s on the
-    // sf0.1 similarity variant)
-    a.join(maybeBroadcast(b), col("key_i") === col("key_j") && col("i") < col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(first(col("str_i")).as("str_i"), first(col("str_j")).as("str_j"))
+      .select("key_j", "j")
+    val cand = a
+      .join(maybeBroadcast(b), col("key_i") === col("key_j") && col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared_keys"))
+    cand
+      .join(maybeBroadcast(df.select(col(idCol).as("i"), col(strCol).as("str_i"))), Seq("i"))
+      .join(maybeBroadcast(df.select(col(idCol).as("j"), col(strCol).as("str_j"))), Seq("j"))
       .filter(verify(col("str_i"), col("str_j")))
+      .select("i", "j", "str_i", "str_j")
   }
 
   /** Two-table match (probe × dimension), same candidate construction;
@@ -85,10 +96,15 @@ object FuzzyJoin {
       blockCols: Seq[String] = Nil)
       (verify: (Column, Column) => Column): DataFrame = {
     val a = fanout(withKeys(left, leftId, leftStr, blockCols, "key_i", "i", "str_i"))
+      .select("key_i", "i")
     val b = withKeys(right, rightId, rightStr, blockCols, "key_j", "j", "str_j")
-    a.join(maybeBroadcast(b), col("key_i") === col("key_j"))
-      .groupBy(col("i"), col("j"))
-      .agg(first(col("str_i")).as("str_i"), first(col("str_j")).as("str_j"))
+      .select("key_j", "j")
+    val cand = a.join(maybeBroadcast(b), col("key_i") === col("key_j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared_keys"))
+    cand
+      .join(maybeBroadcast(left.select(col(leftId).as("i"), col(leftStr).as("str_i"))), Seq("i"))
+      .join(maybeBroadcast(right.select(col(rightId).as("j"), col(rightStr).as("str_j"))), Seq("j"))
       .filter(verify(col("str_i"), col("str_j")))
+      .select("i", "j", "str_i", "str_j")
   }
 }

@@ -18,18 +18,28 @@ import org.apache.spark.sql.functions._
   */
 object TfIdfEmbed {
 
-  /** Fit + transform: returns (idCol, embedding array<float>, norm'd). */
+  /** Fit + transform: returns (idCol, embedding array<float>, norm'd).
+    *
+    * `persistTf = true` (default) caches the tokenized sparse TF vectors
+    * so the corpus is tokenized+hashed once, not twice (IDF fit pass +
+    * transform pass). Same cache contract as
+    * [[Dedup.minHashNearDups]]: the cache lives until the caller (or
+    * `spark.catalog.clearCache()`) drops it; pass `persistTf = false`
+    * to trade the cache for recomputation. */
   def embed(df: DataFrame, idCol: String, textCol: String,
-      dim: Int = 256): DataFrame = {
+      dim: Int = 256, persistTf: Boolean = true): DataFrame = {
     val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
       .setPattern("\\s+")
     val tf = new HashingTF().setInputCol("__tokens").setOutputCol("__tf")
       .setNumFeatures(dim)
-    val tokenized = tf.transform(tok.transform(df))
+    // The IDF fit is one full pass and the transform a second — cache
+    // the tokenized sparse TF vectors (bounded by dim, not raw text) so
+    // tokenizer + hashing run once. The fit materializes the cache.
+    val tokenized0 = tf.transform(tok.transform(df)).select(col(idCol), col("__tf"))
+    val tokenized = if (persistTf) tokenized0.persist() else tokenized0
     val idf = new IDF().setInputCol("__tf").setOutputCol("__tfidf").fit(tokenized)
     val norm = new Normalizer().setInputCol("__tfidf").setOutputCol("__vec").setP(2.0)
     val out = norm.transform(idf.transform(tokenized))
-    val spark = df.sparkSession
     val toFloats = udf((v: Vector) => v.toArray.map(_.toFloat))
     out.select(col(idCol), toFloats(col("__vec")).as("embedding"))
   }

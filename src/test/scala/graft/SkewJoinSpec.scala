@@ -21,4 +21,24 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(salted == plain)
     assert(plain.size == 501)                 // 500 hot + 1, key 3/4 drop
   }
+
+  test("hot-key salted join equals the plain join; only hot keys salt") {
+    val left = ((1 to 500).map(i => (1L, i)) ++ (900 to 920).map(i => (i.toLong, i)))
+      .toDF("k", "lid")                       // key 1 hot, 900..920 singletons
+    val right = ((1L to 5L) ++ (900L to 910L)).map(k => (k, s"v$k")).toDF("k", "rv")
+    val plain = left.join(right, "k")
+      .select("k", "lid", "rv").as[(Long, Int, String)].collect().toSet
+    val targeted = SkewJoin.saltedHotKeyJoin(left, right, "k", "lid",
+        saltFactor = 8, hotThreshold = 100)
+      .select("k", "lid", "rv").as[(Long, Int, String)].collect().toSet
+    assert(targeted == plain)
+    assert(plain.size == 511)                 // 500 hot + 11 cold singletons
+
+    // the union's hot branch salts (explode over the salt sequence), the
+    // cold branch is a plain join — both shapes present in ONE plan
+    val planStr = SkewJoin.saltedHotKeyJoin(left, right, "k", "lid",
+      saltFactor = 8, hotThreshold = 100).queryExecution.optimizedPlan.toString
+    assert(planStr.contains("Union"))
+    assert(planStr.toLowerCase.contains("explode"))
+  }
 }
