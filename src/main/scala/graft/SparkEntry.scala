@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -21,6 +21,10 @@ import graft.expr.{functions => gf}
   * the Spark query and the oracle SQL (driver compare sorts by name).
   */
 object SparkEntry {
+
+  /** Memory-sink table names must be unique per streaming run within a
+    * session (a name can be reused only after the prior query stops). */
+  private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
@@ -571,6 +575,20 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
     },
 
+    "t1_stream_hourly" -> { (s, dir) =>
+      // T1 driver-visible: an ACTUAL Structured Streaming run
+      // (AvailableNow file-source micro-batches → memory sink), not the
+      // batch twin — the oracle is the equivalent batch SQL, so the
+      // driver checks streaming-batch unification end to end. DECIMAL
+      // accumulation inside the stream makes the sum independent of
+      // micro-batch order.
+      val name = s"graft_t1_stream_${streamRuns.incrementAndGet()}"
+      val q = graft.streaming.EventsStream.runAvailableNow(s, dir, name)
+      q.awaitTermination()
+      s.table(name).select(col("hour_ts"), col("event_type"),
+        col("n_events"), col("value_sum").cast("double").as("value_sum"))
+    },
+
     "t4_sliding_window" -> { (s, dir) =>
       // 3-hour sliding aggregates per event type: RANGE frame over event
       // time in micros; sums accumulate in DECIMAL (order-independent,
@@ -767,6 +785,18 @@ object SparkEntry {
       // PMI in floored milli-nats from the same expression tree as the
       // oracle
       TextAnalysis.bigramPmi(t(s, dir, "documents"), "doc_id", "text", 200)
+    },
+
+    "text_lm_score" -> { (s, dir) =>
+      // corpus-trained bigram LM (add-1/2 smoothing): per-doc total
+      // log-prob in floored milli-nats — integer sums, order-independent
+      TextAnalysis.lmScore(t(s, dir, "documents"), "doc_id", "text")
+    },
+
+    "embed_quantize_int8" -> { (s, dir) =>
+      // int8 scalar quantization of the embedding matrix (4x memory cut
+      // for ANN at scale); exploded (vec_id, dim, q, resid_milli) output
+      Quantize.int8Codes(t(s, dir, "embeddings"), "vec_id", "embedding")
     },
 
     "a5_zscore_per_source" -> { (s, dir) =>
@@ -1538,6 +1568,13 @@ object SparkEntry {
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY date_trunc('hour', make_timestamp(epoch_us(ts)))""",
 
+    "t1_stream_hourly" ->
+      """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts,
+         event_type, count(*) AS n_events,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events
+         GROUP BY date_trunc('hour', make_timestamp(epoch_us(ts))), event_type""",
+
     "dedup_exact_groups" ->
       """WITH doubled AS (
            SELECT * FROM documents
@@ -1860,6 +1897,39 @@ object SparkEntry {
              AS BIGINT) AS pmi_milli
          FROM bc JOIN u u1 ON bc.w1 = u1.tk JOIN u u2 ON bc.w2 = u2.tk, tot
          ORDER BY c_xy DESC, w1 ASC, w2 ASC LIMIT 200""",
+
+    "text_lm_score" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         occ AS (SELECT doc_id, w[idx] AS w1, w[idx + 1] AS w2
+           FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS idx FROM t)),
+         u AS (SELECT tk, CAST(count(*) AS BIGINT) AS c1
+           FROM (SELECT unnest(w) AS tk FROM t) GROUP BY tk),
+         bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM occ GROUP BY w1, w2),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM u),
+         st AS (SELECT w1, w2, c12, c1, v FROM bc JOIN u ON bc.w1 = u.tk, v)
+         SELECT occ.doc_id, count(*) AS n_bigrams,
+           CAST(sum(CAST(floor(1000 * (ln(CAST(2 * c12 + 1 AS DOUBLE)) -
+             ln(CAST(2 * c1 + v AS DOUBLE)))) AS BIGINT)) AS BIGINT)
+             AS lp_milli_sum
+         FROM occ JOIN st ON occ.w1 = st.w1 AND occ.w2 = st.w2
+         GROUP BY occ.doc_id""",
+
+    "embed_quantize_int8" ->
+      """WITH e AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS x FROM embeddings),
+         sc AS (SELECT dim, CAST(max(abs(x)) AS DOUBLE) / 127.0 AS s
+           FROM e GROUP BY dim)
+         SELECT vec_id, e.dim,
+           CAST(CASE WHEN s = 0 THEN 0
+             ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END AS BIGINT) AS q,
+           CAST(floor(1000 * abs(CAST(x AS DOUBLE) -
+             (CASE WHEN s = 0 THEN 0
+              ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END) * s))
+             AS BIGINT) AS resid_milli
+         FROM e JOIN sc ON e.dim = sc.dim""",
 
     "a5_zscore_per_source" ->
       """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,

@@ -202,4 +202,48 @@ object TextAnalysis {
     Seq(n.as("n_tokens"), uniq.as("n_uniq"), stop.as("n_stop"),
       score.as("q_score"))
   }
+
+  /** Corpus-trained bigram language-model score per document — the
+    * perplexity-style quality signal (a KenLM stand-in trained on the
+    * corpus itself): documents whose adjacent-token transitions are
+    * improbable under the corpus's own bigram statistics are word salad
+    * or boilerplate; probable transitions are fluent text.
+    *
+    * Per bigram occurrence, add-½-smoothed conditional probability
+    * P(w2|w1) = (c(w1,w2) + ½) / (c(w1) + ½·V) = (2·c12 + 1) / (2·c1 + V),
+    * scored as floor(1000 · ln P) — a per-row double expression over
+    * EXACT global integers (same trick as [[bigramPmi]]), so the milli-nat
+    * is engine-identical; the per-document total is then an INTEGER sum,
+    * order-independent by construction (a double sum would depend on
+    * partition arrival order).
+    *
+    * Shuffle shape: unigram/bigram counts are vocabulary-sized partial
+    * aggs; the occurrence→stats join keys on (w1, w2) against the
+    * bigram-level stats table (broadcast when small); one final shuffle
+    * groups by document. Scales linearly in corpus tokens.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    import ScaleHints.maybeBroadcast
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
+    val w = col("__w")
+    val occ = toks.select(col(idCol), explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = toks.select(explode(w).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val stats = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .join(uni.select(col("tk").as("w1"), col("c1")), Seq("w1"))
+      .crossJoin(vocab)
+    val lpMilli = floor(lit(1000) * (
+      log((lit(2) * col("c12") + 1).cast("double")) -
+        log((lit(2) * col("c1") + col("v")).cast("double")))).cast("long")
+    occ.join(maybeBroadcast(stats), Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(lpMilli).cast("long").as("lp_milli_sum"))
+  }
 }

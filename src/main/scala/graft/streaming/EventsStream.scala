@@ -37,13 +37,17 @@ object EventsStream {
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
-  /** T2-extension — watermarked hourly windowed aggregate. */
+  /** T2-extension — watermarked hourly windowed aggregate. The value sum
+    * accumulates in DECIMAL so the result is independent of micro-batch
+    * arrival order (float addition is not associative; a stream must
+    * not answer differently from the batch plan because files arrived
+    * in a different order). */
   def hourlyAgg(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("value_sum"))
+        sum(col("value").cast("decimal(18,2)")).as("value_sum"))
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("value_sum"))
 

@@ -34,6 +34,34 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(q.getAs[Long]("q_score") == 68L)
   }
 
+  test("lmScore: add-half bigram LM milli-nats, hand-computed") {
+    val df = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    // unigrams: a=3 b=2, V=2; bigrams: (a,b)=2, (b,a)=1
+    // lp(a,b) = floor(1000·ln(5/8))  = -471
+    // lp(b,a) = floor(1000·ln(3/6))  = -694
+    val rows = TextAnalysis.lmScore(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows == Set((1L, 2L, -471L + -694L), (2L, 1L, -471L)))
+  }
+
+  test("int8 quantization: exact codes, zero dim, residual bound") {
+    import graft.ops.Quantize
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f)),
+      (2L, Array(0.5f, 0.25f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Quantize.int8Codes(df, "vec_id", "embedding")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // dim0: s=1/127 → 1.0→127, 0.5→floor(63.5+0.5)=64
+    // dim1: s=0.5/127 → -0.5→-127, 0.25→floor(63.5+0.5)=64
+    // dim2: all-zero → 0
+    assert(got == Map((1L, 0) -> 127L, (2L, 0) -> 64L,
+      (1L, 1) -> -127L, (2L, 1) -> 64L, (1L, 2) -> 0L, (2L, 2) -> 0L))
+    // residual bound: |x - q·s| ≤ s/2 → resid_milli ≤ 1000·s/2 < 4 milli
+    val resid = Quantize.int8Codes(df, "vec_id", "embedding")
+      .agg(max(col("resid_milli"))).collect()(0).getLong(0)
+    assert(resid <= 4L)
+  }
+
   test("two-phase salted top-k equals the plain window top-k") {
     val rnd = new scala.util.Random(3)
     val df = (1 to 5000).map(i => (s"g${i % 3}", rnd.nextDouble() * 100, i.toLong))
