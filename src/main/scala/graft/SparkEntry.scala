@@ -730,6 +730,16 @@ object SparkEntry {
         "vec_id", "vec_id", "embedding", "embedding", k = 5)
     },
 
+    "ann_quantized_topk" -> { (s, dir) =>
+      // ANN over the int8-quantized index: scores run against q·s
+      // reconstructions (1 byte/dim in flight instead of 4) — the memory
+      // story for a 100 TB embedding matrix; same rank/tie-break contract
+      // as ann_bruteforce_topk, oracle recomputes the codes exactly
+      val rec = Quantize.dequantize(t(s, dir, "embeddings"), "vec_id", "embedding")
+      Vectors.annBruteForceTopK(rec.filter(col("vec_id") < 8), rec,
+        "vec_id", "vec_id", "recon", "recon", k = 5)
+    },
+
     "ann_lsh_bucketed" -> { (s, dir) =>
       // oracle-checked: the hyperplanes are seed-fixed constants, so the
       // DuckDB side recomputes the same sign-pattern buckets from literal
@@ -1686,6 +1696,25 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
                         e.vec_id) AS rk
            FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rk <= 5""",
+
+    "ann_quantized_topk" ->
+      """WITH e AS (SELECT vec_id,
+           generate_subscripts(embedding, 1) AS dim,
+           unnest(embedding) AS x FROM embeddings),
+         sc AS (SELECT dim, CAST(max(abs(x)) AS DOUBLE) / 127.0 AS s
+           FROM e GROUP BY dim),
+         rec AS (SELECT vec_id,
+           list(CASE WHEN s = 0 THEN 0.0
+             ELSE floor(CAST(x AS DOUBLE) / s + 0.5) * s END
+             ORDER BY e.dim) AS v
+           FROM e JOIN sc ON e.dim = sc.dim GROUP BY vec_id)
+         SELECT qid, cid, rk FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.v, c.v) DESC, c.vec_id) AS rk
+           FROM rec q JOIN rec c ON q.vec_id <> c.vec_id
            WHERE q.vec_id < 8)
          WHERE rk <= 5""",
 

@@ -45,4 +45,21 @@ object Quantize {
         floor(lit(1000) * abs(col("x").cast("double") -
           q.cast("double") * col("s"))).cast("long").as("resid_milli"))
   }
+
+  /** Reconstructed vectors (idCol, recon array<double>): x̂ = q·s — what
+    * an ANN scan over the int8 index actually scores against. The array
+    * reassembly sorts by dimension (collect_list order is
+    * nondeterministic; array_sort on the (dim, xh) structs is not), so
+    * the reconstruction is bit-deterministic. */
+  def dequantize(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val scales = int8Scales(df, embCol)
+    val e = df.select(col(idCol), posexplode(col(embCol)).as(Seq("dim", "x")))
+    val xh = when(col("s") === 0d, lit(0.0d))
+      .otherwise(floor(col("x").cast("double") / col("s") + lit(0.5d)) * col("s"))
+    e.join(maybeBroadcast(scales), Seq("dim"))
+      .select(col(idCol), col("dim"), xh.as("xh"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("xh")))),
+        p => p.getField("xh")).as("recon"))
+  }
 }

@@ -70,6 +70,22 @@ class VectorsSpec extends AnyFunSuite {
     assert(ivf.toSet == again.toSet)
   }
 
+  test("quantized ANN: int8 reconstruction preserves most of the true top-k") {
+    import graft.ops.Quantize
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val exact = Vectors.annBruteForceTopK(e.filter($"vec_id" < 4), e,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val rec = Quantize.dequantize(e, "vec_id", "embedding")
+    val quant = Vectors.annBruteForceTopK(rec.filter($"vec_id" < 4), rec,
+      "vec_id", "vec_id", "recon", "recon", k = 5)
+      .as[(Long, Long, Int)].collect().toSet
+    val recall = quant.map(r => (r._1, r._2))
+      .intersect(exact.map(r => (r._1, r._2))).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall")  // int8 on 64 dims: near-lossless
+  }
+
   test("IVF prebuilt index: build once, query many — matches the convenience path") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val idx = Vectors.ivfBuild(e, "vec_id", "embedding", nCells = 8)
