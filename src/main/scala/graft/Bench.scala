@@ -42,10 +42,38 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // The harness keeps only the tail of this process's output, so the
+    // contract JSON line must stay short enough to survive truncation
+    // (~1.9k chars): report the most expensive queries inline (they are
+    // the ones perf review cares about), spill the complete per-query
+    // map to bench_full.json next to the build, and always keep `value`
+    // = the grand total over ALL queries.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
+
+    val fullJson = {
+      val qs = results.map(entry).mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => }
+
+    val budget = 1700 // chars available for the queries map in the tail
+    val byCost = results.sortBy(-_._2)
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var used = 2 // braces
+    byCost.foreach { kv =>
+      val len = entry(kv).length + 1
+      if (used + len <= budget) { keep += kv; used += len }
+    }
+    val kept = keep.sortBy(_._1)
+    val omitted = results.size - kept.size
+    val qs = kept.map(entry).mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted_cheapest":$omitted,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame, Column}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import scala.jdk.CollectionConverters._
 
 import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize}
 import graft.expr.{sketchFunctions => sf}
@@ -49,10 +50,19 @@ object SparkEntry {
     * collide under String.hashCode, must never serve stale centroids. */
   private def ivfIndexFor(s: SparkSession, dir: String): graft.ops.Vectors.IvfIndex = {
     val table = new java.io.File(s"$dir/embeddings.parquet")
-    val files = Option(table.listFiles()).map(_.toSeq).getOrElse(Seq(table))
-      .filter(_.isFile).sortBy(_.getName)
+    val files: Seq[java.io.File] =
+      if (table.isDirectory) {
+        // recursive walk: a partitioned table keeps data in subdirs, and
+        // those files must perturb the cache key too
+        val stream = java.nio.file.Files.walk(table.toPath)
+        try stream.filter(java.nio.file.Files.isRegularFile(_))
+          .map[java.io.File](_.toFile).collect(java.util.stream.Collectors.toList[java.io.File])
+          .asScala.toSeq
+        finally stream.close()
+      } else Seq(table)
     val ident = (table.getCanonicalPath +:
-      files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")).mkString("|")
+      files.sortBy(f => f.toPath.toString)
+        .map(f => s"${table.toPath.relativize(f.toPath)}:${f.length}:${f.lastModified}")).mkString("|")
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$digest"
@@ -938,7 +948,9 @@ object SparkEntry {
       // S9 sink proof the driver can SEE: write partitioned JSONL, read
       // it back with an explicit schema, hash-match the original rows.
       // Round-trips the sink+source pair instead of trusting the spec.
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_roundtrip"
+      // pid-suffixed so two concurrent driver sessions never interleave
+      // writes into one another's read
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s9_roundtrip_${ProcessHandle.current().pid()}"
       graft.sources.Sinks.writeJsonl(
         t(s, dir, "documents").select("doc_id", "source", "n_chars"), out)
       s.read.schema("doc_id LONG, source STRING, n_chars LONG").json(out)

@@ -60,6 +60,13 @@ object FuzzyJoin {
     * `(a, b) => levenshtein(a, b) <= 4` or
     * `(a, b) => gf.similarity(a, b) >= 0.9`.
     *
+    * PRECONDITION: `idCol` must be unique per row. The string columns
+    * re-attach by equi-join on the id after the pair dedupe, so a
+    * duplicated id would multiply output pairs (and could pair an id
+    * with the wrong duplicate's string). Fingerprint/assign a surrogate
+    * id first if the natural key can repeat (same contract as
+    * [[pairs]]).
+    *
     * Shuffle discipline: the candidate join and the (i, j) dedupe move
     * ONLY id pairs — the candidate join multiplies rows by shared-key
     * count, so every byte of payload carried there is shuffled once per
@@ -90,7 +97,8 @@ object FuzzyJoin {
   /** Two-table match (probe × dimension), same candidate construction;
     * use when the dimension is too large to broadcast against every
     * probe row (otherwise a plain broadcast similarity join is simpler —
-    * see PdfPipeline.enrich). */
+    * see PdfPipeline.enrich). Both id columns must be unique per row
+    * (see [[selfPairs]]). */
   def pairs(left: DataFrame, leftId: String, leftStr: String,
       right: DataFrame, rightId: String, rightStr: String,
       blockCols: Seq[String] = Nil)

@@ -52,8 +52,12 @@ object Profile {
   def zscorePerGroup(df: DataFrame, groupCol: String, metricCol: String):
       DataFrame = {
     val x = col(metricCol).cast("long")
+    // Σx² accumulates in decimal(38,0): a LongType square-sum silently
+    // wraps once |x| passes ~3e9·√n — decimal keeps the sum exact for
+    // any realistic metric and still converts losslessly to double below
+    val xd = col(metricCol).cast("decimal(38,0)")
     val stats = df.groupBy(col(groupCol)).agg(
-      count(lit(1)).as("__n"), sum(x).as("__s"), sum(x * x).as("__s2"))
+      count(lit(1)).as("__n"), sum(x).as("__s"), sum(xd * xd).as("__s2"))
     val n = col("__n").cast("double")
     val s = col("__s").cast("double")
     val mean = s / n
