@@ -621,6 +621,20 @@ object SparkEntry {
       graft.streaming.Sessionize.sessionsBatch(events(s, dir), gapMinutes = 30)
     },
 
+    "t5_stream_stream_join" -> { (s, dir) =>
+      // stream-stream inner join, ACTUALLY run as a stream (AvailableNow
+      // micro-batches → memory sink): purchases attributed to the same
+      // user's clicks in the preceding 30 min, watermarks bounding the
+      // join state on both sides. The oracle is the equivalent batch
+      // range join, so the driver checks stream-batch unification for
+      // the join operator the way t1 does for aggregation.
+      val name = s"graft_t5_stream_${streamRuns.incrementAndGet()}"
+      val q = graft.streaming.EventsStream.runAttributionNow(s, dir, name)
+      q.awaitTermination()
+      s.table(name).select("purchase_id", "click_id", "user_id",
+        "purchase_ts", "click_ts")
+    },
+
     "rag_chunk_documents" -> { (s, dir) =>
       // RAG chunking (north star): 64-token windows, stride 48
       Chunker.chunkByTokens(
@@ -760,6 +774,19 @@ object SparkEntry {
         "vec_id", "vec_id", "embedding", "embedding", k = 5)
     },
 
+    "ann_recall_eval" -> { (s, dir) =>
+      // the ANN evaluation loop, driver-checked: recall@5 of the
+      // hyperplane-LSH result against the brute-force exact result per
+      // query — the number that tunes nPlanes/nProbe before anyone
+      // trusts an approximate index. One equi join + tiny aggregate.
+      val e = t(s, dir, "embeddings")
+      val exact = Vectors.annBruteForceTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      val approx = Vectors.annLshTopK(e.filter(col("vec_id") < 8), e,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+      Vectors.recallAtK(approx, exact, "qid", "cid", k = 5)
+    },
+
     "ann_ivf_topk" -> { (s, dir) =>
       // rows-only: IVF cell assignment is KMeans-fit-dependent;
       // candidate/ranking correctness pinned in VectorsSpec.
@@ -798,6 +825,12 @@ object SparkEntry {
       // a total (count desc, token asc) order → TakeOrderedAndProject,
       // no global sort
       TextAnalysis.vocabTopK(t(s, dir, "documents"), "doc_id", "text", 500)
+    },
+
+    "text_vocab_coverage" -> { (s, dir) =>
+      // tokenizer-vocab sizing: cumulative share of all token
+      // occurrences covered by the top-200 vocabulary, in milli-units
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "doc_id", "text", 200)
     },
 
     "text_bigram_pmi" -> { (s, dir) =>
@@ -999,6 +1032,22 @@ object SparkEntry {
         .groupBy("source", "split").agg(count(lit(1)).as("n"))
     },
 
+    "split_decontaminated" -> { (s, dir) =>
+      // split hygiene end-to-end: hash-deterministic split, then every
+      // train doc near-dupping (3-gram jaccard ≥ 0.5) a held-out doc is
+      // re-labeled train_contaminated — the eval set stays unseen even
+      // through paraphrases. Pair detection rides the blocked jaccard
+      // candidate path; this stage is two broadcast joins.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        "n_chars", threshold = 0.5)
+      Sampling.decontaminateSplit(
+          Sampling.assignSplit(docs, col("doc_id").cast("string"),
+            testPerMyriad = 500, valPerMyriad = 500),
+          col("doc_id"), pairs, "i", "j")
+        .select("doc_id", "source", "split")
+    },
+
     "media_probe" -> { (s, dir) =>
       // multimodal plumbing, driver-checked: synthesized media paths
       // (extension cycles by doc_id), extension→modality routing, exact
@@ -1109,6 +1158,30 @@ object SparkEntry {
            FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
            WHERE q.vec_id < 8)
          WHERE rk <= 5""",
+
+    "ann_recall_eval" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $lshPlaneSql AS bucket
+           FROM embeddings),
+         approx AS (SELECT qid, cid FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS rk
+           FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rk <= 5),
+         exact AS (SELECT qid, cid FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS rk
+           FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rk <= 5)
+         SELECT e.qid, CAST(count(a.cid) AS BIGINT) AS n_hits,
+           CAST(count(a.cid) AS DOUBLE) / 5 AS recall
+         FROM exact e LEFT JOIN approx a ON e.qid = a.qid AND e.cid = a.cid
+         GROUP BY e.qid""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1597,6 +1670,16 @@ object SparkEntry {
          FROM events
          GROUP BY date_trunc('hour', make_timestamp(epoch_us(ts))), event_type""",
 
+    "t5_stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+           make_timestamp(epoch_us(ts)) AS ts FROM events)
+         SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+         FROM (SELECT * FROM e WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM e WHERE event_type = 'click') c
+           ON p.user_id = c.user_id
+           AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts""",
+
     "dedup_exact_groups" ->
       """WITH doubled AS (
            SELECT * FROM documents
@@ -1835,6 +1918,40 @@ object SparkEntry {
            count(*) AS n
          FROM b GROUP BY 1, 2""",
 
+    "split_decontaminated" ->
+      """WITH t AS (
+           SELECT doc_id, n_chars,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+             ELSE [] END AS sh,
+             CAST(floor(n_chars / 32) AS BIGINT) AS bkt
+           FROM documents),
+         probe AS (SELECT doc_id AS i, n_chars AS len_i, sh AS sh_i,
+           unnest([bkt - 1, bkt, bkt + 1]) AS bkt FROM t),
+         pairs AS (SELECT i, j FROM (
+           SELECT probe.i, t.doc_id AS j,
+             len(list_intersect(probe.sh_i, t.sh)) * 1.0 /
+               len(list_distinct(list_concat(probe.sh_i, t.sh))) AS jac
+           FROM probe JOIN t ON probe.bkt = t.bkt AND probe.i < t.doc_id
+             AND abs(probe.len_i - t.n_chars) <= 20)
+         WHERE jac >= 0.5),
+         s AS (SELECT doc_id, source,
+           CASE WHEN bucket < 500 THEN 'test'
+                WHEN bucket < 1000 THEN 'val'
+                ELSE 'train' END AS split
+           FROM (SELECT doc_id, source,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS bucket
+             FROM documents)),
+         edges AS (SELECT i AS a, j AS b FROM pairs
+           UNION ALL SELECT j AS a, i AS b FROM pairs),
+         dirty AS (SELECT DISTINCT edges.a FROM edges
+           JOIN s ON edges.b = s.doc_id AND s.split IN ('test', 'val'))
+         SELECT s.doc_id, s.source,
+           CASE WHEN s.split = 'train' AND dirty.a IS NOT NULL
+             THEN 'train_contaminated' ELSE s.split END AS split
+         FROM s LEFT JOIN dirty ON s.doc_id = dirty.a""",
+
     "media_probe" ->
       """SELECT doc_id,
            'media/doc_' || CAST(doc_id AS VARCHAR) ||
@@ -1919,6 +2036,23 @@ object SparkEntry {
          FROM tok WHERE len(token) > 0
          GROUP BY token
          ORDER BY term_cnt DESC, token ASC LIMIT 500""",
+
+    "text_vocab_coverage" ->
+      """WITH tok AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+           FROM documents),
+         c AS (SELECT token, CAST(count(*) AS BIGINT) AS term_cnt
+           FROM tok WHERE len(token) > 0 GROUP BY token),
+         top AS (SELECT token, term_cnt FROM c
+           ORDER BY term_cnt DESC, token ASC LIMIT 200)
+         SELECT CAST(row_number() OVER
+             (ORDER BY term_cnt DESC, token ASC) AS BIGINT) AS rank,
+           token, term_cnt,
+           CAST(floor(1000 * CAST(sum(term_cnt) OVER
+               (ORDER BY term_cnt DESC, token ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+             (SELECT CAST(sum(term_cnt) AS DOUBLE) FROM c)) AS BIGINT)
+             AS cum_cov_milli
+         FROM top""",
 
     "text_bigram_pmi" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

@@ -87,6 +87,33 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Near-dup-aware split hygiene: re-label every train row that is a
+    * near-duplicate of a held-out (test/val) row as 'train_contaminated'
+    * so the training set never sees a paraphrase of the eval set. The
+    * caller supplies the near-dup pair table — any of the Dedup family
+    * (exact groups, n-gram Jaccard, MinHash, embedding cosine) plugs in,
+    * so detection cost is the scale-safe candidate path, not this
+    * operator. `df` must already carry assignSplit's `split` column.
+    *
+    * Shuffle shape: held-out keys are a few permille of the corpus and
+    * the dirty set is bounded by the pair table, so both joins broadcast
+    * at any realistic scale; the full corpus is never shuffled. */
+  def decontaminateSplit(df: DataFrame, keyCol: Column,
+      pairs: DataFrame, iCol: String, jCol: String): DataFrame = {
+    val edges = pairs.select(col(iCol).as("__a"), col(jCol).as("__b"))
+      .union(pairs.select(col(jCol).as("__a"), col(iCol).as("__b")))
+    val held = df.filter(col("split").isin("test", "val"))
+      .select(keyCol.as("__b"))
+    val dirty = edges.join(ScaleHints.maybeBroadcast(held), Seq("__b"))
+      .select(col("__a")).distinct()
+      .withColumn("__dirty", lit(1))
+    df.join(ScaleHints.maybeBroadcast(dirty), keyCol === col("__a"), "left")
+      .withColumn("split",
+        when(col("split") === "train" && col("__dirty") === 1,
+          lit("train_contaminated")).otherwise(col("split")))
+      .drop("__a", "__dirty")
+  }
+
   /** Exactly-n-per-stratum deterministic sample (the "show me 100 docs
     * from every source" shape): rank rows inside each stratum by their
     * key's md5 and keep the first n — a hash-ordered reservoir that is

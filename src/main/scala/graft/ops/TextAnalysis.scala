@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text analytics for corpus curation (builder-prompt extension family):
   * token statistics, quality scoring, language identification. All pure
@@ -150,6 +151,32 @@ object TextAnalysis {
         count_distinct(col(idCol)).as("doc_freq"))
       .orderBy(col("term_cnt").desc, col("token").asc)
       .limit(k)
+
+  /** Cumulative corpus-coverage curve of the top-k vocabulary — "how
+    * many distinct tokens cover 95% of all occurrences", the sizing
+    * input for a tokenizer vocab or frequency cutoff. The running sum
+    * windows over only the k surviving rows (top-k is taken FIRST, as a
+    * TakeOrderedAndProject — the single-partition window never sees the
+    * full vocabulary); the grand total rides in on a one-row broadcast.
+    * Coverage ships as floored milli-units of an exact-integer division,
+    * the usual compare-stable form. */
+  def vocabCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("term_cnt"))
+    val total = counts.agg(sum(col("term_cnt")).as("__tot"))
+    val order = Seq(col("term_cnt").desc, col("token").asc)
+    val w = Window.orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(order: _*).limit(k)
+      .crossJoin(broadcast(total))
+      .select(
+        row_number().over(Window.orderBy(order: _*)).cast("long").as("rank"),
+        col("token"), col("term_cnt"),
+        floor(lit(1000) * sum(col("term_cnt")).over(w).cast("double") /
+          col("__tot").cast("double")).cast("long").as("cum_cov_milli"))
+  }
 
   /** Pointwise mutual information over adjacent-token bigrams — the
     * collocation signal (corpus phrase mining / tokenizer-merge

@@ -221,4 +221,22 @@ object Vectors {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"))
   }
+
+  /** Recall@k scoreboard: per query, the fraction of the EXACT top-k an
+    * approximate result (IVF/LSH/quantized) actually returned — the
+    * evaluation loop that tunes nProbe/nPlanes/quantization against a
+    * brute-force sample. Both inputs are (qCol, idCol, …) result tables
+    * from the ann* operators; output is one row per exact-side query.
+    * Cost is a single equi hash join on (qid, cid) and a tiny aggregate —
+    * evaluate on a sampled query set, never the full corpus. */
+  def recallAtK(approx: DataFrame, exact: DataFrame,
+      qCol: String, idCol: String, k: Int): DataFrame = {
+    val e = exact.select(col(qCol).as("qid"), col(idCol).as("cid"))
+    val a = approx.select(col(qCol).as("qid"), col(idCol).as("cid"),
+      lit(1).as("__hit"))
+    e.join(a, Seq("qid", "cid"), "left")
+      .groupBy("qid")
+      .agg(count(col("__hit")).as("n_hits"),
+        (count(col("__hit")).cast("double") / lit(k)).as("recall"))
+  }
 }

@@ -64,4 +64,50 @@ object EventsStream {
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** T5 — stream-stream inner join with an event-time range condition:
+    * each purchase matched to the same user's clicks in the preceding
+    * 30 minutes (last-touch attribution). Both sides carry watermarks,
+    * which is what bounds the join state: once the purchase-side
+    * watermark passes click_ts + 30 min, that click can never match a
+    * future purchase and its state-store entry is evicted — the state
+    * held at any instant is one watermark-window of clicks per user,
+    * independent of total stream length. Inner-join matches surface in
+    * the micro-batch where both sides are present (append mode emits
+    * them immediately; only EVICTION waits on the watermark).
+    *
+    * Per-side column names (p_user/c_user) — a self-join of one source
+    * with the same name on both sides silently degrades the equi
+    * condition (see graft-wide self-join rule). */
+  def attributionJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"), col("purchase_ts"), col("click_ts"))
+  }
+
+  /** Run the attribution join over `dir` (AvailableNow, append mode →
+    * memory sink). The sf parquet arrives as one file = one micro-batch,
+    * so every click is in state before any purchase probes it; with
+    * files split across micro-batches the 1-hour watermark delay keeps
+    * a full join window of clicks resident between batches. */
+  def runAttributionNow(spark: SparkSession, dir: String,
+      queryName: String): StreamingQuery =
+    attributionJoin(readEvents(spark, dir))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

@@ -34,6 +34,16 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(q.getAs[Long]("q_score") == 68L)
   }
 
+  test("vocabCoverage: hand-computed cumulative shares, top-k cut") {
+    val df = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // counts: a=3, b=2, c=1; total 6
+    val got = TextAnalysis.vocabCoverage(df, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toList
+    assert(got == List(
+      (1L, "a", 3L, 500L),   // floor(1000·3/6)
+      (2L, "b", 2L, 833L)))  // floor(1000·5/6)
+  }
+
   test("lmScore: add-half bigram LM milli-nats, hand-computed") {
     val df = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
     // unigrams: a=3 b=2, V=2; bigrams: (a,b)=2, (b,a)=1

@@ -32,6 +32,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("decontaminateSplit: exactly the train rows near-dupping a held-out row flip") {
+    val df = Seq(
+      (1L, "test"), (2L, "val"),
+      (3L, "train"), (4L, "train"), (5L, "train"), (6L, "train")
+    ).toDF("doc_id", "split")
+    val pairs = Seq(
+      (1L, 3L),  // test↔train → 3 contaminated
+      (4L, 5L),  // train↔train → both stay
+      (6L, 2L)   // train↔val → 6 contaminated
+    ).toDF("i", "j")
+    val got = Sampling.decontaminateSplit(df, $"doc_id", pairs, "i", "j")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(
+      1L -> "test", 2L -> "val",
+      3L -> "train_contaminated", 4L -> "train", 5L -> "train",
+      6L -> "train_contaminated"))
+  }
+
   test("mixEpochs: per-stratum copy counts match the weight exactly per row") {
     val mixed = Sampling.mixEpochs(docs.select("doc_id", "source"),
       $"doc_id".cast("string"), $"source", Map("src0" -> 2.5, "src1" -> 0.25), 1.0)

@@ -30,6 +30,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream attribution join equals the batch range join") {
+    val dir = "/root/testdata/sf0.001"
+    val q = EventsStream.runAttributionNow(spark, dir, "stream_attr")
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT purchase_id, click_id FROM stream_attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val e = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id").as("cu"), col("ts").as("cts"))
+    val batch = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 MINUTES") &&
+        col("cts") <= col("pts"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming dedup: forever-state drops re-ingested keys across batches") {
     import spark.implicits._
     implicit val sq = spark.sqlContext

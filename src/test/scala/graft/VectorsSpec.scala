@@ -46,6 +46,33 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("recall@k: exact scores itself at 1, approx matches the set overlap") {
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter($"vec_id" < 4)
+    val exact = Vectors.annBruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5)
+    val approx = Vectors.annLshTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5)
+
+    val self = Vectors.recallAtK(exact, exact, "qid", "cid", k = 5)
+      .as[(Long, Long, Double)].collect()
+    assert(self.length == 4)
+    self.foreach { case (_, n, r) => assert(n == 5L && r == 1.0) }
+
+    val exSets = exact.as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val apSets = approx.as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val got = Vectors.recallAtK(approx, exact, "qid", "cid", k = 5)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got.map(_._1).toSet == exSets.keySet)
+    got.foreach { case (qid, n, r) =>
+      val want = (exSets(qid) & apSets.getOrElse(qid, Set.empty)).size
+      assert(n == want.toLong && r == want / 5.0, s"query $qid")
+    }
+  }
+
   test("IVF top-k: recall vs brute force, ranks contiguous, deterministic") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
