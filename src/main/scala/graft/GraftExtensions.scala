@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.expr.{RatcliffSimilarity, CleanCorpusExpr, ExtractDoiExpr,
-  MinHashSignatureExpr, SimHash64Expr, HashedShinglesExpr,
+  HtmlTextExpr, MinHashSignatureExpr, SimHash64Expr, HashedShinglesExpr,
   RollingFingerprintExpr, DotProductExpr, SortedIntersectCountExpr}
 
 /** Session-extension entry point: makes every graft custom expression
@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("similarity", es => RatcliffSimilarity(es(0), es(1)))
     inject("clean_corpus", es => CleanCorpusExpr(es.head))
     inject("extract_doi", es => ExtractDoiExpr(es.head))
+    inject("html_text", es => HtmlTextExpr(es.head))
     inject("minhash_signature", es => MinHashSignatureExpr(es.head))
     inject("simhash64", es => SimHash64Expr(es.head))
     inject("hashed_shingles", es => HashedShinglesExpr(es.head))

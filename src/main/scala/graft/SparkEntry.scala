@@ -577,6 +577,55 @@ object SparkEntry {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     },
 
+    "f13_html_extract" -> { (s, dir) =>
+      // F13 driver-visible: each doc wrapped in a deterministic page
+      // (nav junk div + <article><p>…) — the cascade must pick the
+      // article region, flatten the <p>, and apply the >50-char
+      // substance gate; the oracle replays the equivalent whitespace
+      // collapse + gate. Custom codegen expression, not a UDF.
+      val html = concat(
+        lit("<html><head><title>x</title></head><body>" +
+          "<div class=\"nav\">skip this</div><article><p>"),
+        col("text"), lit("</p></article></body></html>"))
+      t(s, dir, "documents").select(col("doc_id"),
+        gf.html_text(html).as("content"))
+    },
+
+    "f19_parse_pubmed_xml" -> { (s, dir) =>
+      // F19 driver-visible round-trip: a PubMed efetch response is
+      // synthesized per customer row, parsed back through the typed
+      // from_xml schema + XPath-parity projections; the oracle simply
+      // re-derives the fields from the source columns — so a hash match
+      // proves the parse recovered title/doi/journal/year/authors.
+      val c = t(s, dir, "customer").filter(col("c_custkey") < 500)
+      val xml = concat(
+        lit("<PubmedArticleSet><PubmedArticle><MedlineCitation><Article>" +
+          "<ArticleTitle>"), col("c_name"),
+        lit("</ArticleTitle><Journal><Title>Journal of "), col("c_mktsegment"),
+        lit("</Title><JournalIssue><PubDate><Year>2024</Year></PubDate>" +
+          "</JournalIssue></Journal><AuthorList><Author><LastName>"),
+        col("c_name"), lit("</LastName><ForeName>Prime</ForeName></Author>" +
+          "</AuthorList></Article></MedlineCitation><PubmedData>" +
+          "<ArticleIdList><ArticleId IdType=\"pubmed\">"),
+        col("c_custkey").cast("string"),
+        lit("</ArticleId><ArticleId IdType=\"doi\">10.1000/c"),
+        col("c_custkey").cast("string"),
+        lit("</ArticleId></ArticleIdList></PubmedData></PubmedArticle>" +
+          "</PubmedArticleSet>"))
+      graft.ops.PubMedXml.parseToColumns(
+          c.select(col("c_custkey").as("key"), xml.as("xml")), "xml")
+        .select(col("key"), col("title"), col("doi"), col("journal"),
+          col("year"), array_join(col("authors"), "; ").as("authors"))
+    },
+
+    "d3_skip_processed" -> { (s, dir) =>
+      // D3 driver-visible: re-scrape skip — inputs already in the
+      // processed ledger (every 7th doc) drop out via the anti join
+      val docs = t(s, dir, "documents")
+      Fingerprint.skipProcessed(docs.select("doc_id", "source"),
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"), "doc_id")
+    },
+
     // ── T-family: incremental/windowed semantics, batch-checkable ───────
     "t2_window_hourly" -> { (s, dir) =>
       events(s, dir)
@@ -1601,6 +1650,22 @@ object SparkEntry {
       """SELECT event_id,
          CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
          FROM events""",
+
+    "f13_html_extract" ->
+      """SELECT doc_id,
+         CASE WHEN len(t) > 50 THEN t ELSE '' END AS content
+         FROM (SELECT doc_id,
+           trim(regexp_replace(text, '\s+', ' ', 'g')) AS t FROM documents)""",
+
+    "f19_parse_pubmed_xml" ->
+      """SELECT c_custkey AS key, c_name AS title,
+         '10.1000/c' || CAST(c_custkey AS VARCHAR) AS doi,
+         'Journal of ' || c_mktsegment AS journal,
+         '2024' AS year, c_name || ', Prime' AS authors
+         FROM customer WHERE c_custkey < 500""",
+
+    "d3_skip_processed" ->
+      """SELECT doc_id, source FROM documents WHERE doc_id % 7 <> 0""",
 
     "t4_sliding_window" ->
       """SELECT event_id, event_type,

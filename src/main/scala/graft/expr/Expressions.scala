@@ -8,7 +8,7 @@ import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol => column, toExpr =>
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.ops.{CleanCorpus, DoiExtract, Similarity}
+import graft.ops.{CleanCorpus, DoiExtract, HtmlExtract, Similarity}
 
 /** Codegen entry points — static, null-hostile-free wrappers the generated
   * Java can call. Kept in a plain object so the generated code references a
@@ -24,6 +24,9 @@ object ExprRuntime {
   def extractDoi(t: UTF8String, maxChars: Int): UTF8String =
     DoiExtract.extractDoi(t.toString, maxChars)
       .map(UTF8String.fromString).orNull
+
+  def htmlText(t: UTF8String): UTF8String =
+    UTF8String.fromString(HtmlExtract.extractText(t.toString))
 }
 
 /** F12 — `similarity(a, b)`: Ratcliff/Obershelp ratio with difflib parity
@@ -67,6 +70,19 @@ case class ExtractDoiExpr(child: Expression, maxChars: Int = 5000)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** F13 — `html_text(html)`: the reference's 6-selector content-extraction
+  * cascade (fda_watcher.py:150-230) over an HTML string column. The parser
+  * lives in [[graft.ops.HtmlExtract]]; this wrapper puts it inside
+  * whole-stage codegen so a scrape-shaped scan stays one fused stage. */
+case class HtmlTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any): Any =
+    ExprRuntime.htmlText(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.ExprRuntime.htmlText($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** Column-facade + SQL registration for the custom expressions. */
 object functions {
   def similarity(a: Column, b: Column): Column =
@@ -75,6 +91,7 @@ object functions {
   def extract_doi(c: Column): Column = column(ExtractDoiExpr(expression(c)))
   def extract_doi(c: Column, maxChars: Int): Column =
     column(ExtractDoiExpr(expression(c), maxChars))
+  def html_text(c: Column): Column = column(HtmlTextExpr(expression(c)))
 
   /** Register `similarity`/`clean_corpus`/`extract_doi` for `spark.sql`. */
   def registerAll(spark: SparkSession): Unit = {
@@ -85,5 +102,7 @@ object functions {
       es => CleanCorpusExpr(es.head), "internal")
     reg.createOrReplaceTempFunction("extract_doi",
       es => ExtractDoiExpr(es.head), "internal")
+    reg.createOrReplaceTempFunction("html_text",
+      es => HtmlTextExpr(es.head), "internal")
   }
 }

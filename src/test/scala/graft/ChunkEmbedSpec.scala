@@ -79,9 +79,12 @@ class ChunkEmbedSpec extends AnyFunSuite {
       .getOrCreate()
     try {
       val r = s2.sql(
-        "SELECT similarity('kitten','sitting') s, simhash64('a b c') h").collect()(0)
+        "SELECT similarity('kitten','sitting') s, simhash64('a b c') h, " +
+        "html_text('<html><body><article><p>" + ("w " * 30) +
+        "</p></article></body></html>') t").collect()(0)
       assert(math.abs(r.getDouble(0) - 8.0 / 13) < 1e-12)
       assert(r.getLong(1) == graft.ops.Sketches.simHash64("a b c"))
+      assert(r.getString(2) == ("w " * 30).trim)
     } finally {
       // do NOT stop s2 — it shares the JVM-wide SparkContext
       prev.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
