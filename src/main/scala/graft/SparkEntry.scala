@@ -836,6 +836,18 @@ object SparkEntry {
       Vectors.recallAtK(approx, exact, "qid", "cid", k = 5)
     },
 
+    "ann_pq_topk" -> { (s, dir) =>
+      // rows-only: the codebook is a seeded driver-side Lloyd fit (not
+      // SQL-expressible); code/recall contracts pinned in VectorsSpec.
+      // ANN over the product-quantized index — m bytes per vector in the
+      // scan (32× below float32) with ADC scoring straight off the codes.
+      val e = t(s, dir, "embeddings")
+      val idx = Quantize.pqFit(e, "vec_id", "embedding")
+      val coded = Quantize.pqEncode(e, "vec_id", "embedding", idx)
+      Quantize.annPqRefineTopK(e.filter(col("vec_id") < 8), coded, e, idx,
+        "vec_id", "vec_id", "embedding", "embedding", k = 5, rerank = 50)
+    },
+
     "ann_ivf_topk" -> { (s, dir) =>
       // rows-only: IVF cell assignment is KMeans-fit-dependent;
       // candidate/ranking correctness pinned in VectorsSpec.

@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.expr.vectorFunctions.{pq_encode, pq_adc_dot, pq_recon_norm2, dot_product}
 
 /** Embedding quantization — the memory lever for ANN at corpus scale: a
   * float32 embedding matrix is 4 bytes/dim; int8 codes are 1 byte/dim
@@ -61,5 +63,153 @@ object Quantize {
       .groupBy(col(idCol))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("xh")))),
         p => p.getField("xh")).as("recon"))
+  }
+
+  // ── Product quantization ──────────────────────────────────────────────
+  //
+  // The next rung past int8: the vector splits into m subvectors, each
+  // replaced by the id of its nearest codebook centroid — m bytes per
+  // vector instead of 4·dim (64-dim float32 → 8 codes is 32×), with
+  // scoring done directly against codes (ADC: gather centroid, fused
+  // multiply-accumulate — never materialize the reconstruction). This is
+  // the FAISS-PQ design (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011), re-expressed as Spark codegen
+  // expressions over a literal codebook.
+  //
+  // The codebook is fit ONCE on a bounded md5-ordered sample with a
+  // deterministic driver-side Lloyd's loop (first-k-distinct init,
+  // lower-index tie-breaks, fixed iteration count — byte-identical
+  // across runs, like the IVF quantizer contract) and then travels to
+  // executors as an m·k·subDim double literal: at query time there is
+  // no fit job, only the encode/score map stages.
+
+  /** A fitted PQ codebook: flat [m][k][subDim] centroids. */
+  case class PqIndex(m: Int, k: Int, subDim: Int, codebook: Array[Double]) {
+    def dim: Int = m * subDim
+    private[ops] def codebookCol = typedlit(codebook.toSeq)
+  }
+
+  /** Deterministic Lloyd's fit per subspace over a bounded sample (the
+    * sample is md5-ordered by id, so appends at the corpus margin leave
+    * it — and the codebook — unchanged). Empty clusters keep their old
+    * centroid; assignment ties take the lower centroid index. */
+  def pqFit(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, k: Int = 16, sampleCap: Int = 4096,
+      iters: Int = 12): PqIndex = {
+    val sample: Array[Array[Double]] = corpus
+      .select(col(vecCol)).orderBy(md5(col(idCol).cast("string")))
+      .limit(sampleCap)
+      .collect().map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "pqFit needs a non-empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+
+    val codebook = new Array[Double](m * k * subDim)
+    var j = 0
+    while (j < m) {
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      // init: first k distinct subvectors in sample order (repeat last if short)
+      val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      var p = 0
+      while (p < pts.length && init.length < k) {
+        if (!init.exists(c => java.util.Arrays.equals(c, pts(p))))
+          init += pts(p).clone()
+        p += 1
+      }
+      while (init.length < k) init += init.last.clone()
+      var cents = init.toArray
+
+      var it = 0
+      while (it < iters) {
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        pts.foreach { x =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var d2 = 0.0; var d = 0
+            while (d < subDim) { val t = x(d) - cents(c)(d); d2 += t * t; d += 1 }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          var d = 0
+          while (d < subDim) { sums(best)(d) += x(d); d += 1 }
+          counts(best) += 1
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) == 0) cents(c)
+          else Array.tabulate(subDim)(d => sums(c)(d) / counts(c))
+        }
+        it += 1
+      }
+      var c = 0
+      while (c < k) {
+        System.arraycopy(cents(c), 0, codebook, (j * k + c) * subDim, subDim)
+        c += 1
+      }
+      j += 1
+    }
+    PqIndex(m, k, subDim, codebook)
+  }
+
+  /** Encode a corpus against a fitted codebook: (idCol, codes array<int>,
+    * rn2 = ‖x̂‖²). Pure map stage — this is what gets WRITTEN as the
+    * compressed index; rn2 rides along so cosine scoring needs no
+    * second gather. */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+      index: PqIndex): DataFrame = {
+    val cb = index.codebookCol
+    df.select(col(idCol),
+        pq_encode(col(vecCol), cb, index.m, index.k).as("codes"))
+      .withColumn("rn2", pq_recon_norm2(col("codes"), cb, index.subDim, index.k))
+  }
+
+  /** ANN top-k over the PQ-coded corpus (same rank/tie-break contract as
+    * [[Vectors.annBruteForceTopK]]): queries broadcast at full precision,
+    * corpus scanned as codes — the scan moves m bytes + one double per
+    * vector, the memory story that lets a 100 TB embedding matrix fit a
+    * cluster's page cache. Asymmetric distance: exact query against
+    * reconstructed corpus. */
+  def annPqTopK(queries: DataFrame, coded: DataFrame, index: PqIndex,
+      qIdCol: String, cIdCol: String, qVecCol: String, k: Int): DataFrame = {
+    val cb = index.codebookCol
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+      sqrt(dot_product(col(qVecCol), col(qVecCol))).as("qn"))
+    val scored = coded
+      .join(ScaleHints.maybeBroadcast(q), col("qid") =!= col(cIdCol))
+      .select(col("qid"), col(cIdCol).as("cid"),
+        (pq_adc_dot(col("qv"), col("codes"), cb, index.k) /
+          (col("qn") * sqrt(col("rn2")))).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"))
+  }
+
+  /** PQ with a refinement stage (the FAISS `IndexRefine` shape, and the
+    * way PQ is actually deployed): the coded scan proposes `rerank`
+    * candidates per query by ADC score, then ONLY those rows fetch their
+    * full-precision vectors for an exact cosine re-rank to top-k. The
+    * expensive side stays m-bytes-per-vector; the exact math touches
+    * queries×rerank rows — at corpus scale that's the difference between
+    * re-reading 100 TB of floats and re-reading a few megabytes. */
+  def annPqRefineTopK(queries: DataFrame, coded: DataFrame, corpus: DataFrame,
+      index: PqIndex, qIdCol: String, cIdCol: String, qVecCol: String,
+      cVecCol: String, k: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cand = annPqTopK(queries, coded, index, qIdCol, cIdCol, qVecCol, rerank)
+      .select(col("qid"), col("cid"))
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+      sqrt(dot_product(col(qVecCol), col(qVecCol))).as("qn"))
+    val probe = cand.join(ScaleHints.maybeBroadcast(q), Seq("qid"))
+    val scored = corpus
+      .select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
+        sqrt(dot_product(col(cVecCol), col(cVecCol))).as("cn"))
+      .join(ScaleHints.maybeBroadcast(probe), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dot_product(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"))
   }
 }

@@ -46,6 +46,43 @@ class VectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ: deterministic codebook, valid codes, ADC recall vs brute force") {
+    import graft.ops.Quantize
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+
+    val idx = Quantize.pqFit(e, "vec_id", "embedding")
+    val idx2 = Quantize.pqFit(e, "vec_id", "embedding")
+    assert(idx.codebook.toSeq == idx2.codebook.toSeq) // byte-identical refit
+    assert(idx.m * idx.subDim == 64 && idx.codebook.length == idx.m * idx.k * idx.subDim)
+
+    val coded = Quantize.pqEncode(e, "vec_id", "embedding", idx)
+    val rows = coded.as[(Long, Seq[Int], Double)].collect()
+    assert(rows.length == e.count())
+    rows.foreach { case (_, codes, rn2) =>
+      assert(codes.length == idx.m && codes.forall(c => c >= 0 && c < idx.k))
+      assert(rn2 > 0.0)
+    }
+
+    val q = e.filter($"vec_id" < 8)
+    val exact = Vectors.annBruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5)
+    // flat ADC on 64-dim NOISE is the worst case for a coarse code —
+    // only sanity-check it beats random (random recall@5 on n≈200 ≈ 0.025)
+    val flat = Quantize.annPqTopK(q, coded, idx, "vec_id", "vec_id",
+      "embedding", k = 5)
+    val flatRecall = Vectors.recallAtK(flat, exact, "qid", "cid", k = 5)
+      .agg(avg($"recall")).collect()(0).getDouble(0)
+    assert(flatRecall >= 0.1, s"flat ADC mean recall@5 $flatRecall")
+    // the deployed shape: ADC proposes, exact re-rank on the candidates
+    val refined = Quantize.annPqRefineTopK(q, coded, e, idx,
+      "vec_id", "vec_id", "embedding", "embedding", k = 5, rerank = 50)
+    val refRecall = Vectors.recallAtK(refined, exact, "qid", "cid", k = 5)
+      .agg(avg($"recall")).collect()(0).getDouble(0)
+    assert(refRecall >= 0.6, s"refined mean recall@5 $refRecall")
+    assert(refRecall >= flatRecall)
+  }
+
   test("recall@k: exact scores itself at 1, approx matches the set overlap") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
