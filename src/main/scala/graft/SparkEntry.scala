@@ -1093,6 +1093,17 @@ object SparkEntry {
         .groupBy("source", "split").agg(count(lit(1)).as("n"))
     },
 
+    "sample_weighted" -> { (s, dir) =>
+      // quality-proportional retention: each doc's keep probability IS
+      // its quality score (q_score% → per-myriad), decided by the same
+      // cross-engine key hash as every sampler here — a filter, no RNG
+      val scored = t(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
+      Sampling.weightedSample(scored, col("doc_id").cast("string"),
+          col("q_score") * 100)
+        .select("doc_id", "q_score")
+    },
+
     "split_decontaminated" -> { (s, dir) =>
       // split hygiene end-to-end: hash-deterministic split, then every
       // train doc near-dupping (3-gram jaccard ≥ 0.5) a held-out doc is
@@ -1994,6 +2005,22 @@ object SparkEntry {
                 ELSE 'train' END AS split,
            count(*) AS n
          FROM b GROUP BY 1, 2""",
+
+    "sample_weighted" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t),
+         q AS (SELECT doc_id,
+           CAST(floor(100 * (0.7 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+             0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS q_score
+           FROM c)
+         SELECT doc_id, q_score FROM q
+         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000
+           < q_score * 100""",
 
     "split_decontaminated" ->
       """WITH t AS (

@@ -87,6 +87,16 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Per-row weighted Bernoulli keep: P(keep) = weightPerMyriad / 10000
+    * with the decision a pure function of the key hash — the quality-
+    * proportional retention step of a curation recipe ("keep fluent docs
+    * at 90%, word salad at 10%") where the weight is itself a computed
+    * column. Same pushdown-friendly filter shape as
+    * [[stratifiedSample]]: no RNG state, no shuffle, re-runnable. */
+  def weightedSample(df: DataFrame, keyCol: Column,
+      weightPerMyriad: Column): DataFrame =
+    df.filter(hashBucket(keyCol, 10000) < weightPerMyriad)
+
   /** Near-dup-aware split hygiene: re-label every train row that is a
     * near-duplicate of a held-out (test/val) row as 'train_contaminated'
     * so the training set never sees a paraphrase of the eval set. The

@@ -32,6 +32,21 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("weightedSample: endpoints keep all/none, rate tracks the weight") {
+    val key = $"doc_id".cast("string")
+    val n = docs.count()
+    assert(Sampling.weightedSample(docs, key, lit(10000)).count() == n)
+    assert(Sampling.weightedSample(docs, key, lit(0)).count() == 0)
+    val kept = Sampling.weightedSample(docs, key, lit(3000)).count()
+    assert(math.abs(kept.toDouble / n - 0.3) < 0.15)
+    // deterministic: same rows both runs
+    val a = Sampling.weightedSample(docs, key, lit(3000))
+      .select("doc_id").as[Long].collect().toSet
+    val b = Sampling.weightedSample(docs, key, lit(3000))
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("decontaminateSplit: exactly the train rows near-dupping a held-out row flip") {
     val df = Seq(
       (1L, "test"), (2L, "val"),
