@@ -71,6 +71,43 @@ class ScaleShapeSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("round-4 operator plan shapes: filter-only sampler, broadcast hygiene joins, shuffle-free PQ encode") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+
+    // weighted sampling is a pure filter — nothing to shuffle
+    val ws = graft.ops.Sampling.weightedSample(docs.select("doc_id", "source"),
+      $"doc_id".cast("string"), lit(5000))
+    assert(!plan(ws).contains("Exchange"), plan(ws))
+
+    // split hygiene: the corpus-side plan must stay broadcast joins —
+    // no corpus shuffle, nothing degenerating to all-pairs. Pairs come
+    // from the corpus itself (data-dependent) because literal pair ids
+    // let Catalyst fold the md5 split statically and collapse the whole
+    // dirty side to a LocalRelation (observed: ids that hash to train
+    // optimize to an EMPTY dirty set at plan time — correct, but then
+    // there is no join left to assert on).
+    val pairs = graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      "n_chars", 0.5).select("i", "j")
+    val dec = graft.ops.Sampling.decontaminateSplit(
+      graft.ops.Sampling.assignSplit(docs, $"doc_id".cast("string"), 500, 500),
+      $"doc_id", pairs, "i", "j")
+    val dp = plan(dec)
+    assert(dp.contains("BroadcastHashJoin"), dp)
+    assert(!dp.contains("CartesianProduct") && !dp.contains("NestedLoopJoin"), dp)
+    // the final relabel join (LeftOuter against the dirty set) broadcasts
+    assert(dp.contains("LeftOuter"), dp)
+    assert("BroadcastHashJoin .*LeftOuter".r.findFirstIn(dp).isDefined, dp)
+
+    // PQ encode is a map stage: code + norm projection straight over the
+    // scan, no exchange — this is what writing the compressed index costs
+    val idx = graft.ops.Quantize.pqFit(emb, "vec_id", "embedding")
+    val coded = graft.ops.Quantize.pqEncode(emb, "vec_id", "embedding", idx)
+    assert(!plan(coded).contains("Exchange"), plan(coded))
+  }
+
   test("filters and projections reach the parquet scan (pushdown proof)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
