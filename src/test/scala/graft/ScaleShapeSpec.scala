@@ -94,6 +94,12 @@ class ScaleShapeSpec extends AnyFunSuite {
     val dec = graft.ops.Sampling.decontaminateSplit(
       graft.ops.Sampling.assignSplit(docs, $"doc_id".cast("string"), 500, 500),
       $"doc_id", pairs, "i", "j")
+    // Static size estimates downstream of a pair join are garbage (the
+    // join blow-up propagates through the distinct), so the relabel join
+    // may statically plan as SMJ — the contract is that AQE's RUNTIME
+    // stats see the tiny dirty set and convert it. Execute, then assert
+    // on the final adaptive plan.
+    dec.collect()
     val dp = plan(dec)
     assert(dp.contains("BroadcastHashJoin"), dp)
     assert(!dp.contains("CartesianProduct") && !dp.contains("NestedLoopJoin"), dp)
