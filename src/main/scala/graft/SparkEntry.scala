@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.jdk.CollectionConverters._
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -1193,8 +1193,64 @@ object SparkEntry {
       // in SketchesSpec; the md5 content-hash variant is oracle-checked (d2)
       t(s, dir, "documents").select(col("doc_id"),
         sf.rolling_fingerprint(col("text")).as("fp"))
+    },
+
+    "rag_bm25_topk" -> { (s, dir) =>
+      // sparse retrieval half of the RAG stack: BM25 top-10 per query,
+      // integer micro-unit scores (per-term floor before the doc sum)
+      Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        retrievalQueries(s), "qid", "qtext", k = 10)
+    },
+
+    "rag_hybrid_rrf" -> { (s, dir) =>
+      // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with
+      // a term-coverage ranking — the fused list is what a RAG app serves
+      val docs = t(s, dir, "documents")
+      val q = retrievalQueries(s)
+      Retrieval.rrfFuse(Seq(
+        Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 20),
+        Retrieval.coverageTopK(docs, "doc_id", "text", q, "qid", "qtext", k = 20)
+      ), k = 10)
+    },
+
+    "text_gopher_rules" -> { (s, dir) =>
+      // Gopher rule gate (word-count band, mean word length, alpha ratio,
+      // stopword evidence) — thresholds cross-multiplied to integer compares
+      t(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.gopherFlags(col("text"),
+          minWords = 30, maxWords = 80): _*)
+    },
+
+    "dedup_token_blocks" -> { (s, dir) =>
+      // C4-style exact span dedup: 20-token blocks, first corpus occurrence
+      // survives, documents reassembled from surviving blocks
+      Dedup.dedupTokenBlocks(t(s, dir, "documents"), "doc_id", "text", 20)
+    },
+
+    "quality_classifier" -> { (s, dir) =>
+      // rows-only: FineWeb-style model-based quality filter — weak label
+      // from the Gopher gate, TF-IDF + logistic regression, corpus-wide
+      // calibrated score; the L-BFGS fit is not SQL-expressible (semantics
+      // pinned in QualityClassifierSpec: separable corpus accuracy,
+      // determinism, probability bounds)
+      val docs = t(s, dir, "documents")
+      val labeled = docs.select(col("doc_id"), col("text"),
+        TextAnalysis.gopherFlags(col("text"), minWords = 30, maxWords = 80)
+          .last.cast("int").as("weak_label"))
+      graft.ops.QualityClassifier.trainScore(
+        labeled, "doc_id", "text", "weak_label")
     }
   )
+
+  /** Fixed keyword-bag query batch for the retrieval queries (a query
+    * workload is driver-provided in production; literals keep the oracle
+    * replayable). Terms drawn from the generator vocabulary. */
+  private def retrievalQueries(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "spark table scan window"), (2L, "customer order join merge"),
+      (3L, "vector data stream batch"), (4L, "slow query filter"))
+      .toDF("qid", "qtext")
+  }
 
   /** DuckDB rendering of the seed-fixed LSH hyperplane buckets: one CASE
     * per plane summing sign bits, with the plane vectors inlined as
@@ -2267,7 +2323,126 @@ object SparkEntry {
                 WHEN s_es = best THEN 'es'
                 WHEN s_fr = best THEN 'fr'
                 ELSE 'zh' END AS lang_pred
-         FROM b"""
+         FROM b""",
+
+    "rag_bm25_topk" ->
+      s"""$bm25Cte
+         SELECT qid, rank, doc_id, score_micro FROM (
+           SELECT qid, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         WHERE rank <= 10""",
+
+    "rag_hybrid_rrf" ->
+      s"""$bm25Cte,
+         bm AS (SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc QUALIFY rank <= 20),
+         cov0 AS (SELECT qid, dt.doc_id AS doc_id, any_value(dl) AS dl,
+             CAST(count(*) AS BIGINT) AS n_hit
+           FROM dt JOIN qt ON dt.term = qt.term GROUP BY qid, dt.doc_id),
+         cov AS (SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY n_hit DESC, dl ASC, doc_id ASC) AS INT) AS rank
+           FROM cov0 QUALIFY rank <= 20),
+         u AS (SELECT qid, doc_id,
+             CAST(floor(1e9 / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))) AS BIGINT) AS rrf_nano
+           FROM bm
+           UNION ALL
+           SELECT qid, doc_id,
+             CAST(floor(1e9 / (CAST(60 AS DOUBLE) + CAST(rank AS DOUBLE))) AS BIGINT) AS rrf_nano
+           FROM cov),
+         f AS (SELECT qid, doc_id, CAST(sum(rrf_nano) AS BIGINT) AS rrf_nano
+           FROM u GROUP BY qid, doc_id)
+         SELECT qid, rank, doc_id, rrf_nano FROM (
+           SELECT qid, doc_id, rrf_nano,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
+           FROM f)
+         WHERE rank <= 10""",
+
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+           CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS BIGINT)
+             AS n_word_chars
+           FROM documents),
+         c AS (SELECT doc_id, n_word_chars,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(len(list_filter(toks, tk -> regexp_matches(tk, '[a-z]')))
+             AS BIGINT) AS n_alpha_words,
+           CAST(len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk)))
+             AS BIGINT) AS n_stop_words
+           FROM t)
+         SELECT doc_id, n_words, n_word_chars, n_alpha_words, n_stop_words,
+           (n_words >= 30 AND n_words <= 80) AS ok_word_count,
+           (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+             AS ok_mean_word_len,
+           (5 * n_alpha_words >= 4 * n_words) AS ok_alpha_ratio,
+           (n_stop_words >= 2) AS ok_stopwords,
+           ((n_words >= 30 AND n_words <= 80)
+             AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+             AND (5 * n_alpha_words >= 4 * n_words)
+             AND (n_stop_words >= 2)) AS gopher_pass
+         FROM c""",
+
+    "dedup_token_blocks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         e AS (SELECT doc_id, unnest(w) AS tok,
+           generate_subscripts(w, 1) AS idx FROM t),
+         b AS (SELECT doc_id, CAST((idx - 1) // 20 AS INT) AS block_idx,
+           string_agg(tok, ' ' ORDER BY idx) AS block
+           FROM e GROUP BY doc_id, block_idx),
+         k AS (SELECT doc_id, block_idx, block,
+           (row_number() OVER (PARTITION BY block
+             ORDER BY doc_id, block_idx) = 1) AS keep
+           FROM b)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN block END, ' '
+             ORDER BY block_idx), '') AS text_deduped
+         FROM k GROUP BY doc_id"""
   )
+
+  /** Shared BM25 pipeline CTE (DuckDB): the literal query batch, doc-term
+    * tf/dl, corpus stats, per-term df, query terms, integer micro-nat idf,
+    * per-term floored contributions, per-(query, doc) integer score sums.
+    * Arithmetic is spelled operation-for-operation like the Spark plan in
+    * [[graft.ops.Retrieval.bm25Scores]] — +, ×, / on doubles are exactly
+    * rounded so only ln() could diverge (by ≤1 ulp; floor flips are
+    * measure-zero and verified empirically at sf0.001/sf0.01). */
+  private lazy val bm25Cte: String =
+    """WITH q(qid, qtext) AS (VALUES
+           (1, 'spark table scan window'), (2, 'customer order join merge'),
+           (3, 'vector data stream batch'), (4, 'slow query filter')),
+         t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         dt AS (SELECT doc_id, term, CAST(any_value(dl) AS BIGINT) AS dl,
+             CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(w) AS term, len(w) AS dl FROM t)
+           GROUP BY doc_id, term),
+         corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(w)) AS BIGINT) AS sum_dl FROM t),
+         dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+           FROM dt GROUP BY term),
+         qt AS (SELECT qid, unnest(list_distinct(string_split_regex(trim(qtext), '\s+'))) AS term
+           FROM q),
+         idf AS (SELECT qid, qt.term AS term,
+             CAST(floor(1e6 * ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)))
+               AS BIGINT) AS idf_micro,
+             n_docs, sum_dl
+           FROM qt JOIN dft ON qt.term = dft.term, corpus),
+         contrib AS (SELECT qid, dt.doc_id AS doc_id,
+             CAST(floor(CAST(idf_micro AS DOUBLE) *
+               (CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+               (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) +
+                 0.75 * CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE) /
+                   CAST(sum_dl AS DOUBLE)))) AS BIGINT) AS c
+           FROM dt JOIN idf ON dt.term = idf.term),
+         sc AS (SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+           FROM contrib GROUP BY qid, doc_id)"""
 
 }

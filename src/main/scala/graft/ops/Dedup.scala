@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.expr.sketchFunctions._
 import graft.expr.vectorFunctions.{dot_product, sorted_intersect_count}
 
@@ -229,5 +230,52 @@ object Dedup {
         .select(col("i"), col("j"))
         .distinct() // a pair may collide in several tables
     }
+  }
+
+  /** C4-style exact SPAN dedup (Raffel et al. 2020 §2.2 deduplicate
+    * "three-sentence spans"; Lee et al. 2021 argue for substring-level):
+    * documents are cut into consecutive non-overlapping `blockTokens`-token
+    * blocks, every block that appeared earlier in the corpus (first
+    * occurrence = smallest (doc_id, block_idx)) is DELETED, and each
+    * document is reassembled from its surviving blocks — so shared
+    * boilerplate paragraphs vanish corpus-wide while each document keeps
+    * its unique content, unlike doc-level dedup which is all-or-nothing.
+    *
+    * Scale shape: block construction is a pure columnar generate (no
+    * shuffle); the keep/drop decision is ONE window over blocks keyed by
+    * the block's md5 (hash-partitioned — a duplicate-heavy corpus skews
+    * no worse than its most-repeated block); reassembly is one grouped
+    * sort-by-ordinal per doc. Two shuffles total, each on bounded rows
+    * (≈ tokens/blockTokens per doc).
+    *
+    * Output: (id, n_blocks, n_kept, text_deduped) — text_deduped empty
+    * when every block was seen earlier (an exact duplicate of prior docs).
+    */
+  def dedupTokenBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val toksCol = split(trim(col(textCol)), "\\s+")
+    val blocks = df
+      .select(col(idCol), toksCol.as("__w"))
+      .select(col(idCol), when(size(col("__w")) > 0,
+        transform(sequence(lit(0),
+            greatest(ceil(size(col("__w")).cast("double") / blockTokens)
+              .cast("int") - 1, lit(0))),
+          i => concat_ws(" ", slice(col("__w"), i * blockTokens + 1, lit(blockTokens)))))
+        .otherwise(array().cast("array<string>")).as("__blocks"))
+      .select(col(idCol), posexplode(col("__blocks")).as(Seq("block_idx", "block")))
+    val w = Window.partitionBy(md5(col("block")))
+      .orderBy(col(idCol).asc, col("block_idx").asc)
+    val kept = blocks
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__keep", col("__rk") === 1)
+    kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(filter(
+            collect_list(struct(col("block_idx"), col("__keep"), col("block"))),
+            s => s.getField("__keep"))),
+          s => s.getField("block"))).as("text_deduped"))
   }
 }

@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Lexical retrieval over the document corpus — the sparse half of a RAG
+  * retrieval stack (BASELINE.json north star: the reference ships corpus
+  * JSONL for exactly this consumption; cf. rag_output_generator.py's
+  * corpus records). BM25 gives the classic tf·idf ranking; [[rrfFuse]]
+  * combines it with any other ranking (e.g. dense ANN from
+  * [[Vectors.annBruteForceTopK]]) by reciprocal-rank fusion — the
+  * standard hybrid-retrieval combiner.
+  *
+  * Engine-portable scoring: every per-term BM25 contribution is floored
+  * to integer micro-units BEFORE the per-document sum, so scores are
+  * integer sums of integers — invariant to partitioning, shuffle order,
+  * and engine (the DuckDB oracle replays the identical arithmetic).
+  * The only library function involved is ln(); +, ×, / on doubles are
+  * exactly rounded by IEEE 754 and thus bit-equal across engines when
+  * the expression tree matches.
+  *
+  * Scale shape (100 TB corpus, bounded query set):
+  *  - the doc-term tf table is one explode + one map-side-combined
+  *    aggregate; df and the corpus stats are branch aggregates over the
+  *    same scan (Spark re-reads the scan per branch — at corpus scale,
+  *    WRITE the tf table once (`docTerms(...).write.parquet`) and feed
+  *    the persisted index to every query batch, exactly like the saved
+  *    IVF quantizer in [[Vectors.ivfSave]]; the stats then derive from
+  *    it: df = count per term, sum_dl = Σtf);
+  *  - the query side and the per-term idf table are broadcast (a query
+  *    batch and its vocabulary are always driver-sized);
+  *  - per-document accumulation shuffles only docs that share ≥1 query
+  *    term (the posting lists of the query vocabulary, not the corpus);
+  *  - the final per-query top-k is WindowGroupLimit-pruned (partial
+  *    top-k before the exchange) — k·|queries| rows survive.
+  */
+object Retrieval {
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** The inverted-index build: (doc_id, term, dl, tf) from one explode +
+    * one aggregate. Public so a production deployment can materialize it
+    * once (`docTerms(corpus, …).write.partitionBy("term")…`) and amortize
+    * the corpus scan across query batches. */
+  def docTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"),
+        size(toks(col(textCol))).as("dl"))
+      .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+  }
+
+  /** BM25 top-k per query. `queries` is a small table (qidCol, qtextCol);
+    * query terms are deduplicated (each distinct term scores once, the
+    * common spelling when queries are keyword bags).
+    *
+    * Output: (qid, rank, doc_id, score_micro) — rank 1..k by
+    * (score desc, doc_id asc); only docs sharing ≥1 term appear.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val scored = bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol, k1, b)
+    val w = Window.partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "score_micro")
+  }
+
+  /** Full BM25 scores (no top-k cut): (qid, doc_id, score_micro). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val dt = docTerms(docs, idCol, textCol)
+    // corpus stats: N docs and Σdl — one tiny aggregate, broadcast by the
+    // cross join (single row)
+    val corpus = docs.agg(count(lit(1)).as("n_docs"),
+      sum(size(toks(col(textCol)))).as("sum_dl"))
+    // df per term rides the same term-keyed shuffle as tf
+    val dfTbl = dt.groupBy("term").agg(count(lit(1)).as("df"))
+    val qTerms = queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    // idf in micro-nats, floored once per term: ln is the lone libm call,
+    // isolated here so the per-doc sum below is pure integer arithmetic
+    val idf = qTerms.join(ScaleHints.maybeBroadcast(dfTbl), Seq("term"))
+      .crossJoin(corpus)
+      .withColumn("idf_micro", floor(lit(1e6) * log(
+        lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+        .cast("long"))
+    val contrib = dt.join(
+        ScaleHints.maybeBroadcast(
+          idf.select("qid", "term", "idf_micro", "n_docs", "sum_dl")),
+        Seq("term"))
+      .withColumn("c_micro", floor(
+        col("idf_micro").cast("double") *
+          (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+              col("n_docs").cast("double") / col("sum_dl").cast("double"))))
+        .cast("long"))
+    contrib.groupBy("qid", "doc_id")
+      .agg(sum(col("c_micro")).cast("long").as("score_micro"))
+  }
+
+  /** Reciprocal-rank fusion of N rankings sharing (qid, doc_id, rank)
+    * columns: score = Σ_i floor(1e9 / (k + rank_i)), missing docs
+    * contribute 0. Pure integer output (the division is exactly rounded,
+    * the floor lands on a stable integer), so the fused ranking is
+    * engine- and order-independent. Re-ranked 1..k by
+    * (fused score desc, doc_id asc).
+    *
+    * Inputs are per-query top-k tables (bounded), so the union + one
+    * grouped sum is driver-trivial at any corpus scale — RRF cost is a
+    * function of |queries|·k, never of the corpus.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    val contrib = rankings.map(_.select(col("qid"), col("doc_id"),
+        floor(lit(1.0e9) / (lit(kRrf).cast("double") + col("rank").cast("double")))
+          .cast("long").as("rrf_nano")))
+      .reduce(_ unionAll _)
+    val fused = contrib.groupBy("qid", "doc_id")
+      .agg(sum(col("rrf_nano")).cast("long").as("rrf_nano"))
+    val w = Window.partitionBy("qid").orderBy(col("rrf_nano").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "rrf_nano")
+  }
+
+  /** Term-coverage ranking — the simple dense-free second ranking for
+    * hybrid tests: docs ranked per query by (number of DISTINCT query
+    * terms present desc, dl asc, doc_id asc). Same candidate semantics
+    * as BM25 (≥1 shared term). Output (qid, rank, doc_id, n_hit). */
+  def coverageTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int): DataFrame = {
+    val dt = docTerms(docs, idCol, textCol)
+    val qTerms = queries.select(col(qidCol).as("qid"),
+      explode(array_distinct(toks(col(qtextCol)))).as("term"))
+    val hits = dt.join(ScaleHints.maybeBroadcast(qTerms), Seq("term"))
+      .groupBy("qid", "doc_id", "dl")
+      .agg(count(lit(1)).as("n_hit"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("n_hit").desc, col("dl").asc, col("doc_id").asc)
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "n_hit")
+  }
+}

@@ -230,6 +230,40 @@ object TextAnalysis {
       score.as("q_score"))
   }
 
+  /** Gopher-style rule gate (Rae et al. 2021 §A1.1, "Scaling Language
+    * Models: … Gopher" — the standard pre-training quality rules): word
+    * count bounds, mean word length band, alphabetic-word ratio,
+    * stop-word evidence. Every ratio threshold is cross-multiplied into
+    * INTEGER arithmetic (3 ≤ mean ≤ 10 becomes 3·n ≤ chars ≤ 10·n;
+    * alpha/n ≥ 0.8 becomes 5·alpha ≥ 4·n), so flags are engine-exact —
+    * no float compare can flip at a boundary. The symbol-ratio and
+    * bullet/ellipsis line rules from the paper degenerate on a
+    * single-line corpus and are folded into the alpha-ratio rule here.
+    *
+    * Pure per-row projection: no shuffle, fully codegen'd, and as a
+    * pre-filter it cuts the corpus BEFORE any expensive dedup/embedding
+    * stage touches it — the cheapest FLOP you never spend at 100 TB.
+    */
+  def gopherFlags(text: Column, minWords: Int = 50, maxWords: Int = 100000):
+      Seq[Column] = {
+    val ts = tokens(text)
+    val n = size(ts).cast("long")
+    // total in-word chars == chars left after deleting all whitespace —
+    // stays in codegen instead of an interpreted HOF fold over tokens
+    val chars = length(regexp_replace(trim(text), "\\s+", "")).cast("long")
+    val alpha = size(filter(ts, t => t.rlike("[a-z]"))).cast("long")
+    val stop = countIn(ts, stopwords).cast("long")
+    val okCount = n >= minWords && n <= maxWords
+    val okMeanLen = lit(3) * n <= chars && chars <= lit(10) * n
+    val okAlpha = lit(5) * alpha >= lit(4) * n
+    val okStop = stop >= 2
+    Seq(n.as("n_words"), chars.as("n_word_chars"),
+      alpha.as("n_alpha_words"), stop.as("n_stop_words"),
+      okCount.as("ok_word_count"), okMeanLen.as("ok_mean_word_len"),
+      okAlpha.as("ok_alpha_ratio"), okStop.as("ok_stopwords"),
+      (okCount && okMeanLen && okAlpha && okStop).as("gopher_pass"))
+  }
+
   /** Corpus-trained bigram language-model score per document — the
     * perplexity-style quality signal (a KenLM stand-in trained on the
     * corpus itself): documents whose adjacent-token transitions are

@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Retrieval, Dedup, TextAnalysis}
+
+/** Hand-computed semantics for BM25 / RRF hybrid retrieval, the Gopher
+  * rule gate, and C4-style token-block span dedup. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs4 = Seq(
+    (1L, "cat sat mat"),            // dl 3
+    (2L, "cat cat dog"),            // dl 3, tf(cat)=2
+    (3L, "dog runs far away now"),  // dl 5
+    (4L, "bird bird bird bird"))    // dl 4
+    .toDF("doc_id", "text")
+
+  test("bm25TopK matches a hand-rolled BM25 computation") {
+    val q = Seq((1L, "cat dog")).toDF("qid", "qtext")
+    val got = Retrieval.bm25TopK(docs4, "doc_id", "text", q, "qid", "qtext", k = 3)
+      .orderBy("rank").collect()
+
+    // manual BM25, k1=1.2 b=0.75, N=4, sumdl=15
+    def idfMicro(df: Long): Long =
+      math.floor(1e6 * math.log(1.0 + (4L - df + 0.5) / (df + 0.5))).toLong
+    def contrib(df: Long, tf: Long, dl: Long): Long = {
+      val denom = tf.toDouble + 1.2 * ((1.0 - 0.75) +
+        0.75 * dl.toDouble * 4.0 / 15.0)
+      math.floor(idfMicro(df).toDouble * (tf.toDouble * (1.2 + 1.0)) / denom).toLong
+    }
+    // cat: df 2; dog: df 2
+    val exp = Map(
+      1L -> contrib(2, 1, 3),                      // cat only
+      2L -> (contrib(2, 2, 3) + contrib(2, 1, 3)), // cat tf2 + dog tf1
+      3L -> contrib(2, 1, 5))                      // dog only
+    val expRank = exp.toSeq.sortBy { case (id, s) => (-s, id) }
+    assert(got.map(r => (r.getLong(2), r.getLong(3))).toSeq == expRank)
+    assert(got.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    // doc 4 shares no term — must not appear
+    assert(!got.map(_.getLong(2)).contains(4L))
+  }
+
+  test("rrfFuse: fused score is the integer sum of reciprocal-rank parts") {
+    val a = Seq((1L, 1, 10L), (1L, 2, 20L)).toDF("qid", "rank", "doc_id")
+      .select($"qid", $"rank", $"doc_id")
+    val b = Seq((1L, 1, 20L), (1L, 2, 30L)).toDF("qid", "rank", "doc_id")
+      .select($"qid", $"rank", $"doc_id")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3)))
+    def part(r: Int) = math.floor(1.0e9 / (60.0 + r)).toLong
+    // doc20: rank2 in a + rank1 in b; doc10: rank1 in a; doc30: rank2 in b
+    val s20 = part(2) + part(1); val s10 = part(1); val s30 = part(2)
+    assert(got.toSeq == Seq((1, 20L, s20), (2, 10L, s10), (3, 30L, s30)))
+  }
+
+  test("coverage ranking orders by distinct query terms hit, then dl") {
+    val q = Seq((1L, "cat dog")).toDF("qid", "qtext")
+    val got = Retrieval.coverageTopK(docs4, "doc_id", "text", q, "qid", "qtext", k = 5)
+      .orderBy("rank").collect().map(r => (r.getLong(2), r.getLong(3)))
+    // doc2 hits both terms; docs 1,3 hit one each, doc1 shorter (dl 3 < 5)
+    assert(got.toSeq == Seq((2L, 2L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("gopherFlags: each rule trips independently, integer arithmetic only") {
+    val rows = Seq(
+      (1L, "the cat sat on the mat with a dog and more words here now"), // pass (minWords 5)
+      (2L, "a b"),                              // too few words
+      (3L, "the of to a is it on in and for"),  // mean word len < 3
+      (4L, "1 2 3 4 5 the of")                  // alpha ratio 2/7 < 0.8
+    ).toDF("doc_id", "text")
+    val got = rows.select(
+        col("doc_id") +: TextAnalysis.gopherFlags(col("text"), minWords = 5,
+          maxWords = 100): _*)
+      .orderBy("doc_id").collect()
+    val pass = got.map(r => r.getAs[Boolean]("gopher_pass"))
+    assert(pass.toSeq == Seq(true, false, false, false))
+    assert(!got(1).getAs[Boolean]("ok_word_count"))
+    assert(!got(2).getAs[Boolean]("ok_mean_word_len"))
+    assert(!got(3).getAs[Boolean]("ok_alpha_ratio"))
+    // doc 3 fails ONLY mean-word-len (stopwords present, count ok, alpha ok)
+    assert(got(2).getAs[Boolean]("ok_word_count"))
+    assert(got(2).getAs[Boolean]("ok_alpha_ratio"))
+    assert(got(2).getAs[Boolean]("ok_stopwords"))
+  }
+
+  test("dedupTokenBlocks: first corpus occurrence survives, docs reassemble") {
+    // block size 2: doc1 = [a b][c d]; doc2 = [a b][x y]; doc3 = [c d]
+    val df = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupTokenBlocks(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, "a b c d"),  // first occurrence of both blocks
+      (2L, 2L, 1L, "x y"),      // [a b] deleted, unique tail kept
+      (3L, 1L, 0L, "")))        // fully duplicated ⇒ empty survivor
+  }
+
+  test("dedupTokenBlocks: trailing partial blocks dedup like full blocks") {
+    val df = Seq((1L, "a b c"), (2L, "z z c")).toDF("doc_id", "text")
+    // block 2: doc1 = [a b][c]; doc2 = [z z][c] — trailing [c] collides
+    val got = Dedup.dedupTokenBlocks(df, "doc_id", "text", 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((1L, 2L, "a b c"), (2L, 1L, "z z")))
+  }
+
+  test("bm25 plan: no cartesian/nested-loop; query side broadcast") {
+    val q = Seq((1L, "cat dog")).toDF("qid", "qtext")
+    val plan = Retrieval.bm25TopK(docs4, "doc_id", "text", q, "qid", "qtext", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the corpus↔idf join must be hash-based with the tiny idf side built;
+    // the only nested-loop allowed is the ONE-ROW corpus-stats cross join
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).length <= 1, plan)
+    // per-query top-k prunes below the window (no full sort of all scores)
+    assert(plan.contains("WindowGroupLimit"), plan)
+  }
+}
