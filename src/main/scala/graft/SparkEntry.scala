@@ -1204,13 +1204,27 @@ object SparkEntry {
 
     "rag_hybrid_rrf" -> { (s, dir) =>
       // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with
-      // a term-coverage ranking — the fused list is what a RAG app serves
-      val docs = t(s, dir, "documents")
+      // a term-coverage ranking — the fused list is what a RAG app serves.
+      // ONE persisted inverted index feeds both rankings (1 corpus scan).
+      val idx = Retrieval.docTerms(t(s, dir, "documents"), "doc_id", "text")
+        .persist()
       val q = retrievalQueries(s)
       Retrieval.rrfFuse(Seq(
-        Retrieval.bm25TopK(docs, "doc_id", "text", q, "qid", "qtext", k = 20),
-        Retrieval.coverageTopK(docs, "doc_id", "text", q, "qid", "qtext", k = 20)
+        Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 20),
+        Retrieval.coverageTopKIndexed(idx, q, "qid", "qtext", k = 20)
       ), k = 10)
+    },
+
+    "ann_ivfpq_topk" -> { (s, dir) =>
+      // rows-only: FAISS IndexIVFPQ composition — coarse cells route the
+      // query, ADC scores the PQ codes inside probed cells, exact cosine
+      // re-ranks the rerank survivors (codebook+centroids are driver-fit;
+      // recall/determinism pinned in VectorsSpec)
+      val e = t(s, dir, "embeddings")
+      val pq = Quantize.pqFit(e, "vec_id", "embedding")
+      Quantize.annIvfPqTopK(t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        ivfIndexFor(s, dir), pq, "vec_id", "embedding",
+        k = 5, nProbe = 4, rerank = 20)
     },
 
     "text_gopher_rules" -> { (s, dir) =>

@@ -212,4 +212,66 @@ object Quantize {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("qid"), col("cid"), col("rk"))
   }
+
+  /** IVF-PQ (the FAISS `IndexIVFPQ` composition — THE billion-scale ANN
+    * shape): the coarse quantizer routes each query to `nProbe` cells,
+    * ADC scores only the PQ codes inside those cells, and the `rerank`
+    * best fetch full-precision vectors for an exact cosine top-k.
+    *
+    * Cost at 100 TB: candidate scan = (nProbe/nCells) of the corpus AS
+    * CODES (m bytes + a double per vector, not the float matrix), exact
+    * math = queries×rerank rows. With the assigned table saved
+    * partitioned by cell ([[Vectors.ivfSave]]) the probe set prunes
+    * whole files before the scan; the coded columns belong IN that saved
+    * table in production — this operator derives them on the fly when
+    * absent.
+    */
+  def annIvfPqTopK(queries: DataFrame, ivf: graft.ops.Vectors.IvfIndex,
+      pq: PqIndex, qIdCol: String, qVecCol: String, k: Int,
+      nProbe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val cb = pq.codebookCol
+    // coded corpus, cell-keyed: in production these columns live in the
+    // saved cell-partitioned index table. Two-step projection on purpose:
+    // `codes` must be an attribute before `rn2` references it, so
+    // CollapseProject keeps one pq_encode evaluation per row.
+    val coded = ivf.assigned
+      .select(col("cid"), col("cell"),
+        pq_encode(col("cv"), cb, pq.m, pq.k).as("codes"))
+      .withColumn("rn2", pq_recon_norm2(col("codes"), cb, pq.subDim, pq.k))
+    val centroids = ivf.centroids
+    val probeCells = udf { (v: Seq[Float]) =>
+      centroids.map { case (c, i) =>
+        var d = 0.0; var j = 0
+        while (j < c.length && j < v.length) {
+          val diff = v(j) - c(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+    val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
+      sqrt(dot_product(col(qVecCol), col(qVecCol))).as("qn"))
+    val qProbed = q.withColumn("cell", explode(probeCells(col("qv"))))
+    // ADC proposal inside probed cells only — (qid, cid, adc) is ALL
+    // that moves through the proposal window; the float vectors rejoin
+    // only for the queries×rerank surviving rows below
+    val prop = coded.join(ScaleHints.maybeBroadcast(qProbed), Seq("cell"))
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        (pq_adc_dot(col("qv"), col("codes"), cb, pq.k) /
+          (col("qn") * sqrt(col("rn2")))).as("adc"))
+    val wProp = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
+    val cand = prop.withColumn("__pr", row_number().over(wProp))
+      .filter(col("__pr") <= rerank)
+      .select(col("qid"), col("cid"))
+    // exact refine on the surviving queries×rerank rows
+    val scored = ivf.assigned
+      .join(ScaleHints.maybeBroadcast(cand.join(
+        ScaleHints.maybeBroadcast(q), Seq("qid"))), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dot_product(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"))
+  }
 }

@@ -20,65 +20,66 @@ import org.apache.spark.sql.expressions.Window
   * exactly rounded by IEEE 754 and thus bit-equal across engines when
   * the expression tree matches.
   *
-  * Scale shape (100 TB corpus, bounded query set):
-  *  - the doc-term tf table is one explode + one map-side-combined
-  *    aggregate; df and the corpus stats are branch aggregates over the
-  *    same scan (Spark re-reads the scan per branch — at corpus scale,
-  *    WRITE the tf table once (`docTerms(...).write.parquet`) and feed
-  *    the persisted index to every query batch, exactly like the saved
-  *    IVF quantizer in [[Vectors.ivfSave]]; the stats then derive from
-  *    it: df = count per term, sum_dl = Σtf);
-  *  - the query side and the per-term idf table are broadcast (a query
-  *    batch and its vocabulary are always driver-sized);
-  *  - per-document accumulation shuffles only docs that share ≥1 query
-  *    term (the posting lists of the query vocabulary, not the corpus);
-  *  - the final per-query top-k is WindowGroupLimit-pruned (partial
-  *    top-k before the exchange) — k·|queries| rows survive.
+  * Scale shape (100 TB corpus, bounded query set): everything derives
+  * from the [[docTerms]] inverted index — ONE corpus scan, one explode,
+  * one map-side-combined aggregate. df, corpus stats, and the scoring
+  * join are all branches over that index, so the convenience wrappers
+  * persist it (the corpus is never read twice), and a production
+  * deployment writes it out once (`docTerms(...).write...`) and feeds
+  * [[bm25TopKIndexed]] per query batch — the same build-once/query-many
+  * contract as [[Vectors.ivfSave]]. The query side and the per-term idf
+  * table are broadcast (a query batch and its vocabulary are
+  * driver-sized); per-document accumulation touches only the posting
+  * lists of the query vocabulary; the final per-query top-k is
+  * WindowGroupLimit-pruned — k·|queries| rows survive.
   */
 object Retrieval {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
   /** The inverted-index build: (doc_id, term, dl, tf) from one explode +
-    * one aggregate. Public so a production deployment can materialize it
-    * once (`docTerms(corpus, …).write.partitionBy("term")…`) and amortize
-    * the corpus scan across query batches. */
+    * one aggregate. Materialize it once (`.persist()` in-session, or
+    * `.write.parquet` across jobs) and every ranking below derives from
+    * it — corpus stats included (n_docs = distinct doc_id, Σdl = Σtf). */
   def docTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"),
         size(toks(col(textCol))).as("dl"))
       .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
   }
 
-  /** BM25 top-k per query. `queries` is a small table (qidCol, qtextCol);
-    * query terms are deduplicated (each distinct term scores once, the
-    * common spelling when queries are keyword bags).
+  /** BM25 top-k per query over a prebuilt [[docTerms]] index. `queries`
+    * is a small table (qidCol, qtextCol); query terms are deduplicated
+    * (each distinct term scores once, the common spelling when queries
+    * are keyword bags).
     *
     * Output: (qid, rank, doc_id, score_micro) — rank 1..k by
-    * (score desc, doc_id asc); only docs sharing ≥1 term appear.
-    */
+    * (score desc, doc_id asc); only docs sharing ≥1 term appear. */
+  def bm25TopKIndexed(index: DataFrame, queries: DataFrame, qidCol: String,
+      qtextCol: String, k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    topKByScore(bm25ScoresIndexed(index, queries, qidCol, qtextCol, k1, b),
+      "score_micro", k)
+
+  /** Convenience build-and-rank: builds [[docTerms]] and persists it for
+    * the duration of the plan (df / stats / scoring all branch over it —
+    * unpersisted, each branch would re-scan the corpus). Caller or
+    * `spark.catalog.clearCache()` releases it, the same cache contract
+    * as [[TfIdfEmbed.embed]]. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val scored = bm25Scores(docs, idCol, textCol, queries, qidCol, qtextCol, k1, b)
-    val w = Window.partitionBy("qid").orderBy(col("score_micro").desc, col("doc_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "rank", "doc_id", "score_micro")
-  }
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKIndexed(docTerms(docs, idCol, textCol).persist(),
+      queries, qidCol, qtextCol, k, k1, b)
 
-  /** Full BM25 scores (no top-k cut): (qid, doc_id, score_micro). */
-  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, qidCol: String, qtextCol: String,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val dt = docTerms(docs, idCol, textCol)
-    // corpus stats: N docs and Σdl — one tiny aggregate, broadcast by the
-    // cross join (single row)
-    val corpus = docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(toks(col(textCol)))).as("sum_dl"))
-    // df per term rides the same term-keyed shuffle as tf
-    val dfTbl = dt.groupBy("term").agg(count(lit(1)).as("df"))
+  /** Full BM25 scores from a prebuilt index: (qid, doc_id, score_micro). */
+  def bm25ScoresIndexed(index: DataFrame, queries: DataFrame, qidCol: String,
+      qtextCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // corpus stats from the index: one tiny aggregate, broadcast by the
+    // single-row cross join
+    val corpus = index.agg(countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("sum_dl"))
+    val dfTbl = index.groupBy("term").agg(count(lit(1)).as("df"))
     val qTerms = queries.select(col(qidCol).as("qid"),
-        explode(array_distinct(toks(col(qtextCol)))).as("term"))
+      explode(array_distinct(toks(col(qtextCol)))).as("term"))
     // idf in micro-nats, floored once per term: ln is the lone libm call,
     // isolated here so the per-doc sum below is pure integer arithmetic
     val idf = qTerms.join(ScaleHints.maybeBroadcast(dfTbl), Seq("term"))
@@ -86,7 +87,7 @@ object Retrieval {
       .withColumn("idf_micro", floor(lit(1e6) * log(
         lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
         .cast("long"))
-    val contrib = dt.join(
+    val contrib = index.join(
         ScaleHints.maybeBroadcast(
           idf.select("qid", "term", "idf_micro", "n_docs", "sum_dl")),
         Seq("term"))
@@ -100,6 +101,14 @@ object Retrieval {
     contrib.groupBy("qid", "doc_id")
       .agg(sum(col("c_micro")).cast("long").as("score_micro"))
   }
+
+  /** Convenience twin of [[bm25ScoresIndexed]] (persists the index it
+    * builds; see [[bm25TopK]] for the cache contract). */
+  def bm25Scores(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25ScoresIndexed(docTerms(docs, idCol, textCol).persist(),
+      queries, qidCol, qtextCol, k1, b)
 
   /** Reciprocal-rank fusion of N rankings sharing (qid, doc_id, rank)
     * columns: score = Σ_i floor(1e9 / (k + rank_i)), missing docs
@@ -126,16 +135,16 @@ object Retrieval {
       .select("qid", "rank", "doc_id", "rrf_nano")
   }
 
-  /** Term-coverage ranking — the simple dense-free second ranking for
-    * hybrid tests: docs ranked per query by (number of DISTINCT query
-    * terms present desc, dl asc, doc_id asc). Same candidate semantics
-    * as BM25 (≥1 shared term). Output (qid, rank, doc_id, n_hit). */
-  def coverageTopK(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, qidCol: String, qtextCol: String, k: Int): DataFrame = {
-    val dt = docTerms(docs, idCol, textCol)
+  /** Term-coverage ranking over a prebuilt [[docTerms]] index — the
+    * simple dense-free second ranking for hybrid tests: docs ranked per
+    * query by (number of DISTINCT query terms present desc, dl asc,
+    * doc_id asc). Same candidate semantics as BM25 (≥1 shared term).
+    * Output (qid, rank, doc_id, n_hit). */
+  def coverageTopKIndexed(index: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String, k: Int): DataFrame = {
     val qTerms = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(toks(col(qtextCol)))).as("term"))
-    val hits = dt.join(ScaleHints.maybeBroadcast(qTerms), Seq("term"))
+    val hits = index.join(ScaleHints.maybeBroadcast(qTerms), Seq("term"))
       .groupBy("qid", "doc_id", "dl")
       .agg(count(lit(1)).as("n_hit"))
     val w = Window.partitionBy("qid")
@@ -143,5 +152,19 @@ object Retrieval {
     hits.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "rank", "doc_id", "n_hit")
+  }
+
+  /** Convenience twin of [[coverageTopKIndexed]] (no persist: a single
+    * ranking reads the corpus once anyway). */
+  def coverageTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String, k: Int): DataFrame =
+    coverageTopKIndexed(docTerms(docs, idCol, textCol), queries,
+      qidCol, qtextCol, k)
+
+  private def topKByScore(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col(scoreCol).desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", scoreCol)
   }
 }

@@ -83,6 +83,40 @@ class VectorsSpec extends AnyFunSuite {
     assert(refRecall >= flatRecall)
   }
 
+  test("IVF-PQ: recall within probed cells, nProbe=nCells ≈ refined PQ, deterministic") {
+    import graft.ops.Quantize
+    val dir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pq = Quantize.pqFit(e, "vec_id", "embedding")
+    val ivf = Vectors.ivfBuild(e, "vec_id", "embedding", nCells = 8)
+    val q = e.filter($"vec_id" < 8)
+    val exact = Vectors.annBruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5)
+
+    val got = Quantize.annIvfPqTopK(q, ivf, pq, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 30)
+    val ranks = got.groupBy("qid").agg(collect_list($"rk")).collect()
+    assert(ranks.length == 8)
+    ranks.foreach(r => assert(
+      r.getSeq[Int](1).sorted == (1 to 5), r.toString)) // contiguous ranks
+    val recall = Vectors.recallAtK(got, exact, "qid", "cid", k = 5)
+      .agg(avg($"recall")).collect()(0).getDouble(0)
+    assert(recall >= 0.3, s"IVF-PQ mean recall@5 $recall (4/8 cells probed)")
+
+    // probing every cell = PQ-refine over the whole corpus: recall must
+    // be at least the partial-probe recall and match the flat refine path
+    val full = Quantize.annIvfPqTopK(q, ivf, pq, "vec_id", "embedding",
+      k = 5, nProbe = 8, rerank = 30)
+    val fullRecall = Vectors.recallAtK(full, exact, "qid", "cid", k = 5)
+      .agg(avg($"recall")).collect()(0).getDouble(0)
+    assert(fullRecall >= recall, s"full-probe $fullRecall < partial $recall")
+
+    val again = Quantize.annIvfPqTopK(q, ivf, pq, "vec_id", "embedding",
+      k = 5, nProbe = 4, rerank = 30)
+      .orderBy("qid", "rk").collect().map(_.toString)
+    assert(again.toSeq == got.orderBy("qid", "rk").collect().map(_.toString).toSeq)
+  }
+
   test("recall@k: exact scores itself at 1, approx matches the set overlap") {
     val dir = "/root/testdata/sf0.001"
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
