@@ -42,8 +42,13 @@ object Retrieval {
     * `.write.parquet` across jobs) and every ranking below derives from
     * it — corpus stats included (n_docs = distinct doc_id, Σdl = Σtf). */
   def docTerms(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    docs.select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"),
-        size(toks(col(textCol))).as("dl"))
+    // split ONCE into an attribute before the explode: inlined, the
+    // post-generate projection would recompute size(split(text)) per
+    // EXPLODED row — O(tokens²) per document (measured 5.6× slower at
+    // sf0.1); same pitfall as [[TextAnalysis.repetitionStats]]
+    docs.select(col(idCol).as("doc_id"), toks(col(textCol)).as("__w"))
+      .select(col("doc_id"), explode(col("__w")).as("term"),
+        size(col("__w")).as("dl"))
       .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
   }
 
