@@ -56,14 +56,20 @@ object EventsStream {
     * Complete mode: the memory sink holds the full aggregate state —
     * appropriate for a bounded smoke run, not production. */
   def runAvailableNow(spark: SparkSession, dir: String,
-      queryName: String): StreamingQuery =
-    hourlyAgg(readEvents(spark, dir))
-      .writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+      queryName: String, statePartitions: Int = 8): StreamingQuery =
+    // statePartitions: see [[runAttributionNow]] — stateful-shuffle width
+    // pinned at first start, sized to micro-batch volume not batch conf
+    // (measured on the sf0.1 join: 32 partitions ≈ 2.5× slower than 8
+    // from per-partition state-store commit overhead alone)
+    withShufflePartitions(spark, statePartitions) {
+      hourlyAgg(readEvents(spark, dir))
+        .writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
 
   /** T5 — stream-stream inner join with an event-time range condition:
     * each purchase matched to the same user's clicks in the preceding
@@ -100,14 +106,33 @@ object EventsStream {
     * memory sink). The sf parquet arrives as one file = one micro-batch,
     * so every click is in state before any purchase probes it; with
     * files split across micro-batches the 1-hour watermark delay keeps
-    * a full join window of clicks resident between batches. */
+    * a full join window of clicks resident between batches.
+    *
+    * `statePartitions` sizes the STATEFUL shuffle independently of the
+    * session's batch `spark.sql.shuffle.partitions`: a stream-stream
+    * join commits 4 state stores per partition per micro-batch (two per
+    * side), so per-batch overhead scales with the partition count while
+    * throughput scales with rows — MB-scale micro-batches want few
+    * partitions, a production firehose wants ≈cores. The value is
+    * pinned into the checkpoint at first start (Spark reads the conf at
+    * query start), which is why it is set around `.start()` and
+    * restored immediately after. */
   def runAttributionNow(spark: SparkSession, dir: String,
-      queryName: String): StreamingQuery =
-    attributionJoin(readEvents(spark, dir))
-      .writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
+      queryName: String, statePartitions: Int = 8): StreamingQuery =
+    withShufflePartitions(spark, statePartitions) {
+      attributionJoin(readEvents(spark, dir))
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
 }
