@@ -1241,6 +1241,37 @@ object SparkEntry {
       Dedup.dedupTokenBlocks(t(s, dir, "documents"), "doc_id", "text", 20)
     },
 
+    "text_bpe_pieces" -> { (s, dir) =>
+      // rows-only: BPE tokenizer TRAINED on the corpus word dictionary
+      // (32 merges, driver-side deterministic learning over a distributed
+      // word count), then applied corpus-wide by the codegen'd encode
+      // expression; iterative merge learning is not SQL-expressible —
+      // semantics pinned by BpeSpec hand goldens + round-trip property
+      val docs = t(s, dir, "documents")
+      val model = graft.ops.Bpe.fit(docs, "text", nMerges = 32)
+      docs.select(col("doc_id"),
+          graft.ops.Bpe.encode(col("text"), model).as("__p"))
+        .select(col("doc_id"), size(col("__p")).as("n_pieces"),
+          md5(concat_ws(" ", col("__p"))).as("pieces_md5"))
+    },
+
+    "incr_agg_refresh" -> { (s, dir) =>
+      // incremental materialized-view refresh: per-type count/sum base
+      // (event_id % 10 < 8, "last night's rollup") merged with the raw
+      // remainder as the delta — only the delta is scanned at refresh
+      // time; DECIMAL accumulation makes merged == full recompute exactly
+      val ev = events(s, dir)
+      val base = ev.filter(col("event_id") % 10 < 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).as("value_sum"))
+      val delta = ev.filter(col("event_id") % 10 >= 8)
+      graft.ops.Incremental.refreshCountSum(base, delta,
+          Seq("event_type"), "n_events", "value_sum", "value")
+        .select(col("event_type"), col("n_events"),
+          col("value_sum").cast("double").as("value_sum"))
+    },
+
     "quality_classifier" -> { (s, dir) =>
       // rows-only: FineWeb-style model-based quality filter — weak label
       // from the Gopher gate, TF-IDF + logistic regression, corpus-wide
@@ -2338,6 +2369,11 @@ object SparkEntry {
                 WHEN s_fr = best THEN 'fr'
                 ELSE 'zh' END AS lang_pred
          FROM b""",
+
+    "incr_agg_refresh" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+         FROM events GROUP BY event_type""",
 
     "rag_bm25_topk" ->
       s"""$bm25Cte

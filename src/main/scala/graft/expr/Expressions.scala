@@ -27,6 +27,12 @@ object ExprRuntime {
 
   def htmlText(t: UTF8String): UTF8String =
     UTF8String.fromString(HtmlExtract.extractText(t.toString))
+
+  def bpeEncode(t: UTF8String,
+      model: graft.ops.Bpe.BpeModel): org.apache.spark.sql.catalyst.util.GenericArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.ops.Bpe.encodeText(t.toString, model.ranks)
+        .map(s => UTF8String.fromString(s): Any))
 }
 
 /** F12 — `similarity(a, b)`: Ratcliff/Obershelp ratio with difflib parity
@@ -84,6 +90,25 @@ case class HtmlTextExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Column-facade + SQL registration for the custom expressions. */
+/** `bpe_encode(text)` → array<string> of BPE pieces under a TRAINED merge
+  * table ([[graft.ops.Bpe.fit]]). The model is a constructor argument —
+  * serialized with the expression for executor shipping, and handed to
+  * generated code as a codegen reference object (the standard way to get
+  * non-literal state into whole-stage codegen). */
+case class BpeEncodeExpr(child: Expression, model: graft.ops.Bpe.BpeModel)
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.ArrayType
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    ExprRuntime.bpeEncode(t.asInstanceOf[UTF8String], model)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[graft.ops.Bpe.BpeModel].getName)
+    defineCodeGen(ctx, ev, t => s"graft.expr.ExprRuntime.bpeEncode($t, $ref)")
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object functions {
   def similarity(a: Column, b: Column): Column =
     column(RatcliffSimilarity(expression(a), expression(b)))
@@ -92,6 +117,8 @@ object functions {
   def extract_doi(c: Column, maxChars: Int): Column =
     column(ExtractDoiExpr(expression(c), maxChars))
   def html_text(c: Column): Column = column(HtmlTextExpr(expression(c)))
+  def bpe_encode(c: Column, model: graft.ops.Bpe.BpeModel): Column =
+    column(BpeEncodeExpr(expression(c), model))
 
   /** Register `similarity`/`clean_corpus`/`extract_doi` for `spark.sql`. */
   def registerAll(spark: SparkSession): Unit = {

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING + corpus-wide encode — the
+  * tokenizer-fitting step of a training-data pipeline (Sennrich et al.
+  * 2016; the GPT-2/BERT vocabulary construction).
+  *
+  * Scale shape: the fit consumes the corpus only through its WORD
+  * FREQUENCY dictionary — one distributed explode + count whose output is
+  * bounded by vocabulary size, not corpus size (a 100 TB crawl has a
+  * dictionary in the tens of millions; `maxVocab` caps the tail). Merge
+  * learning then runs driver-side over that dictionary — the standard
+  * shape (HuggingFace/SentencePiece train exactly this way: corpus pass
+  * for counts, local merge loop). Encoding is a per-row JVM kernel
+  * ([[graft.expr.BpeEncodeExpr]], codegen'd) — one map pass, no shuffle.
+  *
+  * Determinism: the dictionary is exact global counts; ties in the merge
+  * argmax break lexicographically; the model is a pure function of the
+  * corpus. Refitting yields byte-identical merges.
+  */
+object Bpe {
+
+  /** Learned merge list, in application order. `ranks` maps a symbol
+    * pair to its merge priority (lower = earlier-learned = applied
+    * first during encode, exactly like GPT-2's bpe_ranks). */
+  final case class BpeModel(merges: List[(String, String)]) {
+    lazy val ranks: Map[(String, String), Int] =
+      merges.zipWithIndex.toMap
+  }
+
+  /** End-of-word marker (classic </w> spelling): lets a merged piece
+    * distinguish "low" the word from "low" the prefix of "lower". */
+  val EndOfWord = "</w>"
+
+  /** Learn `nMerges` merges from the corpus word-frequency dictionary.
+    * `maxVocab` bounds the dictionary rows collected to the driver
+    * (most-frequent-first, then lexicographic — deterministic cut). */
+  def fit(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 100000): BpeModel = {
+    val dict: Array[(String, Long)] = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    // word → symbol sequence (chars + </w>), weighted by frequency
+    var vocab: Vector[(Vector[String], Long)] = dict.toVector.map {
+      case (w, c) => (w.map(_.toString).toVector :+ EndOfWord, c)
+    }
+    val merges = List.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          counts(p) = counts.getOrElse(p, 0L) + c
+          j += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax count, ties broken lexicographically — deterministic
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val joined = best._1 + best._2
+        vocab = vocab.map { case (syms, c) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 && syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += joined; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), c)
+        }
+        i += 1
+      }
+    }
+    BpeModel(merges.result())
+  }
+
+  /** Encode one whitespace-tokenized text: per word, greedily merge the
+    * LOWEST-RANK adjacent pair until none applies (GPT-2 `bpe()` loop).
+    * Returns pieces across all words, in order. */
+  def encodeText(text: String, ranks: Map[(String, String), Int]): Array[String] = {
+    val words = text.trim.split("\\s+")
+    val out = Array.newBuilder[String]
+    words.foreach { w =>
+      if (w.nonEmpty) {
+        var syms: Vector[String] = w.map(_.toString).toVector :+ EndOfWord
+        var done = false
+        while (!done && syms.length > 1) {
+          var bestRank = Int.MaxValue
+          var bestIdx = -1
+          var j = 0
+          while (j < syms.length - 1) {
+            val r = ranks.getOrElse((syms(j), syms(j + 1)), Int.MaxValue)
+            if (r < bestRank) { bestRank = r; bestIdx = j }
+            j += 1
+          }
+          if (bestIdx < 0) done = true
+          else syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+            syms.drop(bestIdx + 2)
+        }
+        syms.foreach(out += _)
+      }
+    }
+    out.result()
+  }
+
+  /** Corpus-wide encode: adds `pieces` (array<string>) via the codegen
+    * expression. One map pass; the model rides into codegen as a
+    * reference object. */
+  def encode(textCol: Column, model: BpeModel): Column =
+    graft.expr.functions.bpe_encode(textCol, model)
+}

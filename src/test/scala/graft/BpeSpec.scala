@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Bpe
+
+/** BPE tokenizer training: hand-derived merges on the classic
+  * low/lower corpus, deterministic refit, and the lossless round-trip
+  * property of the corpus-wide encode. */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // Sennrich et al.'s running example shape: {low ×5, lower ×2}
+  private def corpus = Seq(
+    (1L, "low low low low low"),
+    (2L, "lower lower"))
+    .toDF("doc_id", "text")
+
+  test("fit learns the hand-derivable merge sequence") {
+    val m = Bpe.fit(corpus, "text", nMerges = 4)
+    // pair counts round 1: (l,o)=7, (o,w)=7, (w,</w>)=5, (w,e)=2, (e,r)=2,
+    // (r,</w>)=2 → tie (l,o)/(o,w) breaks lexicographically → (l,o)
+    // round 2: (lo,w)=7 wins; round 3: (low,</w>)=5; round 4: ties at 2:
+    // (e,r) vs (low,e) vs (r,</w>) → (e,r)
+    assert(m.merges == List(
+      ("l", "o"), ("lo", "w"), ("low", "</w>"), ("e", "r")))
+  }
+
+  test("refit is identical; encode applies ranks greedily") {
+    val m1 = Bpe.fit(corpus, "text", nMerges = 4)
+    val m2 = Bpe.fit(corpus, "text", nMerges = 4)
+    assert(m1 == m2)
+    assert(Bpe.encodeText("low", m1.ranks).toSeq == Seq("low</w>"))
+    assert(Bpe.encodeText("lower", m1.ranks).toSeq ==
+      Seq("low", "er", "</w>"))
+    // unseen word: merges apply where they can ("low" then "low</w>"
+    // both fire), untouched chars remain
+    assert(Bpe.encodeText("slow", m1.ranks).toSeq == Seq("s", "low</w>"))
+  }
+
+  test("merge exhaustion stops early instead of looping") {
+    val m = Bpe.fit(Seq((1L, "ab")).toDF("doc_id", "text"), "text",
+      nMerges = 100)
+    // "ab</w>" fully merges in 2 steps; no more pairs after that
+    assert(m.merges.length <= 3)
+  }
+
+  test("corpus-wide encode round-trips: pieces rejoin to the original words") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    val model = Bpe.fit(docs, "text", nMerges = 32)
+    val joined = docs.select($"doc_id", $"text",
+        concat_ws("", Bpe.encode($"text", model)).as("glued"))
+      .withColumn("expect",
+        concat(regexp_replace(trim($"text"), "\\s+", Bpe.EndOfWord),
+          lit(Bpe.EndOfWord)))
+      .filter($"glued" =!= $"expect")
+    assert(joined.count() == 0)
+    // and the encode is non-trivial: merged pieces shorten the stream
+    val n = docs.select(sum(size(Bpe.encode($"text", model)))).collect()(0).getLong(0)
+    val chars = docs.select(sum(length(regexp_replace(trim($"text"), "\\s+", ""))))
+      .collect()(0).getLong(0)
+    assert(n < chars, s"pieces $n not below char count $chars — no merge applied")
+  }
+}
