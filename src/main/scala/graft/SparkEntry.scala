@@ -1241,6 +1241,43 @@ object SparkEntry {
       Dedup.dedupTokenBlocks(t(s, dir, "documents"), "doc_id", "text", 20)
     },
 
+    "text_nfc" -> { (s, dir) =>
+      // Unicode NFC canonical composition (pre-hash normalization for
+      // dedup): decomposed sequences synthesized deterministically
+      // (a → a + U+0300), then composed — both engines implement the
+      // same Unicode algorithm, outputs byte-equal
+      t(s, dir, "documents").select(col("doc_id"),
+        gf.nfc_normalize(regexp_replace(col("text"), "a", "à"))
+          .as("text_nfc"))
+    },
+
+    "mix_curriculum" -> { (s, dir) =>
+      // curriculum mixing: per-quality-tier epoch weights (low-quality
+      // quartile seen 0.25x, top quartile 2.5x). Tiers come from exact
+      // q_score quartile CUTPOINTS (one aggregate, broadcast by the
+      // cross join) — never a global ntile sort, so the plan is fully
+      // distributed at corpus scale; replication is the hash-exact
+      // mixEpochs machinery
+      val docs = t(s, dir, "documents")
+      val scored = docs.select(
+        col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
+        .select("doc_id", "q_score")
+      val cuts = scored.agg(
+        expr("percentile(q_score, 0.25)").as("c25"),
+        expr("percentile(q_score, 0.5)").as("c50"),
+        expr("percentile(q_score, 0.75)").as("c75"))
+      val tiered = scored.crossJoin(cuts)
+        .withColumn("tier",
+          when(col("q_score") <= col("c25"), "t1")
+            .when(col("q_score") <= col("c50"), "t2")
+            .when(col("q_score") <= col("c75"), "t3")
+            .otherwise("t4"))
+        .select("doc_id", "q_score", "tier")
+      Sampling.mixEpochs(tiered, col("doc_id").cast("string"), col("tier"),
+        Map("t1" -> 0.25, "t2" -> 0.75, "t3" -> 1.5, "t4" -> 2.5),
+        defaultWeight = 1.0)
+    },
+
     "text_bpe_pieces" -> { (s, dir) =>
       // rows-only: BPE tokenizer TRAINED on the corpus word dictionary
       // (32 merges, driver-side deterministic learning over a distributed
@@ -2369,6 +2406,43 @@ object SparkEntry {
                 WHEN s_fr = best THEN 'fr'
                 ELSE 'zh' END AS lang_pred
          FROM b""",
+
+    "text_nfc" ->
+      """SELECT doc_id,
+           nfc_normalize(replace(text, 'a', 'a' || chr(768))) AS text_nfc
+         FROM documents""",
+
+    "mix_curriculum" ->
+      """WITH sc AS (SELECT doc_id,
+           CAST(floor(100 * (0.7 * (CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE) /
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)) +
+             0.3 * (CAST(len(list_filter(string_split_regex(trim(text), '\s+'), tk -> list_contains(
+                 ['the','a','of','and','to','in','is','it','on','for'], tk))) AS DOUBLE) /
+               CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)))) AS BIGINT) AS q_score
+           FROM documents),
+         cuts AS (SELECT quantile_cont(q_score, 0.25) AS c25,
+             quantile_cont(q_score, 0.5) AS c50,
+             quantile_cont(q_score, 0.75) AS c75 FROM sc),
+         tiered AS (SELECT doc_id, q_score,
+             CASE WHEN q_score <= c25 THEN 't1'
+                  WHEN q_score <= c50 THEN 't2'
+                  WHEN q_score <= c75 THEN 't3'
+                  ELSE 't4' END AS tier
+           FROM sc, cuts),
+         b AS (SELECT doc_id, q_score, tier,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000 AS bucket
+           FROM tiered),
+         n AS (SELECT doc_id, q_score, tier,
+             CASE tier
+               WHEN 't1' THEN 0 + CASE WHEN bucket < 2500 THEN 1 ELSE 0 END
+               WHEN 't2' THEN 0 + CASE WHEN bucket < 7500 THEN 1 ELSE 0 END
+               WHEN 't3' THEN 1 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+               WHEN 't4' THEN 2 + CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+               ELSE 1 END AS n
+           FROM b)
+         SELECT doc_id, q_score, tier,
+           CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+         FROM n WHERE n > 0""",
 
     "incr_agg_refresh" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,

@@ -28,6 +28,10 @@ object ExprRuntime {
   def htmlText(t: UTF8String): UTF8String =
     UTF8String.fromString(HtmlExtract.extractText(t.toString))
 
+  def nfc(t: UTF8String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      t.toString, java.text.Normalizer.Form.NFC))
+
   def bpeEncode(t: UTF8String,
       model: graft.ops.Bpe.BpeModel): org.apache.spark.sql.catalyst.util.GenericArrayData =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
@@ -90,6 +94,20 @@ case class HtmlTextExpr(child: Expression) extends UnaryExpression {
 }
 
 /** Column-facade + SQL registration for the custom expressions. */
+/** `nfc_normalize(text)` — Unicode NFC canonical composition (the
+  * normalization pass a multilingual crawl needs before hashing/dedup:
+  * decomposed é and composed é must fingerprint identically). Both
+  * java.text.Normalizer and the oracle's utf8proc implement the same
+  * Unicode canonical-composition algorithm, so outputs are byte-equal. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(t: Any): Any =
+    ExprRuntime.nfc(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.ExprRuntime.nfc($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `bpe_encode(text)` → array<string> of BPE pieces under a TRAINED merge
   * table ([[graft.ops.Bpe.fit]]). The model is a constructor argument —
   * serialized with the expression for executor shipping, and handed to
@@ -119,6 +137,7 @@ object functions {
   def html_text(c: Column): Column = column(HtmlTextExpr(expression(c)))
   def bpe_encode(c: Column, model: graft.ops.Bpe.BpeModel): Column =
     column(BpeEncodeExpr(expression(c), model))
+  def nfc_normalize(c: Column): Column = column(NfcNormalizeExpr(expression(c)))
 
   /** Register `similarity`/`clean_corpus`/`extract_doi` for `spark.sql`. */
   def registerAll(spark: SparkSession): Unit = {

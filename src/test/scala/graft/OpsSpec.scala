@@ -121,4 +121,16 @@ class OpsSpec extends AnyFunSuite {
       expectedItems = 5L, fpp = 0.5).as[(String, Int)].collect().toSet
     assert(saturated == exact)
   }
+
+  test("nfc_normalize composes decomposed sequences; idempotent on composed") {
+    val decomposed = "e" + '́' // e + combining acute
+    val composed = "é"         // é
+    val df = Seq((1L, decomposed), (2L, composed), (3L, "plain"))
+      .toDF("id", "s")
+      .select($"id", graft.expr.functions.nfc_normalize($"s").as("n"))
+    val got = df.orderBy("id").as[(Long, String)].collect().map(_._2)
+    assert(got(0) == composed)
+    assert(got(1) == composed) // idempotent
+    assert(got(2) == "plain")
+  }
 }
