@@ -1241,6 +1241,35 @@ object SparkEntry {
       Dedup.dedupTokenBlocks(t(s, dir, "documents"), "doc_id", "text", 20)
     },
 
+    "corpus_diff" -> { (s, dir) =>
+      // dataset-version CDC: a deterministic synthetic prior snapshot
+      // (10% of ids absent → added; ids ending in 1 truncated → changed;
+      // a shifted-id slice present only in old → removed) diffed against
+      // the current corpus — one hash-only full-outer join
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 10 === 1,
+          substring(col("text"), 1, 10)).otherwise(col("text")))
+        .unionAll(docs.filter(col("doc_id") % 10 === 9)
+          .withColumn("doc_id", col("doc_id") + 1000000))
+      graft.ops.Incremental.snapshotDiff(prior, docs, "doc_id", "text")
+    },
+
+    "embed_centroids" -> { (s, dir) =>
+      // per-label embedding centroids in integer milli-units (domain-drift
+      // / cluster-quality monitoring; the aggregate IVF's quantizer wants):
+      // per-element floor to milli BEFORE the integer sum — engine- and
+      // order-exact, same trick as the lm/PMI scores
+      val e = t(s, dir, "embeddings")
+      e.select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("xm", floor(col("x").cast("double") * 1000).cast("long"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("xm")).cast("long").as("sum_milli"))
+        .withColumn("centroid_milli",
+          floor(col("sum_milli").cast("double") / col("n").cast("double"))
+            .cast("long"))
+    },
+
     "text_nfc" -> { (s, dir) =>
       // Unicode NFC canonical composition (pre-hash normalization for
       // dedup): decomposed sequences synthesized deterministically
@@ -2406,6 +2435,38 @@ object SparkEntry {
                 WHEN s_fr = best THEN 'fr'
                 ELSE 'zh' END AS lang_pred
          FROM b""",
+
+    "corpus_diff" ->
+      """WITH prior AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN substr(text, 1, 10)
+                  ELSE text END AS text
+           FROM documents WHERE doc_id % 10 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text
+           FROM documents WHERE doc_id % 10 = 9),
+         o AS (SELECT doc_id, md5(text) AS oh FROM prior),
+         n AS (SELECT doc_id, md5(text) AS nh FROM documents)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed' END AS change_type
+         FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+         WHERE (CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN oh <> nh THEN 'changed' END) IS NOT NULL""",
+
+    "embed_centroids" ->
+      """WITH e AS (SELECT label,
+           generate_subscripts(embedding, 1) - 1 AS dim,
+           unnest(embedding) AS x FROM embeddings),
+         m AS (SELECT label, dim,
+           CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS xm FROM e)
+         SELECT label, dim, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(xm) AS BIGINT) AS sum_milli,
+           CAST(floor(CAST(sum(xm) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+             AS BIGINT) AS centroid_milli
+         FROM m GROUP BY label, dim""",
 
     "text_nfc" ->
       """SELECT doc_id,

@@ -34,4 +34,24 @@ object Incremental {
           coalesce(col("__dsum"), lit(0).cast("decimal(18,2)")))
           .cast("decimal(18,2)").as(sumCol)): _*)
   }
+
+  /** Snapshot diff (CDC between two corpus versions — the "what changed
+    * between crawl N and crawl N+1" audit): keys only in `newDf` are
+    * `added`, only in `oldDf` are `removed`, present in both with a
+    * different payload hash are `changed`; unchanged rows drop out.
+    * ONE full-outer join on the key comparing per-side md5 — payloads
+    * never ship, only their hashes, so the shuffle is key+32 bytes per
+    * row regardless of document size. */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
+      payloadCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol), md5(col(payloadCol)).as("__oh"))
+    val n = newDf.select(col(keyCol), md5(col(payloadCol)).as("__nh"))
+    o.join(n, Seq(keyCol), "full_outer")
+      .withColumn("change_type",
+        when(col("__oh").isNull, "added")
+          .when(col("__nh").isNull, "removed")
+          .when(col("__oh") =!= col("__nh"), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col(keyCol), col("change_type"))
+  }
 }

@@ -122,6 +122,30 @@ class OpsSpec extends AnyFunSuite {
     assert(saturated == exact)
   }
 
+  test("snapshotDiff classifies added/removed/changed; unchanged drops out") {
+    val old_ = Seq((1L, "same"), (2L, "was"), (3L, "gone")).toDF("k", "p")
+    val new_ = Seq((1L, "same"), (2L, "now"), (4L, "fresh")).toDF("k", "p")
+    val got = graft.ops.Incremental.snapshotDiff(old_, new_, "k", "p")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("refreshCountSum merged state equals a full recompute") {
+    val raw = (1 to 100).map(i => (s"k${i % 3}", i.toDouble)).toDF("k", "v")
+    val base = raw.filter($"v" <= 70).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v".cast("decimal(18,2)")).as("s"))
+    val delta = raw.filter($"v" > 70)
+    val merged = graft.ops.Incremental.refreshCountSum(base, delta,
+      Seq("k"), "n", "s", "v")
+      .select($"k", $"n", $"s".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    val full = raw.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum($"v".cast("decimal(18,2)")).as("s"))
+      .select($"k", $"n", $"s".cast("string"))
+      .as[(String, Long, String)].collect().toSet
+    assert(merged == full)
+  }
+
   test("nfc_normalize composes decomposed sequences; idempotent on composed") {
     val decomposed = "e" + '́' // e + combining acute
     val composed = "é"         // é
