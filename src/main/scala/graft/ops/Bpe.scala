@@ -34,6 +34,21 @@ object Bpe {
     * distinguish "low" the word from "low" the prefix of "lower". */
   val EndOfWord = "</w>"
 
+  /** Initial symbols of a word: one per Unicode CODE POINT, not UTF-16
+    * code unit — a char-level split would tear supplementary characters
+    * (emoji, math alphanumerics) into unpaired surrogates that
+    * UTF8String later mangles into replacement bytes. */
+  private[ops] def symbolsOf(w: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result() :+ EndOfWord
+  }
+
   /** Learn `nMerges` merges from the corpus word-frequency dictionary.
     * `maxVocab` bounds the dictionary rows collected to the driver
     * (most-frequent-first, then lexicographic — deterministic cut). */
@@ -49,7 +64,7 @@ object Bpe {
 
     // word → symbol sequence (chars + </w>), weighted by frequency
     var vocab: Vector[(Vector[String], Long)] = dict.toVector.map {
-      case (w, c) => (w.map(_.toString).toVector :+ EndOfWord, c)
+      case (w, c) => (symbolsOf(w), c)
     }
     val merges = List.newBuilder[(String, String)]
     var i = 0
@@ -94,7 +109,7 @@ object Bpe {
     val out = Array.newBuilder[String]
     words.foreach { w =>
       if (w.nonEmpty) {
-        var syms: Vector[String] = w.map(_.toString).toVector :+ EndOfWord
+        var syms: Vector[String] = symbolsOf(w)
         var done = false
         while (!done && syms.length > 1) {
           var bestRank = Int.MaxValue

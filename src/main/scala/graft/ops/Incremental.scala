@@ -44,13 +44,18 @@ object Incremental {
     * row regardless of document size. */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keyCol: String,
       payloadCol: String): DataFrame = {
-    val o = oldDf.select(col(keyCol), md5(col(payloadCol)).as("__oh"))
-    val n = newDf.select(col(keyCol), md5(col(payloadCol)).as("__nh"))
+    // presence markers, NOT hash nullness: a row with a NULL payload
+    // exists on its side (md5(NULL) is NULL and would misclassify it as
+    // absent); hashes compare null-safely below for the same reason
+    val o = oldDf.select(col(keyCol), md5(col(payloadCol)).as("__oh"),
+      lit(1).as("__op"))
+    val n = newDf.select(col(keyCol), md5(col(payloadCol)).as("__nh"),
+      lit(1).as("__np"))
     o.join(n, Seq(keyCol), "full_outer")
       .withColumn("change_type",
-        when(col("__oh").isNull, "added")
-          .when(col("__nh").isNull, "removed")
-          .when(col("__oh") =!= col("__nh"), "changed"))
+        when(col("__op").isNull, "added")
+          .when(col("__np").isNull, "removed")
+          .when(!(col("__oh") <=> col("__nh")), "changed"))
       .filter(col("change_type").isNotNull)
       .select(col(keyCol), col("change_type"))
   }

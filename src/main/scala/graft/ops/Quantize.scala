@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.expr.vectorFunctions.{pq_encode, pq_adc_dot, pq_recon_norm2, dot_product}
 
 /** Embedding quantization — the memory lever for ANN at corpus scale: a
@@ -181,9 +180,7 @@ object Quantize {
       .select(col("qid"), col(cIdCol).as("cid"),
         (pq_adc_dot(col("qv"), col("codes"), cb, index.k) /
           (col("qn") * sqrt(col("rn2")))).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"))
+    graft.ops.Vectors.rankByScore(scored, k)
   }
 
   /** PQ with a refinement stage (the FAISS `IndexRefine` shape, and the
@@ -201,16 +198,9 @@ object Quantize {
       .select(col("qid"), col("cid"))
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
       sqrt(dot_product(col(qVecCol), col(qVecCol))).as("qn"))
-    val probe = cand.join(ScaleHints.maybeBroadcast(q), Seq("qid"))
-    val scored = corpus
-      .select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
-        sqrt(dot_product(col(cVecCol), col(cVecCol))).as("cn"))
-      .join(ScaleHints.maybeBroadcast(probe), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        (dot_product(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"))
+    graft.ops.Vectors.exactCosineRefine(cand, q,
+      corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"),
+        sqrt(dot_product(col(cVecCol), col(cVecCol))).as("cn")), k)
   }
 
   /** IVF-PQ (the FAISS `IndexIVFPQ` composition — THE billion-scale ANN
@@ -239,16 +229,7 @@ object Quantize {
       .select(col("cid"), col("cell"),
         pq_encode(col("cv"), cb, pq.m, pq.k).as("codes"))
       .withColumn("rn2", pq_recon_norm2(col("codes"), cb, pq.subDim, pq.k))
-    val centroids = ivf.centroids
-    val probeCells = udf { (v: Seq[Float]) =>
-      centroids.map { case (c, i) =>
-        var d = 0.0; var j = 0
-        while (j < c.length && j < v.length) {
-          val diff = v(j) - c(j); d += diff * diff; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    }
+    val probeCells = graft.ops.Vectors.probeCellsUdf(ivf.centroids, nProbe)
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
       sqrt(dot_product(col(qVecCol), col(qVecCol))).as("qn"))
     val qProbed = q.withColumn("cell", explode(probeCells(col("qv"))))
@@ -259,19 +240,10 @@ object Quantize {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (pq_adc_dot(col("qv"), col("codes"), cb, pq.k) /
-          (col("qn") * sqrt(col("rn2")))).as("adc"))
-    val wProp = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col("cid"))
-    val cand = prop.withColumn("__pr", row_number().over(wProp))
-      .filter(col("__pr") <= rerank)
+          (col("qn") * sqrt(col("rn2")))).as("score"))
+    val cand = graft.ops.Vectors.rankByScore(prop, rerank)
       .select(col("qid"), col("cid"))
     // exact refine on the surviving queries×rerank rows
-    val scored = ivf.assigned
-      .join(ScaleHints.maybeBroadcast(cand.join(
-        ScaleHints.maybeBroadcast(q), Seq("qid"))), Seq("cid"))
-      .select(col("qid"), col("cid"),
-        (dot_product(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"))
+    graft.ops.Vectors.exactCosineRefine(cand, q, ivf.assigned, k)
   }
 }

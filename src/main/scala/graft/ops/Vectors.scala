@@ -32,6 +32,44 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Shared ranking tail of every ANN operator: (qid, cid, score) →
+    * (qid, cid, rk 1..k), score desc, cid as the deterministic
+    * tie-break. One qid-partitioned window, WindowGroupLimit-prunable. */
+  private[ops] def rankByScore(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("qid"), col("cid"), col("rk"))
+  }
+
+  /** Shared nProbe-nearest-centroid probe (the IVF routing step): one
+    * UDF over the driver-side centroid table, stable sort so equidistant
+    * centroids keep index order. */
+  private[ops] def probeCellsUdf(centroids: Array[(Array[Double], Int)],
+      nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (v: Seq[Float]) =>
+      centroids.map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < c.length && j < v.length) {
+          val diff = v(j) - c(j); d += diff * diff; j += 1
+        }
+        (d, i)
+      }.sortBy(_._1).take(nProbe).map(_._2)
+    }
+
+  /** Shared exact-refinement tail (the FAISS IndexRefine shape): rejoin
+    * the bounded (qid, cid) candidate set with query vectors and the
+    * full-precision corpus, exact cosine, top-k. `corpus` must carry
+    * (cid, cv, cn). */
+  private[ops] def exactCosineRefine(cand: DataFrame, q: DataFrame,
+      corpus: DataFrame, k: Int): DataFrame = {
+    val probe = cand.join(maybeBroadcast(q), Seq("qid"))
+    rankByScore(corpus
+      .join(maybeBroadcast(probe), Seq("cid"))
+      .select(col("qid"), col("cid"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score")), k)
+  }
+
   /** Exact top-k cosine neighbors for each query row.
     * Output: (qid, cid, rk) with rk 1..k, ranked by cosine desc with cid
     * as the deterministic tie-break. Queries are broadcast; the scored
@@ -47,9 +85,7 @@ object Vectors {
     val scored = c.join(maybeBroadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"))
+    rankByScore(scored, k)
   }
 
   /** Deterministic random hyperplanes (seed-fixed gaussian) for LSH. */
@@ -105,19 +141,9 @@ object Vectors {
       pruneFiles: Boolean): DataFrame = {
     // nProbe nearest centroids per query, computed against the tiny
     // driver-side centroid table carried into the closure
-    val centroids = index.centroids
     val q = queries.select(col(qIdCol).as("qid"), col(qVecCol).as("qv"),
       norm(col(qVecCol)).as("qn"))
-    val probeCells = udf { (v: Seq[Float]) =>
-      centroids.map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < c.length && j < v.length) {
-          val diff = v(j) - c(j); d += diff * diff; j += 1
-        }
-        (d, i)
-      }.sortBy(_._1).take(nProbe).map(_._2)
-    }
+    val probeCells = probeCellsUdf(index.centroids, nProbe)
     val qProbed = q.withColumn("cell", explode(probeCells(col("qv"))))
 
     // With a saved index (assigned partitioned by cell on disk), turning
@@ -135,9 +161,7 @@ object Vectors {
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"))
+    rankByScore(scored, k)
   }
 
   /** Convenience: build-and-query in one call (bench/test shape). At
@@ -217,9 +241,7 @@ object Vectors {
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("score"))
     // no dedupe needed: probes are distinct buckets and each corpus row
     // lives in exactly one bucket, so a (qid, cid) pair matches at most once
-    val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("qid"), col("cid"), col("rk"))
+    rankByScore(scored, k)
   }
 
   /** Recall@k scoreboard: per query, the fraction of the EXACT top-k an

@@ -129,10 +129,18 @@ object EventsStream {
         .start()
     }
 
-  private def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
-  }
+  /** Session conf is shared state: serialize concurrent runners on the
+    * context so interleaved set/restore cannot leave the session pinned
+    * at the temporary value. (StreamExecution clones the session inside
+    * start(), so the restore after start is safe for the stream itself;
+    * batch queries PLANNED on other threads during the window would
+    * still observe n — callers needing full isolation should start the
+    * stream from `spark.newSession()` and read the sink table there.) */
+  private def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A =
+    spark.sparkContext.synchronized {
+      val key = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.get(key)
+      spark.conf.set(key, n.toString)
+      try f finally spark.conf.set(key, prev)
+    }
 }
