@@ -803,6 +803,19 @@ object SparkEntry {
         "vec_id", "vec_id", "embedding", "embedding", k = 5)
     },
 
+    "ann_filtered_topk" -> { (s, dir) =>
+      // attribute-FILTERED vector search (the "top-k among docs matching
+      // a metadata predicate" RAG query): the filter applies to the
+      // corpus BEFORE scoring — pre-filtering, exact under the predicate,
+      // never the post-filter top-k that silently under-returns. With the
+      // IVF path the same predicate lands on the cell-partitioned
+      // assigned table and prunes inside probed cells.
+      val e = t(s, dir, "embeddings")
+      Vectors.annBruteForceTopK(e.filter(col("vec_id") < 8),
+        e.filter(col("label") % 2 === 0),
+        "vec_id", "vec_id", "embedding", "embedding", k = 5)
+    },
+
     "ann_quantized_topk" -> { (s, dir) =>
       // ANN over the int8-quantized index: scores run against q·s
       // reconstructions (1 byte/dim in flight instead of 4) — the memory
@@ -2046,6 +2059,18 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
                         e.vec_id) AS rk
            FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+           WHERE q.vec_id < 8)
+         WHERE rk <= 5""",
+
+    "ann_filtered_topk" ->
+      """SELECT qid, cid, rk FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS rk
+           FROM embeddings q
+           JOIN (SELECT * FROM embeddings WHERE label % 2 = 0) e
+             ON q.vec_id <> e.vec_id
            WHERE q.vec_id < 8)
          WHERE rk <= 5""",
 
