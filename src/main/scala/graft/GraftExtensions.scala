@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 
 import graft.expr.{RatcliffSimilarity, CleanCorpusExpr, ExtractDoiExpr,
   HtmlTextExpr, MinHashSignatureExpr, SimHash64Expr, HashedShinglesExpr,
-  RollingFingerprintExpr, DotProductExpr, SortedIntersectCountExpr}
+  RollingFingerprintExpr, DotProductExpr, SortedIntersectCountExpr,
+  NfcNormalizeExpr}
 
 /** Session-extension entry point: makes every graft custom expression
   * available to plain `spark.sql` cluster-wide via
@@ -30,5 +31,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("rolling_fingerprint", es => RollingFingerprintExpr(es.head))
     inject("dot_product", es => DotProductExpr(es(0), es(1)))
     inject("sorted_intersect_count", es => SortedIntersectCountExpr(es(0), es(1)))
+    inject("nfc_normalize", es => NfcNormalizeExpr(es.head))
   }
 }

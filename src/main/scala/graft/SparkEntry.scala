@@ -684,6 +684,17 @@ object SparkEntry {
         "purchase_ts", "click_ts")
     },
 
+    "t6_stream_dedup" -> { (s, dir) =>
+      // streaming exact dedup, ACTUALLY run as a stream (D1's incremental
+      // form): keys projected before dropDuplicates, so the emitted set
+      // is the distinct key set — order-independent, batch-oracle-checked
+      val name = s"graft_t6_stream_${streamRuns.incrementAndGet()}"
+      val q = graft.streaming.DedupStream.runDedupKeysNow(s, dir, name,
+        Seq("user_id", "event_type"))
+      q.awaitTermination()
+      s.table(name)
+    },
+
     "rag_chunk_documents" -> { (s, dir) =>
       // RAG chunking (north star): 64-token windows, stride 48
       Chunker.chunkByTokens(
@@ -2460,6 +2471,9 @@ object SparkEntry {
                 WHEN s_fr = best THEN 'fr'
                 ELSE 'zh' END AS lang_pred
          FROM b""",
+
+    "t6_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
 
     "corpus_diff" ->
       """WITH prior AS (

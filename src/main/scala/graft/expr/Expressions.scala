@@ -93,7 +93,6 @@ case class HtmlTextExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
-/** Column-facade + SQL registration for the custom expressions. */
 /** `nfc_normalize(text)` — Unicode NFC canonical composition (the
   * normalization pass a multilingual crawl needs before hashing/dedup:
   * decomposed é and composed é must fingerprint identically). Both
@@ -127,6 +126,7 @@ case class BpeEncodeExpr(child: Expression, model: graft.ops.Bpe.BpeModel)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** Column-facade + SQL registration for the custom expressions. */
 object functions {
   def similarity(a: Column, b: Column): Column =
     column(RatcliffSimilarity(expression(a), expression(b)))
@@ -150,5 +150,7 @@ object functions {
       es => ExtractDoiExpr(es.head), "internal")
     reg.createOrReplaceTempFunction("html_text",
       es => HtmlTextExpr(es.head), "internal")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      es => NfcNormalizeExpr(es.head), "internal")
   }
 }

@@ -41,4 +41,23 @@ object DedupStream {
   /** Content-hash key for streams whose natural key is the payload
     * itself (D2 composed with streaming dedup). */
   def contentKey(c: Column): Column = md5(c)
+
+  /** Run forever-state key dedup over `dir`'s events as an ACTUAL stream
+    * (AvailableNow → memory sink): keys are projected BEFORE the dedup,
+    * so the emitted set is exactly the distinct key set — deterministic
+    * regardless of which arrival survived, hence batch-oracle-checkable
+    * (SELECT DISTINCT). State sizing per [[EventsStream.runAttributionNow]]. */
+  def runDedupKeysNow(spark: org.apache.spark.sql.SparkSession, dir: String,
+      queryName: String, keys: Seq[String],
+      statePartitions: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    EventsStream.withShufflePartitions(spark, statePartitions) {
+      exactForever(
+          EventsStream.readEvents(spark, dir).select(keys.map(col): _*), keys)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
 }

@@ -136,7 +136,7 @@ object EventsStream {
     * batch queries PLANNED on other threads during the window would
     * still observe n — callers needing full isolation should start the
     * stream from `spark.newSession()` and read the sink table there.) */
-  private def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A =
+  private[streaming] def withShufflePartitions[A](spark: SparkSession, n: Int)(f: => A): A =
     spark.sparkContext.synchronized {
       val key = "spark.sql.shuffle.partitions"
       val prev = spark.conf.get(key)
