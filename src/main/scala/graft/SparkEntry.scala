@@ -1265,6 +1265,13 @@ object SparkEntry {
       Dedup.dedupTokenBlocks(t(s, dir, "documents"), "doc_id", "text", 20)
     },
 
+    "dedup_span_coverage" -> { (s, dir) =>
+      // Lee et al. duplicated-span coverage: fraction of each document's
+      // tokens inside an exact 20-token span occurring elsewhere in the
+      // corpus at ANY alignment; islands window merges overlapping spans
+      Dedup.spanDupCoverage(t(s, dir, "documents"), "doc_id", "text", 20)
+    },
+
     "corpus_diff" -> { (s, dir) =>
       // dataset-version CDC: a deterministic synthetic prior snapshot
       // (10% of ids absent → added; ids ending in 1 truncated → changed;
@@ -2474,6 +2481,39 @@ object SparkEntry {
 
     "t6_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+
+    "dedup_span_coverage" ->
+      """WITH tk AS (SELECT doc_id,
+           string_split_regex(trim(text), '\s+') AS w,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS dl
+           FROM documents),
+         g AS (SELECT doc_id, dl, CAST(i AS BIGINT) AS pos,
+             md5(array_to_string(w[i:i+19], ' ')) AS gram
+           FROM (SELECT doc_id, dl, w,
+               CAST(unnest(range(1, CAST(dl AS INT) - 18)) AS INT) AS i
+             FROM tk WHERE dl >= 20)),
+         d AS (SELECT doc_id, pos FROM (
+             SELECT doc_id, pos, count(*) OVER (PARTITION BY gram) AS c
+             FROM g) WHERE c > 1),
+         i1 AS (SELECT doc_id, pos,
+             max(pos + 19) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+           FROM d),
+         i2 AS (SELECT doc_id, pos,
+             sum(CASE WHEN pm IS NULL OR pos > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+           FROM i1),
+         isl AS (SELECT doc_id, isl,
+             max(pos) + 19 - min(pos) + 1 AS len
+           FROM i2 GROUP BY doc_id, isl),
+         cov AS (SELECT doc_id, CAST(sum(len) AS BIGINT) AS covered
+           FROM isl GROUP BY doc_id)
+         SELECT tk.doc_id, dl,
+           CAST(coalesce(covered, 0) AS BIGINT) AS covered,
+           CAST(floor(1000 * CAST(coalesce(covered, 0) AS DOUBLE) /
+             CAST(dl AS DOUBLE)) AS BIGINT) AS dup_frac_milli
+         FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id""",
 
     "corpus_diff" ->
       """WITH prior AS (

@@ -232,6 +232,64 @@ object Dedup {
     }
   }
 
+  /** Duplicated-span COVERAGE (Lee et al. 2021, "Deduplicating Training
+    * Data Makes Language Models Better" — their metric: the fraction of
+    * a document's tokens inside an exact ≥w-token span that occurs
+    * elsewhere in the corpus, at ANY alignment). Where
+    * [[dedupTokenBlocks]] cuts fixed blocks, this slides a w-token
+    * window at stride 1, marks every position whose gram occurs >1 time
+    * corpus-wide, merges the (overlapping) w-wide intervals per document
+    * with the classic running-max islands window, and reports covered
+    * token counts — the signal a curation pipeline thresholds on.
+    *
+    * Scale shape: gram construction is columnar (one slide per doc);
+    * the duplicate test is one gram-keyed count (map-side combined);
+    * interval merging is one doc-keyed window over only the DUPLICATED
+    * positions (a small fraction of the corpus). Integer arithmetic
+    * end-to-end — engine-exact, SQL-replayable.
+    *
+    * Output: (id, dl, covered, dup_frac_milli) for every document
+    * (covered = 0 when nothing repeats or dl < w). */
+  def spanDupCoverage(df: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w > 0, "span width must be positive")
+    val toks = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
+      .select(col(idCol), col("__w"), size(col("__w")).as("dl"))
+    val grams = toks
+      .select(col(idCol), col("dl"), posexplode(
+        when(col("dl") >= w,
+          transform(sequence(lit(1), col("dl") - (w - 1)),
+            i => md5(concat_ws(" ", slice(col("__w"), i, lit(w))))))
+        .otherwise(array().cast("array<string>"))).as(Seq("__p0", "gram")))
+      .select(col(idCol), col("dl"), (col("__p0") + 1).as("pos"), col("gram"))
+    // corpus-wide duplicate test: total occurrences of the gram (same-doc
+    // repeats count — a doc repeating its own span is duplication too)
+    val wCnt = Window.partitionBy(col("gram"))
+    val dupPos = grams.withColumn("__c", count(lit(1)).over(wCnt))
+      .filter(col("__c") > 1)
+      .select(col(idCol), col("dl"), col("pos"))
+    // islands: a new island starts when pos exceeds every prior span end
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val prevMax = max(col("pos") + (w - 1)).over(
+      byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    val islands = dupPos
+      .withColumn("__new", when(prevMax.isNull || col("pos") > prevMax, 1)
+        .otherwise(0))
+      .withColumn("__isl", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(any_value(col("dl")).as("dl"),
+        (max(col("pos")) + (w - 1) - min(col("pos")) + 1).as("__len"))
+      .groupBy(col(idCol))
+      .agg(any_value(col("dl")).as("dl"), sum(col("__len")).as("covered"))
+    toks.select(col(idCol), col("dl"))
+      .join(islands.select(col(idCol), col("covered")), Seq(idCol), "left")
+      .withColumn("covered", coalesce(col("covered"), lit(0L)))
+      .withColumn("dup_frac_milli",
+        floor(lit(1000) * col("covered").cast("double") / col("dl").cast("double"))
+          .cast("long"))
+  }
+
   /** C4-style exact SPAN dedup (Raffel et al. 2020 §2.2 deduplicate
     * "three-sentence spans"; Lee et al. 2021 argue for substring-level):
     * documents are cut into consecutive non-overlapping `blockTokens`-token

@@ -104,4 +104,34 @@ class DedupSpec extends AnyFunSuite {
     // exact cosine, so lsh ⊆ exact even when recall dips
     assert(lsh.subsetOf(exact))
   }
+
+  test("spanDupCoverage: cross-doc spans, within-doc repeats, island merging") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "x a b c y"),       // shares "a b c" with doc 2
+      (2L, "q a b c r"),
+      (3L, "a b c a b c"),     // within-doc repeat: two islands cover all 6
+      (4L, "u v w z t"))       // nothing duplicated
+      .toDF("doc_id", "text")
+    val got = Dedup.spanDupCoverage(df, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .select("doc_id", "dl", "covered", "dup_frac_milli")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5, 3L, 600L),   // [2,4] covered
+      (2L, 5, 3L, 600L),
+      (3L, 6, 6L, 1000L),  // islands [1,3] + [4,6]
+      (4L, 5, 0L, 0L)))
+  }
+
+  test("spanDupCoverage: overlapping dup positions merge into one island") {
+    import graft.ops.Dedup
+    // "a b c d" duplicated across docs ⇒ doc grams at pos 1 ("a b c") and
+    // pos 2 ("b c d") both duplicated, intervals [1,3] ∪ [2,4] = [1,4]
+    val df = Seq((1L, "a b c d x"), (2L, "y a b c d")).toDF("doc_id", "text")
+    val got = Dedup.spanDupCoverage(df, "doc_id", "text", 3)
+      .orderBy("doc_id").select("doc_id", "covered")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L), (2L, 4L)))
+  }
 }
