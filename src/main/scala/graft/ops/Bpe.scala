@@ -135,4 +135,26 @@ object Bpe {
     * reference object. */
   def encode(textCol: Column, model: BpeModel): Column =
     graft.expr.functions.bpe_encode(textCol, model)
+
+  /** Persist a trained model — the tokenizer is an offline artifact like
+    * the IVF quantizer ([[Vectors.ivfSave]]): fit once per corpus, load
+    * per job. Plain merges.txt format (one `left right` pair per line,
+    * rank = line order — the GPT-2 vocabulary file convention). Symbols
+    * never contain whitespace (they come from whitespace tokenization),
+    * so the space separator is unambiguous. */
+  def save(model: BpeModel, path: java.nio.file.Path): Unit = {
+    val lines = model.merges.map { case (a, b) => s"$a $b" }
+    java.nio.file.Files.write(path,
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+  }
+
+  def load(path: java.nio.file.Path): BpeModel = {
+    val lines = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+      .split("\n", -1).toList.filter(_.nonEmpty)
+    BpeModel(lines.map { l =>
+      val sp = l.indexOf(' ')
+      require(sp > 0, s"malformed merges line: '$l'")
+      (l.substring(0, sp), l.substring(sp + 1))
+    })
+  }
 }

@@ -46,6 +46,15 @@ class BpeSpec extends AnyFunSuite {
     assert(m.merges.length <= 3)
   }
 
+  test("save/load round-trips the merge list exactly") {
+    val m = Bpe.fit(corpus, "text", nMerges = 4)
+    val p = java.nio.file.Files.createTempFile("graft_bpe", ".txt")
+    try {
+      Bpe.save(m, p)
+      assert(Bpe.load(p) == m)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
   test("corpus-wide encode round-trips: pieces rejoin to the original words") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(100)
