@@ -1251,6 +1251,29 @@ object SparkEntry {
         k = 5, nProbe = 4, rerank = 20)
     },
 
+    "rag_context_pack" -> { (s, dir) =>
+      // the RAG last mile: pack the BM25 ranking into a 300-token context
+      // budget in rank order (whole documents kept while the budget has
+      // room — the takeTokenBudget shape, keyed by rank instead of hash);
+      // one bounded window over k·|queries| rows
+      val docs = t(s, dir, "documents")
+      val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
+      val ranked = Retrieval.bm25TopKIndexed(idx, retrievalQueries(s),
+        "qid", "qtext", k = 20)
+      val withTok = ranked.join(
+        docs.select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+        Seq("doc_id"))
+      val w = Window.partitionBy("qid").orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      withTok
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
+        .filter(col("cum_before") < 300)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"), col("cum_before"))
+    },
+
     "text_gopher_rules" -> { (s, dir) =>
       // Gopher rule gate (word-count band, mean word length, alpha ratio,
       // stopword evidence) — thresholds cross-multiplied to integer compares
@@ -2597,6 +2620,24 @@ object SparkEntry {
                ORDER BY score_micro DESC, doc_id) AS INT) AS rank
            FROM sc)
          WHERE rank <= 10""",
+
+    "rag_context_pack" ->
+      s"""$bm25Cte,
+         bm AS (SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc QUALIFY rank <= 20),
+         tok AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+           FROM documents),
+         packed AS (SELECT qid, rank, bm.doc_id AS doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY qid
+               ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cum_before
+           FROM bm JOIN tok ON bm.doc_id = tok.doc_id)
+         SELECT qid, rank, doc_id, n_tokens, cum_before
+         FROM packed WHERE cum_before < 300""",
 
     "rag_hybrid_rrf" ->
       s"""$bm25Cte,
