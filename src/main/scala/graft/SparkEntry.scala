@@ -1251,6 +1251,25 @@ object SparkEntry {
         k = 5, nProbe = 4, rerank = 20)
     },
 
+    "rag_eval_mrr" -> { (s, dir) =>
+      // retrieval evaluation: MRR@10 of the BM25 ranking against a
+      // deterministic ground truth (relevant = docs containing EVERY
+      // query term) — the tuning-loop scoreboard for k1/b/analyzers
+      val docs = t(s, dir, "documents")
+      val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
+      val q = retrievalQueries(s)
+      val qTerms = q.select(col("qid"),
+        explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
+      val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("nt"))
+      val relevant = idx.join(qTerms, Seq("term"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("__hit"))
+        .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
+        .select("qid", "doc_id")
+      Retrieval.mrrAtK(
+        Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10),
+        relevant, k = 10)
+    },
+
     "rag_context_pack" -> { (s, dir) =>
       // the RAG last mile: pack the BM25 ranking into a 300-token context
       // budget in rank order (whole documents kept while the budget has
@@ -2620,6 +2639,33 @@ object SparkEntry {
                ORDER BY score_micro DESC, doc_id) AS INT) AS rank
            FROM sc)
          WHERE rank <= 10""",
+
+    "rag_eval_mrr" ->
+      s"""$bm25Cte,
+         bm AS (SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc QUALIFY rank <= 10),
+         qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt
+           FROM qt GROUP BY qid),
+         rel AS (SELECT h.qid, h.doc_id FROM (
+             SELECT qt.qid AS qid, dt.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS hit
+             FROM dt JOIN qt ON dt.term = qt.term
+             GROUP BY qt.qid, dt.doc_id) h
+           JOIN qn ON h.qid = qn.qid WHERE h.hit = qn.nt),
+         hits AS (SELECT bm.qid, min(rank) AS first_rank,
+             CAST(count(*) AS BIGINT) AS n_rel_in_topk
+           FROM bm JOIN rel ON bm.qid = rel.qid AND bm.doc_id = rel.doc_id
+           GROUP BY bm.qid)
+         SELECT u.qid,
+           CAST(coalesce(first_rank, 0) AS INT) AS first_rank,
+           CAST(coalesce(n_rel_in_topk, 0) AS BIGINT) AS n_rel_in_topk,
+           CASE WHEN coalesce(first_rank, 0) > 0
+             THEN CAST(floor(1000.0 / CAST(first_rank AS DOUBLE)) AS BIGINT)
+             ELSE 0 END AS rr_milli
+         FROM (SELECT DISTINCT qid FROM bm) u
+         LEFT JOIN hits ON u.qid = hits.qid""",
 
     "rag_context_pack" ->
       s"""$bm25Cte,

@@ -166,6 +166,33 @@ object Retrieval {
     coverageTopKIndexed(docTerms(docs, idCol, textCol), queries,
       qidCol, qtextCol, k)
 
+  /** MRR@k — the lexical-retrieval quality scoreboard (twin of
+    * [[Vectors.recallAtK]] for the dense side): per query, the reciprocal
+    * of the FIRST relevant rank within the top-k, in floored milli-units
+    * (1000/rank is one exactly-rounded division, so the metric is
+    * engine-identical), plus the relevant-hit count. Queries with no
+    * relevant doc in the top-k score 0 with first_rank 0.
+    *
+    * `ranking` carries (qid, rank, doc_id); `relevant` carries the
+    * (qid, doc_id) ground truth. Both are bounded (top-k × queries /
+    * labeled pairs), so the evaluation is driver-trivial at any corpus
+    * scale — this is the nightly tuning loop for k1/b/analyzers. */
+  def mrrAtK(ranking: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    val hits = ranking.filter(col("rank") <= k)
+      .join(relevant.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
+      .groupBy("qid")
+      .agg(min(col("rank")).as("first_rank"), count(lit(1)).as("n_rel_in_topk"))
+    ranking.select("qid").distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"),
+        coalesce(col("n_rel_in_topk"), lit(0L)).as("n_rel_in_topk"))
+      .withColumn("rr_milli",
+        when(col("first_rank") > 0,
+          floor(lit(1000.0) / col("first_rank").cast("double")).cast("long"))
+          .otherwise(lit(0L)))
+  }
+
   private def topKByScore(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col(scoreCol).desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -111,6 +111,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, "a b c"), (2L, 1L, "z z")))
   }
 
+  test("mrrAtK: first relevant rank, hit counts, zero for missed queries") {
+    val ranking = Seq(
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
+      (2L, 1, 40L), (2L, 2, 50L)).toDF("qid", "rank", "doc_id")
+    val relevant = Seq((1L, 20L), (1L, 30L), (2L, 99L)).toDF("qid", "doc_id")
+    val got = Retrieval.mrrAtK(ranking, relevant, k = 3)
+      .orderBy("qid")
+      .select("qid", "first_rank", "n_rel_in_topk", "rr_milli")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2, 2L, 500L),  // first relevant at rank 2 → 1000/2
+      (2L, 0, 0L, 0L)))   // relevant doc 99 not retrieved
+  }
+
   test("bm25 plan: no cartesian/nested-loop; query side broadcast") {
     val q = Seq((1L, "cat dog")).toDF("qid", "qtext")
     val plan = Retrieval.bm25TopK(docs4, "doc_id", "text", q, "qid", "qtext", k = 3)
