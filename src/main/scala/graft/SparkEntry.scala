@@ -1267,7 +1267,7 @@ object SparkEntry {
         .select("qid", "doc_id")
       Retrieval.mrrAtK(
         Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10),
-        relevant, k = 10)
+        relevant, k = 10, queries = q)
     },
 
     "rag_context_pack" -> { (s, dir) =>
@@ -1279,18 +1279,17 @@ object SparkEntry {
       val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
       val ranked = Retrieval.bm25TopKIndexed(idx, retrievalQueries(s),
         "qid", "qtext", k = 20)
+      // token counts come FROM the persisted index (dl is functionally
+      // dependent on doc_id) — no second tokenize pass over the corpus
       val withTok = ranked.join(
-        docs.select(col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).as("n_tokens")),
+        idx.select(col("doc_id"), col("dl").cast("long").as("n_tokens"))
+          .distinct(),
         Seq("doc_id"))
-      val w = Window.partitionBy("qid").orderBy("rank")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      withTok
-        .withColumn("cum_before",
-          coalesce(sum(col("n_tokens")).over(w), lit(0)).cast("long"))
-        .filter(col("cum_before") < 300)
+      Sampling.takeTokenBudgetOrdered(withTok, Seq(col("rank")),
+          col("qid"), col("n_tokens"), lit(300))
+        .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
         .select(col("qid"), col("rank"), col("doc_id"),
-          col("n_tokens").cast("long").as("n_tokens"), col("cum_before"))
+          col("n_tokens"), col("cum_before"))
     },
 
     "text_gopher_rules" -> { (s, dir) =>
@@ -2664,7 +2663,7 @@ object SparkEntry {
            CASE WHEN coalesce(first_rank, 0) > 0
              THEN CAST(floor(1000.0 / CAST(first_rank AS DOUBLE)) AS BIGINT)
              ELSE 0 END AS rr_milli
-         FROM (SELECT DISTINCT qid FROM bm) u
+         FROM (SELECT DISTINCT qid FROM q) u
          LEFT JOIN hits ON u.qid = hits.qid""",
 
     "rag_context_pack" ->

@@ -143,14 +143,19 @@ object Bpe {
     * never contain whitespace (they come from whitespace tokenization),
     * so the space separator is unambiguous. */
   def save(model: BpeModel, path: java.nio.file.Path): Unit = {
-    val lines = model.merges.map { case (a, b) => s"$a $b" }
+    // real merges.txt files lead with a version header (HF tooling drops
+    // the first line as a header unconditionally — without one, a file
+    // we write would lose its highest-priority merge over there)
+    val lines = "#version: 0.2" :: model.merges.map { case (a, b) => s"$a $b" }
     java.nio.file.Files.write(path,
       String.join("\n", lines: _*).getBytes("UTF-8"))
   }
 
   def load(path: java.nio.file.Path): BpeModel = {
     val lines = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
-      .split("\n", -1).toList.filter(_.nonEmpty)
+      .split("\n", -1).toList
+      .map(_.stripSuffix("\r")) // CRLF checkouts must not poison symbols
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
     BpeModel(lines.map { l =>
       val sp = l.indexOf(' ')
       require(sp > 0, s"malformed merges line: '$l'")

@@ -263,10 +263,14 @@ object Dedup {
         .otherwise(array().cast("array<string>"))).as(Seq("__p0", "gram")))
       .select(col(idCol), col("dl"), (col("__p0") + 1).as("pos"), col("gram"))
     // corpus-wide duplicate test: total occurrences of the gram (same-doc
-    // repeats count — a doc repeating its own span is duplication too)
-    val wCnt = Window.partitionBy(col("gram"))
-    val dupPos = grams.withColumn("__c", count(lit(1)).over(wCnt))
+    // repeats count — a doc repeating its own span is duplication too).
+    // groupBy, not count-over-window: the partial count combines map-side
+    // and only the (small) duplicated-gram set survives to the join —
+    // a window would sort-shuffle the full stride-1 gram stream
+    val dupGrams = grams.groupBy("gram").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1)
+      .select("gram")
+    val dupPos = grams.join(maybeBroadcast(dupGrams), Seq("gram"), "left_semi")
       .select(col(idCol), col("dl"), col("pos"))
     // islands: a new island starts when pos exceeds every prior span end
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))

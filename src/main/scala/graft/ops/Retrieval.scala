@@ -174,15 +174,20 @@ object Retrieval {
     * relevant doc in the top-k score 0 with first_rank 0.
     *
     * `ranking` carries (qid, rank, doc_id); `relevant` carries the
-    * (qid, doc_id) ground truth. Both are bounded (top-k × queries /
-    * labeled pairs), so the evaluation is driver-trivial at any corpus
-    * scale — this is the nightly tuning loop for k1/b/analyzers. */
-  def mrrAtK(ranking: DataFrame, relevant: DataFrame, k: Int): DataFrame = {
+    * (qid, doc_id) ground truth; `queries` is the FULL query universe —
+    * a query whose terms matched nothing has no ranking rows at all, and
+    * deriving the universe from the ranking would silently drop it and
+    * inflate the mean (it must contribute a 0 row). All three inputs are
+    * bounded (top-k × queries / labeled pairs), so the evaluation is
+    * driver-trivial at any corpus scale — this is the nightly tuning
+    * loop for k1/b/analyzers. */
+  def mrrAtK(ranking: DataFrame, relevant: DataFrame, k: Int,
+      queries: DataFrame): DataFrame = {
     val hits = ranking.filter(col("rank") <= k)
       .join(relevant.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
       .groupBy("qid")
       .agg(min(col("rank")).as("first_rank"), count(lit(1)).as("n_rel_in_topk"))
-    ranking.select("qid").distinct()
+    queries.select("qid").distinct()
       .join(hits, Seq("qid"), "left")
       .select(col("qid"),
         coalesce(col("first_rank"), lit(0)).cast("int").as("first_rank"),

@@ -167,8 +167,17 @@ object Sampling {
     * ROWS agree, but the intent is positional). Output keeps the
     * cumulative count for auditability. */
   def takeTokenBudget(df: DataFrame, keyCol: Column, strataCol: Column,
-      tokenCol: Column, budget: Column): DataFrame = {
-    val w = Window.partitionBy(strataCol).orderBy(md5(keyCol))
+      tokenCol: Column, budget: Column): DataFrame =
+    takeTokenBudgetOrdered(df, Seq(md5(keyCol)), strataCol, tokenCol, budget)
+
+  /** The general budget-fill: take rows per stratum in an EXPLICIT total
+    * order until the cumulative token count reaches `budget` (the row
+    * whose first token lands inside the budget is kept whole). The md5
+    * variant above is the sampling spelling; a rank-ordered ranking
+    * (e.g. RAG context packing) passes its rank columns instead. */
+  def takeTokenBudgetOrdered(df: DataFrame, order: Seq[Column],
+      strataCol: Column, tokenCol: Column, budget: Column): DataFrame = {
+    val w = Window.partitionBy(strataCol).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("cum_tokens", sum(tokenCol).over(w).cast("long"))
       .filter(col("cum_tokens") - tokenCol < budget)

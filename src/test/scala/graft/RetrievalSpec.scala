@@ -116,13 +116,17 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
       (2L, 1, 40L), (2L, 2, 50L)).toDF("qid", "rank", "doc_id")
     val relevant = Seq((1L, 20L), (1L, 30L), (2L, 99L)).toDF("qid", "doc_id")
-    val got = Retrieval.mrrAtK(ranking, relevant, k = 3)
+    // qid 3 retrieved NOTHING: it must still appear with a 0 row (the
+    // universe comes from the query set, not from the ranking)
+    val universe = Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L)).toDF("qid")
+    val got = Retrieval.mrrAtK(ranking, relevant, k = 3, universe)
       .orderBy("qid")
       .select("qid", "first_rank", "n_rel_in_topk", "rr_milli")
       .as[(Long, Int, Long, Long)].collect().toSeq
     assert(got == Seq(
       (1L, 2, 2L, 500L),  // first relevant at rank 2 → 1000/2
-      (2L, 0, 0L, 0L)))   // relevant doc 99 not retrieved
+      (2L, 0, 0L, 0L),    // relevant doc 99 not retrieved
+      (3L, 0, 0L, 0L)))   // no ranking rows at all — still scored
   }
 
   test("bm25 plan: no cartesian/nested-loop; query side broadcast") {
