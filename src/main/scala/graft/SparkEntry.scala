@@ -808,6 +808,15 @@ object SparkEntry {
         threshold = 0.4)
     },
 
+    "dedup_semantic" -> { (s, dir) =>
+      // SemDeDup (Abbas et al. 2023): k-means cells block the pair join,
+      // each semantic-dup group keeps its lowest-centroid-cosine member.
+      // Rows-only (k-means is not oracle-expressible); group membership /
+      // keep-rule / recall-vs-exact pinned in DedupSpec.
+      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4)
+    },
+
     "ann_bruteforce_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Vectors.annBruteForceTopK(e.filter(col("vec_id") < 8), e,

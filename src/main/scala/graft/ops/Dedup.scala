@@ -340,4 +340,61 @@ object Dedup {
             s => s.getField("__keep"))),
           s => s.getField("block"))).as("text_deduped"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding space, then dedup WITHIN each cluster — same-cell pairs
+    * with cosine ≥ `threshold` form semantic-duplicate groups, and each
+    * group keeps the single member with the LOWEST cosine to its cluster
+    * centroid (the paper's keep rule: survivors are the boundary
+    * examples, the archetype everyone duplicates is dropped).
+    *
+    * Scale shape: the cluster id is the blocking key — candidate
+    * generation is an equi-join on `cell` (the bounded-shuffle shape of
+    * every LSH family here), never all-pairs; k-means fits on a bounded
+    * sample inside [[Vectors.ivfBuild]] and assignment is one map pass.
+    * Cross-cluster duplicates are invisible by construction — the
+    * algorithm's stated recall trade (pinned vs the exact O(n²) baseline
+    * in DedupSpec).
+    *
+    * Output: one row per document that belongs to a semantic-dup group —
+    * (id, cell, group, centroid_cos_milli, keep). Docs in no group are
+    * implicitly kept. Deterministic given `seed`: group = min member id,
+    * survivor tie-break is (centroid_cos, id). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    val idx = Vectors.ivfBuild(df, idCol, vecCol, nCells, seed = seed)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centroids = idx.centroids
+      .map { case (vec, cell) => (cell, vec) }.toSeq
+      .toDF("cell", "centroid")
+      .withColumn("c_norm", Vectors.norm(col("centroid")))
+    // assigned: (cid, cv, cn, cell) from ivfBuild
+    val docs = idx.assigned
+      .withColumn("cvd", col("cv").cast("array<double>"))
+    val a = fanout(docs.select(col("cell"), col("cid").as("i"),
+      col("cvd").as("v_i"), col("cn").as("n_i")))
+    val b = docs.select(col("cell").as("cell_j"), col("cid").as("j"),
+      col("cvd").as("v_j"), col("cn").as("n_j"))
+    val pairs = a.join(maybeBroadcast(b),
+        col("cell") === col("cell_j") && col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"))
+    val groups = Components.connectedComponents(pairs)
+    val withCentroidCos = groups
+      .join(docs.select(col("cid").as("node"), col("cvd"), col("cn"), col("cell")), Seq("node"))
+      .join(broadcast(centroids), Seq("cell"))
+      .select(col("node"), col("cell"), col("component").as("group"),
+        floor(lit(1000) * dot_product(col("cvd"), col("centroid")) /
+          (col("cn") * col("c_norm"))).cast("long").as("centroid_cos_milli"))
+    val w = Window.partitionBy(col("group"))
+      .orderBy(col("centroid_cos_milli").asc, col("node").asc)
+    withCentroidCos
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("node").as("id"), col("cell"), col("group"),
+        col("centroid_cos_milli"), col("keep"))
+  }
 }

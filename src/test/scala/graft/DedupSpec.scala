@@ -105,6 +105,50 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("semanticDedup: groups within cells, one survivor by lowest centroid cosine") {
+    // same twin construction as the LSH test: 20 bases + cos≈0.999 twins.
+    // k-means (seeded) puts a twin pair in one cell except on an exact
+    // centroid-boundary tie, so recall vs the exact baseline is stable.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0 until 20).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.95, nCells = 4)
+      .select("id", "cell", "group", "centroid_cos_milli", "keep")
+      .as[(Long, Int, Long, Long, Boolean)].collect()
+
+    // exactly one survivor per group
+    val byGroup = out.groupBy(_._3)
+    byGroup.foreach { case (g, members) =>
+      assert(members.count(_._5) == 1, s"group $g keeps != 1")
+      assert(members.size >= 2, s"group $g has a single member")
+      // survivor = (centroid_cos, id)-min member
+      val kept = members.find(_._5).get
+      val best = members.minBy(m => (m._4, m._1))
+      assert(kept == best, s"group $g kept $kept, expected $best")
+      // a group never spans cells (the cell IS the blocking key)
+      assert(members.map(_._2).distinct.size == 1)
+    }
+    // recall vs the exact all-pairs baseline at the same threshold
+    val exact = Dedup.embeddingNearDups(df, "vec_id", "embedding", 0.95,
+      exhaustive = true, dim = dim).as[(Long, Long)].collect().toSet
+    val grouped = out.map(_._1).toSet
+    val coveredPairs = exact.count { case (i, j) =>
+      grouped.contains(i) && grouped.contains(j) &&
+        byGroup.exists { case (_, ms) =>
+          ms.exists(_._1 == i) && ms.exists(_._1 == j) }
+    }
+    assert(exact.nonEmpty)
+    assert(coveredPairs.toDouble / exact.size >= 0.9,
+      s"recall ${coveredPairs.toDouble / exact.size} below 0.9 " +
+        s"(covered $coveredPairs of ${exact.size})")
+  }
+
   test("spanDupCoverage: cross-doc spans, within-doc repeats, island merging") {
     import graft.ops.Dedup
     val df = Seq(
