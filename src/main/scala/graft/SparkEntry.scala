@@ -1137,6 +1137,20 @@ object SparkEntry {
         .select("doc_id", "q_score")
     },
 
+    "sample_dsir" -> { (s, dir) =>
+      // DSIR (Xie et al. 2023): hashed unigram+bigram importance weights
+      // of every doc against the src0 slice as the target distribution,
+      // then a Gumbel top-k resample (P(keep) ∝ exp(w)) — deterministic
+      // end to end, oracle replays buckets, milli-quantized log-ratios,
+      // and the Gumbel keys exactly
+      val d = t(s, dir, "documents")
+      val w = Sampling.dsirWeights(d, col("doc_id"), col("text"),
+        col("source") === "src0")
+      Sampling.dsirResample(w, "id", "w_milli", k = 125)
+        .select(col("id").as("doc_id"), col("w_milli"), col("key_milli"),
+          col("kept"))
+    },
+
     "split_decontaminated" -> { (s, dir) =>
       // split hygiene end-to-end: hash-deterministic split, then every
       // train doc near-dupping (3-gram jaccard ≥ 0.5) a held-out doc is
@@ -2281,6 +2295,39 @@ object SparkEntry {
          SELECT doc_id, q_score FROM q
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000
            < q_score * 100""",
+
+    "sample_dsir" ->
+      """WITH t AS (SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         f AS (SELECT doc_id, source,
+           list_concat(toks, list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS feats
+           FROM t),
+         ex AS (SELECT doc_id, source, unnest(feats) AS tok FROM f),
+         exb AS (SELECT doc_id, source, substr(md5(tok), 1, 3) AS bkt FROM ex),
+         st AS (SELECT bkt,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cr
+           FROM exb GROUP BY bkt),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(sum(cr) AS BIGINT) AS nr FROM st),
+         lr AS (SELECT bkt,
+             CAST(floor(1000 * (ln((ct + 1.0) / (nt + 4096.0)) -
+               ln((cr + 1.0) / (nr + 4096.0)))) AS BIGINT) AS lr_milli
+           FROM st, tot),
+         w AS (SELECT doc_id, CAST(sum(lr_milli) AS BIGINT) AS w_milli
+           FROM exb JOIN lr USING (bkt) GROUP BY doc_id),
+         keyed AS (SELECT doc_id, w_milli,
+             w_milli + CAST(floor(1000 * -ln(-ln(
+               (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS UBIGINT) % 10000000 + 0.5) / 10000000.0)))
+               AS BIGINT) AS key_milli
+           FROM w),
+         r AS (SELECT doc_id, w_milli, key_milli,
+             row_number() OVER (ORDER BY key_milli DESC, doc_id ASC) AS rk
+           FROM keyed)
+         SELECT doc_id, w_milli, key_milli, rk <= 125 AS kept FROM r""",
 
     "split_decontaminated" ->
       """WITH t AS (

@@ -201,4 +201,80 @@ object Sampling {
       .withColumnRenamed("__shard", "shard")
       .drop("__h")
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed n-gram bag is under the TARGET
+    * distribution (rows where `isTarget`) than under the RAW corpus
+    * distribution. Features are unigrams + bigrams hashed into 4096
+    * buckets by the first 3 hex chars of md5 — the same cross-engine
+    * hash family as [[hashBucket]], so DuckDB computes identical
+    * buckets. Bucket log-ratios use add-one smoothing and are quantized
+    * to integer MILLI-units BEFORE the per-doc sum, so the document
+    * weight is an exact integer sum with no float-accumulation-order in
+    * the compare surface.
+    *
+    * Scale shape: one explode + one hash-shuffle groupBy for bucket
+    * stats (≤4096 rows), totals ride a broadcast cross join (no driver
+    * collect), the ratio table broadcasts back onto the token stream,
+    * one per-doc sum. Linear in corpus tokens.
+    *
+    * Output: (id, w_milli) — one row per input row. */
+  def dsirWeights(df: DataFrame, keyCol: Column, textCol: Column,
+      isTarget: Column): DataFrame = {
+    val nBuckets = 4096 // 16^3: 3 hex chars of md5
+    val toks = split(trim(textCol), "\\s+")
+    val ex = df
+      .select(keyCol.as("id"), isTarget.as("is_t"), toks.as("__t"))
+      .select(col("id"), col("is_t"), concat(col("__t"),
+        zip_with(
+          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("__f"))
+      .select(col("id"), col("is_t"), explode(col("__f")).as("tok"))
+      .withColumn("bkt", substring(md5(col("tok")), 1, 3))
+    val stats = ex.groupBy("bkt").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      count(lit(1)).as("cr"))
+    val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val lr = stats.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        floor(lit(1000.0) * (
+          log((col("ct") + 1).cast("double") / (col("nt") + nBuckets).cast("double")) -
+          log((col("cr") + 1).cast("double") / (col("nr") + nBuckets).cast("double"))
+        )).cast("long").as("lr_milli"))
+    ex.join(broadcast(lr), Seq("bkt"))
+      .groupBy(col("id"))
+      .agg(sum("lr_milli").as("w_milli"))
+  }
+
+  /** Gumbel top-k resample over [[dsirWeights]] output: each row's key
+    * is w_milli + ⌊1000·g⌋ with g = −ln(−ln(u)) and u the row's
+    * deterministic hash uniform — the Gumbel-max trick, so the k kept
+    * rows are a without-replacement sample with probability ∝ exp(w),
+    * replayable in SQL with no RNG state.
+    *
+    * Scale shape: the k-th key is found with orderBy+limit(k) (Spark's
+    * TakeOrdered — a per-partition partial top-k merged on the driver,
+    * bounded by k rows, never a global sort), broadcast back as a
+    * threshold. Keep k well under driver memory; kept count is exactly
+    * k via the (key, id) total order.
+    *
+    * Output: input columns + (key_milli, kept). */
+  def dsirResample(weighted: DataFrame, idCol: String, wCol: String,
+      k: Int): DataFrame = {
+    val u = (hashBucket(col(idCol).cast("string"), 10000000).cast("double") +
+      0.5) / 1e7
+    val keyed = weighted.withColumn("key_milli",
+      (col(wCol) + floor(lit(1000.0) * -log(-log(u))).cast("long")).as("key_milli"))
+    // total order (key desc, id asc) rendered as a struct so the k-th
+    // element is a single min() over the TakeOrdered prefix
+    def ord(d: DataFrame) = struct(col("key_milli"), (lit(0L) - col(idCol)).as("nid"))
+    val kth = keyed.orderBy(col("key_milli").desc, col(idCol).asc).limit(k)
+      .agg(min(ord(keyed)).as("__kth"))
+    keyed.crossJoin(broadcast(kth))
+      // null kth = empty input; nothing to keep
+      .withColumn("kept", coalesce(ord(keyed) >= col("__kth"), lit(false)))
+      .drop("__kth")
+  }
 }

@@ -111,6 +111,38 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirWeights: target-like docs outrank dissimilar docs; resample keeps exactly k") {
+    // two disjoint vocabularies: target docs speak "alpha", the rest
+    // "omega"; a raw doc written in alpha-speak must outweigh every
+    // omega doc (its n-gram buckets carry the target's probability mass)
+    val alpha = "solar panel grid inverter battery storage watt"
+    val omega = "gothic cathedral nave spire buttress transept choir"
+    val rows = (0L until 10L).map(i => (i, alpha, true)) ++   // target slice
+      Seq((100L, alpha + " efficiency", false)) ++            // alpha-like raw
+      (200L until 210L).map(i => (i, omega, false))           // omega raw
+    val df = rows.toDF("doc_id", "text", "is_target")
+    val w = Sampling.dsirWeights(df, $"doc_id", $"text", $"is_target")
+      .as[(Long, Long)].collect().toMap
+    assert(w.size == rows.size)
+    val alphaW = w(100L)
+    (200L until 210L).foreach { i =>
+      assert(alphaW > w(i), s"alpha-like doc $alphaW !> omega doc ${w(i)}")
+    }
+    // determinism: same input, same weights
+    val w2 = Sampling.dsirWeights(df, $"doc_id", $"text", $"is_target")
+      .as[(Long, Long)].collect().toMap
+    assert(w == w2)
+    // resample keeps exactly k, flags every row, and prefers high keys
+    val weighted = Sampling.dsirWeights(df, $"doc_id", $"text", $"is_target")
+    val kept = Sampling.dsirResample(weighted, "id", "w_milli", k = 5)
+      .select("id", "key_milli", "kept").as[(Long, Long, Boolean)].collect()
+    assert(kept.length == rows.size)
+    assert(kept.count(_._3) == 5)
+    val minKept = kept.filter(_._3).map(_._2).min
+    val maxDropped = kept.filterNot(_._3).map(_._2).max
+    assert(minKept >= maxDropped)
+  }
+
   test("repetitionStats: hand-computed bigram fractions") {
     val df = Seq(
       (1L, "a b a b a"),          // bigrams: ab,ba,ab,ba → top 2/4, dup 4/4
