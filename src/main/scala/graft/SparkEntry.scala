@@ -1109,6 +1109,15 @@ object SparkEntry {
         approx_count_distinct("n_chars").as("adc_n_chars"))
     },
 
+    "profile_heavy_hitters" -> { (s, dir) =>
+      // rows-only: count-min-sketch top-20 tokens — the no-full-shuffle
+      // frequency profile (exact twin is text_vocab_topk). Sketch bytes
+      // are engine-specific, so no DuckDB oracle; the over-estimate
+      // bound vs exact counts is pinned in MiscOpsSpec.
+      Profile.heavyHittersCms(t(s, dir, "documents"), col("doc_id"),
+        col("text"), k = 20)
+    },
+
     "sample_per_group" -> { (s, dir) =>
       // deterministic 7-per-source sample: md5-ranked reservoir inside
       // each stratum — stable across runs, one shuffle on the stratum

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass data profiling — the constraint/quality summary a 100 TB
@@ -68,5 +68,51 @@ object Profile {
           floor(lit(1000) * ((x.cast("double") - mean) / sqrt(variance)))
             .cast("long")))
       .drop("__n", "__s", "__s2")
+  }
+
+  /** Heavy hitters by count-min sketch: the top-k most frequent tokens
+    * without ever shuffling the full token stream by token. Two linear
+    * passes: (1) ONE mergeable CMS aggregate over all occurrences —
+    * partial sketches per partition, a tiny merge shuffle, and a single
+    * bounded row (the sketch bytes) back to the driver; (2) a
+    * hash-deterministic occurrence sample proposes candidate tokens
+    * (anything frequent enough to matter appears in a 10000·f-per-myriad
+    * sample with overwhelming probability), whose true frequencies are
+    * then read off the broadcast sketch. The exact twin — a full
+    * groupBy(token) — shuffles every token occurrence; this shuffles
+    * only the sampled candidates.
+    *
+    * CMS guarantees: estimate ≥ true count always, ≤ true + eps·N with
+    * probability `confidence` (pinned in MiscOpsSpec). Merge order never
+    * matters (counter addition is commutative), and the seed is fixed, so
+    * output is deterministic. Size `samplePerMyriad` to the scale: the
+    * candidate set must catch tokens with count ≥ the k-th frequency, so
+    * sampleRate · kthCount ≫ minSampleCount — at 100 TB even 1-per-myriad
+    * leaves thousands of sample hits per real heavy hitter.
+    *
+    * Output: (tok, est_count), top-k by (est desc, tok asc). */
+  def heavyHittersCms(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, eps: Double = 1e-4, confidence: Double = 0.99,
+      samplePerMyriad: Int = 1000, minSampleCount: Int = 2): DataFrame = {
+    val occ = df.select(idCol.as("__id"),
+      posexplode(split(trim(textCol), "\\s+")).as(Seq("__pos", "tok")))
+    val cmsBytes = occ
+      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence),
+        lit(42)).as("cms"))
+      .head().getAs[Array[Byte]]("cms")
+    val sketch = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+    val bc = df.sparkSession.sparkContext.broadcast(sketch)
+    val est = udf((t: String) => bc.value.estimateCount(t))
+    occ
+      .filter(Sampling.hashBucket(
+        concat_ws(":", col("__id"), col("__pos"), col("tok")), 10000)
+        < samplePerMyriad)
+      .groupBy("tok").agg(count(lit(1)).as("__sample_n"))
+      .filter(col("__sample_n") >= minSampleCount)
+      .withColumn("est_count", est(col("tok")))
+      .orderBy(col("est_count").desc, col("tok").asc)
+      .limit(k)
+      .select("tok", "est_count")
   }
 }

@@ -122,4 +122,31 @@ class MiscOpsSpec extends AnyFunSuite {
       assert(rel <= 0.05, s"$c: approx=$approx exact=$exact rel=$rel")
     }
   }
+
+  test("heavyHittersCms: estimates bound true counts, catches the true top tokens") {
+    import graft.ops.Profile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val hh = Profile.heavyHittersCms(docs, col("doc_id"), col("text"), k = 20)
+      .as[(String, Long)].collect()
+    assert(hh.length == 20)
+    // exact counts of the same token universe
+    val exact = docs
+      .select(explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .groupBy("tok").count().as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    hh.foreach { case (tok, est) =>
+      val tru = exact(tok)
+      assert(est >= tru, s"$tok: CMS $est under-estimates true $tru")
+      // eps=1e-4 at 0.99 confidence; 20 tokens, so a miss is ~never
+      assert(est <= tru + (1e-4 * n).toLong + 1, s"$tok: est $est too far above $tru")
+    }
+    // the exact top-5 must all be caught by the sample+sketch path
+    val top5 = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(5).map(_._1).toSet
+    assert(top5.subsetOf(hh.map(_._1).toSet),
+      s"missed true heavy hitters: ${top5 -- hh.map(_._1).toSet}")
+    // determinism
+    val hh2 = Profile.heavyHittersCms(docs, col("doc_id"), col("text"), k = 20)
+      .as[(String, Long)].collect()
+    assert(hh.toSeq == hh2.toSeq)
+  }
 }
