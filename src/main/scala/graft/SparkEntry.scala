@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.jdk.CollectionConverters._
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -1322,6 +1322,32 @@ object SparkEntry {
         .withColumn("cum_before", col("cum_tokens") - col("n_tokens"))
         .select(col("qid"), col("rank"), col("doc_id"),
           col("n_tokens"), col("cum_before"))
+    },
+
+    "curate_tagged" -> { (s, dir) =>
+      // Dolma-style tag-then-filter: quality taggers become attribute
+      // columns, named keep-rules collect per-doc drop reasons — the
+      // audit trail (WHICH rule killed WHICH doc), not just a boolean
+      val tagged = t(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
+      Tagging.applyRules(tagged, Seq(
+          "too_short" -> (col("n_tokens") >= 40),
+          "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
+          "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+        .select("doc_id", "n_tokens", "n_uniq", "n_stop", "drop_reasons", "keep")
+    },
+
+    "curate_tag_stats" -> { (s, dir) =>
+      // the per-rule cost rollup over the same rule set: how much corpus
+      // each rule removes — the number that tunes thresholds
+      val tagged = t(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
+      val curated = Tagging.applyRules(tagged, Seq(
+        "too_short" -> (col("n_tokens") >= 40),
+        "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
+        "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+      Tagging.ruleStats(curated)
+        .select(col("reason"), col("n_dropped").cast("long").as("n_dropped"))
     },
 
     "text_gopher_rules" -> { (s, dir) =>
@@ -2777,6 +2803,43 @@ object SparkEntry {
                ORDER BY rrf_nano DESC, doc_id) AS INT) AS rank
            FROM f)
          WHERE rank <= 10""",
+
+    "curate_tagged" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t)
+         SELECT doc_id, n_tokens, n_uniq, n_stop,
+           concat_ws(',',
+             CASE WHEN NOT (n_tokens >= 40) THEN 'too_short' END,
+             CASE WHEN NOT (n_uniq * 10 >= n_tokens * 3) THEN 'low_diversity' END,
+             CASE WHEN NOT (n_stop * 100 >= n_tokens * 2)
+               THEN 'no_stopword_evidence' END) AS drop_reasons,
+           (n_tokens >= 40 AND n_uniq * 10 >= n_tokens * 3 AND
+             n_stop * 100 >= n_tokens * 2) AS keep
+         FROM c""",
+
+    "curate_tag_stats" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t),
+         d AS (SELECT doc_id, concat_ws(',',
+             CASE WHEN NOT (n_tokens >= 40) THEN 'too_short' END,
+             CASE WHEN NOT (n_uniq * 10 >= n_tokens * 3) THEN 'low_diversity' END,
+             CASE WHEN NOT (n_stop * 100 >= n_tokens * 2)
+               THEN 'no_stopword_evidence' END) AS drop_reasons
+           FROM c),
+         r AS (SELECT unnest(string_split(drop_reasons, ',')) AS reason
+           FROM d WHERE drop_reasons <> '')
+         SELECT reason, CAST(count(*) AS BIGINT) AS n_dropped
+         FROM r GROUP BY reason""",
 
     "text_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,

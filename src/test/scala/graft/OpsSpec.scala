@@ -157,4 +157,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1) == composed) // idempotent
     assert(got(2) == "plain")
   }
+
+  test("Tagging: reasons in rule order, null attrs fail closed, stats count drops") {
+    import graft.ops.Tagging
+    val df = Seq(
+      (1L, Some(50), Some(40)),  // passes both
+      (2L, Some(5), Some(40)),   // fails min_n
+      (3L, Some(5), None),       // fails min_n AND null uniq → both reasons
+      (4L, Some(50), Some(1))    // fails diversity
+    ).toDF("id", "n", "u")
+    val out = Tagging.applyRules(df, Seq(
+        "min_n" -> ($"n" >= 10),
+        "diverse" -> ($"u" >= 20)))
+      .select("id", "drop_reasons", "keep")
+      .as[(Long, String, Boolean)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "", true)))
+    assert(out(1) == ((2L, "min_n", false)))
+    assert(out(2) == ((3L, "min_n,diverse", false))) // rule order, null fails
+    assert(out(3) == ((4L, "diverse", false)))
+    val stats = Tagging.ruleStats(Tagging.applyRules(df, Seq(
+        "min_n" -> ($"n" >= 10),
+        "diverse" -> ($"u" >= 20))))
+      .as[(String, Long)].collect().toMap
+    assert(stats == Map("min_n" -> 2L, "diverse" -> 2L))
+  }
 }
