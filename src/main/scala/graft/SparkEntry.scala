@@ -1109,6 +1109,16 @@ object SparkEntry {
         approx_count_distinct("n_chars").as("adc_n_chars"))
     },
 
+    "embed_pca" -> { (s, dir) =>
+      // rows-only: PCA reduction of the embedding matrix to 8 dims
+      // (storage/prefilter path). Eigenbasis is not oracle-expressible;
+      // orthonormality, sign canon, variance ordering, and neighbor
+      // preservation are pinned in VectorsSpec.
+      Vectors.pcaProject(t(s, dir, "embeddings"), "vec_id", "embedding",
+          kDims = 8)
+        .withColumnRenamed("id", "vec_id")
+    },
+
     "profile_heavy_hitters" -> { (s, dir) =>
       // rows-only: count-min-sketch top-20 tokens — the no-full-shuffle
       // frequency profile (exact twin is text_vocab_topk). Sketch bytes

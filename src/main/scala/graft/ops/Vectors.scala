@@ -261,4 +261,46 @@ object Vectors {
       .agg(count(col("__hit")).as("n_hits"),
         (count(col("__hit")).cast("double") / lit(k)).as("recall"))
   }
+
+  /** PCA projection of an embedding column to `kDims` — the storage /
+    * ANN-prefilter reduction (project once, scan the narrow matrix).
+    * The rotation fits on a bounded seed-fixed sample (same rationale as
+    * [[ivfBuild]]: the eigenbasis of a covariance estimate needs a
+    * sample, not a 100 TB pass); projection of the full corpus is one
+    * shuffle-free map. Each component's sign is canonicalized (largest-
+    * |loading| coordinate positive) so the output is reproducible across
+    * refits — eigenvectors are only defined up to sign.
+    *
+    * Spark-ML quirk kept as-is: `PCA.transform` multiplies the RAW
+    * vector by the rotation (no mean subtraction), so projections carry
+    * the mean offset — harmless for distance work, every row shares it.
+    *
+    * Output: (id, pc1_milli … pck_milli) — milli-quantized projections,
+    * scalar columns (driver-compare-safe). */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, kDims: Int,
+      fitSampleRows: Long = 100000L, seed: Long = 42L): DataFrame = {
+    val asVec = df.select(col(idCol).as("id"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
+    val n = asVec.count()
+    val fitDf = if (n <= fitSampleRows) asVec
+      else asVec.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+    val model = new org.apache.spark.ml.feature.PCA()
+      .setK(kDims).setInputCol("__features").setOutputCol("__proj")
+      .fit(fitDf)
+    // sign canon per component: the coordinate with the largest |loading|
+    // must be positive (ties: first such coordinate)
+    val pc = model.pc // dim x k, column-major
+    val dim = pc.numRows
+    val signs = (0 until kDims).map { c =>
+      val coords = (0 until dim).map(r => pc(r, c))
+      val lead = coords.maxBy(math.abs)
+      if (lead < 0) -1.0 else 1.0
+    }
+    val projArr = org.apache.spark.ml.functions.vector_to_array(col("__proj"))
+    val outCols = (0 until kDims).map { c =>
+      floor(lit(1000.0) * lit(signs(c)) * projArr.getItem(c))
+        .cast("long").as(s"pc${c + 1}_milli")
+    }
+    model.transform(asVec).select(col("id") +: outCols: _*)
+  }
 }

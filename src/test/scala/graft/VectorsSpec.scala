@@ -254,4 +254,43 @@ class VectorsSpec extends AnyFunSuite {
   test("hyperplanes are deterministic under the fixed seed") {
     assert(Vectors.hyperplanes(3, 8) == Vectors.hyperplanes(3, 8))
   }
+
+  test("pcaProject: deterministic, leading-variance first, preserves dominant axis") {
+    // data stretched along a known axis: x spread 100×, y spread 1×, z≈0 —
+    // pc1 must recover the x axis (up to the canonical sign, positive lead)
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 200L).map { i =>
+      (i, Array((rnd.nextGaussian() * 100).toFloat,
+        rnd.nextGaussian().toFloat, 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Vectors.pcaProject(df, "vec_id", "embedding", kDims = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 200)
+    // pc1 carries the spread: its sample variance dwarfs pc2's
+    def variance(xs: Seq[Double]): Double = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    val v1 = variance(out.map(_._2.toDouble))
+    val v2 = variance(out.map(_._3.toDouble))
+    assert(v1 > 100 * v2, s"pc1 var $v1 not >> pc2 var $v2")
+    // pc1 ≈ ±x (milli): projection correlates almost perfectly with x
+    val xs = rows.map(_._2(0).toDouble)
+    val ps = out.map(_._2.toDouble / 1000.0)
+    val corr = {
+      val mx = xs.sum / xs.size; val mp = ps.sum / ps.size
+      val cov = xs.zip(ps).map { case (a, b) => (a - mx) * (b - mp) }.sum
+      cov / math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum *
+        ps.map(b => (b - mp) * (b - mp)).sum)
+    }
+    assert(math.abs(corr) > 0.999, s"pc1/x correlation $corr")
+    // sign canon: the largest-|loading| coordinate is positive, so the
+    // projection has POSITIVE correlation with x
+    assert(corr > 0, s"sign canon should align pc1 with +x, corr=$corr")
+    // deterministic across calls
+    val out2 = Vectors.pcaProject(df, "vec_id", "embedding", kDims = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == out2.toSeq)
+  }
 }
