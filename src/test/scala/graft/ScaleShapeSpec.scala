@@ -114,6 +114,42 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!plan(coded).contains("Exchange"), plan(coded))
   }
 
+  test("new-op plan shapes: DSIR no global sort, SemDeDup no all-pairs, CMS no token shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+
+    // DSIR: the k-th-key cut must be TakeOrdered (bounded per-partition
+    // top-k merged on the driver), never a global range sort; the bucket
+    // ratio table must come back as a broadcast join
+    val w = graft.ops.Sampling.dsirWeights(docs, $"doc_id", $"text",
+      $"source" === "src0")
+    val rs = graft.ops.Sampling.dsirResample(w, "id", "w_milli", k = 10)
+    val rp = plan(rs)
+    assert(!rp.contains("rangepartitioning"), rp) // no global sort exchange
+    assert(rp.contains("TakeOrderedAndProject"), rp)
+    assert(rp.contains("BroadcastHashJoin"), rp)
+
+    // SemDeDup pair generation: equi-join on the cell key — a self-join
+    // resolution bug would degrade it to all-pairs
+    val sd = graft.ops.Dedup.semanticDedup(emb, "vec_id", "embedding",
+      threshold = 0.4, nCells = 4)
+    val sp = plan(sd)
+    assert(!sp.contains("CartesianProduct") && !sp.contains("NestedLoopJoin"), sp)
+
+    // CMS heavy hitters: the only groupBy is over SAMPLED candidates —
+    // the full token stream feeds one partial_count_min_sketch aggregate,
+    // never a per-token hash shuffle of every occurrence. The sample
+    // filter must sit under the candidate aggregate.
+    val hh = graft.ops.Profile.heavyHittersCms(docs, $"doc_id", $"text",
+      k = 10)
+    val hp = plan(hh)
+    assert(hp.contains("TakeOrderedAndProject"), hp)
+    assert("hashpartitioning".r.findAllIn(hp).size <= 1,
+      s"more than one hash shuffle in the candidate path:\n$hp")
+  }
+
   test("filters and projections reach the parquet scan (pushdown proof)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
