@@ -811,10 +811,11 @@ object SparkEntry {
     "dedup_semantic" -> { (s, dir) =>
       // SemDeDup (Abbas et al. 2023): k-means cells block the pair join,
       // each semantic-dup group keeps its lowest-centroid-cosine member.
-      // Rows-only (k-means is not oracle-expressible); group membership /
-      // keep-rule / recall-vs-exact pinned in DedupSpec.
-      Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4)
+      // Runs off the SAVED quantizer (shared with ann_ivf_topk — the
+      // fit is an offline artifact, a dedup run never refits). Rows-only
+      // (k-means is not oracle-expressible); group membership / keep-rule
+      // / recall-vs-exact pinned in DedupSpec.
+      Dedup.semanticDedup(ivfIndexFor(s, dir), threshold = 0.4)
     },
 
     "ann_bruteforce_topk" -> { (s, dir) =>

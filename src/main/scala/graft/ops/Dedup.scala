@@ -362,9 +362,16 @@ object Dedup {
     * implicitly kept. Deterministic given `seed`: group = min member id,
     * survivor tie-break is (centroid_cos, id). */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int = 16, seed: Long = 42L): DataFrame = {
-    val idx = Vectors.ivfBuild(df, idCol, vecCol, nCells, seed = seed)
-    val spark = df.sparkSession
+      threshold: Double, nCells: Int = 16, seed: Long = 42L): DataFrame =
+    semanticDedup(Vectors.ivfBuild(df, idCol, vecCol, nCells, seed = seed),
+      threshold)
+
+  /** SemDeDup over a PREBUILT (or [[Vectors.ivfLoad]]-ed) quantizer —
+    * the corpus-scale entry point: the k-means fit is an offline
+    * artifact shared with the ANN index, so a dedup run costs only the
+    * within-cell pair join + components, never a refit. */
+  def semanticDedup(idx: Vectors.IvfIndex, threshold: Double): DataFrame = {
+    val spark = idx.assigned.sparkSession
     import spark.implicits._
     val centroids = idx.centroids
       .map { case (vec, cell) => (cell, vec) }.toSeq
