@@ -1348,6 +1348,29 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "n_uniq", "n_stop", "drop_reasons", "keep")
     },
 
+    "curate_training_mix" -> { (s, dir) =>
+      // the training-mix pipeline composed end-to-end from library ops:
+      // Dolma-style rule gate → DSIR weights against the src0 target →
+      // per-source token-budget fill in importance order. Every stage is
+      // deterministic, the oracle replays the whole chain in SQL.
+      val tagged = t(s, dir, "documents").select(
+        col("doc_id") +: col("source") +: col("text") +:
+          TextAnalysis.qualityScore(col("text")): _*)
+      val gated = Tagging.applyRules(tagged, Seq(
+          "too_short" -> (col("n_tokens") >= 40),
+          "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
+          "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+        .filter(col("keep"))
+      val w = Sampling.dsirWeights(gated, col("doc_id"), col("text"),
+        col("source") === "src0")
+      val sel = gated.select(col("doc_id"), col("source"), col("n_tokens"))
+        .join(w.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+      Sampling.takeTokenBudgetOrdered(sel,
+          Seq(col("w_milli").desc, col("doc_id").asc),
+          col("source"), col("n_tokens"), lit(2000))
+        .select("doc_id", "source", "n_tokens", "w_milli", "cum_tokens")
+    },
+
     "curate_tag_stats" -> { (s, dir) =>
       // the per-rule cost rollup over the same rule set: how much corpus
       // each rule removes — the number that tunes thresholds
@@ -2832,6 +2855,46 @@ object SparkEntry {
            (n_tokens >= 40 AND n_uniq * 10 >= n_tokens * 3 AND
              n_stop * 100 >= n_tokens * 2) AS keep
          FROM c""",
+
+    "curate_training_mix" ->
+      """WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, source, toks, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t),
+         g AS (SELECT doc_id, source, toks, n_tokens FROM c
+           WHERE n_tokens >= 40 AND n_uniq * 10 >= n_tokens * 3 AND
+             n_stop * 100 >= n_tokens * 2),
+         f AS (SELECT doc_id, source, n_tokens,
+           list_concat(toks, list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS feats
+           FROM g),
+         ex AS (SELECT doc_id, source, unnest(feats) AS tok FROM f),
+         exb AS (SELECT doc_id, source, substr(md5(tok), 1, 3) AS bkt FROM ex),
+         st AS (SELECT bkt,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             count(*) AS cr
+           FROM exb GROUP BY bkt),
+         tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+             CAST(sum(cr) AS BIGINT) AS nr FROM st),
+         lr AS (SELECT bkt,
+             CAST(floor(1000 * (ln((ct + 1.0) / (nt + 4096.0)) -
+               ln((cr + 1.0) / (nr + 4096.0)))) AS BIGINT) AS lr_milli
+           FROM st, tot),
+         w AS (SELECT doc_id, CAST(sum(lr_milli) AS BIGINT) AS w_milli
+           FROM exb JOIN lr USING (bkt) GROUP BY doc_id),
+         sel AS (SELECT g.doc_id, g.source, g.n_tokens, w.w_milli
+           FROM g JOIN w ON g.doc_id = w.doc_id),
+         b AS (SELECT doc_id, source, n_tokens, w_milli,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+               ORDER BY w_milli DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+           FROM sel)
+         SELECT doc_id, source, n_tokens, w_milli, cum_tokens
+         FROM b WHERE cum_tokens - n_tokens < 2000""",
 
     "curate_tag_stats" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
