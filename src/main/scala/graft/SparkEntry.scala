@@ -695,6 +695,18 @@ object SparkEntry {
       s.table(name)
     },
 
+    "t7_stream_curate" -> { (s, dir) =>
+      // the Dolma rule gate run as an ACTUAL stream (stateless projection
+      // → micro-batch-order-independent, so the batch SQL is the oracle)
+      val name = s"graft_t7_curate_${streamRuns.incrementAndGet()}"
+      val q = graft.streaming.CurateStream.runCurateNow(s, dir, name, Seq(
+        "too_short" -> (col("n_tokens") >= 40),
+        "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
+        "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+      q.awaitTermination()
+      s.table(name)
+    },
+
     "rag_chunk_documents" -> { (s, dir) =>
       // RAG chunking (north star): 64-token windows, stride 48
       Chunker.chunkByTokens(
@@ -2847,6 +2859,24 @@ object SparkEntry {
              ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
            FROM t)
          SELECT doc_id, n_tokens, n_uniq, n_stop,
+           concat_ws(',',
+             CASE WHEN NOT (n_tokens >= 40) THEN 'too_short' END,
+             CASE WHEN NOT (n_uniq * 10 >= n_tokens * 3) THEN 'low_diversity' END,
+             CASE WHEN NOT (n_stop * 100 >= n_tokens * 2)
+               THEN 'no_stopword_evidence' END) AS drop_reasons,
+           (n_tokens >= 40 AND n_uniq * 10 >= n_tokens * 3 AND
+             n_stop * 100 >= n_tokens * 2) AS keep
+         FROM c""",
+
+    "t7_stream_curate" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t)
+         SELECT doc_id, n_tokens,
            concat_ws(',',
              CASE WHEN NOT (n_tokens >= 40) THEN 'too_short' END,
              CASE WHEN NOT (n_uniq * 10 >= n_tokens * 3) THEN 'low_diversity' END,

@@ -93,4 +93,22 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == List(("a", ts(0)), ("a", ts(65)), ("x", ts(60))).sorted)
     } finally q.stop()
   }
+
+  test("streaming curation gate equals the batch rule application") {
+    import graft.streaming.CurateStream
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rules = Seq(
+      "too_short" -> (col("n_tokens") >= 40),
+      "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3))
+    val q = CurateStream.runCurateNow(spark, dir, "curate_stream_out", rules)
+    q.awaitTermination()
+    val streamed = spark.table("curate_stream_out")
+      .collect().map(_.toSeq).toSet
+    val batch = CurateStream.curate(
+        spark.read.parquet(s"$dir/documents.parquet"), rules)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
