@@ -869,6 +869,16 @@ object SparkEntry {
         "vec_id", "vec_id", "embedding", "embedding", k = 5)
     },
 
+    "ann_knn_graph" -> { (s, dir) =>
+      // corpus self-kNN graph (every doc's 3 nearest neighbors) over the
+      // LSH bucket path — the input to graph clustering / dataset
+      // cartography. Queries ARE the corpus: the bucket equi-join keeps
+      // the pair stream bounded, never all-pairs.
+      val e = t(s, dir, "embeddings")
+      Vectors.annLshTopK(e, e, "vec_id", "vec_id", "embedding", "embedding",
+        k = 3)
+    },
+
     "ann_recall_eval" -> { (s, dir) =>
       // the ANN evaluation loop, driver-checked: recall@5 of the
       // hyperplane-LSH result against the brute-force exact result per
@@ -1573,6 +1583,17 @@ object SparkEntry {
            FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id
            WHERE q.vec_id < 8)
          WHERE rk <= 5""",
+
+    "ann_knn_graph" ->
+      s"""WITH b AS (SELECT vec_id, embedding, $lshPlaneSql AS bucket
+           FROM embeddings)
+         SELECT qid, cid, rk FROM (
+           SELECT q.vec_id AS qid, e.vec_id AS cid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+                        e.vec_id) AS rk
+           FROM b q JOIN b e ON q.bucket = e.bucket AND q.vec_id <> e.vec_id)
+         WHERE rk <= 3""",
 
     "ann_recall_eval" ->
       s"""WITH b AS (SELECT vec_id, embedding, $lshPlaneSql AS bucket
