@@ -35,6 +35,16 @@ object SparkEntry {
     * reads as a long under `spark.sql.legacy.parquet.nanosAsLong`; all
     * generator values are micro-aligned, so the conversion is lossless —
     * oracle side mirrors it with make_timestamp(epoch_us(ts))). */
+  /** The ONE curation rule set shared by curate_tagged /
+    * curate_tag_stats / curate_training_mix / t7_stream_curate — the
+    * four queries must gate identically or the per-rule stats describe
+    * a different corpus than the filter produces. Mirrored verbatim in
+    * each query's oracle SQL. */
+  private def curationRules: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "too_short" -> (col("n_tokens") >= 40),
+    "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
+    "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2))
+
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
@@ -699,10 +709,8 @@ object SparkEntry {
       // the Dolma rule gate run as an ACTUAL stream (stateless projection
       // → micro-batch-order-independent, so the batch SQL is the oracle)
       val name = s"graft_t7_curate_${streamRuns.incrementAndGet()}"
-      val q = graft.streaming.CurateStream.runCurateNow(s, dir, name, Seq(
-        "too_short" -> (col("n_tokens") >= 40),
-        "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
-        "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+      val q = graft.streaming.CurateStream.runCurateNow(s, dir, name,
+        curationRules)
       q.awaitTermination()
       s.table(name)
     },
@@ -1363,10 +1371,7 @@ object SparkEntry {
       // audit trail (WHICH rule killed WHICH doc), not just a boolean
       val tagged = t(s, dir, "documents").select(
         col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
-      Tagging.applyRules(tagged, Seq(
-          "too_short" -> (col("n_tokens") >= 40),
-          "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
-          "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+      Tagging.applyRules(tagged, curationRules)
         .select("doc_id", "n_tokens", "n_uniq", "n_stop", "drop_reasons", "keep")
     },
 
@@ -1378,10 +1383,7 @@ object SparkEntry {
       val tagged = t(s, dir, "documents").select(
         col("doc_id") +: col("source") +: col("text") +:
           TextAnalysis.qualityScore(col("text")): _*)
-      val gated = Tagging.applyRules(tagged, Seq(
-          "too_short" -> (col("n_tokens") >= 40),
-          "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
-          "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+      val gated = Tagging.applyRules(tagged, curationRules)
         .filter(col("keep"))
       val w = Sampling.dsirWeights(gated, col("doc_id"), col("text"),
         col("source") === "src0")
@@ -1398,10 +1400,7 @@ object SparkEntry {
       // each rule removes — the number that tunes thresholds
       val tagged = t(s, dir, "documents").select(
         col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
-      val curated = Tagging.applyRules(tagged, Seq(
-        "too_short" -> (col("n_tokens") >= 40),
-        "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
-        "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2)))
+      val curated = Tagging.applyRules(tagged, curationRules)
       Tagging.ruleStats(curated)
         .select(col("reason"), col("n_dropped").cast("long").as("n_dropped"))
     },

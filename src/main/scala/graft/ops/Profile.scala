@@ -90,12 +90,20 @@ object Profile {
     * sampleRate · kthCount ≫ minSampleCount — at 100 TB even 1-per-myriad
     * leaves thousands of sample hits per real heavy hitter.
     *
-    * Output: (tok, est_count), top-k by (est desc, tok asc). */
+    * Output: (tok, est_count), top-k by (est desc, tok asc).
+    *
+    * EAGER: the sketch pass runs at CALL time (the bytes must reach the
+    * driver before the candidate frame can reference them) — like
+    * [[Vectors.ivfBuild]], construct-and-discard is not free. The token
+    * stream is persisted across the sketch and candidate passes and
+    * stays cached until the session clears it (Verify/Bench clear per
+    * query; library callers manage the session cache). */
   def heavyHittersCms(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, eps: Double = 1e-4, confidence: Double = 0.99,
       samplePerMyriad: Int = 1000, minSampleCount: Int = 2): DataFrame = {
     val occ = df.select(idCol.as("__id"),
       posexplode(split(trim(textCol), "\\s+")).as(Seq("__pos", "tok")))
+      .persist()
     val cmsBytes = occ
       .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence),
         lit(42)).as("cms"))

@@ -219,7 +219,10 @@ object Sampling {
     * collect), the ratio table broadcasts back onto the token stream,
     * one per-doc sum. Linear in corpus tokens.
     *
-    * Output: (id, w_milli) — one row per input row. */
+    * Output: (id, w_milli) — one row per input row with NON-NULL text
+    * (null text explodes to no feature rows, so the doc gets no weight —
+    * the oracle drops it identically; coalesce upstream to score nulls
+    * as empty docs). */
   def dsirWeights(df: DataFrame, keyCol: Column, textCol: Column,
       isTarget: Column): DataFrame = {
     val nBuckets = 4096 // 16^3: 3 hex chars of md5
@@ -266,15 +269,16 @@ object Sampling {
     val u = (hashBucket(col(idCol).cast("string"), 10000000).cast("double") +
       0.5) / 1e7
     val keyed = weighted.withColumn("key_milli",
-      (col(wCol) + floor(lit(1000.0) * -log(-log(u))).cast("long")).as("key_milli"))
+      col(wCol) + floor(lit(1000.0) * -log(-log(u))).cast("long"))
     // total order (key desc, id asc) rendered as a struct so the k-th
-    // element is a single min() over the TakeOrdered prefix
-    def ord(d: DataFrame) = struct(col("key_milli"), (lit(0L) - col(idCol)).as("nid"))
+    // element is a single min() over the TakeOrdered prefix; resolution
+    // is by name against whichever frame the expression lands in
+    val ordExpr = struct(col("key_milli"), (lit(0L) - col(idCol)).as("nid"))
     val kth = keyed.orderBy(col("key_milli").desc, col(idCol).asc).limit(k)
-      .agg(min(ord(keyed)).as("__kth"))
+      .agg(min(ordExpr).as("__kth"))
     keyed.crossJoin(broadcast(kth))
       // null kth = empty input; nothing to keep
-      .withColumn("kept", coalesce(ord(keyed) >= col("__kth"), lit(false)))
+      .withColumn("kept", coalesce(ordExpr >= col("__kth"), lit(false)))
       .drop("__kth")
   }
 }

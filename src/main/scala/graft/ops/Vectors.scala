@@ -100,6 +100,18 @@ object Vectors {
       when(dot(vec, typedlit(planes(i))) > 0, lit(1 << i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** Cap an ML fit input at `maxRows` via a seed-fixed sample — the
+    * shared bounded-fit discipline of every estimator here (KMeans, PCA):
+    * an iterative fit over the full corpus is a multi-pass 100 TB job to
+    * estimate what a bounded sample estimates at fixed cost. Costs one
+    * count() pass to size the fraction. */
+  private[ops] def boundedFitSample(df: DataFrame, maxRows: Long,
+      seed: Long): DataFrame = {
+    val n = df.count()
+    if (n <= maxRows) df
+    else df.sample(withReplacement = false, maxRows.toDouble / n, seed)
+  }
+
   /** A prebuilt IVF (inverted-file) coarse quantizer: the centroid table
     * (driver-side, nCells rows) plus the cell-assigned corpus. Build once
     * with [[ivfBuild]], query many times with [[annIvfTopK]] — the
@@ -121,9 +133,7 @@ object Vectors {
       seed: Long = 42L): IvfIndex = {
     val asVec = corpus.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))
       .withColumn("__features", array_to_vector(col("cv").cast("array<double>")))
-    val n = asVec.count()
-    val fitDf = if (n <= fitSampleRows) asVec
-      else asVec.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+    val fitDf = boundedFitSample(asVec, fitSampleRows, seed)
     val km = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("__features").setPredictionCol("cell")
       .fit(fitDf)
@@ -281,9 +291,7 @@ object Vectors {
       fitSampleRows: Long = 100000L, seed: Long = 42L): DataFrame = {
     val asVec = df.select(col(idCol).as("id"),
       array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
-    val n = asVec.count()
-    val fitDf = if (n <= fitSampleRows) asVec
-      else asVec.sample(withReplacement = false, fitSampleRows.toDouble / n, seed)
+    val fitDf = boundedFitSample(asVec, fitSampleRows, seed)
     val model = new org.apache.spark.ml.feature.PCA()
       .setK(kDims).setInputCol("__features").setOutputCol("__proj")
       .fit(fitDf)

@@ -160,12 +160,14 @@ class OpsSpec extends AnyFunSuite {
 
   test("Tagging: reasons in rule order, null attrs fail closed, stats count drops") {
     import graft.ops.Tagging
-    val df = Seq(
+    val base = Seq(
       (1L, Some(50), Some(40)),  // passes both
       (2L, Some(5), Some(40)),   // fails min_n
       (3L, Some(5), None),       // fails min_n AND null uniq → both reasons
       (4L, Some(50), Some(1))    // fails diversity
-    ).toDF("id", "n", "u")
+    ).toDF("id", "n_raw", "u_raw")
+    val df = Tagging.tagAttributes(base,
+      Seq("n" -> $"n_raw", "u" -> $"u_raw" * 1)).drop("n_raw", "u_raw")
     val out = Tagging.applyRules(df, Seq(
         "min_n" -> ($"n" >= 10),
         "diverse" -> ($"u" >= 20)))
