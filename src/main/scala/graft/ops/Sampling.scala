@@ -217,7 +217,11 @@ object Sampling {
     * Scale shape: one explode + one hash-shuffle groupBy for bucket
     * stats (≤4096 rows), totals ride a broadcast cross join (no driver
     * collect), the ratio table broadcasts back onto the token stream,
-    * one per-doc sum. Linear in corpus tokens.
+    * one per-doc sum. Linear in corpus tokens. The narrow
+    * (id, is_target, bucket) projection is persisted across the stats
+    * and scoring passes — ~12 bytes/token instead of re-tokenizing the
+    * corpus; it stays cached until the session clears it (Verify/Bench
+    * clear per query; library callers manage the session cache).
     *
     * Output: (id, w_milli) — one row per input row with NON-NULL text
     * (null text explodes to no feature rows, so the doc gets no weight —
@@ -236,6 +240,8 @@ object Sampling {
           (a, b) => concat(a, lit(" "), b))).as("__f"))
       .select(col("id"), col("is_t"), explode(col("__f")).as("tok"))
       .withColumn("bkt", substring(md5(col("tok")), 1, 3))
+      .select("id", "is_t", "bkt")
+      .persist()
     val stats = ex.groupBy("bkt").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
