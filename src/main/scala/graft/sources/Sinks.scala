@@ -59,4 +59,30 @@ object Sinks {
       (ok.count(), bad.count())
     } finally { cached.unpersist() }
   }
+
+  /** Small-files compaction: rewrite a JSONL directory into files of
+    * ≈`targetBytesPerFile`. The many-tiny-files problem is THE
+    * operational tax of per-batch/streaming sinks at scale — every
+    * downstream scan pays a task per file and the metadata layer pays an
+    * entry — and the fix is this periodic rewrite. Output partition
+    * count is sized by the ACTUAL serialized byte volume (sum of JSON
+    * line lengths, one aggregate pass), not row count, so mixed-width
+    * corpora compact evenly; the repartition is a round-robin exchange
+    * keyed by nothing (no skew possible). Returns the partition count
+    * written. */
+  def compactJsonl(spark: org.apache.spark.sql.SparkSession, inDir: String,
+      outDir: String, schema: org.apache.spark.sql.types.StructType,
+      targetBytesPerFile: Long): Int = {
+    require(targetBytesPerFile > 0, "targetBytesPerFile must be positive")
+    val df = spark.read.schema(schema).json(inDir)
+    val line = length(to_json(struct(df.columns.map(col): _*))) + lit(1) // +\n
+    val total = df.agg(sum(line.cast("long"))).collect()(0) match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val parts = math.max(1, math.ceil(
+      total.toDouble / targetBytesPerFile).toInt)
+    df.repartition(parts).write.mode("overwrite").json(outDir)
+    parts
+  }
 }

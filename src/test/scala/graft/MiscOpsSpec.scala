@@ -123,6 +123,39 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("compactJsonl: tiny files merge to byte-sized partitions, rows survive") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    try {
+      // fragment: 25 files for 50 rows
+      docs.repartition(25).write.mode("overwrite").json(s"$tmp/in")
+      val inFiles = new java.io.File(s"$tmp/in").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(inFiles == 25)
+      val parts = Sinks.compactJsonl(spark, s"$tmp/in", s"$tmp/out",
+        docs.schema, targetBytesPerFile = 64 * 1024)
+      val outFiles = new java.io.File(s"$tmp/out").listFiles()
+        .count(_.getName.startsWith("part-"))
+      assert(outFiles == parts)
+      assert(outFiles < inFiles, s"no compaction: $outFiles vs $inFiles")
+      // sizing: ceil(totalBytes / target) partitions
+      val total = spark.read.schema(docs.schema).json(s"$tmp/in")
+        .select((length(to_json(struct(col("doc_id"), col("text")))) + 1)
+          .cast("long").as("b"))
+        .agg(sum("b")).as[Long].head()
+      assert(parts == math.max(1, math.ceil(total / 65536.0).toInt))
+      // row content survives the rewrite
+      val a = docs.collect().map(_.toSeq).toSet
+      val b = spark.read.schema(docs.schema).json(s"$tmp/out")
+        .collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
+
   test("heavyHittersCms: estimates bound true counts, catches the true top tokens") {
     import graft.ops.Profile
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
