@@ -149,6 +149,16 @@ class DedupSpec extends AnyFunSuite {
         s"(covered $coveredPairs of ${exact.size})")
   }
 
+  test("semanticDedup: a corpus with no near-dups yields no groups") {
+    // orthogonal-ish random vectors at a high threshold: no pair survives
+    val rnd = new scala.util.Random(3)
+    val df = (0L until 12L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+      threshold = 0.999, nCells = 2)
+    assert(out.count() == 0)
+  }
+
   test("spanDupCoverage: cross-doc spans, within-doc repeats, island merging") {
     import graft.ops.Dedup
     val df = Seq(

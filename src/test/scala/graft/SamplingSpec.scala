@@ -143,6 +143,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(minKept >= maxDropped)
   }
 
+  test("dsirResample: empty input keeps nothing instead of null-flagging") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "w_milli")
+    val out = Sampling.dsirResample(empty, "id", "w_milli", k = 5)
+    assert(out.count() == 0)
+    // and a single row is kept when k >= n
+    val one = Seq((7L, 100L)).toDF("id", "w_milli")
+    val kept = Sampling.dsirResample(one, "id", "w_milli", k = 5)
+      .select("kept").as[Boolean].collect()
+    assert(kept.toSeq == Seq(true))
+  }
+
   test("repetitionStats: hand-computed bigram fractions") {
     val df = Seq(
       (1L, "a b a b a"),          // bigrams: ab,ba,ab,ba → top 2/4, dup 4/4
