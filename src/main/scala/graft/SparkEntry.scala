@@ -881,7 +881,11 @@ object SparkEntry {
       // corpus self-kNN graph (every doc's 3 nearest neighbors) over the
       // LSH bucket path — the input to graph clustering / dataset
       // cartography. Queries ARE the corpus: the bucket equi-join keeps
-      // the pair stream bounded, never all-pairs.
+      // the pair stream bounded, never all-pairs. nPlanes stays at the
+      // oracle's 4 (16 buckets) for this corpus size; at scale raise it
+      // so 2^nPlanes ≫ shuffle parallelism — bucket count IS the join's
+      // key cardinality, and 16 keys would serialize a 1000-executor
+      // shuffle (the op takes nPlanes for exactly this dial).
       val e = t(s, dir, "embeddings")
       Vectors.annLshTopK(e, e, "vec_id", "vec_id", "embedding", "embedding",
         k = 3)
