@@ -30,11 +30,6 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events with the nanos-precision `ts` surfaced as a micros TIMESTAMP
-    * (the driver tables store ts as parquet TIMESTAMP(NANOS), which Spark
-    * reads as a long under `spark.sql.legacy.parquet.nanosAsLong`; all
-    * generator values are micro-aligned, so the conversion is lossless —
-    * oracle side mirrors it with make_timestamp(epoch_us(ts))). */
   /** The ONE curation rule set shared by curate_tagged /
     * curate_tag_stats / curate_training_mix / t7_stream_curate — the
     * four queries must gate identically or the per-rule stats describe
@@ -45,6 +40,11 @@ object SparkEntry {
     "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
     "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2))
 
+  /** events with the nanos-precision `ts` surfaced as a micros TIMESTAMP
+    * (the driver tables store ts as parquet TIMESTAMP(NANOS), which Spark
+    * reads as a long under `spark.sql.legacy.parquet.nanosAsLong`; all
+    * generator values are micro-aligned, so the conversion is lossless —
+    * oracle side mirrors it with make_timestamp(epoch_us(ts))). */
   private def events(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
@@ -2884,12 +2884,13 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, n_tokens, n_uniq, n_stop,
            concat_ws(',',
-             CASE WHEN NOT (n_tokens >= 40) THEN 'too_short' END,
-             CASE WHEN NOT (n_uniq * 10 >= n_tokens * 3) THEN 'low_diversity' END,
-             CASE WHEN NOT (n_stop * 100 >= n_tokens * 2)
+             CASE WHEN NOT coalesce(n_tokens >= 40, FALSE) THEN 'too_short' END,
+             CASE WHEN NOT coalesce(n_uniq * 10 >= n_tokens * 3, FALSE) THEN 'low_diversity' END,
+             CASE WHEN NOT coalesce(n_stop * 100 >= n_tokens * 2, FALSE)
                THEN 'no_stopword_evidence' END) AS drop_reasons,
-           (n_tokens >= 40 AND n_uniq * 10 >= n_tokens * 3 AND
-             n_stop * 100 >= n_tokens * 2) AS keep
+           (coalesce(n_tokens >= 40, FALSE) AND
+             coalesce(n_uniq * 10 >= n_tokens * 3, FALSE) AND
+             coalesce(n_stop * 100 >= n_tokens * 2, FALSE)) AS keep
          FROM c""",
 
     "t7_stream_curate" ->
@@ -2902,12 +2903,13 @@ object SparkEntry {
            FROM t)
          SELECT doc_id, n_tokens,
            concat_ws(',',
-             CASE WHEN NOT (n_tokens >= 40) THEN 'too_short' END,
-             CASE WHEN NOT (n_uniq * 10 >= n_tokens * 3) THEN 'low_diversity' END,
-             CASE WHEN NOT (n_stop * 100 >= n_tokens * 2)
+             CASE WHEN NOT coalesce(n_tokens >= 40, FALSE) THEN 'too_short' END,
+             CASE WHEN NOT coalesce(n_uniq * 10 >= n_tokens * 3, FALSE) THEN 'low_diversity' END,
+             CASE WHEN NOT coalesce(n_stop * 100 >= n_tokens * 2, FALSE)
                THEN 'no_stopword_evidence' END) AS drop_reasons,
-           (n_tokens >= 40 AND n_uniq * 10 >= n_tokens * 3 AND
-             n_stop * 100 >= n_tokens * 2) AS keep
+           (coalesce(n_tokens >= 40, FALSE) AND
+             coalesce(n_uniq * 10 >= n_tokens * 3, FALSE) AND
+             coalesce(n_stop * 100 >= n_tokens * 2, FALSE)) AS keep
          FROM c""",
 
     "curate_training_mix" ->
@@ -2959,9 +2961,9 @@ object SparkEntry {
              ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
            FROM t),
          d AS (SELECT doc_id, concat_ws(',',
-             CASE WHEN NOT (n_tokens >= 40) THEN 'too_short' END,
-             CASE WHEN NOT (n_uniq * 10 >= n_tokens * 3) THEN 'low_diversity' END,
-             CASE WHEN NOT (n_stop * 100 >= n_tokens * 2)
+             CASE WHEN NOT coalesce(n_tokens >= 40, FALSE) THEN 'too_short' END,
+             CASE WHEN NOT coalesce(n_uniq * 10 >= n_tokens * 3, FALSE) THEN 'low_diversity' END,
+             CASE WHEN NOT coalesce(n_stop * 100 >= n_tokens * 2, FALSE)
                THEN 'no_stopword_evidence' END) AS drop_reasons
            FROM c),
          r AS (SELECT unnest(string_split(drop_reasons, ',')) AS reason

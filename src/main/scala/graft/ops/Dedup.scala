@@ -366,6 +366,27 @@ object Dedup {
     semanticDedup(Vectors.ivfBuild(df, idCol, vecCol, nCells, seed = seed),
       threshold)
 
+  /** The within-cell cosine pair stage of [[semanticDedup]], exposed so
+    * its join shape is independently plan-checkable — the components
+    * tail checkpoints lineage per round, which would hide a degraded
+    * pair join from the final plan. Output: (i, j) with i < j, cosine ≥
+    * `threshold`, same-cell only. */
+  def semanticPairs(idx: Vectors.IvfIndex, threshold: Double): DataFrame = {
+    // assigned: (cid, cv, cn, cell) from ivfBuild
+    val docs = idx.assigned
+      .withColumn("cvd", col("cv").cast("array<double>"))
+    val a = fanout(docs.select(col("cell"), col("cid").as("i"),
+      col("cvd").as("v_i"), col("cn").as("n_i")))
+    val b = docs.select(col("cell").as("cell_j"), col("cid").as("j"),
+      col("cvd").as("v_j"), col("cn").as("n_j"))
+    a.join(maybeBroadcast(b),
+        col("cell") === col("cell_j") && col("i") < col("j"))
+      .select(col("i"), col("j"),
+        (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"))
+  }
+
   /** SemDeDup over a PREBUILT (or [[Vectors.ivfLoad]]-ed) quantizer —
     * the corpus-scale entry point: the k-means fit is an offline
     * artifact shared with the ANN index, so a dedup run costs only the
@@ -377,20 +398,9 @@ object Dedup {
       .map { case (vec, cell) => (cell, vec) }.toSeq
       .toDF("cell", "centroid")
       .withColumn("c_norm", Vectors.norm(col("centroid")))
-    // assigned: (cid, cv, cn, cell) from ivfBuild
     val docs = idx.assigned
       .withColumn("cvd", col("cv").cast("array<double>"))
-    val a = fanout(docs.select(col("cell"), col("cid").as("i"),
-      col("cvd").as("v_i"), col("cn").as("n_i")))
-    val b = docs.select(col("cell").as("cell_j"), col("cid").as("j"),
-      col("cvd").as("v_j"), col("cn").as("n_j"))
-    val pairs = a.join(maybeBroadcast(b),
-        col("cell") === col("cell_j") && col("i") < col("j"))
-      .select(col("i"), col("j"),
-        (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
-      .filter(col("cos") >= threshold)
-      .select(col("i"), col("j"))
-    val groups = Components.connectedComponents(pairs)
+    val groups = Components.connectedComponents(semanticPairs(idx, threshold))
     val withCentroidCos = groups
       .join(docs.select(col("cid").as("node"), col("cvd"), col("cn"), col("cell")), Seq("node"))
       .join(broadcast(centroids), Seq("cell"))

@@ -272,6 +272,12 @@ object Sampling {
     * Output: input columns + (key_milli, kept). */
   def dsirResample(weighted: DataFrame, idCol: String, wCol: String,
       k: Int): DataFrame = {
+    // the tie-break negates the id, so a non-numeric id would make the
+    // secondary sort key silently NULL and break the exactly-k contract
+    require(weighted.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"dsirResample needs a numeric '$idCol' for the total-order " +
+        s"tie-break; got ${weighted.schema(idCol).dataType}")
     val u = (hashBucket(col(idCol).cast("string"), 10000000).cast("double") +
       0.5) / 1e7
     val keyed = weighted.withColumn("key_milli",

@@ -75,7 +75,9 @@ object Sinks {
       targetBytesPerFile: Long): Int = {
     require(targetBytesPerFile > 0, "targetBytesPerFile must be positive")
     val df = spark.read.schema(schema).json(inDir)
-    val line = length(to_json(struct(df.columns.map(col): _*))) + lit(1) // +\n
+    // octet_length, not length: the writer emits UTF-8 BYTES, and a CJK
+    // corpus is ~3 bytes/char — char counting would triple file sizes
+    val line = octet_length(to_json(struct(df.columns.map(col): _*))) + lit(1) // +\n
     val total = df.agg(sum(line.cast("long"))).collect()(0) match {
       case r if r.isNullAt(0) => 0L
       case r => r.getLong(0)

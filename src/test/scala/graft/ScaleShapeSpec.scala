@@ -132,11 +132,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(rp.contains("BroadcastHashJoin"), rp)
 
     // SemDeDup pair generation: equi-join on the cell key — a self-join
-    // resolution bug would degrade it to all-pairs
-    val sd = graft.ops.Dedup.semanticDedup(emb, "vec_id", "embedding",
-      threshold = 0.4, nCells = 4)
-    val sp = plan(sd)
+    // resolution bug would degrade it to all-pairs. Assert on the PAIR
+    // stage itself: the components tail localCheckpoints per round, so
+    // the final frame's plan would hide a degenerated join.
+    val idx = graft.ops.Vectors.ivfBuild(emb, "vec_id", "embedding",
+      nCells = 4)
+    val sp = plan(graft.ops.Dedup.semanticPairs(idx, threshold = 0.4))
     assert(!sp.contains("CartesianProduct") && !sp.contains("NestedLoopJoin"), sp)
+    assert(sp.contains("Join") || sp.contains("BroadcastHashJoin"), sp)
 
     // CMS heavy hitters: the only groupBy is over SAMPLED candidates —
     // the full token stream feeds one partial_count_min_sketch aggregate,
