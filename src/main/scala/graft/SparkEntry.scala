@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.jdk.CollectionConverters._
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -703,6 +703,13 @@ object SparkEntry {
         Seq("user_id", "event_type"))
       q.awaitTermination()
       s.table(name)
+    },
+
+    "funnel_conversion" -> { (s, dir) =>
+      // windowFunnel-shaped ordered conversion: view → click → purchase
+      // within 1 h of the earliest view; one shuffle + per-user HOF walk
+      Funnel.funnelDepth(events(s, dir), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 3600L)
     },
 
     "t7_stream_curate" -> { (s, dir) =>
@@ -2892,6 +2899,28 @@ object SparkEntry {
              coalesce(n_uniq * 10 >= n_tokens * 3, FALSE) AND
              coalesce(n_stop * 100 >= n_tokens * 2, FALSE)) AS keep
          FROM c""",
+
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type,
+             make_timestamp(epoch_us(ts)) AS ts FROM events),
+         u1 AS (SELECT user_id, min(ts) AS t1 FROM e
+           WHERE event_type = 'view' GROUP BY user_id),
+         u2 AS (SELECT e.user_id, min(e.ts) AS t2
+           FROM e JOIN u1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > u1.t1
+             AND e.ts <= u1.t1 + INTERVAL 1 HOUR
+           GROUP BY e.user_id),
+         u3 AS (SELECT e.user_id, min(e.ts) AS t3
+           FROM e JOIN u1 USING (user_id) JOIN u2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+             AND e.ts <= u1.t1 + INTERVAL 1 HOUR
+           GROUP BY e.user_id)
+         SELECT u1.user_id, u1.t1,
+           CAST(1 + CAST(t2 IS NOT NULL AS INT) +
+             CAST(t3 IS NOT NULL AS INT) AS INT) AS depth
+         FROM u1
+         LEFT JOIN u2 ON u1.user_id = u2.user_id
+         LEFT JOIN u3 ON u1.user_id = u3.user_id""",
 
     "t7_stream_curate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel conversion — the ClickHouse `windowFunnel` staple of
+  * event analytics: for each user, how deep into a stage sequence
+  * (view → click → purchase …) their events got, with every later stage
+  * strictly after the previous one and the whole walk inside a time
+  * window anchored at stage 1.
+  *
+  * Semantics are EARLIEST-ANCHOR GREEDY: t1 = min ts of stage 1, then
+  * each next stage's earliest event with ts > t(prev) and
+  * ts ≤ t1 + window. Greedy-earliest is deterministic and identical to
+  * successive conditional mins — which is exactly how the SQL oracle
+  * replays it. (Like ClickHouse, it can under-count vs an optimal later
+  * anchor; that is the documented trade for a one-pass walk.)
+  *
+  * Scale shape: ONE shuffle (groupBy user, collect each user's stage
+  * events), then a codegen'd array_sort + aggregate HOF walks the
+  * bounded per-user list — never k joins for k stages, state is three
+  * scalars per user regardless of event count. Skew bound = the
+  * busiest user's event count, same as any per-entity session op.
+  */
+object Funnel {
+
+  /** (user, t1, depth) for every user who entered the funnel (depth ≥ 1
+    * means stage 1 was seen; depth = stages.length is full conversion).
+    * `windowSec` bounds the whole walk relative to t1. */
+  def funnelDepth(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, stages: Seq[String], windowSec: Long): DataFrame = {
+    require(stages.nonEmpty, "stages must be non-empty")
+    val k = stages.length
+    val windowMicros = windowSec * 1000000L
+    val stageIdx = stages.zipWithIndex.foldLeft(lit(0)) {
+      case (acc, (s, i)) => when(col(typeCol) === s, lit(i + 1)).otherwise(acc)
+    }
+    val evs = events
+      .select(col(userCol).as("user_id"), unix_micros(col(tsCol)).as("tsu"),
+        stageIdx.as("stage"))
+      .filter(col("stage") > 0)
+    val nullL = lit(null).cast("long")
+    val init = struct(lit(0).as("depth"), nullL.as("anchor"), nullL.as("last"))
+    val walk = (acc: Column, ev: Column) => {
+      val depth = acc.getField("depth")
+      val anchor = acc.getField("anchor")
+      val last = acc.getField("last")
+      val ts = ev.getField("tsu")
+      val st = ev.getField("stage")
+      val start = (depth === 0) && (st === 1)
+      val advance = (depth > 0) && (depth < k) && (st === depth + 1) &&
+        (ts > last) && (ts <= anchor + windowMicros)
+      struct(
+        when(start, lit(1)).when(advance, depth + 1).otherwise(depth).as("depth"),
+        when(start, ts).otherwise(anchor).as("anchor"),
+        when(start, ts).when(advance, ts).otherwise(last).as("last"))
+    }
+    evs.groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("tsu"), col("stage")))).as("evs"))
+      .select(col("user_id"),
+        aggregate(col("evs"), init, walk).as("w"))
+      .filter(col("w.depth") >= 1)
+      .select(col("user_id"),
+        expr("timestamp_micros(w.anchor)").as("t1"),
+        col("w.depth").as("depth"))
+  }
+}

@@ -123,6 +123,31 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnelDepth: hand-built walks — conversion, order, window, greedy anchor") {
+    import graft.ops.Funnel
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      s"2026-01-01 ${10 + min / 60}:${"%02d".format(min % 60)}:00")
+    val rows = Seq(
+      // u1: full conversion in order, inside the window
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // u2: click BEFORE view — must not count, depth stays 1
+      (2L, "click", ts(0)), (2L, "view", ts(10)),
+      // u3: purchase outside the 1h window of the anchor view
+      (3L, "view", ts(0)), (3L, "click", ts(10)), (3L, "purchase", ts(70)),
+      // u4: never entered (no view)
+      (4L, "click", ts(0)), (4L, "purchase", ts(5)),
+      // u5: greedy anchor — early lone view anchors the window, so the
+      // click at +65min is outside it even though a later view exists
+      (5L, "view", ts(0)), (5L, "view", ts(30)), (5L, "click", ts(65)),
+      // u6: same-timestamp click as the view — strictly-after fails
+      (6L, "view", ts(0)), (6L, "click", ts(0))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.funnelDepth(rows, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), windowSec = 3600L)
+      .select("user_id", "depth").as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1, 6L -> 1))
+  }
+
   test("compactJsonl: tiny files merge to byte-sized partitions, rows survive") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
