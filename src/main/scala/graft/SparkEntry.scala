@@ -712,6 +712,15 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowSec = 3600L)
     },
 
+    "retention_cohorts" -> { (s, dir) =>
+      // first-seen-day cohorts × day-offset distinct-active matrix;
+      // cohort emitted as yyyy-MM-dd text (pandas keeps Spark DATE as
+      // str but DuckDB DATE as datetime64 — stringify both sides)
+      Funnel.retentionCohorts(events(s, dir), "user_id", "ts")
+        .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          col("day_offset"), col("n_users").cast("long").as("n_users"))
+    },
+
     "t7_stream_curate" -> { (s, dir) =>
       // the Dolma rule gate run as an ACTUAL stream (stateless projection
       // → micro-batch-order-independent, so the batch SQL is the oracle)
@@ -2921,6 +2930,16 @@ object SparkEntry {
          FROM u1
          LEFT JOIN u2 ON u1.user_id = u2.user_id
          LEFT JOIN u3 ON u1.user_id = u3.user_id""",
+
+    "retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+             CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+         SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+           CAST(day - cohort AS INT) AS day_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1, 2""",
 
     "t7_stream_curate" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks

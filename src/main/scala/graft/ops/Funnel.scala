@@ -64,4 +64,20 @@ object Funnel {
         expr("timestamp_micros(w.anchor)").as("t1"),
         col("w.depth").as("depth"))
   }
+
+  /** Cohort retention matrix — the other event-analytics staple: users
+    * cohorted by first-seen day, and for each (cohort, day-offset) cell
+    * the count of distinct users active that many days after their
+    * first day. Two hash shuffles (first-seen min per user, then the
+    * cohort-cell distinct count); the user→cohort join keys on user_id
+    * so AQE sizes it, never a cartesian. */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val e = events.select(col(userCol).as("user_id"),
+      to_date(col(tsCol)).as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    e.join(first, Seq("user_id"))
+      .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }

@@ -148,6 +148,26 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1, 6L -> 1))
   }
 
+  test("retentionCohorts: hand-built cohort/offset matrix") {
+    import graft.ops.Funnel
+    def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
+      f"2026-01-${day}%02d $h%02d:00:00")
+    val rows = Seq(
+      (1L, ts(1, 9)), (1L, ts(1, 18)), (1L, ts(3, 9)),   // cohort d1: d0, d2
+      (2L, ts(1, 10)), (2L, ts(2, 10)),                  // cohort d1: d0, d1
+      (3L, ts(2, 11))                                    // cohort d2: d0
+    ).toDF("user_id", "ts")
+    val got = Funnel.retentionCohorts(rows, "user_id", "ts")
+      .select(date_format(col("cohort"), "yyyy-MM-dd"), col("day_offset"),
+        col("n_users"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("2026-01-01", 0, 2L),   // u1+u2 active on their first day
+      ("2026-01-01", 1, 1L),   // u2 returns next day
+      ("2026-01-01", 2, 1L),   // u1 returns two days later
+      ("2026-01-02", 0, 1L)))  // u3's cohort
+  }
+
   test("compactJsonl: tiny files merge to byte-sized partitions, rows survive") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
