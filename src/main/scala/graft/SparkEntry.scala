@@ -712,6 +712,13 @@ object SparkEntry {
         Seq("view", "click", "purchase"), windowSec = 3600L)
     },
 
+    "event_paths_topk" -> { (s, dir) =>
+      // top-20 three-step entry paths (the Sankey query); event_id is the
+      // unique tie-break so every user's path is deterministic
+      Funnel.topPaths(events(s, dir), "user_id", "event_type", "ts",
+        "event_id", pathLen = 3, k = 20)
+    },
+
     "retention_cohorts" -> { (s, dir) =>
       // first-seen-day cohorts × day-offset distinct-active matrix;
       // cohort emitted as yyyy-MM-dd text (pandas keeps Spark DATE as
@@ -2930,6 +2937,20 @@ object SparkEntry {
          FROM u1
          LEFT JOIN u2 ON u1.user_id = u2.user_id
          LEFT JOIN u3 ON u1.user_id = u3.user_id""",
+
+    "event_paths_topk" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+             make_timestamp(epoch_us(ts)) AS ts FROM events),
+         p AS (SELECT user_id, array_to_string(
+             list_slice(list(event_type ORDER BY ts, event_id), 1, 3), '>')
+             AS path
+           FROM e GROUP BY user_id),
+         c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_users
+           FROM p GROUP BY path)
+         SELECT path, n_users FROM (
+           SELECT path, n_users,
+             row_number() OVER (ORDER BY n_users DESC, path) AS rk FROM c)
+         WHERE rk <= 20""",
 
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id,

@@ -80,4 +80,26 @@ object Funnel {
       .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Top entry paths — the Sankey/path-analysis query: each user's first
+    * `pathLen` event types in time order (ties broken by `tieCol`, which
+    * must be unique per row for a deterministic path), counted and
+    * ranked. Two shuffles: per-user ordered collect, then the path
+    * count; top-k via TakeOrdered, never a global sort. The per-user
+    * state is bounded by `pathLen` after the slice, so a power user
+    * costs no more than anyone else downstream. */
+  def topPaths(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, pathLen: Int, k: Int): DataFrame = {
+    val paths = events
+      .select(col(userCol).as("user_id"), unix_micros(col(tsCol)).as("tsu"),
+        col(tieCol).as("tie"), col(typeCol).as("etype"))
+      .groupBy("user_id")
+      .agg(concat_ws(">", transform(
+        slice(array_sort(collect_list(struct(col("tsu"), col("tie"),
+          col("etype")))), 1, pathLen),
+        e => e.getField("etype"))).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+  }
 }

@@ -148,6 +148,26 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1, 6L -> 1))
   }
 
+  test("topPaths: ordered prefixes, tie-broken, short users keep short paths") {
+    import graft.ops.Funnel
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      s"2026-01-01 10:${"%02d".format(min)}:00")
+    val rows = Seq(
+      (1L, 10L, "view", ts(0)), (1L, 11L, "click", ts(1)), (1L, 12L, "buy", ts(2)),
+      (1L, 13L, "view", ts(3)),                       // 4th event ignored
+      (2L, 20L, "view", ts(0)), (2L, 21L, "click", ts(1)), (2L, 22L, "buy", ts(2)),
+      // u3: two events at the SAME ts — event_id breaks the tie
+      (3L, 31L, "b_second", ts(0)), (3L, 30L, "a_first", ts(0)),
+      (4L, 40L, "solo", ts(5))                        // 1-event path
+    ).toDF("user_id", "event_id", "event_type", "ts")
+    val got = Funnel.topPaths(rows, "user_id", "event_type", "ts",
+        "event_id", pathLen = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got.head == (("view>click>buy", 2L)))      // most common first
+    assert(got.contains(("a_first>b_second", 1L)))    // id-ordered tie
+    assert(got.contains(("solo", 1L)))
+  }
+
   test("retentionCohorts: hand-built cohort/offset matrix") {
     import graft.ops.Funnel
     def ts(day: Int, h: Int) = java.sql.Timestamp.valueOf(
