@@ -1013,6 +1013,15 @@ object SparkEntry {
         .select("doc_id", "source", "n_chars", "z_milli")
     },
 
+    "a6_robust_zscore" -> { (s, dir) =>
+      // MAD-based robust outlier scoring — the heavy-tail-safe twin of
+      // a5: median/MAD are unmoved by the outliers being hunted
+      Profile.madZscorePerGroup(
+          t(s, dir, "documents").select("doc_id", "source", "n_chars"),
+          "source", "n_chars")
+        .select("doc_id", "source", "n_chars", "rz_milli")
+    },
+
     "u5_keep_best" -> { (s, dir) =>
       // dedup survivor policy: one row per content-hash group, best =
       // longest text then smallest doc_id (total order ⇒ deterministic)
@@ -2644,6 +2653,19 @@ object SparkEntry {
               ELSE floor(CAST(x AS DOUBLE) / s + 0.5) END) * s))
              AS BIGINT) AS resid_milli
          FROM e JOIN sc ON e.dim = sc.dim""",
+
+    "a6_robust_zscore" ->
+      """WITH m AS (SELECT source, quantile_cont(n_chars, 0.5) AS med
+           FROM documents GROUP BY source),
+         d AS (SELECT doc_id, d.source, n_chars, med
+           FROM documents d JOIN m ON d.source = m.source),
+         a AS (SELECT source, quantile_cont(abs(n_chars - med), 0.5) AS mad
+           FROM d GROUP BY source)
+         SELECT doc_id, d.source, n_chars,
+           CASE WHEN mad > 0 THEN
+             CAST(floor(1000 * 0.6745 * (n_chars - med) / mad) AS BIGINT)
+           END AS rz_milli
+         FROM d JOIN a ON d.source = a.source""",
 
     "a5_zscore_per_source" ->
       """WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,

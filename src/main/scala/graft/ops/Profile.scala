@@ -70,6 +70,32 @@ object Profile {
       .drop("__n", "__s", "__s2")
   }
 
+  /** Robust per-group outlier scoring — the MAD (median absolute
+    * deviation) twin of [[zscorePerGroup]]: z = 0.6745·(x − med)/MAD in
+    * integer milli-units. Mean/stddev z-scores are dragged by the very
+    * outliers they hunt; the median/MAD pair is unmoved by anything
+    * outside the 50th percentile, which is what you want gating a
+    * heavy-tailed corpus (doc lengths are). Exact interpolated
+    * percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, the
+    * parity a4 pins); two bounded aggregates + two broadcast joins, the
+    * corpus never shuffles. NULL where MAD = 0 (a degenerate constant
+    * group has no scale). */
+  def madZscorePerGroup(df: DataFrame, groupCol: String,
+      metricCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($metricCol, 0.5)").as("__med"))
+    val withMed = df.join(broadcast(med), groupCol)
+    val mad = withMed.groupBy(col(groupCol))
+      .agg(expr(s"percentile(abs($metricCol - __med), 0.5)").as("__mad"))
+    withMed.join(broadcast(mad), groupCol)
+      .withColumn("rz_milli",
+        when(col("__mad") > 0,
+          floor(lit(1000.0) * lit(0.6745) *
+            (col(metricCol).cast("double") - col("__med")) / col("__mad"))
+            .cast("long")))
+      .drop("__med", "__mad")
+  }
+
   /** Heavy hitters by count-min sketch: the top-k most frequent tokens
     * without ever shuffling the full token stream by token. Two linear
     * passes: (1) ONE mergeable CMS aggregate over all occurrences —

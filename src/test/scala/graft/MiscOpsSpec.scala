@@ -148,6 +148,26 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1, 6L -> 1))
   }
 
+  test("madZscorePerGroup: hand-computed MAD score, outlier-immune, constant group null") {
+    import graft.ops.Profile
+    // g1: values 10,10,10,10,1000 — med=10, |x-med| = 0,0,0,0,990 → MAD=0?
+    // no: sorted deviations (0,0,0,0,990), median = 0 → degenerate. Use
+    // 8,10,10,12,1000: med=10, devs (2,0,0,2,990) sorted (0,0,2,2,990),
+    // MAD=2 → the 1000 outlier scores 0.6745*990/2 = 333.8775 → 333877
+    // milli, while classic stddev-z would be dragged to ~1.78.
+    val rows = Seq(
+      ("g1", 1L, 8L), ("g1", 2L, 10L), ("g1", 3L, 10L), ("g1", 4L, 12L),
+      ("g1", 5L, 1000L),
+      ("g2", 6L, 7L), ("g2", 7L, 7L)   // constant group: MAD 0 → null
+    ).toDF("grp", "id", "v")
+    val got = Profile.madZscorePerGroup(rows, "grp", "v")
+      .select("id", "rz_milli").as[(Long, Option[Long])].collect().toMap
+    assert(got(5L).contains(333877L))
+    assert(got(2L).contains(0L))
+    assert(got(1L).contains(-675L))   // floor(1000*0.6745*(8-10)/2) = floor(-674.5)
+    assert(got(6L).isEmpty && got(7L).isEmpty)
+  }
+
   test("topPaths: ordered prefixes, tie-broken, short users keep short paths") {
     import graft.ops.Funnel
     def ts(min: Int) = java.sql.Timestamp.valueOf(
