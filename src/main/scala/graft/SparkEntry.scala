@@ -719,6 +719,13 @@ object SparkEntry {
         "event_id", pathLen = 3, k = 20)
     },
 
+    "events_rolling_wau" -> { (s, dir) =>
+      // trailing-7-day distinct actives per observed day (DAU/WAU family)
+      Funnel.rollingActives(events(s, dir), "user_id", "ts", windowDays = 7)
+        .select(date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+          col("n_active").cast("long").as("n_active"))
+    },
+
     "retention_cohorts" -> { (s, dir) =>
       // first-seen-day cohorts × day-offset distinct-active matrix;
       // cohort emitted as yyyy-MM-dd text (pandas keeps Spark DATE as
@@ -2973,6 +2980,16 @@ object SparkEntry {
            SELECT path, n_users,
              row_number() OVER (ORDER BY n_users DESC, path) AS rk FROM c)
          WHERE rk <= 20""",
+
+    "events_rolling_wau" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+             CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+         d AS (SELECT DISTINCT day FROM e),
+         x AS (SELECT e.user_id, d.day AS window_end
+           FROM e JOIN d ON d.day BETWEEN e.day AND e.day + 6)
+         SELECT strftime(window_end, '%Y-%m-%d') AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+         FROM x GROUP BY 1""",
 
     "retention_cohorts" ->
       """WITH e AS (SELECT user_id,

@@ -102,4 +102,26 @@ object Funnel {
       .orderBy(col("n_users").desc, col("path").asc)
       .limit(k)
   }
+
+  /** Rolling distinct actives (the DAU/WAU/MAU family): for every day,
+    * the count of distinct users seen in the trailing `windowDays`
+    * window. Each (user, day) pair — already deduped, so the fan-out is
+    * bounded by actives×window, not events×window — contributes to the
+    * `windowDays` window-ends it falls inside, then one distinct count
+    * per window-end. Trailing windows at the corpus edge are partial by
+    * construction (day 1's "7-day" window holds 1 day) — the standard
+    * convention, identical in the oracle. */
+  def rollingActives(events: DataFrame, userCol: String, tsCol: String,
+      windowDays: Int): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val pairs = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    pairs
+      .select(col("user_id"), explode(sequence(col("day"),
+        date_add(col("day"), windowDays - 1))).as("window_end"))
+      .join(pairs.select(col("day").as("window_end")).distinct(), Seq("window_end"))
+      .groupBy("window_end")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
 }

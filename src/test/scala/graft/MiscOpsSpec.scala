@@ -148,6 +148,22 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 2, 5L -> 1, 6L -> 1))
   }
 
+  test("rollingActives: trailing window counts distinct users, partial edges") {
+    import graft.ops.Funnel
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 10:00:00")
+    // u1 active d1,d2; u2 active d1; u3 active d5 (outside d1+2 window)
+    val rows = Seq((1L, ts(1)), (1L, ts(2)), (1L, ts(2)), (2L, ts(1)),
+      (3L, ts(5))).toDF("user_id", "ts")
+    val got = Funnel.rollingActives(rows, "user_id", "ts", windowDays = 3)
+      .select(date_format(col("window_end"), "yyyy-MM-dd"), col("n_active"))
+      .as[(String, Long)].collect().toMap
+    // observed days only: d1, d2, d5
+    assert(got == Map(
+      "2026-01-01" -> 2L,   // u1,u2 on day 1
+      "2026-01-02" -> 2L,   // u1 and u2 both inside the trailing 3-day window
+      "2026-01-05" -> 1L))  // only u3; u1/u2's days fell out of the window
+  }
+
   test("madZscorePerGroup: hand-computed MAD score, outlier-immune, constant group null") {
     import graft.ops.Profile
     // g1: values 10,10,10,10,1000 — med=10, |x-med| = 0,0,0,0,990 → MAD=0?
