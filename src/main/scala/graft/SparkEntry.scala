@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.jdk.CollectionConverters._
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel, Validate, PageRank}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -412,6 +412,26 @@ object SparkEntry {
       Profile.profile(t(s, dir, "documents"),
           Seq("doc_id", "lang", "source", "n_chars"))
         .withColumnRenamed("column", "col_name")
+    },
+
+    "validate_documents" -> { (s, dir) =>
+      // Deequ-shaped ingest gate: 8 declared expectations, ONE aggregate
+      // pass (+ a broadcast dim join for the referential rule). The tight
+      // n_chars band is deliberately failing so the checker exercises a
+      // nonzero violation count, not just all-green rows.
+      Validate.check(t(s, dir, "documents"), Seq(
+        Validate.NotNull("text_not_null", "text"),
+        Validate.Unique("doc_id_unique", Seq("doc_id")),
+        Validate.InRange("n_chars_range", "n_chars", 1L, 100000L),
+        Validate.InRange("n_chars_tight", "n_chars", 1L, 300L),
+        Validate.OneOf("lang_allowed", "lang",
+          Seq("en", "de", "fr", "es", "zh")),
+        Validate.Matches("source_format", "source", "^src[0-9]+$"),
+        Validate.Predicate("n_chars_consistent",
+          col("n_chars") === length(col("text"))),
+        Validate.RefIn("doc_has_embedding", "doc_id",
+          t(s, dir, "embeddings"), "vec_id"),
+        Validate.RowCountBetween("row_count_min", 100L, Long.MaxValue)))
     },
 
     // ── D-family: dedup + delta (SURVEY §2.4) ───────────────────────────
@@ -1078,6 +1098,25 @@ object SparkEntry {
           lead("event_id", 1).over(w).as("j"))
         .filter(col("j").isNotNull)
       Components.connectedComponents(edges)
+    },
+
+    "graph_pagerank" -> { (s, dir) =>
+      // link authority over the customer↔supplier bipartite graph (who
+      // buys from whom), 5 integer-quantized iterations — symmetrized so
+      // no node dangles; micro-unit ranks are exact integers, so the
+      // oracle replays the identical fixed-point arithmetic in SQL
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+      PageRank.pageRank(PageRank.symmetrize(pairs, "a", "b"), iters = 5)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("entity_id"),
+          col("rank"))
     },
 
     "text_contamination" -> { (s, dir) =>
@@ -1838,6 +1877,48 @@ object SparkEntry {
            count(*) - count(n_chars), count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
 
+    "validate_documents" ->
+      """WITH m AS (
+           SELECT count(*) AS n_rows,
+             sum(CASE WHEN d.text IS NULL THEN 1 ELSE 0 END) AS v_text,
+             count(CASE WHEN d.doc_id IS NOT NULL THEN 1 END)
+               - count(DISTINCT d.doc_id) AS v_uni,
+             sum(CASE WHEN d.n_chars IS NOT NULL
+               AND (d.n_chars < 1 OR d.n_chars > 100000) THEN 1 ELSE 0 END) AS v_range,
+             sum(CASE WHEN d.n_chars IS NOT NULL
+               AND (d.n_chars < 1 OR d.n_chars > 300) THEN 1 ELSE 0 END) AS v_tight,
+             sum(CASE WHEN d.lang IS NOT NULL
+               AND d.lang NOT IN ('en','de','fr','es','zh') THEN 1 ELSE 0 END) AS v_lang,
+             sum(CASE WHEN d.source IS NOT NULL
+               AND NOT regexp_matches(d.source, '^src[0-9]+$') THEN 1 ELSE 0 END) AS v_src,
+             sum(CASE WHEN NOT COALESCE(d.n_chars = length(d.text), FALSE)
+               THEN 1 ELSE 0 END) AS v_len,
+             sum(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NULL
+               THEN 1 ELSE 0 END) AS v_ref
+           FROM documents d
+           LEFT JOIN (SELECT DISTINCT vec_id FROM embeddings) e
+             ON d.doc_id = e.vec_id)
+         SELECT 'text_not_null' AS rule, CAST(v_text AS BIGINT) AS metric,
+           CAST(v_text AS BIGINT) AS n_violations,
+           CAST(v_text = 0 AS INT) AS pass FROM m
+         UNION ALL SELECT 'doc_id_unique', CAST(v_uni AS BIGINT),
+           CAST(v_uni AS BIGINT), CAST(v_uni = 0 AS INT) FROM m
+         UNION ALL SELECT 'n_chars_range', CAST(v_range AS BIGINT),
+           CAST(v_range AS BIGINT), CAST(v_range = 0 AS INT) FROM m
+         UNION ALL SELECT 'n_chars_tight', CAST(v_tight AS BIGINT),
+           CAST(v_tight AS BIGINT), CAST(v_tight = 0 AS INT) FROM m
+         UNION ALL SELECT 'lang_allowed', CAST(v_lang AS BIGINT),
+           CAST(v_lang AS BIGINT), CAST(v_lang = 0 AS INT) FROM m
+         UNION ALL SELECT 'source_format', CAST(v_src AS BIGINT),
+           CAST(v_src AS BIGINT), CAST(v_src = 0 AS INT) FROM m
+         UNION ALL SELECT 'n_chars_consistent', CAST(v_len AS BIGINT),
+           CAST(v_len AS BIGINT), CAST(v_len = 0 AS INT) FROM m
+         UNION ALL SELECT 'doc_has_embedding', CAST(v_ref AS BIGINT),
+           CAST(v_ref AS BIGINT), CAST(v_ref = 0 AS INT) FROM m
+         UNION ALL SELECT 'row_count_min', CAST(n_rows AS BIGINT),
+           CAST(CASE WHEN n_rows >= 100 THEN 0 ELSE 1 END AS BIGINT),
+           CAST(n_rows >= 100 AS INT) FROM m""",
+
     "j6_salted_join" ->
       """SELECT o.o_orderpriority, count(*) AS n_items,
          CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
@@ -2277,6 +2358,34 @@ object SparkEntry {
            UNION
            SELECT s.a, cc.label FROM sym s JOIN cc ON s.b = cc.node)
          SELECT node, min(label) AS component FROM cc GROUP BY node""",
+
+    "graph_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS a,
+             l.l_suppkey * 2 + 1 AS b
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         i1 AS (SELECT e.dst AS node, 150000 + (sum(r.r // g.d) * 85) // 100 AS r
+           FROM edges e JOIN r0 r ON r.node = e.src JOIN deg g ON g.src = e.src
+           GROUP BY e.dst),
+         i2 AS (SELECT e.dst AS node, 150000 + (sum(r.r // g.d) * 85) // 100 AS r
+           FROM edges e JOIN i1 r ON r.node = e.src JOIN deg g ON g.src = e.src
+           GROUP BY e.dst),
+         i3 AS (SELECT e.dst AS node, 150000 + (sum(r.r // g.d) * 85) // 100 AS r
+           FROM edges e JOIN i2 r ON r.node = e.src JOIN deg g ON g.src = e.src
+           GROUP BY e.dst),
+         i4 AS (SELECT e.dst AS node, 150000 + (sum(r.r // g.d) * 85) // 100 AS r
+           FROM edges e JOIN i3 r ON r.node = e.src JOIN deg g ON g.src = e.src
+           GROUP BY e.dst),
+         i5 AS (SELECT e.dst AS node, 150000 + (sum(r.r // g.d) * 85) // 100 AS r
+           FROM edges e JOIN i4 r ON r.node = e.src JOIN deg g ON g.src = e.src
+           GROUP BY e.dst)
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
+         FROM i5""",
 
     "ann_bruteforce_topk" ->
       """SELECT qid, cid, rk FROM (

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** PageRank over an edge list (Brin & Page 1998), integer-quantized so
+  * the result is bit-reproducible across engines and replayable as plain
+  * SQL — the companion graph signal to [[Components]]: components give
+  * dedup GROUPS, PageRank gives per-node IMPORTANCE (authority weighting
+  * for corpus curation: rank crawled pages by link authority, weight
+  * training documents by citation graph centrality).
+  *
+  * Quantization contract (everything exact integer arithmetic, no float
+  * accumulation — a distributed float PageRank is merge-order-dependent
+  * and can never hash-match an oracle):
+  *
+  *   r_0(v)     = scale                       (rank 1.0 in micro-units)
+  *   c_t(u→v)   = r_t(u) div outdeg(u)        (exact integer division)
+  *   r_{t+1}(v) = (1−d)·scale + (Σ c_t(u→v)) · dampNum div dampDen
+  *
+  * with d = dampNum/dampDen (default 85/100). Integer sums are
+  * order-independent, so each iteration is deterministic; both Spark
+  * `div` and DuckDB `//` floor identically for the non-negative values
+  * that arise here.
+  *
+  * Scale shape: `outdeg` is computed once and joined to the edges once
+  * (one shuffle); each iteration is the classic two-shuffle step — join
+  * current ranks to the degree-annotated edges on src (ranks is the
+  * nodes-sized small side), partial-aggregated sum on dst — with
+  * `localCheckpoint` truncating lineage per round, so the plan stays
+  * constant-size over iterations (the GraphX/Pregel hygiene). No driver
+  * loops over data, only over the fixed iteration count.
+  *
+  * PRECONDITION: a node with no out-edges (dangling) absorbs rank mass
+  * like standard non-normalized PageRank; feed a symmetrized edge list
+  * (u→v plus v→u) when modelling an undirected graph, which also makes
+  * every receiver a sender so the node set is stable across iterations.
+  */
+object PageRank {
+
+  /** (node, rank) after `iters` rounds over directed `edges`; rank in
+    * `scale`-units. Node set = nodes with at least one out-edge (every
+    * node, for a symmetrized graph). */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", iters: Int = 5,
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    // degree-annotated edges: built once, reused every iteration
+    val edgesDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+
+    val base = scale - scale * dampNum / dampDen // (1−d)·scale, exact
+    var ranks = deg.select(col("src").as("node"), lit(scale).as("rank"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst"), expr("rank div __deg").as("__c"))
+      ranks = contribs.groupBy(col("dst").as("node"))
+        .agg(expr(s"${base}L + (sum(__c) * ${dampNum}L) div ${dampDen}L")
+          .as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Symmetrize a directed pair list: u→v plus v→u, distinct. */
+  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+}

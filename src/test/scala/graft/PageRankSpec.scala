@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.PageRank
+
+/** Integer-quantized PageRank: hand-computed fixed point on a star
+  * graph, and the symmetrize helper's dedup contract. */
+class PageRankSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("star graph: hand-computed two-iteration ranks, center dominates") {
+    // undirected star 1—0—2; deg(0)=2, deg(1)=deg(2)=1
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("a", "b")
+    val edges = PageRank.symmetrize(pairs, "a", "b")
+
+    val r1 = PageRank.pageRank(edges, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // r1(0) = 150000 + (1e6 + 1e6)·85//100; r1(leaf) = 150000 + 5e5·85//100
+    assert(r1 == Map(0L -> 1850000L, 1L -> 575000L, 2L -> 575000L))
+
+    val r2 = PageRank.pageRank(edges, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contribs: 0 sends 1850000//2 = 925000 to each leaf; leaves send 575000
+    assert(r2 == Map(0L -> 1127500L, 1L -> 936250L, 2L -> 936250L))
+  }
+
+  test("symmetrize dedups repeated and reversed pairs") {
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L)).toDF("a", "b")
+    val edges = PageRank.symmetrize(pairs, "a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges == Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("rank mass is conserved up to flooring on a regular graph") {
+    // 4-cycle: every node deg 2 — ranks stay identical across nodes
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("a", "b")
+    val got = PageRank.pageRank(PageRank.symmetrize(pairs, "a", "b"),
+      iters = 5).collect().map(_.getLong(1)).toSet
+    // regular graph: the uniform vector is the fixed point of the
+    // quantized map too: 150000 + (2·(r//2))·85//100 stays at r = 1e6
+    assert(got == Set(1000000L))
+  }
+}
