@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.jdk.CollectionConverters._
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel, Validate, PageRank}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel, Validate, PageRank, Layout}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -1098,6 +1098,25 @@ object SparkEntry {
           lead("event_id", 1).over(w).as("j"))
         .filter(col("j").isNotNull)
       Components.connectedComponents(edges)
+    },
+
+    "layout_zorder" -> { (s, dir) =>
+      // Z-order layout audit: interleave (user_id, day) bits, cut the
+      // curve into 32 "files", report each file's min/max on BOTH dims —
+      // the hypercube-bounds proof that multi-predicate skipping works.
+      // ntile over the exact key order keeps bucketing deterministic for
+      // the oracle; the production write path is Layout.zorderWrite
+      // (repartitionByRange — sampled boundaries, one shuffle).
+      val e = events(s, dir).select(col("event_id"), col("user_id"),
+        datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day_off"))
+      val keyed = e.withColumn("zkey",
+        Layout.zorderKey2(col("user_id"), col("day_off").cast("long"), bits = 8))
+      val w = Window.orderBy(col("zkey"), col("event_id"))
+      keyed.withColumn("file_id", ntile(32).over(w))
+        .groupBy("file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"),
+          min("day_off").as("min_day"), max("day_off").as("max_day"))
     },
 
     "graph_pagerank" -> { (s, dir) =>
@@ -2358,6 +2377,24 @@ object SparkEntry {
            UNION
            SELECT s.a, cc.label FROM sym s JOIN cc ON s.b = cc.node)
          SELECT node, min(label) AS component FROM cc GROUP BY node""",
+
+    "layout_zorder" -> {
+      // identical 8-bit Morton interleave, unrolled as SQL bit ops
+      val zexpr = (0 until 8).map(i =>
+        s"(((user_id >> $i) & 1) << ${2 * i}) | (((day_off >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" | ")
+      s"""WITH e AS (SELECT event_id, user_id,
+           date_diff('day', DATE '2024-01-01',
+             CAST(make_timestamp(epoch_us(ts)) AS DATE)) AS day_off
+           FROM events),
+         k AS (SELECT event_id, user_id, day_off, $zexpr AS zkey FROM e),
+         b AS (SELECT user_id, day_off,
+             ntile(32) OVER (ORDER BY zkey, event_id) AS file_id FROM k)
+         SELECT file_id, CAST(count(*) AS BIGINT) AS n_rows,
+           min(user_id) AS min_user, max(user_id) AS max_user,
+           min(day_off) AS min_day, max(day_off) AS max_day
+         FROM b GROUP BY file_id"""
+    },
 
     "graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS a,

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering, the
+  * mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY` (Morton 1966;
+  * the Delta implementation is the public reference). Parquet skipping
+  * prunes files by min/max footer stats, but a single-column sort gives
+  * tight bounds on ONE column only — every other predicate column has
+  * near-full-range stats in every file. Interleaving the bits of two
+  * (or more) columns orders rows along a space-filling curve, so each
+  * written file covers a small HYPERCUBE: min/max stays tight on ALL
+  * interleaved dimensions at once and multi-predicate scans prune.
+  *
+  * The key is a pure per-row expression (shift/mask/or over the low
+  * `bits` bits of each dimension — whole-stage-codegen'd, no shuffle,
+  * engine-portable: the oracle computes the identical integer). Callers
+  * must pre-map dimensions onto a bounded non-negative integer range
+  * (truncate, bucket, or rank first: range-RANKING the dims before
+  * interleaving is what production Z-ordering does so skewed raw values
+  * still spread across the curve).
+  *
+  * [[zorderWrite]] is the production write path: `repartitionByRange`
+  * on the key (sampled boundaries — one shuffle), sort WITHIN each
+  * partition, one file per partition. Boundary sampling makes file
+  * assignment nondeterministic at the margin, which is why the
+  * driver-checked query buckets by exact `ntile` instead.
+  */
+object Layout {
+
+  /** 2-D Morton key interleaving the low `bits` bits of `x` (even bit
+    * positions) and `y` (odd positions). Inputs must be non-negative;
+    * values above 2^bits−1 are truncated (mask your dims first). */
+  def zorderKey2(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write-side clustering: range-repartition on the Morton key into
+    * `nFiles` partitions and sort within each — the OPTIMIZE ZORDER
+    * shape (one shuffle; boundaries come from Spark's reservoir sample
+    * over the key column). Returns the clustered frame ready for a
+    * partition-per-file write. */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String,
+      nFiles: Int, bits: Int = 16): DataFrame = {
+    val keyed = df.withColumn("__zkey",
+      zorderKey2(col(xCol).cast("long"), col(yCol).cast("long"), bits))
+    keyed.repartitionByRange(nFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
+}

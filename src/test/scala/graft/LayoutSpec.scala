@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Layout
+
+/** Morton-key layout: hand-computed interleaves and the dyadic-block
+  * locality property that makes Z-order files skippable on both dims. */
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zorderKey2 interleaves bits (x even positions, y odd)") {
+    val df = Seq((3L, 1L), (5L, 6L), (0L, 0L), (255L, 0L)).toDF("x", "y")
+    val got = df.select(Layout.zorderKey2($"x", $"y", bits = 8))
+      .as[Long].collect().toList
+    // morton(3,1)=0b0111=7; morton(5,6)=0b111001=57; x-only fills evens
+    assert(got == List(7L, 57L, 0L, 0x5555L))
+  }
+
+  test("16×16 grid in Morton order cuts into exact 4×4 blocks") {
+    // 256 grid cells sorted by zkey, chunked into 16 files of 16 rows:
+    // every file is a dyadic 4×4 quadrant — span 3 on BOTH dims. A
+    // single-dim sort would leave the other dim spanning the full 15.
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val ranked = grid
+      .withColumn("zkey", Layout.zorderKey2($"x", $"y", bits = 4))
+      .withColumn("file_id",
+        floor(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("zkey")) .minus(1) / 16))
+    val spans = ranked.groupBy("file_id")
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect()
+    assert(spans.length == 16)
+    assert(spans.forall(r => r.getAs[Long]("xs") == 3L && r.getAs[Long]("ys") == 3L))
+  }
+
+  test("zorderWrite clusters: every partition's hypercube is bounded") {
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val clustered = Layout.zorderWrite(grid, "x", "y", nFiles = 8, bits = 4)
+    val spans = clustered
+      .withColumn("pid", spark_partition_id())
+      .groupBy("pid")
+      .agg(count(lit(1)).as("n"),
+        (max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect()
+    // range boundaries are sampled, so assert the qualitative contract:
+    // no partition covers the full grid on both dims at once
+    assert(spans.map(_.getAs[Long]("n")).sum == 256L)
+    assert(spans.filter(_.getAs[Long]("n") > 1)
+      .forall(r => r.getAs[Long]("xs") < 15L || r.getAs[Long]("ys") < 15L))
+  }
+}
