@@ -40,24 +40,38 @@ object PageRank {
 
   /** (node, rank) after `iters` rounds over directed `edges`; rank in
     * `scale`-units. Node set = nodes with at least one out-edge (every
-    * node, for a symmetrized graph). */
+    * node, for a symmetrized graph).
+    *
+    * When the node count (measured once, off the degree table) is at
+    * most `broadcastMaxNodes`, the per-iteration ranks⋈edges join is a
+    * BROADCAST join — the big edge table is never shuffled, only the
+    * contribution sums move (with map-side partial aggregation). Past
+    * that size the join falls back to the shuffle path, which is the
+    * correct billion-node shape (ranks and edges both hash on src). */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iters: Int = 5,
       dampNum: Long = 85L, dampDen: Long = 100L,
-      scale: Long = 1000000L): DataFrame = {
+      scale: Long = 1000000L,
+      broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // materialize the (possibly expensive) upstream edge derivation ONCE:
+    // deg, the degree join, and the node count all read this checkpoint
+    // instead of re-running the caller's joins/distinct three times
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
     val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val nNodes = deg.count()
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
     // degree-annotated edges: built once, reused every iteration
-    val edgesDeg = e.join(deg, Seq("src")).localCheckpoint(true)
+    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true)
 
     val base = scale - scale * dampNum / dampDen // (1−d)·scale, exact
     var ranks = deg.select(col("src").as("node"), lit(scale).as("rank"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .join(hint(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst"), expr("rank div __deg").as("__c"))
       ranks = contribs.groupBy(col("dst").as("node"))
         .agg(expr(s"${base}L + (sum(__c) * ${dampNum}L) div ${dampDen}L")
