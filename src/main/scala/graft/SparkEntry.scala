@@ -414,6 +414,20 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
     },
 
+    "profile_histogram" -> { (s, dir) =>
+      // exact equi-width doc-length histogram, integer bucket edges —
+      // engines bucket identically because the edge math is integer
+      Profile.histogramInt(t(s, dir, "documents"), "n_chars", 0L, 600L, 24)
+    },
+
+    "profile_approx_quantiles" -> { (s, dir) =>
+      // GK-sketch per-source percentiles (rows-only: sketch internals are
+      // engine-specific; rank-error bound pinned in ProfileSpec) — the
+      // fixed-memory twin of a4's exact interpolated percentiles
+      Profile.approxQuantilesPerGroup(t(s, dir, "documents"),
+        "source", "n_chars", Seq(0.5, 0.9, 0.99))
+    },
+
     "validate_documents" -> { (s, dir) =>
       // Deequ-shaped ingest gate: 8 declared expectations, ONE aggregate
       // pass (+ a broadcast dim join for the referential rule). The tight
@@ -1895,6 +1909,17 @@ object SparkEntry {
          SELECT 'n_chars', count(*),
            count(*) - count(n_chars), count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
+
+    "profile_histogram" ->
+      """WITH b AS (SELECT
+           CASE WHEN n_chars < 0 THEN 0
+                WHEN n_chars >= 600 THEN 25
+                ELSE CAST(1 + (n_chars - 0) * 24 // (600 - 0) AS INT) END AS bin,
+           n_chars
+           FROM documents WHERE n_chars IS NOT NULL)
+         SELECT bin, CAST(count(*) AS BIGINT) AS n,
+           min(n_chars) AS v_min, max(n_chars) AS v_max
+         FROM b GROUP BY bin""",
 
     "validate_documents" ->
       """WITH m AS (

@@ -149,4 +149,50 @@ object Profile {
       .limit(k)
       .select("tok", "est_count")
   }
+
+  /** Exact equi-width histogram of an integer column over [lo, hi):
+    * bucket 0 catches underflow, `nBins`+1 overflow (the Postgres
+    * width_bucket convention), interior bucket of v is
+    * 1 + (v−lo)·nBins div (hi−lo) — all integer arithmetic, so both
+    * engines bucket identically (a float bin width would round bucket
+    * EDGES differently per engine). One hash aggregate on the bucket id
+    * (≤ nBins+2 groups, map-side partials); empty buckets are absent.
+    * Output: (bin, n, v_min, v_max) — per-bucket min/max double as the
+    * footer-stats audit. Nulls are dropped; count them with [[profile]].
+    */
+  def histogramInt(df: DataFrame, colName: String, lo: Long, hi: Long,
+      nBins: Int): DataFrame = {
+    require(hi > lo && nBins >= 1, "need hi > lo and nBins >= 1")
+    val v = col(colName).cast("long")
+    val bin = when(v < lo, lit(0))
+      .when(v >= hi, lit(nBins + 1))
+      .otherwise(expr(s"CAST(1 + (CAST($colName AS BIGINT) - ${lo}L) " +
+        s"* ${nBins}L div (${hi}L - ${lo}L) AS INT)"))
+    df.filter(v.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), min(v).as("v_min"), max(v).as("v_max"))
+  }
+
+  /** Mergeable approximate per-group quantiles — the fixed-memory twin
+    * of the exact `percentile` path (a4): Spark's `percentile_approx`
+    * (Greenwald–Khanna summaries) keeps O(accuracy·log n) state per
+    * group regardless of group size and merges partials associatively,
+    * where the exact percentile materializes every value per group. At
+    * 100 TB the exact form is only affordable on bounded groups; this
+    * one is safe on any skew. Rank error ≤ n/accuracy (pinned in spec).
+    * Output long-format: (group, prob_pct, q_approx) — one row per
+    * group × probability. */
+  def approxQuantilesPerGroup(df: DataFrame, groupCol: String,
+      metricCol: String, probs: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val probsSql = probs.mkString("array(", ", ", ")")
+    df.groupBy(col(groupCol))
+      .agg(expr(s"percentile_approx($metricCol, $probsSql, $accuracy)")
+        .as("__qs"))
+      .select(col(groupCol), posexplode(col("__qs")).as(Seq("__i", "q_approx")))
+      .withColumn("prob_pct",
+        element_at(lit(probs.map(p => math.round(p * 100).toInt).toArray),
+          col("__i").cast("int") + 1))
+      .select(col(groupCol), col("prob_pct"), col("q_approx").cast("long"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.Profile
+
+/** Histogram bucket-edge arithmetic and the GK approx-quantile error
+  * contract (zscore/MAD/profile/CMS live in MiscOpsSpec). */
+class ProfileSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("histogramInt: integer bucket edges, under/overflow buckets") {
+    // lo=0 hi=100 nBins=4 → interior edges at 25/50/75
+    val df = Seq(-5L, 0L, 24L, 25L, 49L, 50L, 99L, 100L, 140L)
+      .toDF("v")
+    val got = Profile.histogramInt(df, "v", 0L, 100L, 4).collect()
+      .map(r => r.getAs[Int]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("v_min"), r.getAs[Long]("v_max"))))
+      .toMap
+    assert(got == Map(
+      0 -> ((1L, -5L, -5L)),       // underflow
+      1 -> ((2L, 0L, 24L)),        // [0, 25)
+      2 -> ((2L, 25L, 49L)),       // [25, 50)
+      3 -> ((1L, 50L, 50L)),       // [50, 75)
+      4 -> ((1L, 99L, 99L)),       // [75, 100)
+      5 -> ((2L, 100L, 140L))))    // overflow
+  }
+
+  test("histogramInt drops nulls") {
+    val df = Seq(Option(5L), None, Option(7L)).toDF("v")
+    val got = Profile.histogramInt(df, "v", 0L, 10L, 1).collect()
+    assert(got.map(_.getAs[Long]("n")).sum == 2L)
+  }
+
+  test("approxQuantilesPerGroup: rank error within n/accuracy, monotone") {
+    // uniform 0..9999 → exact p50=4999/5000 region; accuracy 10000 ⇒
+    // rank error ≤ 1, so values land within a hair of the true quantile
+    val df = (0 until 10000).map(i => ("g", i.toLong)).toDF("src", "v")
+    val got = Profile.approxQuantilesPerGroup(df, "src", "v",
+      Seq(0.5, 0.9, 0.99)).collect()
+      .map(r => r.getAs[Int]("prob_pct") -> r.getAs[Long]("q_approx")).toMap
+    assert(math.abs(got(50) - 5000L) <= 10L)
+    assert(math.abs(got(90) - 9000L) <= 10L)
+    assert(math.abs(got(99) - 9900L) <= 10L)
+    assert(got(50) <= got(90) && got(90) <= got(99))
+  }
+
+  test("approxQuantilesPerGroup is deterministic across runs") {
+    val df = (0 until 5000).map(i => (s"s${i % 3}", (i * 37 % 1000).toLong))
+      .toDF("src", "v")
+    def run() = Profile.approxQuantilesPerGroup(df, "src", "v", Seq(0.5, 0.9))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run() == run())
+  }
+}
