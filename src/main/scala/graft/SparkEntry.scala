@@ -1181,6 +1181,22 @@ object SparkEntry {
           graft.ops.Privacy.redactPii(inj).as("redacted"): _*)
     },
 
+    "privacy_k_anonymity" -> { (s, dir) =>
+      // k-anonymity audit over the (lang, source) quasi-identifier:
+      // group sizes hover around k=5 at sf0.01, so both flag values are
+      // exercised and hash-checked
+      graft.ops.Privacy.kAnonymity(t(s, dir, "documents"),
+        Seq("lang", "source"), k = 5L)
+    },
+
+    "privacy_suppressed" -> { (s, dir) =>
+      // suppression enforcement: rows in sub-k QI groups dropped (one
+      // window shuffle, no join), survivors rolled up per lang
+      graft.ops.Privacy.suppressSmallGroups(t(s, dir, "documents"),
+          Seq("lang", "source"), k = 5L)
+        .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    },
+
     "sample_stratified" -> { (s, dir) =>
       // deterministic per-source Bernoulli sample: src0 half, src1 none,
       // src2 full, everything else 25% — pure pushed-down filter
@@ -2557,6 +2573,18 @@ object SparkEntry {
              '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
              '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS redacted
          FROM inj""",
+
+    "privacy_k_anonymity" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) < 5 AS INT) AS at_risk
+         FROM documents GROUP BY lang, source""",
+
+    "privacy_suppressed" ->
+      """WITH g AS (SELECT lang,
+             count(*) OVER (PARTITION BY lang, source) AS ks
+           FROM documents)
+         SELECT lang, CAST(count(*) AS BIGINT) AS n_kept
+         FROM g WHERE ks >= 5 GROUP BY lang""",
 
     "sample_stratified" ->
       """SELECT doc_id, source FROM documents

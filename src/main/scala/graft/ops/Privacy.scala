@@ -32,4 +32,29 @@ object Privacy {
     regexp_count(text, lit(patterns(1)._1)).as("n_ip"),
     regexp_count(text, lit(patterns(2)._1)).as("n_ssn"),
     regexp_count(text, lit(patterns(3)._1)).as("n_phone"))
+
+  /** k-anonymity risk audit (Sweeney 2002): every combination of the
+    * quasi-identifier columns with its population and an at-risk flag
+    * (anonymity set smaller than `k` — rows a linkage attack can narrow
+    * to fewer than k candidates). One hash aggregate on the QI tuple;
+    * output is QI-cardinality-sized, the raw table never re-shuffles. */
+  def kAnonymity(df: org.apache.spark.sql.DataFrame,
+      quasiCols: Seq[String], k: Long): org.apache.spark.sql.DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", (col("n") < k).cast("int"))
+
+  /** Enforcement: drop every row whose QI group has fewer than `k`
+    * members (suppression — the blunt but sound fix; generalization,
+    * i.e. coarsening the QI columns first, preserves more rows). A
+    * window count over the QI partition: ONE shuffle, no second scan of
+    * the table and no join — group sizes never leave their partition. */
+  def suppressSmallGroups(df: org.apache.spark.sql.DataFrame,
+      quasiCols: Seq[String], k: Long): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(quasiCols.map(col): _*)
+    df.withColumn("__ksize", count(lit(1)).over(w))
+      .filter(col("__ksize") >= k)
+      .drop("__ksize")
+  }
 }

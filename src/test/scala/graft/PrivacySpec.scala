@@ -37,6 +37,33 @@ class PrivacySpec extends AnyFunSuite {
     assert(row == ((2, 1, 1, 0)))
   }
 
+  test("kAnonymity flags sub-k groups; boundary n == k is safe") {
+    val df = Seq(
+      ("en", "a"), ("en", "a"), ("en", "a"),     // n=3 == k → safe
+      ("en", "b"), ("en", "b"),                  // n=2 < k → at risk
+      ("de", "a")).toDF("lang", "src")           // n=1 < k → at risk
+    val got = Privacy.kAnonymity(df, Seq("lang", "src"), k = 3L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Int]("at_risk")))).toMap
+    assert(got == Map(
+      ("en", "a") -> ((3L, 0)),
+      ("en", "b") -> ((2L, 1)),
+      ("de", "a") -> ((1L, 1))))
+  }
+
+  test("suppressSmallGroups keeps exactly the rows of ≥k groups") {
+    val df = Seq(
+      (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"),
+      (4L, "en", "b"), (5L, "en", "b"),
+      (6L, "de", "a")).toDF("id", "lang", "src")
+    val kept = Privacy.suppressSmallGroups(df, Seq("lang", "src"), k = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L))
+    // suppressed table still has the original schema
+    assert(Privacy.suppressSmallGroups(df, Seq("lang", "src"), k = 3L)
+      .columns.toSeq == Seq("id", "lang", "src"))
+  }
+
   test("benchmarkOverlap: contained doc fully contaminated, novel doc at zero") {
     val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("id", "text")
     val bench = Seq(
