@@ -414,6 +414,15 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
     },
 
+    "profile_drift" -> { (s, dir) =>
+      // snapshot drift monitoring: the prior version is the corpus minus
+      // every 10th doc, so min/max (doc_id range) and the distinct-ratio
+      // flags all trip — nonzero drift is what gets hash-checked
+      val docs = t(s, dir, "documents")
+      Profile.profileDrift(docs, docs.filter(col("doc_id") % 10 =!= 0),
+        Seq("doc_id", "lang", "source", "n_chars"))
+    },
+
     "profile_histogram" -> { (s, dir) =>
       // exact equi-width doc-length histogram, integer bucket edges —
       // engines bucket identically because the edge math is integer
@@ -751,6 +760,15 @@ object SparkEntry {
       // unique tie-break so every user's path is deterministic
       Funnel.topPaths(events(s, dir), "user_id", "event_type", "ts",
         "event_id", pathLen = 3, k = 20)
+    },
+
+    "events_new_users" -> { (s, dir) =>
+      // growth decomposition: per day, distinct actives split into first-
+      // time vs returning (day stringified — pandas DATE parity)
+      Funnel.newVsReturning(events(s, dir), "user_id", "ts")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_active").cast("long").as("n_active"),
+          col("n_new").cast("long").as("n_new"))
     },
 
     "events_rolling_wau" -> { (s, dir) =>
@@ -1925,6 +1943,29 @@ object SparkEntry {
          SELECT 'n_chars', count(*),
            count(*) - count(n_chars), count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
+
+    "profile_drift" -> {
+      // the one-pass profile replayed per snapshot, joined per column
+      def prof(table: String) = Seq("doc_id", "lang", "source", "n_chars")
+        .map(c => s"""SELECT '$c' AS col_name, count(*) AS rows_x,
+             count(*) - count($c) AS null_x, count(DISTINCT $c) AS dist_x,
+             CAST(min($c) AS VARCHAR) AS min_x,
+             CAST(max($c) AS VARCHAR) AS max_x FROM $table""")
+        .mkString(" UNION ALL ")
+      s"""WITH cur AS (${prof("documents")}),
+         prior_t AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+         prev AS (${prof("prior_t")})
+         SELECT c.col_name,
+           c.rows_x AS rows_cur, c.null_x AS null_cur, c.dist_x AS dist_cur,
+           p.rows_x AS rows_prev, p.null_x AS null_prev, p.dist_x AS dist_prev,
+           CAST(c.min_x <> p.min_x OR c.max_x <> p.max_x AS INT)
+             AS minmax_changed,
+           CAST(abs(c.dist_x * p.rows_x - p.dist_x * c.rows_x) * 100
+             > 10 * p.dist_x * c.rows_x AS INT) AS dist_drift,
+           CAST(abs(c.null_x * p.rows_x - p.null_x * c.rows_x) * 100
+             > 10 * p.null_x * c.rows_x AS INT) AS null_drift
+         FROM cur c JOIN prev p USING (col_name)"""
+    },
 
     "profile_histogram" ->
       """WITH b AS (SELECT
@@ -3179,6 +3220,17 @@ object SparkEntry {
            SELECT path, n_users,
              row_number() OVER (ORDER BY n_users DESC, path) AS rk FROM c)
          WHERE rk <= 20""",
+
+    "events_new_users" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+             CAST(make_timestamp(epoch_us(ts)) AS DATE) AS day FROM events),
+         f AS (SELECT user_id, min(day) AS first_day FROM e GROUP BY user_id)
+         SELECT strftime(e.day, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(CASE WHEN e.day = f.first_day THEN 1 END) AS BIGINT)
+             AS n_new
+         FROM e JOIN f ON e.user_id = f.user_id
+         GROUP BY 1""",
 
     "events_rolling_wau" ->
       """WITH e AS (SELECT DISTINCT user_id,

@@ -124,4 +124,23 @@ object Funnel {
       .groupBy("window_end")
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
+
+  /** Daily active decomposition into NEW vs RETURNING users (the growth
+    * twin of [[rollingActives]]): per observed day, distinct actives and
+    * how many were seen for the first time that day. Two hash shuffles
+    * ((user, day) dedup + first-day aggregate reuse the same user-keyed
+    * partitioning) and a day-keyed rollup; the first-seen table is
+    * users-sized and joins back on the key both sides are already
+    * hashed on. */
+  def newVsReturning(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val pairs = events
+      .select(col(userCol).as("user_id"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val firstSeen = pairs.groupBy("user_id").agg(min("day").as("first_day"))
+    pairs.join(firstSeen, Seq("user_id"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_active"),
+        count(when(col("day") === col("first_day"), 1)).as("n_new"))
+  }
 }

@@ -38,6 +38,43 @@ object Profile {
     wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
   }
 
+  /** Snapshot-to-snapshot profile drift — the monitoring loop closed
+    * over [[profile]]: run the one-pass profile on the current and prior
+    * corpus versions, join per column, and flag what moved. Drift flags
+    * are integer-exact (cross-multiplied ratios, string equality on
+    * min/max) so alert thresholds fire identically on any engine:
+    *
+    *  - `minmax_changed`: the observed value range moved (new out-of-
+    *    range values, or a trim);
+    *  - `dist_drift`: the distinct-per-row ratio moved by more than
+    *    `ratioDeltaPct`% relative — |dc·rp − dp·rc| · 100 > pct · dp·rc
+    *    (a key column collapsing, or an enum sprouting values);
+    *  - `null_drift`: same cross-multiplied test on the null fraction.
+    *
+    * Cost: two single-pass profiles (each one aggregate over its scan)
+    * + a join of two column-count-sized tables — the drift report is
+    * free compared to either scan. */
+  def profileDrift(cur: DataFrame, prior: DataFrame,
+      cols: Seq[String] = Nil, ratioDeltaPct: Int = 10): DataFrame = {
+    def side(df: DataFrame, tag: String) =
+      profile(df, cols).select(col("column").as("col_name"),
+        col("n_rows").as(s"rows_$tag"), col("n_null").as(s"null_$tag"),
+        col("n_distinct").as(s"dist_$tag"),
+        col("min_str").as(s"min_$tag"), col("max_str").as(s"max_$tag"))
+    def crossDrift(aNum: Column, aDen: Column, bNum: Column, bDen: Column) =
+      (abs(aNum * bDen - bNum * aDen) * 100 >
+        lit(ratioDeltaPct) * bNum * aDen).cast("int")
+    side(cur, "cur").join(side(prior, "prev"), Seq("col_name"))
+      .withColumn("minmax_changed",
+        (col("min_cur") =!= col("min_prev") ||
+          col("max_cur") =!= col("max_prev")).cast("int"))
+      .withColumn("dist_drift", crossDrift(
+        col("dist_cur"), col("rows_cur"), col("dist_prev"), col("rows_prev")))
+      .withColumn("null_drift", crossDrift(
+        col("null_cur"), col("rows_cur"), col("null_prev"), col("rows_prev")))
+      .drop("min_cur", "max_cur", "min_prev", "max_prev")
+  }
+
   /** Per-group standardization (outlier scoring) of an integer metric:
     * attach each row's z-score within its group, as floored milli-units.
     *

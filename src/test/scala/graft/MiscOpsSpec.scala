@@ -164,6 +164,22 @@ class MiscOpsSpec extends AnyFunSuite {
       "2026-01-05" -> 1L))  // only u3; u1/u2's days fell out of the window
   }
 
+  test("newVsReturning: first-time vs returning split per day") {
+    import graft.ops.Funnel
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 10:00:00")
+    // u1 first on d1, returns d2; u2 first on d2; duplicate events collapse
+    val rows = Seq((1L, ts(1)), (1L, ts(1)), (1L, ts(2)), (2L, ts(2)))
+      .toDF("user_id", "ts")
+    val got = Funnel.newVsReturning(rows, "user_id", "ts")
+      .select(date_format(col("day"), "yyyy-MM-dd"), col("n_active"),
+        col("n_new"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "2026-01-01" -> ((1L, 1L)),
+      "2026-01-02" -> ((2L, 1L))))
+  }
+
   test("madZscorePerGroup: hand-computed MAD score, outlier-immune, constant group null") {
     import graft.ops.Profile
     // g1: values 10,10,10,10,1000 — med=10, |x-med| = 0,0,0,0,990 → MAD=0?

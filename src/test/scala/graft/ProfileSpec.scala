@@ -32,6 +32,26 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n")).sum == 2L)
   }
 
+  test("profileDrift: flags trip exactly when the snapshot moved") {
+    val cur = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("b")),
+      (4L, None)).toDF("id", "tag")
+    val prior = Seq((1L, Option("a")), (2L, Option("a"))).toDF("id", "tag")
+    val got = graft.ops.Profile.profileDrift(cur, prior, Seq("id", "tag"))
+      .collect().map(r => r.getAs[String]("col_name") -> r).toMap
+    // id: range 1-4 vs 1-2 → minmax; distinct/rows ratio 1.0 both → no
+    // dist drift; nulls 0 both → no null drift
+    assert(got("id").getAs[Int]("minmax_changed") == 1)
+    assert(got("id").getAs[Int]("dist_drift") == 0)
+    assert(got("id").getAs[Int]("null_drift") == 0)
+    // tag: max b vs a → minmax; distinct ratio 2/4 vs 1/2 → equal, no
+    // dist drift; null ratio 1/4 vs 0/2 → new nulls → drift
+    assert(got("tag").getAs[Int]("minmax_changed") == 1)
+    assert(got("tag").getAs[Int]("dist_drift") == 0)
+    assert(got("tag").getAs[Int]("null_drift") == 1)
+    assert(got("tag").getAs[Long]("rows_cur") == 4L)
+    assert(got("tag").getAs[Long]("rows_prev") == 2L)
+  }
+
   test("approxQuantilesPerGroup: rank error within n/accuracy, monotone") {
     // uniform 0..9999 → exact p50=4999/5000 region; accuracy 10000 ⇒
     // rank error ≤ 1, so values land within a hair of the true quantile
