@@ -1031,6 +1031,13 @@ object SparkEntry {
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    "text_readability" -> { (s, dir) =>
+      // Flesch reading-ease tagger: three regexp counts + one floored
+      // double expression, a pure codegen projection
+      t(s, dir, "documents").select(
+        col("doc_id") +: TextAnalysis.fleschMilli(col("text")): _*)
+    },
+
     "text_vocab_topk" -> { (s, dir) =>
       // corpus vocabulary: term count + document frequency, top-500 with
       // a total (count desc, token asc) order → TakeOrderedAndProject,
@@ -2807,6 +2814,22 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha,
          len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
+
+    "text_readability" ->
+      """WITH m AS (SELECT doc_id,
+           greatest(1, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT))
+             AS n_words,
+           greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+             AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+             AS n_syllables
+           FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST(floor(1000.0 * (206.835
+             - 1.015 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+             - 84.6 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)))
+           AS BIGINT) AS flesch_milli
+         FROM m""",
 
     "text_entropy" ->
       """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch

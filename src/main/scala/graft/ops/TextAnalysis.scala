@@ -137,6 +137,26 @@ object TextAnalysis {
           .cast("long").as("entropy_milli"))
   }
 
+  /** Flesch reading-ease quality tagger (Flesch 1948), engine-portable:
+    * words are \S+ runs, sentences are [.!?]+ runs (floored at 1 so
+    * fragments don't divide by zero), syllables approximated as vowel
+    * groups `[aeiouy]+` of the lowercased text — the standard cheap
+    * estimator; all three are regexp counts, so the scan stays one
+    * codegen'd projection. Score floored to milli-units AFTER the double
+    * arithmetic: both engines build the same doubles from the same
+    * integers and the same literals, so the floor is bit-identical.
+    * 206.835 − 1.015·(W/S) − 84.6·(Y/W); higher = simpler text. */
+  def fleschMilli(text: Column): Seq[Column] = {
+    val w = greatest(lit(1L), regexp_count(text, lit("\\S+")).cast("long"))
+    val s = greatest(lit(1L), regexp_count(text, lit("[.!?]+")).cast("long"))
+    val y = regexp_count(lower(text), lit("[aeiouy]+")).cast("long")
+    Seq(w.as("n_words"), s.as("n_sentences"), y.as("n_syllables"),
+      floor(lit(1000.0) * (lit(206.835)
+        - lit(1.015) * w.cast("double") / s.cast("double")
+        - lit(84.6) * y.cast("double") / w.cast("double")))
+        .cast("long").as("flesch_milli"))
+  }
+
   /** Corpus vocabulary: per-token term count + document frequency, top-k
     * by (count desc, token asc). The deterministic tie-break makes the
     * cut reproducible; `orderBy+limit` plans as TakeOrderedAndProject

@@ -164,6 +164,22 @@ class MiscOpsSpec extends AnyFunSuite {
       "2026-01-05" -> 1L))  // only u3; u1/u2's days fell out of the window
   }
 
+  test("fleschMilli: hand-computed score, fragment guards") {
+    import graft.ops.TextAnalysis
+    val got = Seq("The cat. The dog!", "").toDF("text")
+      .select(col("text") +: TextAnalysis.fleschMilli(col("text")): _*)
+      .collect().map(r => (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_sentences"), r.getAs[Long]("n_syllables"),
+        r.getAs[Long]("flesch_milli")))
+    // 4 words, 2 sentence runs, 4 vowel groups:
+    // 206.835 − 1.015·(4/2) − 84.6·(4/4) = 120.205
+    assert(got(0) == ((4L, 2L, 4L, 120205L)))
+    // empty text: both denominators floored at 1, zero syllables
+    val expectEmpty =
+      math.floor(1000.0 * (206.835 - 1.015 * 1.0 / 1.0 - 84.6 * 0.0)).toLong
+    assert(got(1) == ((1L, 1L, 0L, expectEmpty)))
+  }
+
   test("newVsReturning: first-time vs returning split per day") {
     import graft.ops.Funnel
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 10:00:00")
