@@ -1031,6 +1031,12 @@ object SparkEntry {
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    "text_lang_mix" -> { (s, dir) =>
+      // code-switching detector: sentence-level language ID rolled up to
+      // a per-doc histogram with the dominant language's share
+      TextAnalysis.langMix(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     "text_readability" -> { (s, dir) =>
       // Flesch reading-ease tagger: three regexp counts + one floored
       // double expression, a pure codegen projection
@@ -2814,6 +2820,40 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha,
          len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
+
+    "text_lang_mix" ->
+      """WITH seg AS (SELECT doc_id, s AS seg FROM (
+             SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS s
+             FROM documents)
+           WHERE len(trim(s)) > 0),
+         t AS (SELECT doc_id, string_split_regex(trim(seg), '\s+') AS toks
+           FROM seg),
+         sc AS (SELECT doc_id,
+           len(list_filter(toks, tk -> list_contains(['the','and','is','of'], tk))) AS s_en,
+           len(list_filter(toks, tk -> list_contains(['der','und','ist','das'], tk))) AS s_de,
+           len(list_filter(toks, tk -> list_contains(['el','los','es','de'], tk))) AS s_es,
+           len(list_filter(toks, tk -> list_contains(['le','les','est','et'], tk))) AS s_fr,
+           len(list_filter(toks, tk -> list_contains(['的','是','在','了'], tk))) AS s_zh
+           FROM t),
+         lb AS (SELECT doc_id,
+           CASE WHEN best = 0 THEN 'und'
+                WHEN s_en = best THEN 'en'
+                WHEN s_de = best THEN 'de'
+                WHEN s_es = best THEN 'es'
+                WHEN s_fr = best THEN 'fr'
+                ELSE 'zh' END AS seg_lang
+           FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS best
+                 FROM sc)),
+         c AS (SELECT doc_id, seg_lang, CAST(count(*) AS BIGINT) AS n
+           FROM lb GROUP BY doc_id, seg_lang),
+         r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+             ORDER BY n DESC, seg_lang ASC) AS rk FROM c)
+         SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_segments,
+           CAST(count(*) AS BIGINT) AS n_langs,
+           max(CASE WHEN rk = 1 THEN seg_lang END) AS lang_dominant,
+           CAST(max(CASE WHEN rk = 1 THEN n END) * 1000 // sum(n) AS BIGINT)
+             AS dominant_milli
+         FROM r GROUP BY doc_id""",
 
     "text_readability" ->
       """WITH m AS (SELECT doc_id,

@@ -51,6 +51,39 @@ object TextAnalysis {
     pick
   }
 
+  /** Mixed-language detection — [[langId]] applied per SENTENCE segment
+    * and rolled up per document: segment count, distinct predicted
+    * languages, the dominant language (ties broken lexicographically via
+    * a deterministic rank) and its share in milli-units (integer
+    * division — engine-exact). Code-switching and boilerplate-in-a-
+    * second-language are invisible to document-level language ID; the
+    * per-segment histogram is the standard detector. Explode is bounded
+    * by sentences×docs; two hash aggregates + one doc-keyed window over
+    * the (doc, lang) counts — the window input is already shrunk to at
+    * most |langs|+1 rows per doc, so the sort inside each partition is
+    * trivial. */
+  def langMix(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val segs = df
+      .select(col(idCol), explode(split(col(textCol), "[.!?]+")).as("seg"))
+      .filter(length(trim(col("seg"))) > 0)
+      .select(col(idCol), langId(col("seg")).as("seg_lang"))
+    val counts = segs.groupBy(col(idCol), col("seg_lang"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("n").desc, col("seg_lang").asc)
+    counts.withColumn("rk", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(sum("n").as("n_segments"),
+        count(lit(1)).as("n_langs"),
+        max(when(col("rk") === 1, col("seg_lang"))).as("lang_dominant"),
+        max(when(col("rk") === 1, col("n"))).as("__n_dom"))
+      .withColumn("dominant_milli",
+        expr("__n_dom * 1000L div n_segments"))
+      .drop("__n_dom")
+  }
+
   /** GPT-2-style pre-tokenizer pieces, minus the trailing-space lookahead
     * (RE2 has no lookahead, and the DuckDB oracle runs RE2): contractions,
     * space-prefixed letter/digit runs, punctuation runs, whitespace runs.

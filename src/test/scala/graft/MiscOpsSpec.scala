@@ -164,6 +164,23 @@ class MiscOpsSpec extends AnyFunSuite {
       "2026-01-05" -> 1L))  // only u3; u1/u2's days fell out of the window
   }
 
+  test("langMix: per-sentence histogram, dominant share, tie-break") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "the cat is here. der hund ist da. the dog is old."), // en 2, de 1
+      (2L, "el gato es de los perros."),                          // es only
+      (3L, "xyzzy plugh. qwerty!")                                // und ×2
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langMix(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_segments"), r.getAs[Long]("n_langs"),
+          r.getAs[String]("lang_dominant"), r.getAs[Long]("dominant_milli"))))
+      .toMap
+    assert(got(1L) == ((3L, 2L, "en", 666L)))
+    assert(got(2L) == ((1L, 1L, "es", 1000L)))
+    assert(got(3L) == ((2L, 1L, "und", 1000L)))
+  }
+
   test("fleschMilli: hand-computed score, fragment guards") {
     import graft.ops.TextAnalysis
     val got = Seq("The cat. The dog!", "").toDF("text")
