@@ -1031,6 +1031,13 @@ object SparkEntry {
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    "dedup_containment" -> { (s, dir) =>
+      // asymmetric quote/subsumption detection: overlap coefficient over
+      // df-capped shingles — the pairs symmetric Jaccard can't see
+      Dedup.containmentPairs(t(s, dir, "documents"), "doc_id", "text",
+        simMilliMin = 800L, shingleK = 3, maxDf = 50)
+    },
+
     "text_lang_mix" -> { (s, dir) =>
       // code-switching detector: sentence-level language ID rolled up to
       // a per-doc histogram with the dominant language's share
@@ -2820,6 +2827,27 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha,
          len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
+
+    "dedup_containment" ->
+      """WITH t AS (SELECT doc_id,
+           CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+           ELSE [] END AS sh
+           FROM documents),
+         gr AS (SELECT doc_id AS id, unnest(sh) AS gram FROM t),
+         d AS (SELECT gram, count(*) AS df FROM gr GROUP BY gram),
+         r AS (SELECT gr.id, gr.gram FROM gr JOIN d USING (gram)
+               WHERE d.df <= 50),
+         s AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM r GROUP BY id),
+         p AS (SELECT a.id AS i, b.id AS j, CAST(count(*) AS BIGINT) AS n_shared
+               FROM r a JOIN r b ON a.gram = b.gram AND a.id < b.id
+               GROUP BY a.id, b.id)
+         SELECT i, j, si.sz AS sz_i, sj.sz AS sz_j, n_shared,
+           CAST(n_shared * 1000 // least(si.sz, sj.sz) AS BIGINT)
+             AS containment_milli
+         FROM p JOIN s si ON si.id = p.i JOIN s sj ON sj.id = p.j
+         WHERE n_shared * 1000 // least(si.sz, sj.sz) >= 800""",
 
     "text_lang_mix" ->
       """WITH seg AS (SELECT doc_id, s AS seg FROM (

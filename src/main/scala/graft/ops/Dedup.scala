@@ -115,6 +115,55 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Asymmetric containment pairs (overlap coefficient over informative
+    * shingles): |A∩B| / min(|A|,|B|) catches a short document QUOTED
+    * inside a long one — invisible to every symmetric detector here
+    * (Jaccard of a 50-token doc inside a 5000-token doc is ~1%, and the
+    * length-band blocking above excludes the pair outright).
+    *
+    * Shape: shingle inverted index. Explode distinct shingles, drop
+    * shingles with document frequency > `maxDf` (a shingle shared by
+    * hundreds of documents is boilerplate, not evidence — and the cap
+    * bounds every posting list, so the self-join fan-out is ≤ maxDf per
+    * shingle occurrence instead of quadratic in the hottest key; the
+    * C4/CCNet pipelines apply the same guard). Candidate pairs and their
+    * intersection size then fall out of ONE groupBy over the self-joined
+    * index; set sizes join back per side. Containment is integer
+    * milli-units (exact division) over the SAME df-filtered universe on
+    * both sides — sizes are computed after the cap, so the metric is
+    * self-consistent and the oracle replays it. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      simMilliMin: Long = 800L, shingleK: Int = 3,
+      maxDf: Int = 50): DataFrame = {
+    // shingles hashed to longs right after the explode: every downstream
+    // shuffle/join compares 8 bytes instead of a ~20-char string (same
+    // negligible-collision contract as hashedShingles); the df-capped
+    // index is checkpointed ONCE — sizes, probe side, and build side all
+    // read the materialized 16-byte rows instead of re-running the
+    // tokenize+explode+df-join lineage three more times
+    val grams = df
+      .select(col(idCol).as("id"),
+        explode(tokenShingles(col(textCol), shingleK)).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("g"))
+    val dfCounts = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    val rare = grams
+      .join(maybeBroadcast(dfCounts.filter(col("__df") <= maxDf)), Seq("g"))
+      .select("id", "g")
+      .localCheckpoint(true)
+    val sizes = rare.groupBy("id").agg(count(lit(1)).as("sz"))
+    val pairs = rare.select(col("g"), col("id").as("i"))
+      .join(rare.select(col("g"), col("id").as("j")), Seq("g"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(maybeBroadcast(sizes.select(col("id").as("i"), col("sz").as("sz_i"))), Seq("i"))
+      .join(maybeBroadcast(sizes.select(col("id").as("j"), col("sz").as("sz_j"))), Seq("j"))
+      .withColumn("containment_milli",
+        expr("n_shared * 1000L div least(sz_i, sz_j)"))
+      .filter(col("containment_milli") >= simMilliMin)
+      .select("i", "j", "sz_i", "sz_j", "n_shared", "containment_milli")
+  }
+
   /** MinHash + LSH near-dup pairs: signature banding proposes candidates,
     * exact shingle Jaccard verifies. numHashes = bands × rowsPerBand;
     * detection probability for true Jaccard s is 1-(1-s^r)^b

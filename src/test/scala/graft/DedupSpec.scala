@@ -178,6 +178,39 @@ class DedupSpec extends AnyFunSuite {
       (4L, 5, 0L, 0L)))
   }
 
+  test("containmentPairs catches a quote that symmetric Jaccard misses") {
+    import graft.ops.Dedup
+    val long = (('a' to 't').map(_.toString)).mkString(" ") // 18 shingles
+    val quote = "a b c d e"                                 // 3, all ⊆ long
+    val df = Seq((1L, long), (2L, quote)).toDF("doc_id", "text")
+      .withColumn("n_chars", length($"text"))
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+      simMilliMin = 800L, shingleK = 3, maxDf = 50).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getAs[Long]("i"), r.getAs[Long]("j")) == ((1L, 2L)))
+    assert(r.getAs[Long]("containment_milli") == 1000L)
+    assert((r.getAs[Long]("sz_i"), r.getAs[Long]("sz_j")) == ((18L, 3L)))
+    // the symmetric detector cannot see it: jaccard 3/18 and the length
+    // band excludes the pair outright
+    val jac = Dedup.ngramJaccardPairs(df, "doc_id", "text", "n_chars", 0.5)
+    assert(jac.count() == 0L)
+  }
+
+  test("containmentPairs: the df cap silences boilerplate shingles") {
+    import graft.ops.Dedup
+    val df = Seq((1L, "p q r s"), (2L, "p q r s"), (3L, "p q r s"))
+      .toDF("doc_id", "text")
+    // df=3 for every shingle: capped out at maxDf=2 → no evidence left
+    assert(Dedup.containmentPairs(df, "doc_id", "text",
+      simMilliMin = 800L, shingleK = 3, maxDf = 2).count() == 0L)
+    // raise the cap and all three identical pairs surface at 1000
+    val got = Dedup.containmentPairs(df, "doc_id", "text",
+      simMilliMin = 800L, shingleK = 3, maxDf = 10).collect()
+    assert(got.length == 3)
+    assert(got.forall(_.getAs[Long]("containment_milli") == 1000L))
+  }
+
   test("spanDupCoverage: overlapping dup positions merge into one island") {
     import graft.ops.Dedup
     // "a b c d" duplicated across docs ⇒ doc grams at pos 1 ("a b c") and
