@@ -153,6 +153,65 @@ class ScaleShapeSpec extends AnyFunSuite {
       s"more than one hash shuffle in the candidate path:\n$hp")
   }
 
+  test("continuation-op plan shapes: one-pass validate, broadcast pagerank, bounded containment") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+
+    // Validate without Unique/RefIn rules is a single global aggregate:
+    // the only exchange is the 1-row partial→final merge, never a
+    // per-rule scan (rules scale free)
+    val v = graft.ops.Validate.check(docs, Seq(
+      graft.ops.Validate.NotNull("nn", "text"),
+      graft.ops.Validate.InRange("r", "n_chars", 1L, 100000L),
+      graft.ops.Validate.Predicate("p", length($"text") === $"n_chars"),
+      graft.ops.Validate.RowCountBetween("rc", 1L, Long.MaxValue)))
+    val vp = plan(v)
+    assert(vp.sliding("Exchange".length).count(_ == "Exchange") <= 1, vp)
+    assert(!vp.contains("CartesianProduct") && !vp.contains("Join"), vp)
+
+    // referential rule: the dim side must BROADCAST, the fact side must
+    // not gain an extra shuffle
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val vr = graft.ops.Validate.check(docs, Seq(
+      graft.ops.Validate.RefIn("ref", "doc_id", emb, "vec_id")))
+    assert(plan(vr).contains("BroadcastHashJoin"), plan(vr))
+
+    // pagerank at small node count: ranks joins must be broadcast — the
+    // edge table is never exchanged inside an iteration. The result is
+    // checkpointed (its own plan is an RDD scan), so capture the
+    // iteration plans as they execute.
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          d: Long): Unit = plans.synchronized { plans += qe.executedPlan.toString }
+      def onFailure(f: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val edges = graft.ops.PageRank.symmetrize(
+        docs.select(($"doc_id" % 10).as("a"), ($"doc_id" % 7 + 100).as("b")),
+        "a", "b")
+      graft.ops.PageRank.pageRank(edges, iters = 2).collect()
+      // listener delivery is async — poll until the broadcast join shows
+      val deadline = System.currentTimeMillis() + 10000
+      while (System.currentTimeMillis() < deadline &&
+        !plans.synchronized(plans.exists(_.contains("BroadcastHashJoin"))))
+        Thread.sleep(100)
+      val all = plans.synchronized(plans.toList)
+      assert(all.exists(_.contains("BroadcastHashJoin")), all.mkString("\n---\n"))
+      assert(!all.exists(p => p.contains("CartesianProduct") ||
+        p.contains("BroadcastNestedLoopJoin")), all.mkString("\n---\n"))
+    } finally spark.listenerManager.unregister(listener)
+
+    // containment: equi joins only — the pair space must come from the
+    // inverted index, never a cartesian/nested-loop fallback
+    val cp = graft.ops.Dedup.containmentPairs(docs, "doc_id", "text")
+    val cpp = plan(cp)
+    assert(!cpp.contains("CartesianProduct") && !cpp.contains("NestedLoopJoin"), cpp)
+  }
+
   test("filters and projections reach the parquet scan (pushdown proof)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
