@@ -1190,6 +1190,27 @@ object SparkEntry {
           col("rank"))
     },
 
+    "graph_ppr" -> { (s, dir) =>
+      // personalized PageRank: teleport mass pinned to suppliers 1-10 —
+      // rank becomes proximity to the trusted seed set (corpus-expansion
+      // signal), same quantized arithmetic as graph_pagerank
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+      val seeds = t(s, dir, "supplier").filter(col("s_suppkey") < 10)
+        .select((col("s_suppkey") * 2 + 1).as("node"))
+      PageRank.personalizedPageRank(
+          PageRank.symmetrize(pairs, "a", "b"), seeds, "node", iters = 5)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("entity_id"),
+          col("rank"))
+    },
+
     "text_contamination" -> { (s, dir) =>
       // benchmark decontamination: every 50th document plays the eval
       // set, the rest the training corpus; injected near-dups make some
@@ -2525,6 +2546,35 @@ object SparkEntry {
              AS node_type,
            node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
          FROM i5""",
+
+    "graph_ppr" -> {
+      val seeds = (0 until 10).map(s => s * 2 + 1).mkString(", ")
+      def it(prev: String) =
+        s"""SELECT e.dst AS node,
+           CASE WHEN e.dst IN ($seeds) THEN 150000 ELSE 0 END
+             + (sum(r.r // g.d) * 85) // 100 AS r
+           FROM edges e JOIN $prev r ON r.node = e.src
+             JOIN deg g ON g.src = e.src
+           GROUP BY e.dst"""
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS a,
+             l.l_suppkey * 2 + 1 AS b
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+         r0 AS (SELECT src AS node,
+           CAST(CASE WHEN src IN ($seeds) THEN 1000000 ELSE 0 END AS BIGINT)
+             AS r FROM deg),
+         i1 AS (${it("r0")}),
+         i2 AS (${it("i1")}),
+         i3 AS (${it("i2")}),
+         i4 AS (${it("i3")}),
+         i5 AS (${it("i4")})
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
+         FROM i5"""
+    },
 
     "ann_bruteforce_topk" ->
       """SELECT qid, cid, rk FROM (

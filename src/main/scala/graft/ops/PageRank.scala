@@ -67,15 +67,59 @@ object PageRank {
     val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true)
 
     val base = scale - scale * dampNum / dampDen // (1−d)·scale, exact
-    var ranks = deg.select(col("src").as("node"), lit(scale).as("rank"))
-      .localCheckpoint(true)
+    val ranks0 = deg.select(col("src").as("node"), lit(scale).as("rank"))
+    iterate(edgesDeg, ranks0, lit(base), hint, iters, dampNum, dampDen)
+  }
+
+  /** Personalized PageRank (Jeh & Widom 2003 / Haveliwala 2002):
+    * teleport mass lands ONLY on the `seeds` node set, so rank measures
+    * proximity to the seeds — the corpus-expansion signal ("documents
+    * close to my trusted set" in the link/similarity graph) rather than
+    * global authority. Same quantized arithmetic and iteration shape as
+    * [[pageRank]]; the seed flag is a nodes-sized broadcast join applied
+    * to each iteration's aggregate output (already keyed on node). Seeds
+    * start at `scale`, everything else at 0. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      seedCol: String, srcCol: String = "src", dstCol: String = "dst",
+      iters: Int = 5, dampNum: Long = 85L, dampDen: Long = 100L,
+      scale: Long = 1000000L,
+      broadcastMaxNodes: Long = 10000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val nNodes = deg.count()
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
+    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true)
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
+      .distinct().withColumn("__seed", lit(1))
+    val base = scale - scale * dampNum / dampDen
+    val ranks0 = deg.select(col("src").as("node"))
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__seed").isNotNull, lit(scale)).otherwise(lit(0L)).as("rank"))
+    val withSeedBase = (ranks: DataFrame) => ranks
+      .join(broadcast(seedSet), Seq("node"), "left")
+      .select(col("node"),
+        (col("rank") + when(col("__seed").isNotNull, lit(base))
+          .otherwise(lit(0L))).as("rank"))
+    iterate(edgesDeg, ranks0, lit(0L), hint, iters, dampNum, dampDen,
+      postStep = withSeedBase)
+  }
+
+  private def iterate(edgesDeg: DataFrame, ranks0: DataFrame,
+      baseCol: org.apache.spark.sql.Column, hint: DataFrame => DataFrame,
+      iters: Int, dampNum: Long, dampDen: Long,
+      postStep: DataFrame => DataFrame = identity): DataFrame = {
+    var ranks = ranks0.localCheckpoint(true)
     for (_ <- 1 to iters) {
       val contribs = edgesDeg
         .join(hint(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst"), expr("rank div __deg").as("__c"))
-      ranks = contribs.groupBy(col("dst").as("node"))
-        .agg(expr(s"${base}L + (sum(__c) * ${dampNum}L) div ${dampDen}L")
-          .as("rank"))
+      ranks = postStep(contribs.groupBy(col("dst").as("node"))
+          .agg((baseCol + expr(s"(sum(__c) * ${dampNum}L) div ${dampDen}L"))
+            .as("rank")))
         .localCheckpoint(true)
     }
     ranks

@@ -32,6 +32,22 @@ class PageRankSpec extends AnyFunSuite {
     assert(edges == Set((1L, 2L), (2L, 1L)))
   }
 
+  test("personalized: hand-computed seeded ranks on a star graph") {
+    // star 1..3 around 0, seed {1}. r0 = (1e6, 0, 0) on (1, 0, rest).
+    // i1: 1 sends 1e6 → r(0)=850000; leaves 0; seed base → r(1)=150000.
+    // i2: 0 sends 850000//3=283333 to each leaf; 1 sends 150000 to 0:
+    //   r(0)=127500, r(1)=240833+150000, r(2)=r(3)=240833.
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val edges = PageRank.symmetrize(pairs, "a", "b")
+    val seeds = Seq(1L).toDF("node")
+    val ppr = PageRank.personalizedPageRank(edges, seeds, "node", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == Map(0L -> 127500L, 1L -> 390833L,
+      2L -> 240833L, 3L -> 240833L))
+    // only the seed leaf carries teleport mass: it outranks its twins
+    assert(ppr(1L) > ppr(2L))
+  }
+
   test("rank mass is conserved up to flooring on a regular graph") {
     // 4-cycle: every node deg 2 — ranks stay identical across nodes
     val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("a", "b")
