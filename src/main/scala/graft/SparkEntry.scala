@@ -414,6 +414,12 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
     },
 
+    "profile_key_skew" -> { (s, dir) =>
+      // join-key skew diagnostic on the event-type key (the salting
+      // decision input); top-2 mass share + hottest-key balance ratio
+      Profile.keySkew(events(s, dir), "event_type", k = 2)
+    },
+
     "profile_drift" -> { (s, dir) =>
       // snapshot drift monitoring: the prior version is the corpus minus
       // every 10th doc, so min/max (doc_id range) and the distinct-ratio
@@ -1984,6 +1990,20 @@ object SparkEntry {
          SELECT 'n_chars', count(*),
            count(*) - count(n_chars), count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
+
+    "profile_key_skew" ->
+      """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY event_type),
+         t AS (SELECT CAST(sum(n) AS BIGINT) AS top_n FROM
+           (SELECT n FROM c ORDER BY n DESC, event_type ASC LIMIT 2)),
+         a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             CAST(max(n) AS BIGINT) AS max_key_rows FROM c)
+         SELECT n_keys, n_rows, max_key_rows,
+           CAST(max_key_rows * n_keys * 1000 // n_rows AS BIGINT)
+             AS skew_ratio_milli,
+           CAST(t.top_n * 1000 // n_rows AS BIGINT) AS top_share_milli
+         FROM a, t""",
 
     "profile_drift" -> {
       // the one-pass profile replayed per snapshot, joined per column

@@ -187,6 +187,31 @@ object Profile {
       .select("tok", "est_count")
   }
 
+  /** Join-key skew report — the "does this key need salting?" diagnostic
+    * that decides between [[SkewJoin.saltedEquiJoin]] and a plain join:
+    * per-key counts reduce to one row of corpus-level skew facts, all
+    * integer-exact. `skew_ratio_milli` = max·n_keys·1000 div n_rows is
+    * the hottest key's load relative to perfect balance (1000 = uniform;
+    * AQE's skew threshold thinks in the same ratio); `top_share_milli`
+    * is the mass of the top `k` keys. Two bounded aggregates: the
+    * per-key count (one shuffle on the key — the same shuffle the
+    * candidate join would pay, so profiling here is never wasted work)
+    * and a single-row rollup. */
+  def keySkew(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val topk = counts.orderBy(col("n").desc, col(keyCol).asc).limit(k)
+      .agg(sum("n").as("__top_n"))
+    counts.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+        max("n").as("max_key_rows"))
+      .crossJoin(broadcast(topk))
+      .select(col("n_keys").cast("long").as("n_keys"),
+        col("n_rows").cast("long").as("n_rows"),
+        col("max_key_rows").cast("long").as("max_key_rows"),
+        expr("max_key_rows * n_keys * 1000L div n_rows")
+          .as("skew_ratio_milli"),
+        expr("__top_n * 1000L div n_rows").as("top_share_milli"))
+  }
+
   /** Exact equi-width histogram of an integer column over [lo, hi):
     * bucket 0 catches underflow, `nBins`+1 overflow (the Postgres
     * width_bucket convention), interior bucket of v is

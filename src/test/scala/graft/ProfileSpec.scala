@@ -32,6 +32,18 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n")).sum == 2L)
   }
 
+  test("keySkew: hand-computed balance ratio and top-k share") {
+    // keys: a×6, b×2, c×1, d×1 → 4 keys, 10 rows, max 6
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = graft.ops.Profile.keySkew(df, "k", k = 2).collect().head
+    assert(r.getAs[Long]("n_keys") == 4L)
+    assert(r.getAs[Long]("n_rows") == 10L)
+    assert(r.getAs[Long]("max_key_rows") == 6L)
+    assert(r.getAs[Long]("skew_ratio_milli") == 2400L) // 6·4·1000/10
+    assert(r.getAs[Long]("top_share_milli") == 800L)   // (6+2)/10
+  }
+
   test("profileDrift: flags trip exactly when the snapshot moved") {
     val cur = Seq((1L, Option("a")), (2L, Option("b")), (3L, Option("b")),
       (4L, None)).toDF("id", "tag")
