@@ -768,6 +768,12 @@ object SparkEntry {
         "event_id", pathLen = 3, k = 20)
     },
 
+    "events_rate_anomaly" -> { (s, dir) =>
+      // hourly event-rate spikes per type vs the trailing 24h baseline
+      Funnel.rateAnomaly(events(s, dir), "event_type", "ts",
+        bucketSec = 3600L, trailBuckets = 24)
+    },
+
     "events_new_users" -> { (s, dir) =>
       // growth decomposition: per day, distinct actives split into first-
       // time vs returning (day stringified — pandas DATE parity)
@@ -1535,6 +1541,24 @@ object SparkEntry {
         .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
         .select("qid", "doc_id")
       Retrieval.mrrAtK(
+        Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10),
+        relevant, k = 10, queries = q)
+    },
+
+    "rag_eval_ndcg" -> { (s, dir) =>
+      // position-discounted retrieval evaluation: NDCG@10 of the BM25
+      // ranking against the same all-terms ground truth as rag_eval_mrr
+      val docs = t(s, dir, "documents")
+      val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
+      val q = retrievalQueries(s)
+      val qTerms = q.select(col("qid"),
+        explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
+      val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("nt"))
+      val relevant = idx.join(qTerms, Seq("term"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("__hit"))
+        .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
+        .select("qid", "doc_id")
+      Retrieval.ndcgAtK(
         Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10),
         relevant, k = 10, queries = q)
     },
@@ -3280,6 +3304,45 @@ object SparkEntry {
          FROM (SELECT DISTINCT qid FROM q) u
          LEFT JOIN hits ON u.qid = hits.qid""",
 
+    "rag_eval_ndcg" ->
+      s"""$bm25Cte,
+         bm AS (SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc QUALIFY rank <= 10),
+         qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt
+           FROM qt GROUP BY qid),
+         rel AS (SELECT h.qid, h.doc_id FROM (
+             SELECT qt.qid AS qid, dt.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS hit
+             FROM dt JOIN qt ON dt.term = qt.term
+             GROUP BY qt.qid, dt.doc_id) h
+           JOIN qn ON h.qid = qn.qid WHERE h.hit = qn.nt),
+         dcg AS (SELECT bm.qid,
+             CAST(sum(CAST(floor(1000000.0 * ln(2.0) /
+               ln(CAST(rank + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+               AS dcg_micro
+           FROM bm JOIN rel ON bm.qid = rel.qid AND bm.doc_id = rel.doc_id
+           GROUP BY bm.qid),
+         rn AS (SELECT qid, CAST(count(*) AS BIGINT) AS r
+           FROM rel GROUP BY qid),
+         ideal AS (SELECT qid,
+             CAST(sum(CAST(floor(1000000.0 * ln(2.0) /
+               ln(CAST(i + 1 AS DOUBLE))) AS BIGINT)) AS BIGINT)
+               AS idcg_micro
+           FROM (SELECT qid, unnest(range(1, CAST(least(r, 10) AS BIGINT) + 1))
+                   AS i FROM rn)
+           GROUP BY qid)
+         SELECT u.qid,
+           CAST(coalesce(dcg_micro, 0) AS BIGINT) AS dcg_micro,
+           CAST(coalesce(idcg_micro, 0) AS BIGINT) AS idcg_micro,
+           CASE WHEN coalesce(idcg_micro, 0) > 0
+             THEN CAST(coalesce(dcg_micro, 0) * 1000 // idcg_micro AS BIGINT)
+             ELSE 0 END AS ndcg_milli
+         FROM (SELECT DISTINCT qid FROM q) u
+         LEFT JOIN dcg ON u.qid = dcg.qid
+         LEFT JOIN ideal ON u.qid = ideal.qid""",
+
     "rag_context_pack" ->
       s"""$bm25Cte,
          bm AS (SELECT qid, doc_id,
@@ -3381,6 +3444,32 @@ object SparkEntry {
            SELECT path, n_users,
              row_number() OVER (ORDER BY n_users DESC, path) AS rk FROM c)
          WHERE rk <= 20""",
+
+    "events_rate_anomaly" ->
+      """WITH e AS (SELECT event_type,
+             CAST(epoch_us(ts) // 1000000 // 3600 AS BIGINT) AS bucket
+           FROM events),
+         c AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+           FROM e GROUP BY event_type, bucket),
+         wf AS (SELECT event_type, bucket, n,
+             count(n) OVER fr AS bn,
+             CAST(sum(n) OVER fr AS BIGINT) AS bs,
+             CAST(sum(n * n) OVER fr AS BIGINT) AS bs2
+           FROM c WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+             RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+         v AS (SELECT event_type, bucket, n, bn,
+             CAST(bs AS DOUBLE) / CAST(bn AS DOUBLE) AS mean,
+             (CAST(bs2 AS DOUBLE) - CAST(bs AS DOUBLE) * CAST(bs AS DOUBLE)
+               / CAST(bn AS DOUBLE)) / (CAST(bn AS DOUBLE) - 1.0) AS vr
+           FROM wf),
+         z AS (SELECT event_type, bucket, n,
+             CASE WHEN bn >= 2 AND vr > 0
+               THEN CAST(floor(1000.0 * (CAST(n AS DOUBLE) - mean) / sqrt(vr))
+                 AS BIGINT) END AS z_milli
+           FROM v)
+         SELECT event_type, bucket, n, z_milli,
+           CAST(coalesce(z_milli >= 3000, FALSE) AS INT) AS spike
+         FROM z""",
 
     "events_new_users" ->
       """WITH e AS (SELECT DISTINCT user_id,

@@ -125,6 +125,40 @@ object Funnel {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Event-rate anomaly detection: per (type, time bucket) counts scored
+    * against a TRAILING baseline window — the ops-side spike/drop
+    * detector (ingest stalls, bot bursts) run as pure SQL windows. The
+    * baseline excludes the current bucket (RANGE −trail..−1 on the
+    * bucket index), so a spike can't vote itself normal; moments come
+    * from exact integer sums inside the frame (n, Σx, Σx² — counts are
+    * bucket-bounded, no overflow at any realistic rate) and the z-score
+    * floors to milli AFTER one shared double expression, the engine-
+    * exactness pattern of zscorePerGroup. One shuffle on the type key;
+    * the window walks each type's buckets in order. Buckets with fewer
+    * than 2 baseline points or zero variance emit NULL z. */
+  def rateAnomaly(events: DataFrame, typeCol: String, tsCol: String,
+      bucketSec: Long = 3600L, trailBuckets: Int = 24): DataFrame = {
+    val bucket = (col(tsCol).cast("long") / bucketSec).cast("long")
+    val counts = events.groupBy(col(typeCol), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(typeCol)).orderBy(col("bucket"))
+      .rangeBetween(-trailBuckets.toLong, -1L)
+    val bn = count(col("n")).over(w)
+    val bs = sum(col("n")).over(w)
+    val bs2 = sum(col("n") * col("n")).over(w)
+    val mean = bs.cast("double") / bn.cast("double")
+    val variance = (bs2.cast("double") - bs.cast("double") * bs.cast("double")
+      / bn.cast("double")) / (bn.cast("double") - 1.0)
+    counts
+      .withColumn("z_milli",
+        when(bn >= 2 && variance > 0,
+          floor(lit(1000.0) * (col("n").cast("double") - mean)
+            / sqrt(variance)).cast("long")))
+      .withColumn("spike",
+        coalesce((col("z_milli") >= 3000L).cast("int"), lit(0)))
+  }
+
   /** Daily active decomposition into NEW vs RETURNING users (the growth
     * twin of [[rollingActives]]): per observed day, distinct actives and
     * how many were seen for the first time that day. Two hash shuffles

@@ -198,6 +198,42 @@ object Retrieval {
           .otherwise(lit(0L)))
   }
 
+  /** NDCG@k (binary relevance) — the rank-position-sensitive twin of
+    * [[mrrAtK]]: MRR only sees the FIRST relevant hit, NDCG credits the
+    * whole ranked list with a logarithmic position discount. Every gain
+    * term floors to micro-units BEFORE the per-query sum (integer sums
+    * are merge-order-free; the natural log is the engine-portable
+    * primitive this repo's entropy/LM scores already pin), so
+    * dcg/idcg/ndcg are exact integers: gain(rank) =
+    * ⌊1e6·ln2/ln(rank+1)⌋, idcg sums the ideal prefix min(R,k), ndcg =
+    * dcg·1000 div idcg. Queries with no relevant docs anywhere score 0
+    * (they must appear — deriving the universe from the ranking would
+    * drop them). All inputs bounded by top-k×queries and labeled pairs:
+    * driver-trivial at any corpus scale. */
+  def ndcgAtK(ranking: DataFrame, relevant: DataFrame, k: Int,
+      queries: DataFrame): DataFrame = {
+    def gain(r: Column): Column =
+      floor(lit(1000000.0) * log(lit(2.0)) / log(r.cast("double") + 1.0))
+        .cast("long")
+    val dcg = ranking.filter(col("rank") <= k)
+      .join(relevant.select(col("qid"), col("doc_id")), Seq("qid", "doc_id"))
+      .groupBy("qid").agg(sum(gain(col("rank"))).as("dcg_micro"))
+    val relN = relevant.groupBy("qid").agg(count(lit(1)).as("__r"))
+    val ideal = relN
+      .select(col("qid"),
+        explode(sequence(lit(1L), least(col("__r"), lit(k.toLong)))).as("i"))
+      .groupBy("qid").agg(sum(gain(col("i"))).as("idcg_micro"))
+    queries.select("qid").distinct()
+      .join(dcg, Seq("qid"), "left")
+      .join(ideal, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"))
+      .withColumn("ndcg_milli",
+        when(col("idcg_micro") > 0,
+          expr("dcg_micro * 1000L div idcg_micro")).otherwise(lit(0L)))
+  }
+
   private def topKByScore(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col(scoreCol).desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -197,6 +197,26 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got(1) == ((1L, 1L, 0L, expectEmpty)))
   }
 
+  test("rateAnomaly: trailing baseline excludes self, spike flagged") {
+    import graft.ops.Funnel
+    // one type, hourly buckets 0..3 with counts 9, 10, 11, 100
+    val rows = Seq(0 -> 9, 1 -> 10, 2 -> 11, 3 -> 100).flatMap {
+      case (b, cnt) => Seq.fill(cnt)(
+        ("a", new java.sql.Timestamp(b * 3600L * 1000L + 10000L)))
+    }.toDF("event_type", "ts")
+    val got = Funnel.rateAnomaly(rows, "event_type", "ts",
+      bucketSec = 3600L, trailBuckets = 24).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n"), Option(r.getAs[Any]("z_milli")),
+          r.getAs[Int]("spike")))).toMap
+    assert(got(0L) == ((9L, None, 0)))   // no baseline
+    assert(got(1L) == ((10L, None, 0)))  // single-point baseline
+    // baseline {9,10}: mean 9.5, var 0.5 → z = 1500/√0.5 → 2121
+    assert(got(2L) == ((11L, Some(2121L), 0)))
+    // baseline {9,10,11}: mean 10, var 1 → z = 90000, spike
+    assert(got(3L) == ((100L, Some(90000L), 1)))
+  }
+
   test("newVsReturning: first-time vs returning split per day") {
     import graft.ops.Funnel
     def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-01-$day%02d 10:00:00")

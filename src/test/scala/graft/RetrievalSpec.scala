@@ -129,6 +129,26 @@ class RetrievalSpec extends AnyFunSuite {
       (3L, 0, 0L, 0L)))   // no ranking rows at all — still scored
   }
 
+  test("ndcgAtK: hand-computed position-discounted gains, zero rows kept") {
+    import graft.ops.Retrieval
+    def g(r: Int): Long =
+      math.floor(1e6 * math.log(2.0) / math.log(r + 1.0)).toLong
+    val ranking = Seq((1L, 1, 10L), (1L, 2, 11L), (1L, 3, 12L))
+      .toDF("qid", "rank", "doc_id")
+    // relevant: docs 11 (rank 2), 12 (rank 3), and 13 (not retrieved)
+    val rel = Seq((1L, 11L), (1L, 12L), (1L, 13L)).toDF("qid", "doc_id")
+    val queries = Seq((1L, "x"), (2L, "y")).toDF("qid", "qtext")
+    val got = Retrieval.ndcgAtK(ranking, rel, k = 3, queries = queries)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("dcg_micro"), r.getAs[Long]("idcg_micro"),
+          r.getAs[Long]("ndcg_milli")))).toMap
+    val dcg = g(2) + g(3)
+    val idcg = g(1) + g(2) + g(3) // ideal prefix: min(R=3, k=3)
+    assert(got(1L) == ((dcg, idcg, dcg * 1000 / idcg)))
+    // qid 2 has no relevant docs: present, all zeros
+    assert(got(2L) == ((0L, 0L, 0L)))
+  }
+
   test("bm25 plan: no cartesian/nested-loop; query side broadcast") {
     val q = Seq((1L, "cat dog")).toDF("qid", "qtext")
     val plan = Retrieval.bm25TopK(docs4, "doc_id", "text", q, "qid", "qtext", k = 3)
