@@ -1202,6 +1202,29 @@ object SparkEntry {
           col("rank"))
     },
 
+    "graph_label_prop" -> { (s, dir) =>
+      // clamped label propagation: 20 audited suppliers carry their
+      // nation label; 3 rounds spread it across the purchase graph
+      // (bipartite — customers at round 1, unlabeled suppliers round 2)
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"),
+          (col("l_suppkey") * 2 + 1).as("b"))
+      val seeds = t(s, dir, "supplier").filter(col("s_suppkey") < 20)
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          col("s_nationkey").as("label"))
+      Components.labelPropagation(
+          PageRank.symmetrize(pairs, "a", "b"), seeds, "node", "label",
+          iters = 3)
+        .select(
+          when(col("node") % 2 === 0, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          expr("node div 2").as("entity_id"),
+          col("label"))
+    },
+
     "graph_ppr" -> { (s, dir) =>
       // personalized PageRank: teleport mass pinned to suppliers 1-10 —
       // rank becomes proximity to the trusted seed set (corpus-expansion
@@ -2590,6 +2613,34 @@ object SparkEntry {
              AS node_type,
            node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
          FROM i5""",
+
+    "graph_label_prop" -> {
+      def round(prev: String) =
+        s"""SELECT node, label FROM seeds
+           UNION ALL
+           SELECT node, label FROM (
+             SELECT e.dst AS node, l.label,
+               row_number() OVER (PARTITION BY e.dst
+                 ORDER BY count(*) DESC, l.label ASC) AS rk
+             FROM edges e JOIN $prev l ON l.node = e.src
+             GROUP BY e.dst, l.label) v
+           WHERE rk = 1 AND node NOT IN (SELECT node FROM seeds)"""
+      s"""WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS a,
+             l.l_suppkey * 2 + 1 AS b
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         edges AS (SELECT a AS src, b AS dst FROM pairs
+                   UNION SELECT b, a FROM pairs),
+         seeds AS (SELECT s_suppkey * 2 + 1 AS node,
+             CAST(s_nationkey AS BIGINT) AS label
+           FROM supplier WHERE s_suppkey < 20),
+         l1 AS (${round("seeds")}),
+         l2 AS (${round("l1")}),
+         l3 AS (${round("l2")})
+         SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           node // 2 AS entity_id, label
+         FROM l3"""
+    },
 
     "graph_ppr" -> {
       val seeds = (0 until 10).map(s => s * 2 + 1).mkString(", ")

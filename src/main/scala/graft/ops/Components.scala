@@ -85,4 +85,53 @@ object Components {
       .groupBy("component")
       .agg(count(lit(1)).as("n_members"),
         array_join(sort_array(collect_list(col("node"))), ",").as("members"))
+
+  /** Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    * clamped variant): seed nodes carry trusted labels and NEVER change;
+    * every other node adopts, per round, the modal label among its
+    * currently-labeled neighbors (vote counts are integers, ties break
+    * to the smallest label, unlabeled neighbors contribute nothing) —
+    * the "spread human quality labels across the near-dup/link graph"
+    * stage of corpus curation, where a few audited documents label their
+    * whole similarity neighborhoods.
+    *
+    * A fixed `iters` rounds keeps the result deterministic and
+    * SQL-replayable (bipartite graphs can oscillate at a fixpoint, so
+    * "run to convergence" is not well-defined); labels reach distance-
+    * `iters` nodes. Each round: one shuffle for the neighbor vote
+    * (edges ⋈ labels on src, partial-aggregated count on (dst, label)),
+    * a per-node window over ≤|labels| vote rows, and the seed clamp as
+    * an anti-join; `localCheckpoint` truncates lineage per round.
+    * `edges` must be symmetric (see [[PageRank.symmetrize]]). */
+  def labelPropagation(edges: DataFrame, seeds: DataFrame,
+      nodeCol: String, labelCol: String, iters: Int,
+      srcCol: String = "src", dstCol: String = "dst",
+      broadcastMaxNodes: Long = 10000000L): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val seed = seeds.select(col(nodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("label")).localCheckpoint(true)
+    // labels is bounded by the node count: broadcast it through the vote
+    // join while it fits (the edge table never shuffles per round), fall
+    // back to the hash join at billion-node scale — same policy as
+    // PageRank's ranks side
+    val nNodes = e.select("dst").distinct().count()
+    val hint: DataFrame => DataFrame =
+      if (nNodes <= broadcastMaxNodes) broadcast else identity
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("__c").desc, col("label").asc)
+    var labels = seed
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(hint(labels.withColumnRenamed("node", "src")), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
+      val adopted = votes.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("dst").as("node"), col("label"))
+        .join(hint(seed.select("node")), Seq("node"), "left_anti")
+      labels = seed.unionByName(adopted).localCheckpoint(true)
+    }
+    labels
+  }
 }

@@ -42,4 +42,22 @@ class ComponentsSpec extends AnyFunSuite {
       .as[(Long, Long, String)].collect().toSet
     assert(got == Set((10L, 3L, "10,11,12"), (20L, 2L, "20,21")))
   }
+
+  test("labelPropagation: distance-bounded spread, clamp, smallest-label ties") {
+    import graft.ops.PageRank
+    // path 1—2—3 plus node 4 adjacent to both seeds 1 and 5
+    val edges = PageRank.symmetrize(
+      Seq((1L, 2L), (2L, 3L), (1L, 4L), (5L, 4L)).toDF("a", "b"), "a", "b")
+    val seeds = Seq((1L, 7L), (5L, 3L)).toDF("node", "label")
+
+    val one = Components.labelPropagation(edges, seeds, "node", "label", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one round: 2 and 4 labeled; 3 out of reach; tie at 4 → min(7,3)=3
+    assert(one == Map(1L -> 7L, 5L -> 3L, 2L -> 7L, 4L -> 3L))
+
+    val two = Components.labelPropagation(edges, seeds, "node", "label", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round two reaches 3 through 2; seeds stay clamped
+    assert(two == Map(1L -> 7L, 5L -> 3L, 2L -> 7L, 3L -> 7L, 4L -> 3L))
+  }
 }
