@@ -40,6 +40,20 @@ object Layout {
     }.reduce(_.bitwiseOR(_))
   }
 
+  /** N-dimensional Morton key: round-robin bit interleave of the low
+    * `bits` bits of each dimension (dim 0 gets positions 0, n, 2n, …).
+    * Total key width = dims.length · bits, which must fit a signed long
+    * (≤ 62). Same preconditions as [[zorderKey2]]. */
+  def zorderKeyN(dims: Seq[Column], bits: Int = 16): Column = {
+    require(dims.nonEmpty, "need at least one dimension")
+    require(bits >= 1 && dims.length * bits <= 62,
+      s"key width ${dims.length * bits} exceeds a signed long")
+    val n = dims.length
+    (for { i <- 0 until bits; (d, j) <- dims.zipWithIndex } yield
+      shiftleft(shiftright(d, i).bitwiseAND(lit(1)), i * n + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
   /** Write-side clustering: range-repartition on the Morton key into
     * `nFiles` partitions and sort within each — the OPTIMIZE ZORDER
     * shape (one shuffle; boundaries come from Spark's reservoir sample

@@ -96,11 +96,11 @@ object PageRank {
       .distinct().withColumn("__seed", lit(1))
     val base = scale - scale * dampNum / dampDen
     val ranks0 = deg.select(col("src").as("node"))
-      .join(broadcast(seedSet), Seq("node"), "left")
+      .join(hint(seedSet), Seq("node"), "left")
       .select(col("node"),
         when(col("__seed").isNotNull, lit(scale)).otherwise(lit(0L)).as("rank"))
     val withSeedBase = (ranks: DataFrame) => ranks
-      .join(broadcast(seedSet), Seq("node"), "left")
+      .join(hint(seedSet), Seq("node"), "left")
       .select(col("node"),
         (col("rank") + when(col("__seed").isNotNull, lit(base))
           .otherwise(lit(0L))).as("rank"))

@@ -73,7 +73,8 @@ object Validate {
     val prepared = rules.zipWithIndex.foldLeft(df) {
       case (d, (RefIn(_, c, dim, dimCol), i)) =>
         val keys = dim.select(col(dimCol).as(s"__ref_key_$i")).distinct()
-        d.join(broadcast(keys.withColumn(s"__ref_hit_$i", lit(1))),
+        d.join(ScaleHints.maybeBroadcast(
+            keys.withColumn(s"__ref_hit_$i", lit(1))),
           d(c) === col(s"__ref_key_$i"), "left")
           .drop(s"__ref_key_$i")
       case (d, _) => d

@@ -18,6 +18,19 @@ class LayoutSpec extends AnyFunSuite {
     assert(got == List(7L, 57L, 0L, 0x5555L))
   }
 
+  test("zorderKeyN: 2-D agrees with zorderKey2; 3-D interleaves round-robin") {
+    val df = Seq((3L, 1L, 5L)).toDF("x", "y", "z")
+    val two = df.select(
+      Layout.zorderKeyN(Seq($"x", $"y"), bits = 8) ===
+        Layout.zorderKey2($"x", $"y", bits = 8)).as[Boolean].collect()
+    assert(two.forall(identity))
+    // 3-D, bits=2: x=3(11) → pos 0,3; y=1(01) → pos 1; z=1(01) → pos 2
+    val three = Seq((3L, 1L, 1L)).toDF("x", "y", "z")
+      .select(Layout.zorderKeyN(Seq($"x", $"y", $"z"), bits = 2))
+      .as[Long].collect().head
+    assert(three == ((1L << 0) | (1L << 3) | (1L << 1) | (1L << 2)))
+  }
+
   test("16×16 grid in Morton order cuts into exact 4×4 blocks") {
     // 256 grid cells sorted by zkey, chunked into 16 files of 16 rows:
     // every file is a dyadic 4×4 quadrant — span 3 on BOTH dims. A
