@@ -143,6 +143,16 @@ object SparkEntry {
           count(lit(1)).as("n_files"), sum(col("n_chars")).as("n_chars_sum"))
     },
 
+    "a7_cube_stats" -> { (s, dir) =>
+      // full CUBE over (lang, source): every aggregation level in one
+      // pass (the expand-plan shape), grouping ids disambiguate levels
+      t(s, dir, "documents").cube(col("lang"), col("source"))
+        .agg(grouping(col("lang")).as("g_lang"),
+          grouping(col("source")).as("g_source"),
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_sum"))
+    },
+
     "a4_length_quantiles" -> { (s, dir) =>
       // distribution stats per source (the run-stats extension A4 wants
       // at corpus scale: exact interpolated percentiles — Spark
@@ -1883,6 +1893,12 @@ object SparkEntry {
       """SELECT source, grouping(source) AS is_total, count(*) AS n_files,
          CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          FROM documents GROUP BY ROLLUP(source)""",
+
+    "a7_cube_stats" ->
+      """SELECT lang, source, grouping(lang) AS g_lang,
+         grouping(source) AS g_source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+         FROM documents GROUP BY CUBE(lang, source)""",
 
     "a4_length_quantiles" ->
       """SELECT source,
