@@ -424,6 +424,13 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
     },
 
+    "mix_temperature" -> { (s, dir) =>
+      // T=2 source balancing: sampling weights ∝ sqrt(token count) —
+      // sqrt is the one exactly-rounded power, so weights hash-match
+      Sampling.temperatureWeights(t(s, dir, "documents"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+    },
+
     "profile_key_skew" -> { (s, dir) =>
       // join-key skew diagnostic on the event-type key (the salting
       // decision input); top-2 mass share + hottest-key balance ratio
@@ -2053,6 +2060,20 @@ object SparkEntry {
          SELECT 'n_chars', count(*),
            count(*) - count(n_chars), count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
+
+    "mix_temperature" ->
+      """WITH s AS (SELECT source AS stratum,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_units
+           FROM documents GROUP BY source),
+         m AS (SELECT stratum, n_units,
+             CAST(floor(1000000.0 * sqrt(CAST(n_units AS DOUBLE))) AS BIGINT)
+               AS mm
+           FROM s),
+         t AS (SELECT CAST(sum(mm) AS BIGINT) AS tot FROM m)
+         SELECT stratum, n_units,
+           CAST(mm * 1000 // tot AS BIGINT) AS weight_milli
+         FROM m, t""",
 
     "profile_key_skew" ->
       """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -40,6 +40,29 @@ object Sampling {
     df.filter(hashBucket(keyCol, 10000) < rate)
   }
 
+  /** Temperature-balanced source weights, T = 2 (the multilingual-LM
+    * mixing recipe — mT5/XLM-R sample sources ∝ p^(1/T) so huge sources
+    * stop drowning small ones; T = 2 is the common setting and its
+    * p^(1/2) is `sqrt`, the ONE power IEEE defines exactly-rounded, so
+    * both engines compute bit-identical weights — a general pow(x, 1/T)
+    * is not portable and is deliberately not offered here). Each
+    * stratum's sqrt(size) floors to micro-units BEFORE the integer
+    * total (no float accumulation), weight_milli = m·1000 div Σm. Two
+    * tiny aggregates over the per-stratum sizes; feed the output into
+    * [[mixEpochs]] / [[takeTokenBudget]] as the recipe's weight table. */
+  def temperatureWeights(df: DataFrame, strataCol: Column,
+      sizeExpr: Column): DataFrame = {
+    val sizes = df.groupBy(strataCol.as("stratum"))
+      .agg(sum(sizeExpr).as("n_units"))
+      .withColumn("__m",
+        floor(lit(1000000.0) * sqrt(col("n_units").cast("double")))
+          .cast("long"))
+    val total = sizes.agg(sum(col("__m")).as("__tot"))
+    sizes.crossJoin(broadcast(total))
+      .select(col("stratum"), col("n_units").cast("long").as("n_units"),
+        expr("__m * 1000L div __tot").as("weight_milli"))
+  }
+
   /** Domain mixing by fractional epoch weights (the "see high-quality
     * sources 2.5 times" step of a training-mix recipe): every row gets
     * floor(w) copies, plus one more iff its hash bucket lands under the

@@ -168,4 +168,18 @@ class SamplingSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 3L, 1L, 0L)))
     assert(!out.contains(3L))
   }
+
+  test("temperatureWeights: sqrt-balanced shares, hand-computed") {
+    import graft.ops.Sampling
+    // strata sized 1, 4, 16 tokens → sqrt 1:2:4 → milli 142/285/571
+    val df = Seq(("a", 1L), ("b", 4L), ("c", 16L)).toDF("src", "n")
+    val got = Sampling.temperatureWeights(df, col("src"), col("n"))
+      .collect().map(r => r.getAs[String]("stratum") ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("weight_milli")))).toMap
+    assert(got == Map("a" -> ((1L, 142L)), "b" -> ((4L, 285L)),
+      "c" -> ((16L, 571L))))
+    // flattening property: c's raw share is 16/21 ≈ 762 milli but its
+    // temperature share is 571 — big strata shrink, small ones grow
+    assert(got("c")._2 < 762L && got("a")._2 > 1000L / 21L)
+  }
 }
