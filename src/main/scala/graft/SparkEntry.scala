@@ -771,6 +771,19 @@ object SparkEntry {
       s.table(name)
     },
 
+    "t8_stream_enrich" -> { (s, dir) =>
+      // stream ⋈ static dim (the everyday streaming join): stateless per
+      // micro-batch, no watermark, no state store — union equals the
+      // batch join, which is the oracle
+      val name = s"graft_t8_enrich_${streamRuns.incrementAndGet()}"
+      val dim = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val q = graft.streaming.EventsStream.runEnrichNow(s, dir, dim,
+        col("user_id") % 100, col("s_suppkey"), name)
+      q.awaitTermination()
+      s.table(name).select(col("event_id"), col("user_id"),
+        col("s_nationkey").cast("long").as("nation"))
+    },
+
     "funnel_conversion" -> { (s, dir) =>
       // windowFunnel-shaped ordered conversion: view → click → purchase
       // within 1 h of the earliest view; one shuffle + per-user HOF walk
@@ -3532,6 +3545,10 @@ object SparkEntry {
            SELECT path, n_users,
              row_number() OVER (ORDER BY n_users DESC, path) AS rk FROM c)
          WHERE rk <= 20""",
+
+    "t8_stream_enrich" ->
+      """SELECT e.event_id, e.user_id, CAST(s.s_nationkey AS BIGINT) AS nation
+         FROM events e LEFT JOIN supplier s ON e.user_id % 100 = s.s_suppkey""",
 
     "events_rate_anomaly" ->
       """WITH e AS (SELECT event_type,

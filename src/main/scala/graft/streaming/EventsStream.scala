@@ -129,6 +129,34 @@ object EventsStream {
         .start()
     }
 
+  /** Static-dimension enrichment — THE everyday streaming join: each
+    * micro-batch of the event stream hash-joins a bounded static dim
+    * (stream-static joins need no watermark and keep NO state store —
+    * the dim is just re-planned per micro-batch, broadcast when small).
+    * The output is a stateless projection of each micro-batch, so the
+    * stream's union equals the batch join — the oracle replays it as a
+    * plain JOIN. `dim` must be a BATCH frame. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame,
+      eventKey: org.apache.spark.sql.Column,
+      dimKey: org.apache.spark.sql.Column): DataFrame =
+    events.join(graft.ops.ScaleHints.maybeBroadcast(dim),
+      eventKey === dimKey, "left")
+
+  /** Run the dim-enrichment stream over `dir`'s events right now. */
+  def runEnrichNow(spark: SparkSession, dir: String, dim: DataFrame,
+      eventKey: org.apache.spark.sql.Column,
+      dimKey: org.apache.spark.sql.Column, queryName: String,
+      statePartitions: Int = 8): StreamingQuery =
+    withShufflePartitions(spark, statePartitions) {
+      enrichWithDim(readEvents(spark, dir), dim, eventKey, dimKey)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
   /** Session conf is shared state: serialize concurrent runners on the
     * context so interleaved set/restore cannot leave the session pinned
     * at the temporary value. (StreamExecution clones the session inside

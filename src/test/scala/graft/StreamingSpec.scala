@@ -30,6 +30,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static dim enrichment equals the batch join") {
+    val dir = "/root/testdata/sf0.001"
+    val dim = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val q = EventsStream.runEnrichNow(spark, dir, dim,
+      col("user_id") % 100, col("s_suppkey"), "stream_enrich")
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql(
+      "SELECT event_id, s_nationkey FROM stream_enrich")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .join(dim, col("user_id") % 100 === col("s_suppkey"), "left")
+      .select("event_id", "s_nationkey")
+      .collect().map(r => (r.getLong(0), Option(r.get(1)))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream attribution join equals the batch range join") {
     val dir = "/root/testdata/sf0.001"
     val q = EventsStream.runAttributionNow(spark, dir, "stream_attr")
