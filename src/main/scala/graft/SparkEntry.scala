@@ -272,6 +272,25 @@ object SparkEntry {
         Seq("source", "n_chars"), "2026-02-01")
     },
 
+    "u6_scd2_lookup" -> { (s, dir) =>
+      // point-in-time reads of the u4-shaped history: docs %9==0 probe a
+      // date inside their CLOSED older version, everyone else probes the
+      // current one — each probe resolves to exactly one version
+      val docs = t(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val hist = docs
+        .withColumn("valid_from", lit("2026-01-01"))
+        .withColumn("valid_to", lit(null).cast("string"))
+        .unionByName(docs.filter(col("doc_id") % 9 === 0)
+          .withColumn("n_chars", col("n_chars") - 5)
+          .withColumn("valid_from", lit("2025-01-01"))
+          .withColumn("valid_to", lit("2026-01-01")))
+      val probes = docs.select(col("doc_id"),
+        when(col("doc_id") % 9 === 0, lit("2025-06-01"))
+          .otherwise(lit("2026-06-01")).as("as_of"))
+      Fingerprint.scd2Lookup(hist, probes, "doc_id", "as_of")
+        .select("doc_id", "as_of", "source", "n_chars", "valid_from")
+    },
+
     "j1_delta_bloom" -> { (s, dir) =>
       // J1's corpus-scale shape: bloom pre-filter + exact residual join —
       // identical result to j1_delta_anti_join, same oracle
@@ -1598,6 +1617,28 @@ object SparkEntry {
         relevant, k = 10, queries = q)
     },
 
+    "rag_hard_negatives" -> { (s, dir) =>
+      // contrastive-training mining: the highest-BM25-ranked docs that
+      // are NOT in the judged-relevant set are the hard negatives (the
+      // pairs that teach an embedding model the decision boundary).
+      // Judgments are sparse in real corpora — here only even doc_ids
+      // were "judged" — so the odd top-ranked docs mine as negatives.
+      val docs = t(s, dir, "documents")
+      val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
+      val q = retrievalQueries(s)
+      val qTerms = q.select(col("qid"),
+        explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
+      val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("nt"))
+      val relevant = idx.join(qTerms, Seq("term"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("__hit"))
+        .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
+        .filter(col("doc_id") % 2 === 0)
+        .select("qid", "doc_id")
+      Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10)
+        .join(relevant, Seq("qid", "doc_id"), "left_anti")
+        .select("qid", "rank", "doc_id")
+    },
+
     "rag_eval_ndcg" -> { (s, dir) =>
       // position-discounted retrieval evaluation: NDCG@10 of the BM25
       // ranking against the same all-terms ground truth as rag_eval_mrr
@@ -1992,6 +2033,25 @@ object SparkEntry {
            FROM documents)
          SELECT doc_id, rag_id FROM d
          WHERE rag_id NOT IN (SELECT rag_id FROM d WHERE doc_id % 10 < 3)""",
+
+    "u6_scd2_lookup" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+         hist AS (
+           SELECT doc_id, source, n_chars,
+             '2026-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+           FROM docs
+           UNION ALL
+           SELECT doc_id, source, n_chars - 5,
+             '2025-01-01', '2026-01-01'
+           FROM docs WHERE doc_id % 9 = 0),
+         p AS (SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN '2025-06-01'
+                  ELSE '2026-06-01' END AS as_of
+           FROM docs)
+         SELECT p.doc_id, p.as_of, h.source, h.n_chars, h.valid_from
+         FROM p JOIN hist h ON p.doc_id = h.doc_id
+           AND h.valid_from <= p.as_of
+           AND (h.valid_to IS NULL OR p.as_of < h.valid_to)""",
 
     "u4_scd2_history" ->
       """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
@@ -3404,6 +3464,24 @@ object SparkEntry {
              ELSE 0 END AS rr_milli
          FROM (SELECT DISTINCT qid FROM q) u
          LEFT JOIN hits ON u.qid = hits.qid""",
+
+    "rag_hard_negatives" ->
+      s"""$bm25Cte,
+         bm AS (SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc QUALIFY rank <= 10),
+         qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt
+           FROM qt GROUP BY qid),
+         rel AS (SELECT h.qid, h.doc_id FROM (
+             SELECT qt.qid AS qid, dt.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS hit
+             FROM dt JOIN qt ON dt.term = qt.term
+             GROUP BY qt.qid, dt.doc_id) h
+           JOIN qn ON h.qid = qn.qid
+           WHERE h.hit = qn.nt AND h.doc_id % 2 = 0)
+         SELECT bm.qid, bm.rank, bm.doc_id
+         FROM bm ANTI JOIN rel ON bm.qid = rel.qid AND bm.doc_id = rel.doc_id""",
 
     "rag_eval_ndcg" ->
       s"""$bm25Cte,

@@ -87,6 +87,24 @@ object Fingerprint {
     closed.unionByName(keep).unionByName(closeNow).unionByName(openNow)
   }
 
+  /** Point-in-time lookup against an SCD2 history (the read side of
+    * [[scd2Apply]]): each probe row resolves to THE version whose
+    * [valid_from, valid_to) interval contains its `probeTsCol` — "what
+    * did this dimension row look like when the event happened". ISO-8601
+    * date strings compare lexicographically = chronologically, so the
+    * residual predicates are plain string compares on both engines. The
+    * join is an EQUI join on the id (versions-per-id is small, so the
+    * residual scan after the hash match is bounded) — no range binning
+    * needed, unlike a pure interval join. */
+  def scd2Lookup(history: DataFrame, probes: DataFrame, idCol: String,
+      probeTsCol: String): DataFrame = {
+    val h = history.withColumnRenamed(idCol, "__h_id")
+    probes.join(h, probes(idCol) === h("__h_id") &&
+        col("valid_from") <= col(probeTsCol) &&
+        (col("valid_to").isNull || col(probeTsCol) < col("valid_to")))
+      .drop("__h_id")
+  }
+
   /** J1 at corpus scale: a Bloom pre-filter splits `fresh` BEFORE any
     * shuffle — ids the filter has definitely never seen are new by
     * construction and skip the join entirely; only the (churn-sized)

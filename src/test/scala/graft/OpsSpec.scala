@@ -183,4 +183,27 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(stats == Map("min_n" -> 2L, "diverse" -> 2L))
   }
+
+  test("scd2Lookup resolves each probe to exactly its valid version") {
+    import graft.ops.Fingerprint
+    val hist = Seq(
+      (1L, "v1", "2025-01-01", Option("2025-07-01")),
+      (1L, "v2", "2025-07-01", None),
+      (2L, "w1", "2025-01-01", None)
+    ).toDF("id", "payload", "valid_from", "valid_to")
+    val probes = Seq(
+      (1L, "2025-03-15"),  // inside v1
+      (1L, "2025-07-01"),  // boundary: valid_to exclusive → v2
+      (1L, "2026-01-01"),  // open current → v2
+      (2L, "2024-06-01"),  // before any version → no row
+      (3L, "2025-06-01")   // unknown id → no row
+    ).toDF("id", "as_of")
+    val got = Fingerprint.scd2Lookup(hist, probes, "id", "as_of")
+      .select("id", "as_of", "payload")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "2025-03-15", "v1"),
+      (1L, "2025-07-01", "v2"),
+      (1L, "2026-01-01", "v2")))
+  }
 }
