@@ -153,6 +153,18 @@ object SparkEntry {
           sum(col("n_chars")).as("n_chars_sum"))
     },
 
+    "a8_pivot_counts" -> { (s, dir) =>
+      // PIVOT surface: per-user event counts, one column per type. The
+      // value list is EXPLICIT — .pivot without it runs a distinct scan
+      // first and caps at spark.sql.pivotMaxValues, the wrong plan at
+      // scale; nulls fill to 0 like the oracle's conditional sums
+      events(s, dir).groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+    },
+
     "a4_length_quantiles" -> { (s, dir) =>
       // distribution stats per source (the run-stats extension A4 wants
       // at corpus scale: exact interpolated percentiles — Spark
@@ -1954,6 +1966,15 @@ object SparkEntry {
       """SELECT source, grouping(source) AS is_total, count(*) AS n_files,
          CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          FROM documents GROUP BY ROLLUP(source)""",
+
+    "a8_pivot_counts" ->
+      """SELECT user_id,
+         CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+         CAST(count(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+         CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+         CAST(count(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+         CAST(count(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+         FROM events GROUP BY user_id""",
 
     "a7_cube_stats" ->
       """SELECT lang, source, grouping(lang) AS g_lang,
