@@ -115,6 +115,59 @@ object Dedup {
       .filter(col("jac") >= threshold)
   }
 
+  /** Exact set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
+    * family — Bayardo et al. 2007, Xiao et al. 2008): every pair with
+    * Jaccard ≥ tNum/tDen MUST share at least one token in its prefix
+    * when all token sets are sorted by one global order (rarest-first
+    * minimizes candidates) and each set keeps only its first
+    * n − ⌈t·n⌉ + 1 tokens. Unlike MinHash-LSH this is EXACT (recall 1.0
+    * by construction), and unlike the length-band block it needs no
+    * length constraint — the complementary scale path when missing even
+    * one true pair is unacceptable (contamination checks, licensing).
+    *
+    * The global order is engine-local: ANY total order gives complete
+    * candidates, and the exact-Jaccard verification makes the final
+    * pair set order-independent — so the oracle may rank by (df, gram
+    * string) while this side ranks by (df, gram hash) with no result
+    * difference. Threshold is a rational (tNum/tDen): prefix length and
+    * the verify compare are pure integer arithmetic.
+    *
+    * Shape: shingle once (checkpointed), df join (size-gated broadcast),
+    * one per-doc window for ranks (partitions are shingle-set-sized),
+    * prefix self-join on the token (fan-out bounded by prefix df),
+    * sorted-merge intersect kernel for the verify. */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      tNum: Long, tDen: Long, shingleK: Int = 3): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "need 0 < tNum/tDen <= 1")
+    val base = df.select(col(idCol).as("id"),
+        hashedShingles(col(textCol), shingleK).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+      .localCheckpoint(true)
+    val grams = base.select(col("id"), col("n"), explode(col("hs")).as("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df").asc, col("g").asc)
+    val prefix = grams.join(maybeBroadcast(gdf), Seq("g"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        col("n") - expr(s"(${tNum}L * n + ${tDen}L - 1L) div ${tDen}L") + 1)
+      .select("g", "id")
+    val cands = prefix.withColumnRenamed("id", "i")
+      .join(prefix.withColumnRenamed("id", "j"), Seq("g"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    cands
+      .join(base.select(col("id").as("i"), col("hs").as("hs_i"),
+        col("n").as("n_i")), Seq("i"))
+      .join(base.select(col("id").as("j"), col("hs").as("hs_j"),
+        col("n").as("n_j")), Seq("j"))
+      .withColumn("inter", sorted_intersect_count(col("hs_i"), col("hs_j")))
+      .withColumn("uni", col("n_i") + col("n_j") - col("inter"))
+      .filter(col("inter") * tDen >= lit(tNum) * col("uni"))
+      .select(col("i"), col("j"), expr("inter * 1000L div uni").as("jac_milli"))
+  }
+
   /** Asymmetric containment pairs (overlap coefficient over informative
     * shingles): |A∩B| / min(|A|,|B|) catches a short document QUOTED
     * inside a long one — invisible to every symmetric detector here

@@ -178,6 +178,31 @@ class DedupSpec extends AnyFunSuite {
       (4L, 5, 0L, 0L)))
   }
 
+  test("prefixJaccardPairs equals brute-force all-pairs at the threshold") {
+    import graft.ops.Dedup
+    val texts = Seq(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d e f g x",     // near-dup of 1
+      3L -> "a b c d e f g h",     // exact dup of 1
+      4L -> "p q r s t u v w",     // unrelated
+      5L -> "p q r s t u zz yy",   // partial overlap with 4
+      6L -> "m n")                 // too short for 3-shingles: dropped
+    val df = texts.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(df, "doc_id", "text", 1L, 2L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    // brute force: every pair, exact shingle jaccard ≥ 0.5
+    val sets = texts.filter(_._2.split(" ").length >= 3).map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val brute = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      jac = si.intersect(sj).size.toDouble / si.union(sj).size
+      if jac >= 0.5
+    } yield (i, j)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 3L)) && brute.nonEmpty) // the exact dup pair
+  }
+
   test("containmentPairs catches a quote that symmetric Jaccard misses") {
     import graft.ops.Dedup
     val long = (('a' to 't').map(_.toString)).mkString(" ") // 18 shingles
