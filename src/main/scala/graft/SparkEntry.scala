@@ -1104,6 +1104,22 @@ object SparkEntry {
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    "dedup_source_matrix" -> { (s, dir) =>
+      // provenance audit: near-dup PAIR counts rolled up by (source_i,
+      // source_j) — which sources duplicate which; pairs from the exact
+      // prefix join, source labels via two broadcast-sized joins
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.prefixJaccardPairs(docs, "doc_id", "text",
+        tNum = 1L, tDen = 2L, shingleK = 3)
+      val src = docs.select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("i"), col("source").as("src_i")), Seq("i"))
+        .join(src.select(col("doc_id").as("j"), col("source").as("src_j")), Seq("j"))
+        .groupBy(least(col("src_i"), col("src_j")).as("src_a"),
+          greatest(col("src_i"), col("src_j")).as("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
     "dedup_prefix_jaccard" -> { (s, dir) =>
       // exact set-similarity join (AllPairs/PPJoin prefix filter) at
       // jaccard ≥ 1/2 — recall 1.0 by construction, no length banding;
@@ -3111,6 +3127,38 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha,
          len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
+
+    "dedup_source_matrix" ->
+      """WITH t AS (SELECT doc_id AS id,
+           CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+           ELSE [] END AS sh
+           FROM documents),
+         b AS (SELECT id, sh, len(sh) AS n FROM t WHERE len(sh) > 0),
+         g AS (SELECT id, n, unnest(sh) AS gram FROM b),
+         d AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram),
+         r AS (SELECT g.id, g.n, g.gram,
+             row_number() OVER (PARTITION BY g.id
+               ORDER BY d.gdf ASC, g.gram ASC) AS rk
+           FROM g JOIN d USING (gram)),
+         p AS (SELECT id, gram FROM r
+           WHERE rk <= n - ((1 * n + 2 - 1) // 2) + 1),
+         c AS (SELECT DISTINCT a.id AS i, b2.id AS j
+           FROM p a JOIN p b2 ON a.gram = b2.gram AND a.id < b2.id),
+         v AS (SELECT c.i, c.j,
+             CAST(len(list_intersect(bi.sh, bj.sh)) AS BIGINT) AS inter,
+             CAST(bi.n + bj.n - len(list_intersect(bi.sh, bj.sh)) AS BIGINT)
+               AS uni
+           FROM c JOIN b bi ON bi.id = c.i JOIN b bj ON bj.id = c.j),
+         pr AS (SELECT i, j FROM v WHERE inter * 2 >= 1 * uni)
+         SELECT least(di.source, dj.source) AS src_a,
+           greatest(di.source, dj.source) AS src_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM pr
+         JOIN documents di ON di.doc_id = pr.i
+         JOIN documents dj ON dj.doc_id = pr.j
+         GROUP BY 1, 2""",
 
     "dedup_prefix_jaccard" ->
       """WITH t AS (SELECT doc_id AS id,
