@@ -462,6 +462,13 @@ object SparkEntry {
         size(split(trim(col("text")), "\\s+")).cast("long"))
     },
 
+    "profile_dataset_digest" -> { (s, dir) =>
+      // order-independent corpus fingerprint: the one-row "did anything
+      // change" check that gates index rebuilds and snapshot publishes
+      Profile.datasetDigest(t(s, dir, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    },
+
     "profile_key_skew" -> { (s, dir) =>
       // join-key skew diagnostic on the event-type key (the salting
       // decision input); top-2 mass share + hottest-key balance ratio
@@ -2192,6 +2199,17 @@ object SparkEntry {
          SELECT stratum, n_units,
            CAST(mm * 1000 // tot AS BIGINT) AS weight_milli
          FROM m, t""",
+
+    "profile_dataset_digest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(('0x' || substr(md5(concat_ws(chr(1),
+               coalesce(CAST(doc_id AS VARCHAR), chr(2)),
+               coalesce(text, chr(2)),
+               coalesce(lang, chr(2)),
+               coalesce(source, chr(2)),
+               coalesce(CAST(n_chars AS VARCHAR), chr(2)))), 1, 15))
+             AS UBIGINT)) % 1000000000000000000 AS BIGINT) AS digest
+         FROM documents""",
 
     "profile_key_skew" ->
       """WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n

@@ -187,6 +187,25 @@ object Profile {
       .select("tok", "est_count")
   }
 
+  /** Order-independent dataset content digest — the "did anything
+    * change" primitive that decides whether downstream caches (saved
+    * indexes, materialized rollups, published snapshots) need a rebuild
+    * without diffing a single row: each row hashes to a 60-bit integer
+    * (md5 prefix — content-derived, row-order-free), the digest is their
+    * SUM in exact decimal reduced mod 10^18 (addition commutes, so
+    * partition order and merge order never matter), alongside the row
+    * count (sums collide on swapped multisets-with-equal-sum; count
+    * narrows it, and 60-bit content hashes make engineered collisions a
+    * non-concern for cache keying). One aggregate over the scan. */
+  def datasetDigest(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val rowHash = conv(substring(md5(concat_ws("\u0001",
+      cols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*)),
+      1, 15), 16, 10).cast("long")
+    df.agg(count(lit(1)).as("n_rows"),
+      (sum(rowHash.cast("decimal(38,0)")) % lit(1000000000000000000L))
+        .cast("long").as("digest"))
+  }
+
   /** Join-key skew report — the "does this key need salting?" diagnostic
     * that decides between [[SkewJoin.saltedEquiJoin]] and a plain join:
     * per-key counts reduce to one row of corpus-level skew facts, all

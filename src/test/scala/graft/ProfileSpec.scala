@@ -32,6 +32,19 @@ class ProfileSpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("n")).sum == 2L)
   }
 
+  test("datasetDigest: order-free, change-sensitive, null-vs-empty distinct") {
+    import graft.ops.Profile
+    def digest(rows: Seq[(Long, Option[String])]): (Long, Long) = {
+      val r = Profile.datasetDigest(rows.toDF("id", "v"), Seq("id", "v"))
+        .collect().head
+      (r.getAs[Long]("n_rows"), r.getAs[Long]("digest"))
+    }
+    val base = Seq(1L -> Option("a"), 2L -> Option("b"), 3L -> Option("c"))
+    assert(digest(base) == digest(base.reverse))          // row order free
+    assert(digest(base) != digest(base.updated(0, 1L -> Option("z"))))
+    assert(digest(Seq(1L -> None)) != digest(Seq(1L -> Option(""))))
+  }
+
   test("keySkew: hand-computed balance ratio and top-k share") {
     // keys: a×6, b×2, c×1, d×1 → 4 keys, 10 rows, max 6
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
