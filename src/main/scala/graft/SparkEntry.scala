@@ -1111,6 +1111,19 @@ object SparkEntry {
       TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    "dedup_degree_stats" -> { (s, dir) =>
+      // per-doc duplication degree: neighbor count + strongest tie from
+      // the exact pair list — "how duplicated is this document" as a
+      // quality signal (heavily-mirrored docs get down-weighted)
+      val pairs = Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", tNum = 1L, tDen = 2L, shingleK = 3)
+      pairs.select(col("i").as("doc_id"), col("jac_milli"))
+        .unionByName(pairs.select(col("j").as("doc_id"), col("jac_milli")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_neighbors"),
+          max("jac_milli").as("max_jac_milli"))
+    },
+
     "dedup_source_matrix" -> { (s, dir) =>
       // provenance audit: near-dup PAIR counts rolled up by (source_i,
       // source_j) — which sources duplicate which; pairs from the exact
@@ -3145,6 +3158,37 @@ object SparkEntry {
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_alpha,
          len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')) AS n_bpe
          FROM documents""",
+
+    "dedup_degree_stats" ->
+      """WITH t AS (SELECT doc_id AS id,
+           CASE WHEN len(string_split(text,' ')) >= 3 THEN
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+               i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+           ELSE [] END AS sh
+           FROM documents),
+         b AS (SELECT id, sh, len(sh) AS n FROM t WHERE len(sh) > 0),
+         g AS (SELECT id, n, unnest(sh) AS gram FROM b),
+         d AS (SELECT gram, count(*) AS gdf FROM g GROUP BY gram),
+         r AS (SELECT g.id, g.n, g.gram,
+             row_number() OVER (PARTITION BY g.id
+               ORDER BY d.gdf ASC, g.gram ASC) AS rk
+           FROM g JOIN d USING (gram)),
+         p AS (SELECT id, gram FROM r
+           WHERE rk <= n - ((1 * n + 2 - 1) // 2) + 1),
+         c AS (SELECT DISTINCT a.id AS i, b2.id AS j
+           FROM p a JOIN p b2 ON a.gram = b2.gram AND a.id < b2.id),
+         v AS (SELECT c.i, c.j,
+             CAST(len(list_intersect(bi.sh, bj.sh)) AS BIGINT) AS inter,
+             CAST(bi.n + bj.n - len(list_intersect(bi.sh, bj.sh)) AS BIGINT)
+               AS uni
+           FROM c JOIN b bi ON bi.id = c.i JOIN b bj ON bj.id = c.j),
+         pr AS (SELECT i, j, CAST(inter * 1000 // uni AS BIGINT) AS jac_milli
+           FROM v WHERE inter * 2 >= 1 * uni),
+         sym AS (SELECT i AS doc_id, jac_milli FROM pr
+                 UNION ALL SELECT j, jac_milli FROM pr)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_neighbors,
+           max(jac_milli) AS max_jac_milli
+         FROM sym GROUP BY doc_id""",
 
     "dedup_source_matrix" ->
       """WITH t AS (SELECT doc_id AS id,
