@@ -73,7 +73,9 @@ object Bench {
     val kept = keep.sortBy(_._1)
     val omitted = results.size - kept.size
     val qs = kept.map(entry).mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted_cheapest":$omitted,"sf":"$sfDir"}""")
+    // `value` repeated as the LAST key: the harness tail truncates from
+    // the left, so the total must survive even if the queries map is cut.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted_cheapest":$omitted,"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

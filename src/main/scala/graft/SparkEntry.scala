@@ -974,6 +974,21 @@ object SparkEntry {
         maxHamming = 6)
     },
 
+    "dedup_incremental_lsh" -> { (s, dir) =>
+      // incremental ingest: the corpus slice (doc_id % 10 ≠ 0) is indexed
+      // ONCE (MinHashIndex — sketch rows only, an offline artifact), the
+      // new batch (doc_id % 10 = 0) dedupes against it without the corpus
+      // being re-sketched or reshuffled. Oracle = exact cross-split
+      // jaccard: every qualifying crossing pair sits at jac ≥ 0.95 at
+      // sf0.01 (≥ 0.90 at sf0.001), where 16×4 banding recall is
+      // structurally 1 (miss prob ≤ 1e-7).
+      val docs = t(s, dir, "documents")
+      val idx = Dedup.minHashIndexBuild(
+        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      Dedup.minHashDedupeAgainst(idx,
+        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", threshold = 0.5)
+    },
+
     "dedup_embedding_cosine" -> { (s, dir) =>
       // exhaustive = the exact O(n²) baseline, which is what the SQL
       // oracle expresses; the operator's DEFAULT is the LSH candidate
@@ -2730,6 +2745,21 @@ object SparkEntry {
              len(list_intersect(a.sh, b.sh)) * 1.0 /
                len(list_distinct(list_concat(a.sh, b.sh))) AS jac
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
+         WHERE jac >= 0.5""",
+
+    "dedup_incremental_lsh" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+             ELSE [] END AS sh
+           FROM documents)
+         SELECT batch_id, corpus_id, jac FROM (
+           SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+             len(list_intersect(b.sh, c.sh)) * 1.0 /
+               len(list_distinct(list_concat(b.sh, c.sh))) AS jac
+           FROM t b JOIN t c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
          WHERE jac >= 0.5""",
 
     "dedup_embedding_lsh" ->

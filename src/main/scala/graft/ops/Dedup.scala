@@ -241,9 +241,8 @@ object Dedup {
     val base = if (persistSketches) base0.persist() else base0
 
     // one (band_idx, band_key) row per band; key = hash of the band's slice
-    val bandKeys = array((0 until bands).map(i =>
-      hash(slice(col("sig"), i * r + 1, r), lit(i))): _*)
-    val banded = base.select(col(idCol), posexplode(bandKeys).as(Seq("band_idx", "band_key")))
+    val banded = base.select(col(idCol),
+      posexplode(bandKeyArray(col("sig"), bands, r)).as(Seq("band_idx", "band_key")))
 
     val cand = fanout(banded).as("a").join(banded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -257,6 +256,85 @@ object Dedup {
     cand.join(shA, "i").join(shB, "j")
       .select(col("i"), col("j"),
         hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** One (band_idx, band_key) per band from a minhash signature; key =
+    * hash of the band's r-row slice (shared by the self-join and the
+    * incremental-index paths so both bucket identically). */
+  private def bandKeyArray(sig: Column, bands: Int, r: Int): Column =
+    array((0 until bands).map(i => hash(slice(sig, i * r + 1, r), lit(i))): _*)
+
+  /** Persisted MinHash-LSH corpus index: ONE sketch row per document
+    * (id, n, hs, sig). Band keys derive from `sig` by slicing, so the
+    * artifact stays O(corpus) rows and the banding layout can be
+    * re-derived at load with zero re-shingling. Build once over the
+    * corpus, then dedupe every incoming batch against it
+    * ([[Dedup.minHashDedupeAgainst]]) — the incremental twin of
+    * [[Dedup.minHashNearDups]], which re-sketches the full corpus on
+    * every call. */
+  case class MinHashIndex(sketches: DataFrame, idCol: String,
+      shingleK: Int, numHashes: Int, bands: Int)
+
+  /** Sketch a corpus into a [[MinHashIndex]] (no pair join happens here —
+    * this is the offline build stage; one scan, no shuffle). */
+  def minHashIndexBuild(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16): MinHashIndex = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sketches = df.select(col(idCol),
+      hashedShingles(col(textCol), shingleK).as("hs"),
+      minhash_signature(col(textCol), shingleK, numHashes).as("sig"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+    MinHashIndex(sketches, idCol, shingleK, numHashes, bands)
+  }
+
+  /** Persist an index: sketch rows + a one-row params table. */
+  def minHashIndexSave(idx: MinHashIndex, path: String): Unit = {
+    val spark = idx.sketches.sparkSession
+    import spark.implicits._
+    idx.sketches.write.mode("overwrite").parquet(s"$path/sketches")
+    Seq((idx.idCol, idx.shingleK, idx.numHashes, idx.bands))
+      .toDF("id_col", "shingle_k", "num_hashes", "bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  def minHashIndexLoad(spark: org.apache.spark.sql.SparkSession,
+      path: String): MinHashIndex = {
+    val p = spark.read.parquet(s"$path/params").collect()(0)
+    MinHashIndex(spark.read.parquet(s"$path/sketches"),
+      p.getString(0), p.getInt(1), p.getInt(2), p.getInt(3))
+  }
+
+  /** Near-dup pairs between a NEW batch and an already-indexed corpus —
+    * the 100 TB incremental-ingest shape: only the batch is sketched
+    * (the corpus work is amortized into the index build), the batch's
+    * band rows broadcast against the index's derived band rows (the
+    * index never shuffles for candidate generation), and the exact
+    * hashed-Jaccard verify touches corpus sketch rows only for
+    * candidate ids. Output: (batch_id, corpus_id, jac ≥ threshold);
+    * identity pairs (same id on both sides) are excluded. */
+  def minHashDedupeAgainst(idx: MinHashIndex, batch: DataFrame,
+      batchIdCol: String, textCol: String, threshold: Double): DataFrame = {
+    val r = idx.numHashes / idx.bands
+    val batchSketch = minHashIndexBuild(batch, batchIdCol, textCol,
+      idx.shingleK, idx.numHashes, idx.bands).sketches
+      .select(col(batchIdCol).as("batch_id"), col("hs").as("hs_b"),
+        col("sig"), col("n").as("n_b"))
+    val batchBands = batchSketch.select(col("batch_id"),
+      posexplode(bandKeyArray(col("sig"), idx.bands, r)).as(Seq("band_idx", "band_key")))
+    val corpusBands = idx.sketches.select(col(idx.idCol).as("corpus_id"),
+      posexplode(bandKeyArray(col("sig"), idx.bands, r)).as(Seq("band_idx", "band_key")))
+    val cand = corpusBands.join(maybeBroadcast(batchBands), Seq("band_idx", "band_key"))
+      .filter(col("corpus_id") =!= col("batch_id"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    cand
+      .join(maybeBroadcast(batchSketch.select(col("batch_id"), col("hs_b"), col("n_b"))), Seq("batch_id"))
+      .join(idx.sketches.select(col(idx.idCol).as("corpus_id"),
+        col("hs").as("hs_c"), col("n").as("n_c")), Seq("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        hashedJaccard(col("hs_b"), col("n_b"), col("hs_c"), col("n_c")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 

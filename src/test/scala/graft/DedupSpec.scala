@@ -28,6 +28,37 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("incremental index dedupe == crossing pairs of the full self-join") {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val idx = Dedup.minHashIndexBuild(corpus, "doc_id", "text")
+    val inc = Dedup.minHashDedupeAgainst(idx, batch, "doc_id", "text", 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    val full = Dedup.minHashNearDups(docs, "doc_id", "text", 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val crossing = full.collect {
+      case (i, j) if (i % 5 == 0) != (j % 5 == 0) =>
+        if (i % 5 == 0) (i, j) else (j, i)
+    }
+    assert(inc == crossing, s"inc=$inc crossing=$crossing")
+    assert(inc.nonEmpty)
+  }
+
+  test("minhash index save/load round-trips the dedupe result") {
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val batch = docs.filter($"doc_id" % 5 === 0)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_mh_idx_${ProcessHandle.current().pid()}"
+    Dedup.minHashIndexSave(Dedup.minHashIndexBuild(corpus, "doc_id", "text"), path)
+    val loaded = Dedup.minHashIndexLoad(spark, path)
+    assert(loaded.idCol == "doc_id" && loaded.bands == 16 && loaded.numHashes == 64)
+    val fresh = Dedup.minHashDedupeAgainst(
+      Dedup.minHashIndexBuild(corpus, "doc_id", "text"), batch, "doc_id", "text", 0.5)
+      .select("batch_id", "corpus_id", "jac").collect().toSet
+    val replay = Dedup.minHashDedupeAgainst(loaded, batch, "doc_id", "text", 0.5)
+      .select("batch_id", "corpus_id", "jac").collect().toSet
+    assert(replay == fresh)
+  }
+
   test("exactDupGroups finds injected exact duplicates") {
     val doubled = docs.unionByName(docs.filter($"doc_id" % 3 === 0))
     val groups = Dedup.exactDupGroups(doubled, "doc_id", "text")
