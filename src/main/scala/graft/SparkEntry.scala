@@ -455,6 +455,14 @@ object SparkEntry {
         .withColumnRenamed("column", "col_name")
     },
 
+    "profile_correlation" -> { (s, dir) =>
+      // metric-redundancy diagnostic: per-source Pearson r between char
+      // and token counts, from exact integer moments (milli-floored)
+      val docs = t(s, dir, "documents")
+      Profile.corrPerGroup(docs, "source", col("n_chars"),
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+    },
+
     "mix_temperature" -> { (s, dir) =>
       // T=2 source balancing: sampling weights ∝ sqrt(token count) —
       // sqrt is the one exactly-rounded power, so weights hash-match
@@ -822,6 +830,20 @@ object SparkEntry {
         col("s_nationkey").cast("long").as("nation"))
     },
 
+    "t9_stream_upsert" -> { (s, dir) =>
+      // foreachBatch MERGE-upsert run as an ACTUAL stream: each micro-
+      // batch merges into a versioned keyed parquet snapshot (the Delta
+      // MERGE INTO shape over plain parquet). Final snapshot = latest
+      // event per user by (ts, event_id) — arrival-order-independent,
+      // so the batch argmax is the oracle.
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_t9_upsert_" +
+        s"${ProcessHandle.current().pid()}_${streamRuns.incrementAndGet()}"
+      val run = graft.streaming.UpsertStream.runUpsertNow(s, dir, root)
+      run.query.awaitTermination()
+      run.snapshot().select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+    },
+
     "funnel_conversion" -> { (s, dir) =>
       // windowFunnel-shaped ordered conversion: view → click → purchase
       // within 1 h of the earliest view; one shuffle + per-user HOF walk
@@ -950,6 +972,20 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val doubled = docs.unionByName(docs.filter(col("doc_id") % 3 === 0))
       Dedup.exactDupGroups(doubled, "doc_id", "text")
+        .withColumn("ids", array_join(transform(col("ids"), _.cast("string")), ","))
+    },
+
+    "dedup_normalized_exact" -> { (s, dir) =>
+      // normalize-then-hash pass: injected mutants (uppercased, doubled
+      // spaces, trailing " !!") group with their originals — raw md5
+      // (dedup_exact_groups) would miss every one of them
+      val docs = t(s, dir, "documents")
+      val mutants = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(regexp_replace(upper(col("text")), " ", "  "), lit(" !!"))
+            .as("text"))
+      Dedup.normalizedDupGroups(
+          docs.select("doc_id", "text").unionByName(mutants), "doc_id", "text")
         .withColumn("ids", array_join(transform(col("ids"), _.cast("string")), ","))
     },
 
@@ -1282,6 +1318,21 @@ object SparkEntry {
           lead("event_id", 1).over(w).as("j"))
         .filter(col("j").isNotNull)
       Components.connectedComponents(edges)
+    },
+
+    "layout_partition_prune" -> { (s, dir) =>
+      // hive-partitioned layout round trip: documents written dir-per-lang
+      // (one file per dir — repartition first), read back with a partition
+      // filter that PRUNES at listing time (LayoutSpec asserts the scan
+      // touches 2 of 5 partition dirs). Oracle replays filter+agg on the
+      // unpartitioned table — layout must never change answers.
+      val root = s"${System.getProperty("java.io.tmpdir")}/graft_layout_pp_" +
+        ProcessHandle.current().pid()
+      Layout.partitionedWrite(t(s, dir, "documents")
+        .select("doc_id", "source", "n_chars", "lang"), root, Seq("lang"))
+      Layout.prunedRead(s, root, col("lang").isin("en", "zh"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_sum"))
     },
 
     "layout_zorder" -> { (s, dir) =>
@@ -2214,6 +2265,27 @@ object SparkEntry {
            count(*) - count(n_chars), count(DISTINCT n_chars),
            CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR) FROM documents""",
 
+    "profile_correlation" ->
+      """WITH m AS (SELECT source,
+             CAST(n_chars AS HUGEINT) AS x,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS HUGEINT) AS y
+           FROM documents),
+         s AS (SELECT source, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sx2, sum(y * y) AS sy2
+           FROM m GROUP BY source)
+         SELECT source, CAST(n AS BIGINT) AS n_rows,
+           CASE WHEN n >= 2
+               AND CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) > 0
+               AND CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) > 0
+             THEN CAST(floor(1000.0 *
+               (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+               sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))))
+               AS BIGINT)
+             ELSE NULL END AS corr_milli
+         FROM s""",
+
     "mix_temperature" ->
       """WITH s AS (SELECT source AS stratum,
              CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
@@ -2673,6 +2745,21 @@ object SparkEntry {
            array_to_string(list_sort(list(doc_id)), ',') AS ids
          FROM doubled GROUP BY md5(text) HAVING count(*) > 1""",
 
+    "dedup_normalized_exact" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000,
+             regexp_replace(upper(text), ' ', '  ', 'g') || ' !!'
+           FROM documents WHERE doc_id % 3 = 0),
+         n AS (SELECT doc_id,
+             TRIM(regexp_replace(regexp_replace(TRIM(lower(text)),
+               '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+           FROM aug)
+         SELECT md5(norm) AS norm_hash, count(*) AS n_dups,
+           array_to_string(list_sort(list(doc_id)), ',') AS ids
+         FROM n GROUP BY md5(norm) HAVING count(*) > 1""",
+
     "dedup_ngram_jaccard" ->
       """WITH t AS (
            SELECT doc_id, n_chars,
@@ -2783,6 +2870,12 @@ object SparkEntry {
            UNION
            SELECT s.a, cc.label FROM sym s JOIN cc ON s.b = cc.node)
          SELECT node, min(label) AS component FROM cc GROUP BY node""",
+
+    "layout_partition_prune" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum
+         FROM documents WHERE lang IN ('en', 'zh')
+         GROUP BY lang, source""",
 
     "layout_zorder" -> {
       // identical 8-bit Morton interleave, unrolled as SQL bit ops
@@ -3822,6 +3915,14 @@ object SparkEntry {
     "t8_stream_enrich" ->
       """SELECT e.event_id, e.user_id, CAST(s.s_nationkey AS BIGINT) AS nation
          FROM events e LEFT JOIN supplier s ON e.user_id % 100 = s.s_suppkey""",
+
+    "t9_stream_upsert" ->
+      """WITH e AS (SELECT user_id, make_timestamp(epoch_us(ts)) AS ts,
+             event_type, value, event_id FROM events),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+         SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           value AS last_value FROM r WHERE rn = 1""",
 
     "events_rate_anomaly" ->
       """WITH e AS (SELECT event_type,

@@ -74,6 +74,20 @@ object Dedup {
       .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col(idCol))).as("ids"))
       .filter(col("n_dups") > 1)
 
+  /** Normalize-then-hash duplicate groups (the Dolma/CCNet "fuzzy-exact"
+    * first pass): case, punctuation and whitespace-run mutations collapse
+    * to one canonical form BEFORE hashing, so trivially-mutated
+    * re-ingests that raw [[exactDupGroups]] misses land in one group.
+    * Same single hash-shuffle shape — normalization is a pure codegen'd
+    * projection ([[graft.ops.TextOps.normalizeForCompare]] + edge trim),
+    * so the scale cost is identical to the exact pass. */
+  def normalizedDupGroups(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    df.groupBy(md5(trim(TextOps.normalizeForCompare(col(textCol))))
+        .as("norm_hash"))
+      .agg(count(lit(1)).as("n_dups"), sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(col("n_dups") > 1)
+
   /** Survivor selection — the "which copy do we keep" policy that turns
     * dup GROUPS into a deduplicated corpus: within each `keyCol` group
     * keep exactly the best row under `order` (e.g. quality desc, then id

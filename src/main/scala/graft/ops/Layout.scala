@@ -67,4 +67,29 @@ object Layout {
       .sortWithinPartitions("__zkey")
       .drop("__zkey")
   }
+
+  /** Hive-style partitioned write: directory-per-value layout
+    * (`path/col=v/…`), the coarse-grained complement of Z-ordering —
+    * partition directories prune by LISTING (the scan never opens a
+    * pruned directory's footers), file stats prune WITHIN a partition.
+    * Rows are hash-repartitioned on the partition columns first so each
+    * directory gets ONE file instead of one-per-task — at 1000
+    * executors an unrepartitioned `partitionBy` writes
+    * tasks × partitions small files, the classic small-files explosion.
+    * Partition columns must be low-cardinality (lang, date — never a
+    * key): each distinct tuple is a directory, and the driver lists
+    * them all at planning time. */
+  def partitionedWrite(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*)
+      .mode("overwrite").parquet(path)
+
+  /** Read a partitioned table with partition-column filters attached —
+    * Catalyst turns them into `PartitionFilters` (directory pruning at
+    * plan time, visible in `.explain`; LayoutSpec asserts the scan's
+    * selected-partition count). */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      filter: Column): DataFrame =
+    spark.read.parquet(path).filter(filter)
 }

@@ -107,6 +107,36 @@ object Profile {
       .drop("__n", "__s", "__s2")
   }
 
+  /** Per-group Pearson correlation between two integer metrics, in
+    * floored milli-units — the metric-redundancy / drift diagnostic
+    * (is n_chars just a proxy for token count? did the relationship
+    * shift between snapshots?). Same exactness discipline as
+    * [[zscorePerGroup]]: ONE partial-aggregated shuffle accumulates the
+    * five moments (Σx, Σy, Σxy, Σx², Σy²) in decimal(38,0) — exact, so
+    * merge order can't perturb them — and r is one double expression
+    * over those integers, identical on any engine. Never the built-in
+    * `corr`, whose per-partition float merges are order-dependent.
+    * Groups with n < 2 or zero variance on either side emit NULL. */
+  def corrPerGroup(df: DataFrame, groupCol: String, xCol: Column,
+      yCol: Column): DataFrame = {
+    val xd = xCol.cast("decimal(38,0)")
+    val yd = yCol.cast("decimal(38,0)")
+    val stats = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(xd).as("__sx"), sum(yd).as("__sy"),
+      sum(xd * yd).as("__sxy"), sum(xd * xd).as("__sx2"),
+      sum(yd * yd).as("__sy2"))
+    val n = col("__n").cast("double")
+    val sx = col("__sx").cast("double"); val sy = col("__sy").cast("double")
+    val cov = col("__sxy").cast("double") - sx * sy / n
+    val vx = col("__sx2").cast("double") - sx * sx / n
+    val vy = col("__sy2").cast("double") - sy * sy / n
+    stats.select(col(groupCol), col("__n").as("n_rows"),
+      when(col("__n") >= 2 && vx > 0 && vy > 0,
+        floor(lit(1000) * cov / sqrt(vx * vy)).cast("long"))
+        .as("corr_milli"))
+  }
+
   /** Robust per-group outlier scoring — the MAD (median absolute
     * deviation) twin of [[zscorePerGroup]]: z = 0.6745·(x − med)/MAD in
     * integer milli-units. Mean/stddev z-scores are dragged by the very

@@ -28,6 +28,24 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("normalized dedup groups case/whitespace/punct mutants; raw md5 misses them") {
+    val mutants = docs.filter($"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        concat(regexp_replace(upper($"text"), " ", "  "), lit(" !!")).as("text"))
+    val aug = docs.select("doc_id", "text").unionByName(mutants)
+    val norm = Dedup.normalizedDupGroups(aug, "doc_id", "text")
+      .select("ids").as[Seq[Long]].collect()
+    // every mutant is grouped with its original
+    val paired = norm.filter(ids =>
+      ids.exists(_ >= 1000000) && ids.exists(_ < 1000000))
+    assert(paired.length == norm.count(_.exists(_ >= 1000000)))
+    assert(paired.nonEmpty)
+    // the raw-hash pass sees none of the mutant pairs
+    val raw = Dedup.exactDupGroups(aug, "doc_id", "text")
+      .select("ids").as[Seq[Long]].collect()
+    assert(!raw.exists(ids => ids.exists(_ >= 1000000)))
+  }
+
   test("incremental index dedupe == crossing pairs of the full self-join") {
     val corpus = docs.filter($"doc_id" % 5 =!= 0)
     val batch = docs.filter($"doc_id" % 5 === 0)

@@ -65,4 +65,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(spans.filter(_.getAs[Long]("n") > 1)
       .forall(r => r.getAs[Long]("xs") < 15L || r.getAs[Long]("ys") < 15L))
   }
+
+  test("partitionedWrite prunes directories at plan time and one file per dir") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_layout_spec_" +
+      ProcessHandle.current().pid()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "n_chars", "lang")
+    Layout.partitionedWrite(docs, root, Seq("lang"))
+
+    val langs = docs.select("lang").distinct().count()
+    val dirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+    assert(dirs.length == langs)
+    // one data file per partition directory (small-files contract)
+    assert(dirs.forall(_.listFiles().count(_.getName.endsWith(".parquet")) == 1))
+
+    val pruned = Layout.prunedRead(spark, root, col("lang").isin("en", "zh"))
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    // the filter reached the scan as a PartitionFilter and only the two
+    // matching directories survive the planning-time listing
+    assert(scan.partitionFilters.nonEmpty)
+    assert(scan.selectedPartitions.partitionCount == 2)
+    assert(pruned.count() ==
+      docs.filter(col("lang").isin("en", "zh")).count())
+  }
 }

@@ -130,4 +130,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed == batch)
   }
+
+  test("foreachBatch upsert over 3 micro-batches equals the batch argmax") {
+    import graft.streaming.UpsertStream
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_t9_spec_" +
+      ProcessHandle.current().pid()
+    // split events into 3 files so maxFilesPerTrigger=1 forces 3 merges
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    (0 until 3).foreach { i =>
+      events.filter(col("event_id") % 3 === i)
+        .write.mode("overwrite").parquet(s"$base/in/part$i.parquet")
+    }
+    // the file-source treats each partN.parquet dir's file as one input;
+    // flatten them into one dir of 3 files
+    val flat = new java.io.File(s"$base/flat"); flat.mkdirs()
+    (0 until 3).foreach { i =>
+      val src = new java.io.File(s"$base/in/part$i.parquet").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      src.zipWithIndex.foreach { case (f, j) =>
+        java.nio.file.Files.copy(f.toPath,
+          new java.io.File(flat, s"b${i}_$j.parquet").toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val run = UpsertStream.runUpsertNow(spark, s"$base/flat",
+      s"$base/snap", maxFilesPerTrigger = Some(1), glob = "*.parquet")
+    run.query.awaitTermination(120000)
+    // >= 2 versions means the merge path (read vN, write vN+1) actually ran
+    val versions = new java.io.File(s"$base/snap").listFiles()
+      .count(_.getName.startsWith("v"))
+    assert(versions >= 2, s"expected multi-batch merge, got $versions versions")
+
+    val streamed = run.snapshot()
+      .select("user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val batch = UpsertStream.latestPerKey(
+        events.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        "user_id", "ts", "event_id")
+      .select("user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
