@@ -1140,6 +1140,22 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nProbe = 4, pruneFiles = true)
     },
 
+    "ann_incremental_ingest" -> { (s, dir) =>
+      // incremental vector ingest (rows-only, like ann_ivf_topk): the
+      // saved quantizer + the 90% corpus slice's saved assignment stand,
+      // the new 10% batch is assigned to the EXISTING centroids and
+      // unioned in — no refit, no corpus reshuffle. Queries then probe
+      // the merged index; recall/assignment semantics pinned in
+      // VectorsSpec ("ivfIngest" tests).
+      val full = ivfIndexFor(s, dir)
+      val corpusSlice = graft.ops.Vectors.IvfIndex(full.centroids,
+        full.assigned.filter(col("cid") % 10 =!= 0))
+      val batch = t(s, dir, "embeddings").filter(col("vec_id") % 10 === 0)
+      val merged = Vectors.ivfIngest(corpusSlice, batch, "vec_id", "embedding")
+      Vectors.annIvfTopK(t(s, dir, "embeddings").filter(col("vec_id") < 8),
+        merged, "vec_id", "embedding", k = 5, nProbe = 4, pruneFiles = false)
+    },
+
     "text_token_stats" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id") +: TextAnalysis.tokenStats(col("text")): _*)

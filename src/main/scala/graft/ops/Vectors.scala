@@ -185,6 +185,27 @@ object Vectors {
       ivfBuild(corpus, cIdCol, cVecCol, nCells, fitSampleRows),
       qIdCol, qVecCol, k, nProbe, pruneFiles = false)
 
+  /** Incremental ingest — the FAISS add-after-train contract: assign a
+    * NEW batch to the EXISTING centroids (nearest-Euclidean, the same
+    * rule KMeans.transform applies at build) and union it into the
+    * index. No refit, no corpus reshuffle — batch cost is one bounded
+    * map over the batch, so continuous ingest amortizes the quantizer
+    * exactly like [[graft.ops.Dedup.minHashDedupeAgainst]] amortizes the
+    * sketch. With a SAVED index the ingested rows write `mode("append")`
+    * into `assigned/` (they land in their `cell=` directories; existing
+    * files untouched). Quantizer drift is the operational caveat: once
+    * the ingested distribution departs from the trained one, cells
+    * unbalance — monitor per-cell counts ([[graft.ops.Profile.keySkew]])
+    * and re-train offline when skew crosses the line. */
+  def ivfIngest(index: IvfIndex, batch: DataFrame, cIdCol: String,
+      cVecCol: String): IvfIndex = {
+    val assignCell = probeCellsUdf(index.centroids, 1)
+    val assigned = batch.select(col(cIdCol).as("cid"), col(cVecCol).as("cv"))
+      .withColumn("cell", assignCell(col("cv"))(0))
+      .select(col("cid"), col("cv"), norm(col("cv")).as("cn"), col("cell"))
+    IvfIndex(index.centroids, index.assigned.unionByName(assigned))
+  }
+
   /** Persist an IVF index: the centroid table as a tiny parquet file and
     * the assigned corpus PARTITIONED BY CELL — on disk each cell is its
     * own directory, so a query batch that probes nProbe of nCells cells

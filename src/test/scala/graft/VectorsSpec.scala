@@ -233,6 +233,39 @@ class VectorsSpec extends AnyFunSuite {
       "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("ivfIngest: batch joins the index without refit, answers match the full build") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = e.filter($"vec_id" % 10 =!= 0)
+    val batch = e.filter($"vec_id" % 10 === 0)
+    val idx = Vectors.ivfBuild(corpus, "vec_id", "embedding", nCells = 8)
+    val merged = Vectors.ivfIngest(idx, batch, "vec_id", "embedding")
+
+    // centroids untouched, every row present exactly once
+    assert(merged.centroids.map(_._2).toList == idx.centroids.map(_._2).toList)
+    assert(merged.assigned.count() == e.count())
+
+    // ingested rows sit in their nearest-Euclidean cell (recomputed here
+    // by brute force against the driver-side centroid table)
+    val got = merged.assigned.join(batch.select($"vec_id".as("cid")), "cid")
+      .select($"cid", $"cell", $"cv").collect()
+    got.foreach { r =>
+      val v = r.getSeq[Float](2)
+      val best = idx.centroids.map { case (c, i) =>
+        (c.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.minBy(_._1)._2
+      assert(r.getInt(1) == best, s"cid=${r.getLong(0)}")
+    }
+
+    // nProbe = nCells removes the approximation, so the merged index must
+    // answer exactly what brute force over the full corpus answers
+    val q = e.filter($"vec_id" < 4)
+    val viaMerged = Vectors.annIvfTopK(q, merged, "vec_id", "embedding",
+      k = 5, nProbe = 8, pruneFiles = false).as[(Long, Long, Int)].collect().toSet
+    val brute = Vectors.annBruteForceTopK(q, e, "vec_id", "vec_id",
+      "embedding", "embedding", k = 5).as[(Long, Long, Int)].collect().toSet
+    assert(viaMerged == brute)
+  }
+
   test("multi-probe LSH: superset of single-probe, recall climbs toward exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter($"vec_id" < 8)
