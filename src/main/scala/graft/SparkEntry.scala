@@ -1370,6 +1370,42 @@ object SparkEntry {
           min("day_off").as("min_day"), max("day_off").as("max_day"))
     },
 
+    "graph_triangles" -> { (s, dir) =>
+      // per-node triangle counts + clustering coefficient over the
+      // nation↔nation trade graph (nations connected when a customer in
+      // one buys from a supplier in the other). The operator runs the
+      // degree-ORIENTATION algorithm (out-degree bounded by O(√|E|), so
+      // wedge enumeration survives hubs) — the graph here is small but
+      // the plan shape is the 100 TB one.
+      val cust = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey").as("cn"))
+      val supp = t(s, dir, "lineitem")
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("s_nationkey").as("sn"))
+      val edges = cust.join(supp, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("cn") =!= col("sn"))
+        .select(col("cn").as("i"), col("sn").as("j"))
+      Components.triangleCounts(edges)
+    },
+
+    "event_transitions" -> { (s, dir) =>
+      // first-order Markov transition matrix over per-user event
+      // sequences: P(next=to | cur=from) in floored milli — the behavior-
+      // model / anomalous-flow baseline. One user-keyed window (lead) +
+      // one aggregate; the from-type totals are a broadcast-sized join.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val counts = events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy("from_type").agg(sum("n").as("__tot"))
+      counts.join(broadcast(totals), Seq("from_type"))
+        .withColumn("prob_milli", expr("n * 1000 div __tot"))
+        .drop("__tot")
+    },
+
     "graph_pagerank" -> { (s, dir) =>
       // link authority over the customer↔supplier bipartite graph (who
       // buys from whom), 5 integer-quantized iterations — symmetrized so
@@ -2910,6 +2946,55 @@ object SparkEntry {
            min(day_off) AS min_day, max(day_off) AS max_day
          FROM b GROUP BY file_id"""
     },
+
+    "graph_triangles" ->
+      """WITH und AS (
+           SELECT DISTINCT least(c.c_nationkey, s.s_nationkey) AS a,
+                  greatest(c.c_nationkey, s.s_nationkey) AS b
+           FROM lineitem l
+           JOIN orders o ON l.l_orderkey = o.o_orderkey
+           JOIN customer c ON o.o_custkey = c.c_custkey
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           WHERE c.c_nationkey <> s.s_nationkey),
+         deg AS (SELECT node, count(*) AS deg FROM (
+             SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+           GROUP BY node),
+         o AS (SELECT
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.a ELSE u.b END AS src,
+             CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+               THEN u.b ELSE u.a END AS dst
+           FROM und u JOIN deg da ON u.a = da.node
+             JOIN deg db ON u.b = db.node),
+         w AS (SELECT o1.src, o1.dst AS x, o2.dst AS y
+           FROM o o1 JOIN o o2 ON o1.src = o2.src
+           JOIN deg dx ON o1.dst = dx.node JOIN deg dy ON o2.dst = dy.node
+           WHERE dx.deg < dy.deg OR (dx.deg = dy.deg AND o1.dst < o2.dst)),
+         t AS (SELECT w.src AS n1, w.x AS n2, w.y AS n3
+           FROM w JOIN o ON w.x = o.src AND w.y = o.dst),
+         pn AS (SELECT node, count(*) AS n_triangles FROM (
+             SELECT n1 AS node FROM t UNION ALL SELECT n2 FROM t
+             UNION ALL SELECT n3 FROM t) GROUP BY node)
+         SELECT CAST(d.node AS BIGINT) AS node, CAST(d.deg AS BIGINT) AS deg,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN CAST(coalesce(pn.n_triangles, 0) * 2000
+             // (d.deg * (d.deg - 1)) AS BIGINT) ELSE NULL END
+             AS clustering_milli
+         FROM deg d LEFT JOIN pn ON d.node = pn.node""",
+
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+             make_timestamp(epoch_us(ts)) AS ts, event_id FROM events),
+         nx AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS to_type
+           FROM e),
+         c AS (SELECT from_type, to_type, count(*) AS n FROM nx
+           WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+         t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+         SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           CAST(c.n * 1000 // t.tot AS BIGINT) AS prob_milli
+         FROM c JOIN t USING (from_type)""",
 
     "graph_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o.o_custkey * 2 AS a,

@@ -134,4 +134,69 @@ object Components {
     }
     labels
   }
+
+  /** Per-node triangle counts + clustering coefficient (milli) over an
+    * undirected edge list — the local-density signal (community
+    * tightness, spam-farm detection in a link graph, near-dup cluster
+    * cohesion over a similarity graph).
+    *
+    * The scale shape is the degree-ORIENTATION algorithm (Suri &
+    * Vassilvitskii 2011, the MapReduce standard): orient every edge from
+    * the (degree, id)-smaller endpoint to the larger, enumerate wedges
+    * only from each node's OUT-edges, and close them against the
+    * oriented edge set. A node's out-degree is bounded by O(√|E|)
+    * regardless of its in-degree, so the wedge join never explodes on a
+    * hub the way naive neighbor-pair enumeration does (a degree-10⁶ hub
+    * would otherwise emit 10¹² wedges). Cost: two hash shuffles over
+    * edges + one over wedges; the (degree, id) order is total, so the
+    * orientation — and with it the count — is deterministic.
+    *
+    * Each triangle {x,y,z} is found exactly once (at its unique wedge
+    * apex under the orientation), then credited to all three corners. */
+  def triangleCounts(edges: DataFrame, iCol: String = "i",
+      jCol: String = "j"): DataFrame = {
+    // canonical undirected edge set: self-loops out, one row per pair
+    val und = edges.select(
+        least(col(iCol), col(jCol)).cast("long").as("a"),
+        greatest(col(iCol), col(jCol)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): src = smaller endpoint under the total order
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+    val oriented = withDeg.select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // wedges at apex `src`: two out-edges (src→x, src→y), x < y under the
+    // same total order; closed iff x→y is an oriented edge
+    val o1 = oriented.select(col("src"), col("dst").as("x"))
+    val o2 = oriented.select(col("src"), col("dst").as("y"))
+    val degMap = deg.select(col("node"), col("deg"))
+    val wedges = o1.join(o2, Seq("src"))
+      .join(degMap.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(degMap.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+      .filter(col("dx") < col("dy") ||
+        (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("src"), col("x"), col("y"))
+    val tris = wedges.join(oriented.select(col("src").as("x"),
+        col("dst").as("y")), Seq("x", "y"))
+      .select(col("src").as("n1"), col("x").as("n2"), col("y").as("n3"))
+    // credit all three corners, join degrees for the coefficient
+    val perNode = tris.select(explode(array(col("n1"), col("n2"), col("n3")))
+        .as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .select(col("node"), col("deg"), col("n_triangles"),
+        when(col("deg") >= 2,
+          expr("n_triangles * 2000 div (deg * (deg - 1))"))
+          .otherwise(lit(null)).cast("long").as("clustering_milli"))
+  }
 }

@@ -60,4 +60,32 @@ class ComponentsSpec extends AnyFunSuite {
     // round two reaches 3 through 2; seeds stay clamped
     assert(two == Map(1L -> 7L, 5L -> 3L, 2L -> 7L, 3L -> 7L, 4L -> 3L))
   }
+
+  test("triangleCounts: hand graph, K4 closure, hub without triangles") {
+    import spark.implicits._
+    // triangle {1,2,3} with pendant 4 off node 3
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("i", "j")
+    val got = Components.triangleCounts(tri)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(got(1L) == ((2L, 1L, Some(1000L))))
+    assert(got(2L) == ((2L, 1L, Some(1000L))))
+    assert(got(3L) == ((3L, 1L, Some(333L))))
+    assert(got(4L) == ((1L, 0L, None)))
+
+    // K4: every node in 3 triangles, coefficient exactly 1; duplicate and
+    // reversed input edges must not change anything
+    val k4 = (for { a <- 1 to 4; b <- 1 to 4 if a != b } yield
+      (a.toLong, b.toLong)).toDF("i", "j")
+    val k4got = Components.triangleCounts(k4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(k4got.length == 4 && k4got.forall(_ == ((3L, 3L, 1000L))))
+
+    // star hub: high degree, zero triangles — the case orientation keeps
+    // cheap (all edges point away from the leaves, none close)
+    val star = (2L to 9L).map(l => (1L, l)).toDF("i", "j")
+    val sgot = Components.triangleCounts(star)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sgot.values.forall(_ == 0L))
+  }
 }
