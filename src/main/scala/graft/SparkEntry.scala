@@ -1747,6 +1747,24 @@ object SparkEntry {
         retrievalQueries(s), "qid", "qtext", k = 10)
     },
 
+    "rag_incremental_index" -> { (s, dir) =>
+      // incremental lexical-index maintenance: a batch of UPDATED docs
+      // (doc_id % 7) and NEW docs (doc_id % 11, shifted ids) upserts into
+      // the standing docTerms index — only the batch is tokenized, the
+      // index never rescans. Ranking over the merged index must equal a
+      // full rebuild over the merged corpus (the oracle replays that).
+      val docs = t(s, dir, "documents")
+      val base = Retrieval.docTerms(docs, "doc_id", "text")
+      val batch = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), concat(lit("UPDATED "), col("text")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(" extra spark merge")).as("text")))
+      val merged = Retrieval.mergeIndex(base, batch, "doc_id", "text").persist()
+      Retrieval.bm25TopKIndexed(merged, retrievalQueries(s), "qid", "qtext",
+        k = 10)
+    },
+
     "rag_hybrid_rrf" -> { (s, dir) =>
       // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with
       // a term-coverage ranking — the fused list is what a RAG app serves.
@@ -3826,6 +3844,29 @@ object SparkEntry {
                ORDER BY score_micro DESC, doc_id) AS INT) AS rank
            FROM sc)
          WHERE rank <= 10""",
+
+    "rag_incremental_index" -> {
+      // the bm25 CTE re-based onto the merged corpus (updates + inserts)
+      val aug =
+        """aug AS (
+             SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN 'UPDATED ' || text
+                 ELSE text END AS text
+             FROM documents
+             UNION ALL
+             SELECT doc_id + 2000000, text || ' extra spark merge'
+             FROM documents WHERE doc_id % 11 = 0)"""
+      val cte = bm25Cte.replace(
+        "FROM documents),",
+        "FROM aug),").replace("WITH q(", s"WITH $aug, q(")
+      s"""$cte
+         SELECT qid, rank, doc_id, score_micro FROM (
+           SELECT qid, doc_id, score_micro,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc)
+         WHERE rank <= 10"""
+    },
 
     "rag_eval_mrr" ->
       s"""$bm25Cte,

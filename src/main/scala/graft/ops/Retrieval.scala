@@ -75,6 +75,28 @@ object Retrieval {
     bm25TopKIndexed(docTerms(docs, idCol, textCol).persist(),
       queries, qidCol, qtextCol, k, k1, b)
 
+  /** Incremental inverted-index maintenance — upsert a document batch
+    * into a standing [[docTerms]] index: rows of re-ingested doc ids are
+    * replaced, new ids appended, and ONLY the batch is tokenized (the
+    * standing index never rescans its corpus). The anti-join's build
+    * side is the bounded batch id set (broadcast), so the index side
+    * keeps its partitioning. This completes the incremental trio with
+    * [[graft.ops.Dedup.minHashDedupeAgainst]] and
+    * [[graft.ops.Vectors.ivfIngest]].
+    *
+    * No secondary statistics table needs maintenance: corpus stats
+    * (df, N, Σdl) are DERIVED from the index at query time
+    * ([[bm25ScoresIndexed]]), which is exactly what makes the per-doc
+    * decomposition mergeable — merge-then-derive equals
+    * rebuild-then-derive by construction. */
+  def mergeIndex(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val fresh = docTerms(batch, idCol, textCol)
+    index.join(ScaleHints.maybeBroadcast(fresh.select("doc_id").distinct()),
+        Seq("doc_id"), "left_anti")
+      .unionByName(fresh)
+  }
+
   /** Full BM25 scores from a prebuilt index: (qid, doc_id, score_micro). */
   def bm25ScoresIndexed(index: DataFrame, queries: DataFrame, qidCol: String,
       qtextCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -161,4 +161,27 @@ class RetrievalSpec extends AnyFunSuite {
     // per-query top-k prunes below the window (no full sort of all scores)
     assert(plan.contains("WindowGroupLimit"), plan)
   }
+
+  test("mergeIndex upsert equals a full rebuild over the merged corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val base = Retrieval.docTerms(docs, "doc_id", "text")
+    val batch = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", concat(lit("UPDATED "), $"text").as("text"))
+      .unionByName(docs.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 2000000).as("doc_id"),
+          concat($"text", lit(" brand new words")).as("text")))
+    val merged = Retrieval.mergeIndex(base, batch, "doc_id", "text")
+
+    val mergedCorpus = docs.filter($"doc_id" % 7 =!= 0)
+      .select("doc_id", "text").unionByName(batch)
+    val rebuilt = Retrieval.docTerms(mergedCorpus, "doc_id", "text")
+
+    val m = merged.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    val rb = rebuilt.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(m == rb)
+    assert(m.exists(_._1 >= 2000000), "new docs present")
+    assert(m.exists { case (_, t, _, _) => t == "UPDATED" }, "updates replaced")
+  }
 }
