@@ -354,6 +354,20 @@ object SparkEntry {
           .cast("double").as("revenue"))
     },
 
+    "tpch_q4_shaped" -> { (s, dir) =>
+      // EXISTS-shaped LEFT SEMI join (the one classic join shape the set
+      // lacked): orders with ≥1 returned lineitem, counted per priority.
+      // Semi join never duplicates probe rows and its build side carries
+      // only the join key — at scale that's the difference between a
+      // key-sized shuffle and re-aggregating an exploded inner join.
+      val flagged = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R").select("l_orderkey")
+      t(s, dir, "orders")
+        .join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+    },
+
     "j4_asof_join" -> { (s, dir) =>
       // as-of temporal lookup: every purchase gets the most recent click
       // at-or-before it per user; oracle is DuckDB's NATIVE ASOF JOIN
@@ -2533,6 +2547,13 @@ object SparkEntry {
          SELECT l.event_id, l.user_id, l.ts, r.click_value, r.click_ts
          FROM l ASOF LEFT JOIN r
            ON l.user_id = r.user_id AND l.ts >= r.click_ts""",
+
+    "tpch_q4_shaped" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+           WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         GROUP BY o_orderpriority""",
 
     "tpch_q3_shaped" ->
       """SELECT l_orderkey,

@@ -212,6 +212,32 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!cpp.contains("CartesianProduct") && !cpp.contains("NestedLoopJoin"), cpp)
   }
 
+  test("round-4 op plan shapes: triangles equi-only, mergeIndex broadcast anti, semi join") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+
+    // triangle counting: orientation makes every join an equi join —
+    // a cartesian/nested-loop anywhere means the wedge join degenerated
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("i", "j")
+    val tp = plan(graft.ops.Components.triangleCounts(edges))
+    assert(!tp.contains("CartesianProduct") && !tp.contains("NestedLoopJoin"), tp)
+
+    // incremental index upsert: the standing index is pruned by a
+    // BROADCAST anti join on the bounded batch id set — a shuffled anti
+    // join would reshuffle the whole index per batch
+    val batch = docs.filter($"doc_id" % 7 === 0).select("doc_id", "text")
+    val mp = plan(graft.ops.Retrieval.mergeIndex(
+      graft.ops.Retrieval.docTerms(docs, "doc_id", "text"),
+      batch, "doc_id", "text"))
+    assert(mp.contains("BroadcastHashJoin") && mp.contains("LeftAnti"), mp)
+
+    // q4: the EXISTS shape must plan as a LEFT SEMI hash join (probe
+    // rows never duplicate), not an inner join + dedup
+    val qp = plan(SparkEntry.queries("tpch_q4_shaped")(spark, dir))
+    assert(qp.contains("LeftSemi"), qp)
+  }
+
   test("filters and projections reach the parquet scan (pushdown proof)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
