@@ -1008,6 +1008,27 @@ object SparkEntry {
         "n_chars", threshold = 0.5)
     },
 
+    "dedup_cluster_survivors" -> { (s, dir) =>
+      // the complete near-dup dedup pass, composed end to end: exact
+      // blocked-Jaccard pairs → transitive clusters (pointer-jumping
+      // components) → ONE deterministic survivor per cluster (longest
+      // doc, id tie-break) + cluster size. What ships to training is
+      // "survivors ∪ docs with no pairs"; this query outputs the cluster
+      // decisions the anti-join would consume.
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        "n_chars", threshold = 0.5)
+      val comp = Components.connectedComponents(pairs.select("i", "j"))
+      val members = comp.join(
+        docs.select(col("doc_id").as("node"), col("n_chars")), Seq("node"))
+      val surv = Dedup.keepBestPerGroup(members, col("component"),
+          Seq(col("n_chars").desc, col("node").asc))
+        .select(col("component"), col("node").as("survivor_id"),
+          col("n_chars").as("survivor_n_chars"))
+      members.groupBy("component").agg(count(lit(1)).as("n_members"))
+        .join(surv, Seq("component"))
+    },
+
     "dedup_minhash_lsh" -> { (s, dir) =>
       // oracle-checked against ALL-PAIRS exact jaccard ≥ 0.5: banding is
       // hash-seeded, but its output equals the exact answer whenever
@@ -2869,6 +2890,42 @@ object SparkEntry {
            FROM probe JOIN t ON probe.bkt = t.bkt AND probe.i < t.doc_id
              AND abs(probe.len_i - t.n_chars) <= 20)
          WHERE jac >= 0.5""",
+
+    "dedup_cluster_survivors" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, n_chars,
+             CASE WHEN len(string_split(text,' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2]))
+             ELSE [] END AS sh,
+             CAST(floor(n_chars / 32) AS BIGINT) AS bkt
+           FROM documents),
+         probe AS (SELECT doc_id AS i, n_chars AS len_i, sh AS sh_i,
+           unnest([bkt - 1, bkt, bkt + 1]) AS bkt FROM t),
+         pr AS (SELECT i, j FROM (
+           SELECT probe.i, t.doc_id AS j,
+             len(list_intersect(probe.sh_i, t.sh)) * 1.0 /
+               len(list_distinct(list_concat(probe.sh_i, t.sh))) AS jac
+           FROM probe JOIN t ON probe.bkt = t.bkt AND probe.i < t.doc_id
+             AND abs(probe.len_i - t.n_chars) <= 20)
+           WHERE jac >= 0.5),
+         sym AS (SELECT i AS a, j AS b FROM pr UNION SELECT j, i FROM pr),
+         cc(node, label) AS (
+           SELECT a, a FROM sym
+           UNION
+           SELECT s.a, cc.label FROM sym s JOIN cc ON s.b = cc.node),
+         comp AS (SELECT node, min(label) AS component FROM cc GROUP BY node),
+         m AS (SELECT comp.node, comp.component, d.n_chars
+           FROM comp JOIN documents d ON comp.node = d.doc_id),
+         rk AS (SELECT component, node, n_chars,
+             row_number() OVER (PARTITION BY component
+               ORDER BY n_chars DESC, node ASC) AS r
+           FROM m),
+         sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+           FROM m GROUP BY component)
+         SELECT sz.component, sz.n_members, rk.node AS survivor_id,
+           CAST(rk.n_chars AS BIGINT) AS survivor_n_chars
+         FROM sz JOIN rk ON sz.component = rk.component AND rk.r = 1""",
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS i, b.vec_id AS j
