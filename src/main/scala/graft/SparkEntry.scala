@@ -1424,6 +1424,20 @@ object SparkEntry {
       Components.triangleCounts(edges)
     },
 
+    "events_json_extract" -> { (s, dir) =>
+      // schema-on-read over the semi-structured props column: from_json
+      // with an explicit schema (codegen'd Jackson parse, no UDF), then
+      // a per-type rollup of the extracted field. Null-safe: rows whose
+      // props lack `k` drop out of the aggregates, not the row count.
+      val k = from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+        .getField("k")
+      t(s, dir, "events").select(col("event_type"), k.as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), count(col("k")).as("n_with_k"),
+          sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
+    },
+
     "event_transitions" -> { (s, dir) =>
       // first-order Markov transition matrix over per-user event
       // sequences: P(next=to | cur=from) in floored milli — the behavior-
@@ -3077,6 +3091,16 @@ object SparkEntry {
              // (d.deg * (d.deg - 1)) AS BIGINT) ELSE NULL END
              AS clustering_milli
          FROM deg d LEFT JOIN pn ON d.node = pn.node""",
+
+    "events_json_extract" ->
+      """WITH e AS (SELECT event_type,
+             CAST(props->>'k' AS BIGINT) AS k FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(sum(k) AS BIGINT) AS k_sum,
+           CAST(min(k) AS BIGINT) AS k_min,
+           CAST(max(k) AS BIGINT) AS k_max
+         FROM e GROUP BY event_type""",
 
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_type,
