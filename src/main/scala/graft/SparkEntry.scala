@@ -1533,6 +1533,14 @@ object SparkEntry {
       TextAnalysis.repetitionStats(t(s, dir, "documents"), "doc_id", "text", n = 2)
     },
 
+    "text_compression" -> { (s, dir) =>
+      // rows-only: zlib deflate-ratio repetition gate (no SQL deflate
+      // exists → no oracle; kernel pinned vs a reference Deflater in
+      // SketchesSpec). Shuffle-free narrow map — the cheapest of the
+      // repetition signals at corpus scale.
+      TextAnalysis.compressionStats(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     "text_pii_redact" -> { (s, dir) =>
       // PII scrub: the testdata corpus is clean, so every third doc gets
       // a deterministic injected snippet (email/IP/SSN/phone) that the

@@ -28,6 +28,27 @@ object SketchRuntime {
     new GenericArrayData(Sketches.hashedShingleSet(t.toString, k))
 
   def rollingFp(t: UTF8String): Long = Sketches.rollingFingerprint(t.toString)
+
+  // Deflater holds native zlib state — reuse one per thread (reset()
+  // between rows) instead of allocating/ending per call. Fixed level and
+  // raw mode (nowrap) make the output length deterministic for a given
+  // input across runs and partitionings.
+  private val deflaters = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
+    new java.util.zip.Deflater(6, true))
+  private val deflateBuf =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](32 * 1024))
+
+  def deflateLen(t: UTF8String): Long = {
+    val in = t.getBytes
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(in)
+    d.finish()
+    val buf = deflateBuf.get()
+    var total = 0L
+    while (!d.finished()) total += d.deflate(buf)
+    total
+  }
 }
 
 /** `minhash_signature(text)` → array<bigint> of length `numHashes`. */
@@ -77,7 +98,23 @@ case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `deflate_len(text)` → bigint: zlib-deflated byte length of the UTF-8
+  * text (level 6, raw). The compressed/raw ratio is the classic one-pass
+  * "natural language vs boilerplate/spam" signal (RefinedWeb, Dolma use
+  * it as a repetition gate): machine-generated or template text deflates
+  * far below prose. A per-row JVM kernel beats any SQL formulation —
+  * there is none — and stays inside whole-stage codegen. */
+case class DeflateLenExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.deflateLen(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.deflateLen($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 object sketchFunctions {
+  def deflate_len(c: Column): Column = toCol(DeflateLenExpr(toExpr(c)))
   def minhash_signature(c: Column, shingleK: Int = 3, numHashes: Int = 64): Column =
     toCol(MinHashSignatureExpr(toExpr(c), shingleK, numHashes))
   def simhash64(c: Column): Column = toCol(SimHash64Expr(toExpr(c)))

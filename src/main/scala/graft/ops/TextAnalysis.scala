@@ -360,4 +360,21 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bigrams"),
         sum(lpMilli).cast("long").as("lp_milli_sum"))
   }
+
+  /** Compression-ratio repetition signal: zlib-deflated length over raw
+    * UTF-8 length, in milli-units. Template/spam/machine-generated text
+    * deflates far below prose (RefinedWeb and Dolma gate on exactly this
+    * one-pass signal), and unlike n-gram counting it needs no shuffle —
+    * a narrow codegen'd map over the scan, so at 100 TB it costs one
+    * read. No SQL engine expresses deflate, so the query is rows-only;
+    * kernel behavior is pinned against a reference Deflater in
+    * SketchesSpec. */
+  def compressionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val nb = octet_length(col(textCol)).cast("long")
+    val dl = graft.expr.sketchFunctions.deflate_len(col(textCol))
+    df.select(col(idCol), nb.as("n_bytes"), dl.as("deflate_bytes"),
+      when(nb > 0, floor(lit(1000) * dl / nb)).otherwise(lit(0))
+        .cast("long").as("ratio_milli"))
+  }
 }

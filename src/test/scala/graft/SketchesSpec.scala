@@ -47,4 +47,47 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.rollingFingerprint(t) != Sketches.rollingFingerprint(edited))
     assert(Sketches.rollingFingerprint("short") == Sketches.fnv1a64("short"))
   }
+
+  test("deflate_len matches a reference Deflater and orders repetition vs prose") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def reference(s: String): Long = {
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(s.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1 << 16)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end(); n
+    }
+    val prose = "A rather different clause appears in every sentence here, " +
+      "each mentioning distinct topics: harbors, violins, eclipses, basalt."
+    val spam = "buy now click here " * 40
+    for (s <- Seq(prose, spam, "", "x", "ab" * 5000)) {
+      assert(graft.expr.SketchRuntime.deflateLen(UTF8String.fromString(s)) ==
+        reference(s), s"mismatch for len=${s.length}")
+    }
+    // thread-local reuse does not leak state across calls
+    val once = graft.expr.SketchRuntime.deflateLen(UTF8String.fromString(prose))
+    graft.expr.SketchRuntime.deflateLen(UTF8String.fromString(spam))
+    assert(graft.expr.SketchRuntime.deflateLen(UTF8String.fromString(prose)) == once)
+    // the signal separates template spam from prose by a wide margin
+    assert(reference(spam) * 1000 / spam.length <
+      reference(prose) * 1000 / prose.length / 2)
+  }
+
+  test("compressionStats: schema, ratio bounds, repetitive doc ranks lowest") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the committee reviewed seventeen unrelated proposals about " +
+        "geology, music, taxation, and harbor dredging during March"),
+      (2L, "repeat this exact phrase " * 30),
+      (3L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.compressionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "deflate_bytes", "ratio_milli"))
+    assert(out(3L).getLong(3) == 0) // empty text guarded, no div-by-zero
+    assert(out(2L).getLong(3) < out(1L).getLong(3))
+    assert(out(1L).getLong(3) > 0 && out(1L).getLong(3) < 1200)
+  }
 }
