@@ -1619,6 +1619,24 @@ object SparkEntry {
       s.read.schema("doc_id LONG, source STRING, n_chars LONG").json(out)
     },
 
+    "s11_csv_roundtrip" -> { (s, dir) =>
+      // CSV sink+source proof, driver-checked like s9. The corpus has no
+      // CSV-hostile bytes, so every 5th doc gets a deterministic injected
+      // suffix with a comma, a double quote, and a NEWLINE — the oracle
+      // rebuilds the same strings from the original parquet, so the
+      // hash only matches if the quote/escape/multiLine dialect
+      // round-trips them byte-exactly.
+      val hostile = concat(col("text"),
+        lit(", \"quoted\"\nline2 of doc "), col("doc_id").cast("string"))
+      val src = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("n_chars"),
+        when(col("doc_id") % 5 === 0, hostile).otherwise(col("text")).as("text_rt"))
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_s11_roundtrip_${ProcessHandle.current().pid()}"
+      graft.sources.Sinks.writeCsv(src, out)
+      graft.sources.Sources.csvTable(s, out,
+        "doc_id LONG, source STRING, n_chars LONG, text_rt STRING")
+    },
+
     "dedup_cross_corpus" -> { (s, dir) =>
       // near-dup DEcontamination (the fuzzy twin of text_contamination):
       // every 50th doc plays the benchmark; emit benchmark↔corpus
@@ -2988,6 +3006,13 @@ object SparkEntry {
 
     "s9_sink_roundtrip" ->
       "SELECT doc_id, source, n_chars FROM documents",
+
+    "s11_csv_roundtrip" ->
+      """SELECT doc_id, source, n_chars,
+           CASE WHEN doc_id % 5 = 0
+             THEN text || ', "quoted"' || chr(10) || 'line2 of doc ' || doc_id
+             ELSE text END AS text_rt
+         FROM documents""",
 
     "dedup_minhash_lsh" ->
       """WITH t AS (

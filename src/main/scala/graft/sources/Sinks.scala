@@ -45,6 +45,17 @@ object Sinks {
       .bucketBy(buckets, keyCol).sortBy(keyCol)
       .format("parquet").saveAsTable(table)
 
+  /** CSV sink (engine-surface extension): partitioned, header-per-file,
+    * explicit quoting so embedded delimiters/newlines round-trip. CSV is
+    * the interchange format everything downstream of a corpus pipeline
+    * still speaks (spreadsheets, BI loads, DuckDB/pandas ingest). */
+  def writeCsv(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    (if (singleFile) df.coalesce(1) else df)
+      .write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("escape", "\"")
+      .csv(path)
+
   /** S10 — dead-letter split: ok rows to `okPath`, failures to
     * `failedPath` (reference moves files, pubmed_enrichment.py:450-456).
     * Two filtered writes over one cached pass. */

@@ -36,6 +36,17 @@ object Sources {
       .option("recursiveFileLookup", "true")
       .load(dir)
 
+  /** CSV source (engine-surface extension, pairs with [[Sinks.writeCsv]]):
+    * explicit schema — schema inference is a full extra pass over the
+    * data, never acceptable at corpus scale — and the same quote/escape
+    * dialect the sink writes, so quoted delimiters and newlines survive. */
+  def csvTable(spark: SparkSession, path: String, schemaDDL: String): DataFrame =
+    spark.read
+      .schema(schemaDDL)
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+
   /** U2 — multi-directory union as a single multi-path scan
     * (combine_json_to_jsonl.py:337-359): one job, parallel listing. */
   def jsonMultiDir(spark: SparkSession, dirs: Seq[String]): DataFrame =
