@@ -62,7 +62,10 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => }
 
-    val budget = 1700 // chars available for the queries map in the tail
+    // Whole line + sbt's trailing "[success] Total time: …" (~75 chars)
+    // must fit the harness's 2000-char tail for the JSON to parse; 1500
+    // leaves ~280 chars of slack for extra trailing log lines.
+    val budget = 1500 // chars available for the queries map in the tail
     val byCost = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2 // braces

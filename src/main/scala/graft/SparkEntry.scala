@@ -770,6 +770,25 @@ object SparkEntry {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"))
     },
 
+    "profile_missing_hours" -> { (s, dir) =>
+      // Data-completeness monitor: hours with ZERO events per type —
+      // silence is invisible to every groupBy (no row, no group), so the
+      // expected spine is GENERATED per type from its own min/max hour
+      // and anti-joined against observed hours. Both sides of the join
+      // are post-aggregate (≤ types × hours rows) — at 100 TB the only
+      // full-data pass is the first groupBy.
+      val e = events(s, dir)
+        .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      val bounds = e.groupBy("event_type")
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val spine = bounds.select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+          .as("missing_hour"))
+      spine.join(
+        e.select(col("event_type"), col("h").as("missing_hour")).distinct(),
+        Seq("event_type", "missing_hour"), "left_anti")
+    },
+
     "t1_stream_hourly" -> { (s, dir) =>
       // T1 driver-visible: an ACTUAL Structured Streaming run
       // (AvailableNow file-source micro-batches → memory sink), not the
@@ -2871,6 +2890,17 @@ object SparkEntry {
       """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts, count(*) AS n_events,
          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
          FROM events GROUP BY date_trunc('hour', make_timestamp(epoch_us(ts)))""",
+
+    "profile_missing_hours" ->
+      """WITH e AS (SELECT event_type,
+             date_trunc('hour', make_timestamp(epoch_us(ts))) AS h FROM events),
+         b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM e GROUP BY event_type),
+         spine AS (SELECT event_type,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS missing_hour FROM b),
+         d AS (SELECT DISTINCT event_type, h FROM e)
+         SELECT s.event_type, s.missing_hour
+         FROM spine s LEFT JOIN d ON d.event_type = s.event_type AND d.h = s.missing_hour
+         WHERE d.h IS NULL""",
 
     "t1_stream_hourly" ->
       """SELECT date_trunc('hour', make_timestamp(epoch_us(ts))) AS hour_ts,
