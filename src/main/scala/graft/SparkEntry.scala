@@ -1215,6 +1215,20 @@ object SparkEntry {
         col("doc_id") +: TextAnalysis.tokenStats(col("text")): _*)
     },
 
+    "profile_metrics_long" -> { (s, dir) =>
+      // wide→long UNPIVOT melt: per-doc metrics as (doc_id, metric,
+      // value) rows — the shape every metrics store / tall-table monitor
+      // ingests. Narrow 1→k row generator, no shuffle; completes the
+      // relational surface next to PIVOT/CUBE/ROLLUP.
+      t(s, dir, "documents").select(
+          col("doc_id"), col("n_chars"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+          octet_length(col("text")).cast("long").as("n_bytes"))
+        .unpivot(Array(col("doc_id")),
+          Array(col("n_chars"), col("n_tokens"), col("n_bytes")),
+          "metric", "value")
+    },
+
     "text_quality_score" -> { (s, dir) =>
       t(s, dir, "documents").select(
         col("doc_id") +: TextAnalysis.qualityScore(col("text")): _*)
@@ -3557,6 +3571,13 @@ object SparkEntry {
          FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
              CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 8 AS BIGINT) AS shard
            FROM documents)""",
+
+    "profile_metrics_long" ->
+      """WITH wide AS (SELECT doc_id, n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+         FROM documents)
+         UNPIVOT wide ON n_chars, n_tokens, n_bytes INTO NAME metric VALUE value""",
 
     "text_token_stats" ->
       """SELECT doc_id,
