@@ -2,10 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.expr.{RatcliffSimilarity, CleanCorpusExpr, ExtractDoiExpr,
-  HtmlTextExpr, MinHashSignatureExpr, SimHash64Expr, HashedShinglesExpr,
-  RollingFingerprintExpr, DotProductExpr, SortedIntersectCountExpr,
-  NfcNormalizeExpr}
+import graft.expr.{RatcliffSimilarity, CleanCorpusExpr, DeflateLenExpr,
+  ExtractDoiExpr, HtmlTextExpr, MinHashSignatureExpr, SimHash64Expr,
+  HashedShinglesExpr, RollingFingerprintExpr, DotProductExpr,
+  SortedIntersectCountExpr, NfcNormalizeExpr}
 
 /** Session-extension entry point: makes every graft custom expression
   * available to plain `spark.sql` cluster-wide via
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64", es => SimHash64Expr(es.head))
     inject("hashed_shingles", es => HashedShinglesExpr(es.head))
     inject("rolling_fingerprint", es => RollingFingerprintExpr(es.head))
+    inject("deflate_len", es => DeflateLenExpr(es.head))
     inject("dot_product", es => DotProductExpr(es(0), es(1)))
     inject("sorted_intersect_count", es => SortedIntersectCountExpr(es(0), es(1)))
     inject("nfc_normalize", es => NfcNormalizeExpr(es.head))
