@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("hashed_shingles", es => HashedShinglesExpr(es.head))
     inject("rolling_fingerprint", es => RollingFingerprintExpr(es.head))
     inject("deflate_len", es => DeflateLenExpr(es.head))
+
+    // cheap-before-expensive conjunct ordering for the kernels above
+    e.injectOptimizerRule(_ => graft.plans.DeferExpensivePredicates)
     inject("dot_product", es => DotProductExpr(es(0), es(1)))
     inject("sorted_intersect_count", es => SortedIntersectCountExpr(es(0), es(1)))
     inject("nfc_normalize", es => NfcNormalizeExpr(es.head))
