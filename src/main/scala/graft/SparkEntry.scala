@@ -1471,6 +1471,29 @@ object SparkEntry {
           sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
     },
 
+    "events_corrupt_audit" -> { (s, dir) =>
+      // schema-on-read FAILURE accounting: every 7th props string is
+      // deterministically truncated into invalid JSON, then parsed with
+      // an explicit `_corrupt_record` column (from_json PERMISSIVE keeps
+      // the row and captures the raw text there — the quarantine surface
+      // for semi-structured ingest; a silent-null parse can't tell
+      // corrupt from merely-missing keys, this can). Oracle rebuilds the
+      // same classification via json_valid.
+      val raw = when(col("event_id") % 7 === 0,
+        expr("substring(props, 1, length(props)-2)")).otherwise(col("props"))
+      val parsed = from_json(raw,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, _corrupt_record STRING"),
+        Map("columnNameOfCorruptRecord" -> "_corrupt_record"))
+      t(s, dir, "events")
+        .select(col("event_type"), parsed.as("j"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("j._corrupt_record")).as("n_corrupt"),
+          count(col("j.k")).as("n_with_k"),
+          sum(col("j.k")).cast("long").as("k_sum"))
+    },
+
     "event_transitions" -> { (s, dir) =>
       // first-order Markov transition matrix over per-user event
       // sequences: P(next=to | cur=from) in floored milli — the behavior-
@@ -3178,6 +3201,20 @@ object SparkEntry {
            CAST(min(k) AS BIGINT) AS k_min,
            CAST(max(k) AS BIGINT) AS k_max
          FROM e GROUP BY event_type""",
+
+    "events_corrupt_audit" ->
+      """WITH m AS (SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+               THEN substring(props, 1, length(props) - 2)
+               ELSE props END AS p
+           FROM events)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+           CAST(count(*) FILTER (WHERE NOT json_valid(p)) AS BIGINT) AS n_corrupt,
+           CAST(count(CASE WHEN json_valid(p)
+             THEN CAST(p->>'k' AS BIGINT) END) AS BIGINT) AS n_with_k,
+           CAST(sum(CASE WHEN json_valid(p)
+             THEN CAST(p->>'k' AS BIGINT) END) AS BIGINT) AS k_sum
+         FROM m GROUP BY event_type""",
 
     "event_transitions" ->
       """WITH e AS (SELECT user_id, event_type,
