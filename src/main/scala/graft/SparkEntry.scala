@@ -165,6 +165,25 @@ object SparkEntry {
         .na.fill(0L)
     },
 
+    "profile_winsorize" -> { (s, dir) =>
+      // per-source p05/p95 winsorization: CLIP outliers, don't drop them
+      // (dropping biases length-correlated stats; clipping keeps the row
+      // count). Bounds are one tiny per-group aggregate broadcast back
+      // onto the full scan — the full-data side never shuffles. Integer
+      // floor/ceil on the interpolated percentiles keeps both engines
+      // bit-identical.
+      val docs = t(s, dir, "documents")
+      val bounds = docs.groupBy("source").agg(
+        floor(expr("percentile(n_chars, 0.05)")).cast("long").as("lo"),
+        ceil(expr("percentile(n_chars, 0.95)")).cast("long").as("hi"))
+      docs.select("doc_id", "source", "n_chars")
+        .join(broadcast(bounds), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          greatest(col("lo"), least(col("hi"), col("n_chars"))).as("n_chars_w"),
+          (col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+            .cast("int").as("clipped"))
+    },
+
     "a4_length_quantiles" -> { (s, dir) =>
       // distribution stats per source (the run-stats extension A4 wants
       // at corpus scale: exact interpolated percentiles — Spark
@@ -2292,6 +2311,16 @@ object SparkEntry {
          grouping(source) AS g_source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          FROM documents GROUP BY CUBE(lang, source)""",
+
+    "profile_winsorize" ->
+      """WITH b AS (SELECT source,
+           CAST(floor(quantile_cont(n_chars, 0.05)) AS BIGINT) AS lo,
+           CAST(ceil(quantile_cont(n_chars, 0.95)) AS BIGINT) AS hi
+         FROM documents GROUP BY source)
+         SELECT doc_id, d.source,
+           greatest(lo, least(hi, n_chars)) AS n_chars_w,
+           CAST(n_chars < lo OR n_chars > hi AS INTEGER) AS clipped
+         FROM documents d JOIN b ON d.source = b.source""",
 
     "a4_length_quantiles" ->
       """SELECT source,
