@@ -1833,6 +1833,29 @@ object SparkEntry {
         sha2(col("text").cast("binary"), 256).as("sha"))
     },
 
+    "media_pipeline" -> { (s, dir) =>
+      // rows-only: the full multimodal path the cluster schedules —
+      // synthesized binary payloads → media frame (modality routing) →
+      // mapPartitions decode (honest stub, deterministic fake metadata)
+      // → video frame sampling (explode generator, payload dropped).
+      // Every Spark-side contract (schema, typed metadata struct, batch
+      // shape, 1→k frame fan-out) is real; only the codec is faked.
+      // MediaSpec pins decode determinism and frame arithmetic.
+      val ext = element_at(
+        typedlit(Seq(".jpg", ".wav", ".mp4", ".txt", ".png")),
+        (col("doc_id") % 5 + 1).cast("int"))
+      val bin = t(s, dir, "documents").select(
+        concat(lit("media/doc_"), col("doc_id").cast("string"), ext).as("path"),
+        col("text").cast("binary").as("content"))
+      val decoded = graft.multimodal.MediaOps.decode(
+        graft.multimodal.MediaOps.toMediaFrame(bin))
+      graft.multimodal.MediaOps.frameSample(decoded, everyMs = 5000L)
+        .select(col("path"), col("modality"), col("frame_idx"),
+          col("frame_ts_ms"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.format").as("format"),
+          col("meta.duration_ms").as("duration_ms"))
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // concat-and-cut training sequence packing: 4 shards, 2048-token
       // sequences; each doc labeled with its start offset and sequence
