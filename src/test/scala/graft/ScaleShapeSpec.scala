@@ -238,6 +238,33 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(qp.contains("LeftSemi"), qp)
   }
 
+  test("session-4 op plan shapes: narrow deflate/unpivot, broadcast winsorize, post-agg spine join") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def plan(df: org.apache.spark.sql.DataFrame) = df.queryExecution.executedPlan.toString
+
+    // compression signal and unpivot are pure map stages over the scan
+    val comp = graft.ops.TextAnalysis.compressionStats(docs, "doc_id", "text")
+    assert(!plan(comp).contains("Exchange"), plan(comp))
+    val long = docs.select($"doc_id", $"n_chars")
+      .unpivot(Array($"doc_id"), Array($"n_chars"), "metric", "value")
+    assert(!plan(long).contains("Exchange"), plan(long))
+
+    // winsorize: bounds agg broadcasts back; the full side never
+    // shuffles for the join itself (its only exchange feeds the agg)
+    val q = SparkEntry.queries("profile_winsorize")(spark, dir)
+    val wp = plan(q)
+    assert(wp.contains("BroadcastHashJoin"), wp)
+    assert(!wp.contains("CartesianProduct") && !wp.contains("NestedLoopJoin"), wp)
+
+    // missing-hours: both anti-join inputs are post-aggregate; no
+    // cartesian anywhere, spine generation is an explode not a join
+    val mh = SparkEntry.queries("profile_missing_hours")(spark, dir)
+    val mp = plan(mh)
+    assert(mp.contains("LeftAnti"), mp)
+    assert(!mp.contains("CartesianProduct") && !mp.contains("NestedLoopJoin"), mp)
+  }
+
   test("filters and projections reach the parquet scan (pushdown proof)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
