@@ -2144,6 +2144,24 @@ object SparkEntry {
           .as("text_nfc"))
     },
 
+    "mix_calibrated" -> { (s, dir) =>
+      // per-source percentile calibration of the quality score: a global
+      // threshold over raw scores silently skews the mix toward sources
+      // whose style inflates the metric, so each doc is ranked WITHIN its
+      // source first (percent_rank, doc_id tie-break for determinism) —
+      // cross-source selection then compares like with like. Rank
+      // arithmetic is integer-exact, so the milli floor is engine-stable.
+      // One shuffle on source; at corpus scale the window runs per
+      // source partition with no global sort.
+      val w = Window.partitionBy("source")
+        .orderBy(col("q_score"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id") +: col("source") +:
+          TextAnalysis.qualityScore(col("text")): _*)
+        .select(col("doc_id"), col("source"), col("q_score"),
+          floor(lit(1000) * percent_rank().over(w)).cast("long").as("pct_milli"))
+    },
+
     "mix_curriculum" -> { (s, dir) =>
       // curriculum mixing: per-quality-tier epoch weights (low-quality
       // quartile seen 0.25x, top quartile 2.5x). Tiers come from exact
@@ -4073,6 +4091,23 @@ object SparkEntry {
       """SELECT doc_id,
            nfc_normalize(replace(text, 'a', 'a' || chr(768))) AS text_nfc
          FROM documents""",
+
+    "mix_calibrated" ->
+      """WITH t AS (SELECT doc_id, source,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         c AS (SELECT doc_id, source, len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_uniq,
+           len(list_filter(toks, tk -> list_contains(
+             ['the','a','of','and','to','in','is','it','on','for'], tk))) AS n_stop
+           FROM t),
+         q AS (SELECT doc_id, source,
+           CAST(floor(100 * (0.7 * (CAST(n_uniq AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+             0.3 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)))) AS BIGINT) AS q_score
+           FROM c)
+         SELECT doc_id, source, q_score,
+           CAST(floor(1000 * percent_rank() OVER (PARTITION BY source
+             ORDER BY q_score, doc_id)) AS BIGINT) AS pct_milli
+         FROM q""",
 
     "mix_curriculum" ->
       """WITH sc AS (SELECT doc_id,
