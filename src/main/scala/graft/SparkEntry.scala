@@ -165,6 +165,37 @@ object SparkEntry {
         .na.fill(0L)
     },
 
+    "profile_schema_drift" -> { (s, dir) =>
+      // schema-evolution guard: the BASE side is read from the actual
+      // parquet footer (not hardcoded — a silent upstream retype flips
+      // `status` here before it breaks a downstream job), diffed against
+      // the expected next-version contract. Metadata-scale op: schemas
+      // are tiny, the value is the footer introspection + the stable
+      // added/dropped/retyped verdict per column.
+      import s.implicits._
+      val base = t(s, dir, "documents").schema.fields.toSeq.map { f =>
+        val tn = f.dataType match {
+          case org.apache.spark.sql.types.LongType => "BIGINT"
+          case org.apache.spark.sql.types.StringType => "VARCHAR"
+          case org.apache.spark.sql.types.IntegerType => "INTEGER"
+          case org.apache.spark.sql.types.DoubleType => "DOUBLE"
+          case other => other.sql
+        }
+        (f.name, tn)
+      }.toDF("col_name", "base_type")
+      val evolved = Seq(("doc_id", "BIGINT"), ("text", "VARCHAR"),
+        ("source", "VARCHAR"), ("n_chars", "INTEGER"), ("quality", "DOUBLE"))
+        .toDF("col_name", "evo_type")
+      base.join(evolved, Seq("col_name"), "full_outer")
+        .select(col("col_name"),
+          coalesce(col("base_type"), lit("")).as("base_type"),
+          coalesce(col("evo_type"), lit("")).as("evo_type"),
+          when(col("base_type").isNull, "added")
+            .when(col("evo_type").isNull, "dropped")
+            .when(col("base_type") =!= col("evo_type"), "retyped")
+            .otherwise("same").as("status"))
+    },
+
     "profile_winsorize" -> { (s, dir) =>
       // per-source p05/p95 winsorization: CLIP outliers, don't drop them
       // (dropping biases length-correlated stats; clipping keeps the row
@@ -2352,6 +2383,21 @@ object SparkEntry {
          grouping(source) AS g_source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          FROM documents GROUP BY CUBE(lang, source)""",
+
+    "profile_schema_drift" ->
+      """WITH base AS (SELECT column_name AS col_name, column_type AS base_type
+             FROM (DESCRIBE SELECT * FROM documents)),
+         evo AS (SELECT * FROM (VALUES ('doc_id','BIGINT'),('text','VARCHAR'),
+             ('source','VARCHAR'),('n_chars','INTEGER'),('quality','DOUBLE'))
+           AS t(col_name, evo_type))
+         SELECT coalesce(base.col_name, evo.col_name) AS col_name,
+           coalesce(base_type, '') AS base_type,
+           coalesce(evo_type, '') AS evo_type,
+           CASE WHEN base_type IS NULL THEN 'added'
+                WHEN evo_type IS NULL THEN 'dropped'
+                WHEN base_type <> evo_type THEN 'retyped'
+                ELSE 'same' END AS status
+         FROM base FULL OUTER JOIN evo ON base.col_name = evo.col_name""",
 
     "profile_winsorize" ->
       """WITH b AS (SELECT source,
