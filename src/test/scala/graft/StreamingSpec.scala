@@ -113,6 +113,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed agg drops watermark-late rows and reports them in progress metrics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, window}
+    implicit val sq = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(
+      s"2026-01-01 ${10 + min / 60}:${"%02d".format(min % 60)}:00")
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val agg = input.toDF().toDF("k", "ts")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("k"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("k"), col("n"))
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("late_out").start()
+    try {
+      input.addData(("a", ts(0)), ("a", ts(5)))
+      q.processAllAvailable()
+      input.addData(("b", ts(60))) // watermark → 50 min; window [0,10) closes
+      q.processAllAvailable()
+      input.addData(("late", ts(2))) // 48 min past watermark → DROPPED
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, n FROM late_out").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toList.sorted
+      // the late row never surfaces, and b's window is still open
+      assert(got == List(("a", 2L)), got.toString)
+      // the drop is OBSERVABLE, not silent — ops dashboards alert on this
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, s"expected numRowsDroppedByWatermark ≥ 1, got $dropped")
+    } finally q.stop()
+  }
+
   test("streaming curation gate equals the batch rule application") {
     import graft.streaming.CurateStream
     import org.apache.spark.sql.functions._
