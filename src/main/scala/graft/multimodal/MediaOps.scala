@@ -78,7 +78,9 @@ object MediaOps {
 
   private def decodeOne(path: String, modality: String, bytes: Array[Byte]): Decoded = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
-    val h = Sketches.fnv1a64(new String(b.map(x => (x & 0x7f).toChar)))
+    // hash the payload bytes directly — a per-row String copy of a media
+    // payload is exactly the allocation a 100 TB binary scan cannot afford
+    val h = Sketches.fnv1a64Masked(b)
     // ??? real codec goes here — deterministic fake keeps tests meaningful
     val w = 64 + math.floorMod(h, 1920).toInt
     val ht = 64 + math.floorMod(h >> 11, 1080).toInt
@@ -103,8 +105,14 @@ object MediaOps {
     ds.mapPartitions { it =>
       it.map { case (path, bytes) =>
         val b = if (bytes == null) Array.empty[Byte] else bytes
+        // ONE pass over the payload, then a cheap per-dim mix — the old
+        // per-dim rehash was O(dim·payload) with a String copy per dim
+        val base = Sketches.fnv1a64Masked(b)
         val feats = Array.tabulate(dim) { i =>
-          val h = Sketches.fnv1a64(i.toString + new String(b.map(x => (x & 0x7f).toChar)))
+          var h = base ^ (0x9e3779b97f4a7c15L * (i + 1))
+          h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+          h ^= h >>> 27; h *= 0x94d049bb133111ebL
+          h ^= h >>> 31
           (math.floorMod(h, 2000L) - 1000L).toFloat / 1000.0f
         }
         (path, feats)

@@ -11,6 +11,21 @@ import java.nio.charset.StandardCharsets
 object Sketches {
 
   /** FNV-1a 64-bit over UTF-8 bytes — dependency-free deterministic hash. */
+  /** FNV-1a over raw payload bytes, masked to 7 bits per byte — the
+    * byte-array twin of [[fnv1a64]] ∘ the `(b & 0x7f).toChar` string
+    * masking MediaOps used to do per row: identical values, zero String
+    * allocation on the binary hot path. */
+  def fnv1a64Masked(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0x7fL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
   def fnv1a64(s: String): Long = {
     var h = 0xcbf29ce484222325L
     val bytes = s.getBytes(StandardCharsets.UTF_8)
