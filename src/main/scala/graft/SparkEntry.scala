@@ -391,13 +391,18 @@ object SparkEntry {
     },
 
     "tpch_q3_shaped" -> { (s, dir) =>
-      // classic 3-way join + agg (engine-completeness headline; broadcast
-      // dims, single shuffle on l_orderkey)
-      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      // classic 3-way join + agg (engine-completeness headline; single
+      // shuffle on l_orderkey). The customer side is GATED, not
+      // hard-hinted: the BUILDING segment is SF-proportional, so at
+      // corpus scale the hint would command a driver-OOM broadcast —
+      // maybeBroadcast keeps BHJ at bench scale and lets the segment
+      // shuffle on c_custkey when estimates say it outgrew the threshold.
+      val c = graft.ops.ScaleHints.maybeBroadcast(
+        t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING"))
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"))
         .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
           (lit(1) - col("l_discount").cast("decimal(18,2)")))
