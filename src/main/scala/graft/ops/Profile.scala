@@ -99,7 +99,7 @@ object Profile {
     val s = col("__s").cast("double")
     val mean = s / n
     val variance = (col("__s2").cast("double") - s * s / n) / (n - lit(1))
-    df.join(broadcast(stats), groupCol)
+    df.join(ScaleHints.maybeBroadcast(stats), groupCol)
       .withColumn("z_milli",
         when(col("__n") >= 2 && variance > 0,
           floor(lit(1000) * ((x.cast("double") - mean) / sqrt(variance)))
@@ -151,10 +151,10 @@ object Profile {
       metricCol: String): DataFrame = {
     val med = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($metricCol, 0.5)").as("__med"))
-    val withMed = df.join(broadcast(med), groupCol)
+    val withMed = df.join(ScaleHints.maybeBroadcast(med), groupCol)
     val mad = withMed.groupBy(col(groupCol))
       .agg(expr(s"percentile(abs($metricCol - __med), 0.5)").as("__mad"))
-    withMed.join(broadcast(mad), groupCol)
+    withMed.join(ScaleHints.maybeBroadcast(mad), groupCol)
       .withColumn("rz_milli",
         when(col("__mad") > 0,
           floor(lit(1000.0) * lit(0.6745) *
