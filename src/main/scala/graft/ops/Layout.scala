@@ -85,6 +85,20 @@ object Layout {
       .write.partitionBy(partCols: _*)
       .mode("overwrite").parquet(path)
 
+  /** Idempotent partition backfill: rewrite ONLY the partitions present
+    * in `df` (dynamic partition overwrite), leaving every other
+    * directory byte-untouched — the re-run/repair primitive for a
+    * partitioned corpus. Static overwrite mode would TRUNCATE the whole
+    * table to the incoming partitions; dynamic mode makes a failed day's
+    * re-ingest safe to replay. Same one-file-per-directory repartition
+    * discipline as [[partitionedWrite]]. */
+  def backfillPartitions(df: DataFrame, path: String,
+      partCols: Seq[String]): Unit =
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+
   /** Read a partitioned table with partition-column filters attached —
     * Catalyst turns them into `PartitionFilters` (directory pruning at
     * plan time, visible in `.explain`; LayoutSpec asserts the scan's

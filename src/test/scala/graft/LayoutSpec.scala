@@ -91,4 +91,38 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() ==
       docs.filter(col("lang").isin("en", "zh")).count())
   }
+
+  test("backfillPartitions rewrites only the incoming partition, others byte-untouched") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_layout_bf_" +
+      ProcessHandle.current().pid()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "source", "n_chars", "lang")
+    Layout.partitionedWrite(docs, root, Seq("lang"))
+
+    def dataFiles(lang: String): Map[String, Long] =
+      new java.io.File(s"$root/lang=$lang").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val othersBefore = docs.select("lang").distinct().collect()
+      .map(_.getString(0)).filter(_ != "en").map(l => l -> dataFiles(l)).toMap
+
+    // replay "en" only, with visibly different content (ids shifted)
+    val redo = docs.filter(col("lang") === "en")
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+    Layout.backfillPartitions(redo, root, Seq("lang"))
+
+    // untouched partitions: literally the same files (name + mtime)
+    othersBefore.foreach { case (l, before) =>
+      assert(dataFiles(l) == before, s"partition lang=$l was rewritten")
+    }
+    // the replayed partition really was replaced, not appended
+    val back = spark.read.parquet(root)
+    assert(back.filter(col("lang") === "en" && col("doc_id") < 1000000L).count() == 0)
+    assert(back.filter(col("lang") === "en").count() ==
+      docs.filter(col("lang") === "en").count())
+    // a static-mode overwrite would have truncated the others — row
+    // counts outside "en" are unchanged
+    assert(back.filter(col("lang") =!= "en").count() ==
+      docs.filter(col("lang") =!= "en").count())
+  }
 }
