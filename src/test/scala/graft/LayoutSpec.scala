@@ -125,4 +125,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.filter(col("lang") =!= "en").count() ==
       docs.filter(col("lang") =!= "en").count())
   }
+
+  test("mergeSchema unifies snapshot generations; old rows null-fill added columns") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_layout_ms_" +
+      ProcessHandle.current().pid()
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // generation 1: the original contract; generation 2 adds a column
+    // (the profile_schema_drift query's "added" verdict, seen read-side)
+    docs.select("doc_id", "source").limit(20)
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    docs.select(col("doc_id"), col("source"),
+        (col("n_chars") / 100).cast("int").as("quality"))
+      .limit(20).write.mode("overwrite").parquet(s"$root/gen=2")
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.schema.fieldNames.toSet ==
+      Set("doc_id", "source", "quality", "gen"))
+    // old generation surfaces the new column as null, not as an error
+    assert(merged.filter(col("gen") === 1 && col("quality").isNotNull).count() == 0)
+    assert(merged.filter(col("gen") === 2 && col("quality").isNull).count() == 0)
+    assert(merged.count() == 40)
+  }
 }
