@@ -2225,6 +2225,20 @@ object SparkEntry {
         defaultWeight = 1.0)
     },
 
+    "text_bpe_fit" -> { (s, dir) =>
+      // rows-only: tokenizer TRAINING driver-visible (encode already is,
+      // via text_bpe_pieces). One distributed word-count shuffle feeds a
+      // driver-side merge loop over the maxVocab-BOUNDED dictionary —
+      // the classic BPE split: corpus pass scales out, merge learning is
+      // O(vocab·merges) on bounded state. Ties break lexicographically,
+      // so the merge table is deterministic (pinned in BpeSpec).
+      import s.implicits._
+      graft.ops.Bpe.fit(t(s, dir, "documents"), "text", nMerges = 50)
+        .merges.zipWithIndex
+        .map { case ((a, b), r) => (r.toLong, a, b) }
+        .toDF("rank", "left", "right")
+    },
+
     "text_bpe_pieces" -> { (s, dir) =>
       // rows-only: BPE tokenizer TRAINED on the corpus word dictionary
       // (32 merges, driver-side deterministic learning over a distributed
