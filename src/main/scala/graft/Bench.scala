@@ -32,6 +32,14 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
+    // ... and the iterative-loop machinery (shuffle writers, AQE
+    // re-planning, checkpoint block manager paths) on a 3-edge graph, so
+    // the FIRST graph/dedup query doesn't absorb all of that JIT alone.
+    try {
+      import spark.implicits._
+      graft.ops.Components.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")).count()
+    } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
