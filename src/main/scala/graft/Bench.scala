@@ -41,9 +41,11 @@ object Bench {
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")).count()
     } catch { case _: Throwable => }
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       // operators may persist intermediate sketch tables; drop them so one
       // query's cache doesn't tax the next query's memory
@@ -51,6 +53,11 @@ object Bench {
       name -> dt
     }
     val total = results.map(_._2).sum
+    // a failed query must be VISIBLE in the artifact, not silently timed
+    // (first 10 names inline — n_failed carries the full count, so a
+    // mass failure can't blow the line past the tail budget)
+    val failedJson =
+      failed.sorted.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
 
     // The harness keeps only the tail of this process's output, so the
     // contract JSON line must stay short enough to survive truncation
@@ -63,7 +70,7 @@ object Bench {
 
     val fullJson = {
       val qs = results.map(entry).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -86,7 +93,7 @@ object Bench {
     val qs = kept.map(entry).mkString("{", ",", "}")
     // `value` repeated as the LAST key: the harness tail truncates from
     // the left, so the total must survive even if the queries map is cut.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted_cheapest":$omitted,"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted_cheapest":$omitted,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }
