@@ -1674,6 +1674,15 @@ object SparkEntry {
         Seq("lang", "source"), k = 5L)
     },
 
+    "privacy_l_diversity" -> { (s, dir) =>
+      // the homogeneity-attack companion to the k audit: ≥ l distinct
+      // sensitive values (n_chars century bucket as the sensitive proxy)
+      // per (lang, source) group; 37/97 groups trip at l=3 at sf0.01, so
+      // both flag values are hash-checked
+      graft.ops.Privacy.lDiversity(t(s, dir, "documents"),
+        Seq("lang", "source"), expr("n_chars div 100"), l = 3L)
+    },
+
     "privacy_suppressed" -> { (s, dir) =>
       // suppression enforcement: rows in sub-k QI groups dropped (one
       // window shuffle, no join), survivors rolled up per lang
@@ -3562,6 +3571,12 @@ object SparkEntry {
     "privacy_k_anonymity" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
            CAST(count(*) < 5 AS INT) AS at_risk
+         FROM documents GROUP BY lang, source""",
+
+    "privacy_l_diversity" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT n_chars // 100) AS BIGINT) AS n_sensitive,
+           CAST(count(DISTINCT n_chars // 100) < 3 AS INT) AS at_risk
          FROM documents GROUP BY lang, source""",
 
     "privacy_suppressed" ->

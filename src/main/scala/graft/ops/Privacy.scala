@@ -44,6 +44,19 @@ object Privacy {
       .agg(count(lit(1)).as("n"))
       .withColumn("at_risk", (col("n") < k).cast("int"))
 
+  /** l-diversity audit: k-anonymity bounds group SIZE, but a group whose
+    * members all share one sensitive value still leaks it (homogeneity
+    * attack — re-identification isn't needed when everyone in the bucket
+    * has the secret). l-diversity requires ≥ l DISTINCT sensitive values
+    * per QI group. Same single-shuffle aggregate as [[kAnonymity]], with
+    * an exact distinct on the sensitive column riding the same shuffle. */
+  def lDiversity(df: org.apache.spark.sql.DataFrame, quasiCols: Seq[String],
+      sensitive: Column, l: Long): org.apache.spark.sql.DataFrame =
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("at_risk", (col("n_sensitive") < l).cast("int"))
+
   /** Enforcement: drop every row whose QI group has fewer than `k`
     * members (suppression — the blunt but sound fix; generalization,
     * i.e. coarsening the QI columns first, preserves more rows). A
