@@ -641,6 +641,23 @@ object SparkEntry {
       Fingerprint.unionMasterUpdate(fresh, master, "ingest_seq")
     },
 
+    "u7_union_by_name" -> { (s, dir) =>
+      // heterogeneous-schema union: the in-memory twin of the mergeSchema
+      // read — an old extract without `lang` unions with the current
+      // shape, missing columns null-filled BY NAME (positional UNION
+      // would silently misalign). doc_id % 3 splits within every source,
+      // so both null and non-null lang counts are hash-checked per group.
+      val docs = t(s, dir, "documents")
+      val cur = docs.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "source", "lang")
+      val old = docs.filter(col("doc_id") % 3 =!= 0)
+        .select("doc_id", "source")
+      cur.unionByName(old, allowMissingColumns = true)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          count(when(col("lang").isNull, 1)).as("n_no_lang"))
+    },
+
     "u2_intersect_except" -> { (s, dir) =>
       val c = t(s, dir, "customer")
       val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
@@ -2863,6 +2880,15 @@ object SparkEntry {
          SELECT doc_id, rag_id, 0 AS ingest_seq FROM d WHERE doc_id % 10 < 3
          UNION ALL
          SELECT doc_id, rag_id, 1 AS ingest_seq FROM d WHERE doc_id % 10 >= 3""",
+
+    "u7_union_by_name" ->
+      """WITH u AS (
+           SELECT doc_id, source, lang FROM documents WHERE doc_id % 3 = 0
+           UNION ALL BY NAME
+           SELECT doc_id, source FROM documents WHERE doc_id % 3 <> 0)
+         SELECT source, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS n_no_lang
+         FROM u GROUP BY source""",
 
     "u2_intersect_except" ->
       """SELECT c_custkey, 'both' AS tag FROM (
