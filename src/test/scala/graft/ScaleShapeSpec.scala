@@ -263,6 +263,23 @@ class ScaleShapeSpec extends AnyFunSuite {
     val mp = plan(mh)
     assert(mp.contains("LeftAnti"), mp)
     assert(!mp.contains("CartesianProduct") && !mp.contains("NestedLoopJoin"), mp)
+
+    // calibration window: ONE shuffle on source, no global sort
+    val cal = SparkEntry.queries("mix_calibrated")(spark, dir)
+    val cp = plan(cal)
+    assert(cp.split("Exchange").length - 1 == 1, cp)
+    assert(!cp.contains("Sort [q_score") || cp.contains("Sort [source"), cp)
+
+    // l-diversity: size + exact-distinct audit shares the group shuffle,
+    // no join anywhere in the plan
+    val ld = SparkEntry.queries("privacy_l_diversity")(spark, dir)
+    assert(!plan(ld).contains("Join"), plan(ld))
+
+    // by-name union: two scans, one union, one agg — no join, no sort
+    val u7 = SparkEntry.queries("u7_union_by_name")(spark, dir)
+    val up = plan(u7)
+    assert(up.contains("Union"), up)
+    assert(!up.contains("Join") && !up.contains("Sort"), up)
   }
 
   test("filters and projections reach the parquet scan (pushdown proof)") {
