@@ -1543,6 +1543,21 @@ object SparkEntry {
           sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"))
     },
 
+    "events_forward_fill" -> { (s, dir) =>
+      // LOCF gap-filling: every 3rd reading deterministically nulled,
+      // then forward-filled per user (last non-null over an ordered
+      // user-keyed frame, event_id tie-break) — the standard repair for
+      // sparse sensor/metric series before windowed math. One shuffle on
+      // user_id; values pass through unchanged (no arithmetic), so the
+      // doubles hash-match bit-exactly.
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 3 =!= 0, col("value")).as("v"))
+        .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+    },
+
     "events_corrupt_audit" -> { (s, dir) =>
       // schema-on-read FAILURE accounting: every 7th props string is
       // deterministically truncated into invalid JSON, then parsed with
@@ -3371,6 +3386,15 @@ object SparkEntry {
            CAST(min(k) AS BIGINT) AS k_min,
            CAST(max(k) AS BIGINT) AS k_max
          FROM e GROUP BY event_type""",
+
+    "events_forward_fill" ->
+      """WITH s AS (SELECT user_id, event_id,
+           CASE WHEN event_id % 3 <> 0 THEN value END AS v FROM events)
+         SELECT user_id, event_id, v,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+         FROM s""",
 
     "events_corrupt_audit" ->
       """WITH m AS (SELECT event_type,
