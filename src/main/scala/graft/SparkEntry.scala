@@ -1558,6 +1558,40 @@ object SparkEntry {
         .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
     },
 
+    "events_interpolate" -> { (s, dir) =>
+      // linear interpolation for INTERIOR gaps (the LOCF twin for
+      // metrics where holding the last value biases downward-trending
+      // series): bracket each null with the nearest non-null on both
+      // sides (two ordered frames over one user-keyed shuffle), fill
+      // proportionally to the event_id distance. Edges (no bracket)
+      // stay null. Milli-floored after an expression tree the oracle
+      // mirrors exactly.
+      val wp = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val base = events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          when(col("event_id") % 3 =!= 0, col("value")).as("v"))
+        .select(col("user_id"), col("event_id"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wp).as("pv"),
+          last(when(col("v").isNotNull, col("event_id")), ignoreNulls = true)
+            .over(wp).as("pe"),
+          first(col("v"), ignoreNulls = true).over(wn).as("nv"),
+          first(when(col("v").isNotNull, col("event_id")), ignoreNulls = true)
+            .over(wn).as("ne"))
+      val interp = col("pv") + (col("nv") - col("pv")) *
+        ((col("event_id") - col("pe")).cast("double") /
+          (col("ne") - col("pe")).cast("double"))
+      base.select(col("user_id"), col("event_id"),
+        when(col("v").isNotNull, floor(lit(1000) * col("v")).cast("long"))
+          .as("v_milli"),
+        when(col("v").isNotNull, floor(lit(1000) * col("v")).cast("long"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            floor(lit(1000) * interp).cast("long"))
+          .as("interp_milli"))
+    },
+
     "events_corrupt_audit" -> { (s, dir) =>
       // schema-on-read FAILURE accounting: every 7th props string is
       // deterministically truncated into invalid JSON, then parsed with
@@ -3386,6 +3420,32 @@ object SparkEntry {
            CAST(min(k) AS BIGINT) AS k_min,
            CAST(max(k) AS BIGINT) AS k_max
          FROM e GROUP BY event_type""",
+
+    "events_interpolate" ->
+      """WITH s AS (SELECT user_id, event_id,
+           CASE WHEN event_id % 3 <> 0 THEN value END AS v FROM events),
+         b AS (SELECT user_id, event_id, v,
+           last_value(v IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+             OVER wp AS pe,
+           first_value(v IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN event_id END IGNORE NULLS)
+             OVER wn AS ne
+           FROM s
+           WINDOW wp AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT user_id, event_id,
+           CASE WHEN v IS NOT NULL
+             THEN CAST(floor(1000 * v) AS BIGINT) END AS v_milli,
+           CASE WHEN v IS NOT NULL THEN CAST(floor(1000 * v) AS BIGINT)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  CAST(floor(1000 * (pv + (nv - pv) *
+                    (CAST(event_id - pe AS DOUBLE) / CAST(ne - pe AS DOUBLE))))
+                    AS BIGINT)
+           END AS interp_milli
+         FROM b""",
 
     "events_forward_fill" ->
       """WITH s AS (SELECT user_id, event_id,
