@@ -153,6 +153,20 @@ object SparkEntry {
           sum(col("n_chars")).as("n_chars_sum"))
     },
 
+    "a9_grouping_sets" -> { (s, dir) =>
+      // explicit GROUPING SETS: just the two marginals + the detail
+      // level — a selection CUBE can only produce by computing the grand
+      // total and filtering it away. One expand pass, same grouping-id
+      // disambiguation as a7. SQL form: the DataFrame API has
+      // cube/rollup but no grouping-sets method.
+      t(s, dir, "documents").createOrReplaceTempView("docs_gs")
+      s.sql("""SELECT lang, source, grouping(lang) AS g_lang,
+        grouping(source) AS g_source, count(*) AS n_docs,
+        CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        FROM docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source))""")
+    },
+
     "a8_pivot_counts" -> { (s, dir) =>
       // PIVOT surface: per-user event counts, one column per type. The
       // value list is EXPLICIT — .pivot without it runs a distinct scan
@@ -2477,6 +2491,13 @@ object SparkEntry {
          grouping(source) AS g_source, count(*) AS n_docs,
          CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
          FROM documents GROUP BY CUBE(lang, source)""",
+
+    "a9_grouping_sets" ->
+      """SELECT lang, source, grouping(lang) AS g_lang,
+         grouping(source) AS g_source, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+         FROM documents
+         GROUP BY GROUPING SETS ((lang), (source), (lang, source))""",
 
     "profile_schema_drift" ->
       """WITH base AS (SELECT column_name AS col_name, column_type AS base_type
