@@ -41,6 +41,22 @@ object Bench {
         Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")).count()
     } catch { case _: Throwable => }
 
+    // Load guard: the recorded bench has twice been inflated 6-15× by a
+    // busy host (r4/r5 verdicts), so the artifact must carry evidence of
+    // the machine's state. A fixed cheap control scan is timed before and
+    // after the query sweep (min of 3 runs — min is robust to one-off GC
+    // pauses but stays high under sustained external load); a control
+    // far above the quiet-host envelope flags the WHOLE run as suspect.
+    def controlSec(): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .groupBy("l_returnflag").agg(org.apache.spark.sql.functions
+            .sum("l_quantity")).count()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    val controlPre = controlSec()
+
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -53,6 +69,13 @@ object Bench {
       name -> dt
     }
     val total = results.map(_._2).sum
+
+    val controlPost = controlSec()
+    // quiet-host envelope for this scan at sf0.1 on local[32] is ~0.1-0.3s
+    // (measured); 1.0s = >3× sustained inflation. Either window tripping
+    // marks the run — load at the start AND the end taints everything
+    // between, load in one window taints at least its neighborhood.
+    val loadSuspect = controlPre > 1.0 || controlPost > 1.0
     // a failed query must be VISIBLE in the artifact, not silently timed
     // (first 10 names inline — n_failed carries the full count, so a
     // mass failure can't blow the line past the tail budget)
@@ -68,9 +91,10 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
 
+    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"load_suspect":$loadSuspect"""
     val fullJson = {
       val qs = results.map(entry).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$controlJson,"sf":"$sfDir"}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -93,7 +117,7 @@ object Bench {
     val qs = kept.map(entry).mkString("{", ",", "}")
     // `value` repeated as the LAST key: the harness tail truncates from
     // the left, so the total must survive even if the queries map is cut.
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted_cheapest":$omitted,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"omitted_cheapest":$omitted,"n_failed":${failed.size},"failed":$failedJson,$controlJson,"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

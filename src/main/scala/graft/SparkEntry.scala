@@ -40,13 +40,14 @@ object SparkEntry {
     "low_diversity" -> (col("n_uniq") * 10 >= col("n_tokens") * 3),
     "no_stopword_evidence" -> (col("n_stop") * 100 >= col("n_tokens") * 2))
 
-  /** events with the nanos-precision `ts` surfaced as a micros TIMESTAMP
-    * (the driver tables store ts as parquet TIMESTAMP(NANOS), which Spark
-    * reads as a long under `spark.sql.legacy.parquet.nanosAsLong`; all
-    * generator values are micro-aligned, so the conversion is lossless —
-    * oracle side mirrors it with make_timestamp(epoch_us(ts))). */
+  /** events with `ts` surfaced as a session-zone TIMESTAMP regardless of
+    * the physical parquet encoding — see [[graft.ops.EventTime]]: the
+    * driver has shipped this table as TIMESTAMP(NANOS)-as-long and as
+    * TIMESTAMP(MICROS)/NTZ across rounds, so the reader branches on the
+    * actual column type. The DuckDB oracle's
+    * make_timestamp(epoch_us(ts)) is already encoding-agnostic. */
   private def events(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.ops.EventTime.normalizeTs(t(s, dir, "events"))
 
   /** The IVF quantizer is an offline artifact (see [[graft.ops.Vectors.ivfSave]]):
     * built and saved once per corpus — seed-fixed KMeans makes the

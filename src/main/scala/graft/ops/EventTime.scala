@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
+
+/** Physical-encoding-agnostic event-time ingestion.
+  *
+  * The driver regenerates the events table between rounds, and the
+  * physical `ts` encoding has already flipped once: parquet
+  * TIMESTAMP(NANOS) (which Spark surfaces as a LONG under
+  * `spark.sql.legacy.parquet.nanosAsLong`) became TIMESTAMP(MICROS,
+  * isAdjustedToUTC=false) (surfaced as TIMESTAMP_NTZ). A reader that
+  * hardcodes one encoding either fails analysis or — worse — silently
+  * misinterprets the integers (a micros int64 divided as if nanos lands
+  * every timestamp in 1970). The reference never pins an encoding
+  * either: pandas infers the type per file (fda_watcher.py:348), and
+  * date-as-string columns are re-parsed on read (fda_watcher.py:305).
+  *
+  * So: branch on the ACTUAL column type, once, here — every batch query
+  * and every stream goes through this object.
+  */
+object EventTime {
+
+  /** Surface `tsCol` as a session-zone TIMESTAMP whatever its physical
+    * type. The session timezone is pinned to UTC in every entrypoint
+    * (Bench/Verify/tests), so the NTZ reinterpretation is
+    * value-preserving; generator values are micro-aligned, so the
+    * nanos→micros division is lossless.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>         // TIMESTAMP(NANOS) read as nanos-since-epoch
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType => // TIMESTAMP(MICROS), isAdjustedToUTC=false
+        df.withColumn(tsCol, col(tsCol).cast("timestamp"))
+      case _ => df             // already TimestampType (INT96 / adjusted micros)
+    }
+
+  /** The schema a file-source STREAM over `dir` must declare, derived
+    * from the batch parquet footers instead of hardcoded — the stream
+    * reads whatever encoding the files actually carry, and
+    * [[normalizeTs]] above converges them. (Structured Streaming requires
+    * an explicit schema on file sources; deriving it from the same files
+    * the stream will read is the schema-inference the reference gets for
+    * free from pandas.)
+    */
+  def batchSchema(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): StructType =
+    spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+}

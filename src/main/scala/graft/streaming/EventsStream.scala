@@ -19,23 +19,21 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object EventsStream {
 
-  /** Schema of the events parquet (ts stored as TIMESTAMP(NANOS) → long
-    * under nanosAsLong; converted to a micros timestamp in the stream). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** T1 — file-source stream over an events directory. */
+  /** T1 — file-source stream over an events directory. The declared
+    * schema is DERIVED from the batch parquet footers, not hardcoded
+    * ([[graft.ops.EventTime.batchSchema]]): a hardcoded LongType `ts`
+    * against TIMESTAMP(MICROS) files made the reader hand back raw
+    * micros int64s that the nanos conversion then shrank 1000× — wrong
+    * answers with rc=0, the worst failure class. Deriving the schema
+    * from the same files the stream reads, then normalizing the type
+    * ([[graft.ops.EventTime.normalizeTs]]), keeps the stream
+    * encoding-agnostic exactly like the batch path. */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.ops.EventTime.normalizeTs(
+      spark.readStream
+        .schema(graft.ops.EventTime.batchSchema(spark, dir))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
 
   /** T2-extension — watermarked hourly windowed aggregate. The value sum
     * accumulates in DECIMAL so the result is independent of micro-batch

@@ -62,13 +62,14 @@ object UpsertStream {
     val version = new AtomicInteger(0)
     def snapshotAt(v: Int): DataFrame = spark.read.parquet(s"$snapshotRoot/v$v")
 
+    // stream schema derived from the batch footers + type-branched ts
+    // normalization — same encoding-agnostic path as EventsStream.readEvents
     val reader = spark.readStream
-      .schema(EventsStream.eventsSchema)
+      .schema(graft.ops.EventTime.batchSchema(spark, dir, glob))
       .option("pathGlobFilter", glob)
     val withTrigger = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
-    val events = withTrigger.parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.ops.EventTime.normalizeTs(withTrigger.parquet(dir))
 
     val query = EventsStream.withShufflePartitions(spark, statePartitions) {
       events.writeStream

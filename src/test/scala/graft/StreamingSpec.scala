@@ -20,8 +20,8 @@ class StreamingSpec extends AnyFunSuite {
       "SELECT hour_ts, event_type, n_events FROM stream_hourly")
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
 
-    val batch = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val batch = graft.ops.EventTime.normalizeTs(
+        spark.read.parquet(s"$dir/events.parquet"))
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
       .agg(count(lit(1)).as("n_events"))
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
@@ -56,8 +56,8 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = spark.sql("SELECT purchase_id, click_id FROM stream_attr")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    val e = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val e = graft.ops.EventTime.normalizeTs(
+      spark.read.parquet(s"$dir/events.parquet"))
     val p = e.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id").as("pu"), col("ts").as("pts"))
     val c = e.filter(col("event_type") === "click")
@@ -197,7 +197,7 @@ class StreamingSpec extends AnyFunSuite {
       .select("user_id", "ts", "event_id")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
     val batch = UpsertStream.latestPerKey(
-        events.withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+        graft.ops.EventTime.normalizeTs(events),
         "user_id", "ts", "event_id")
       .select("user_id", "ts", "event_id")
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
