@@ -1259,8 +1259,8 @@ object SparkEntry {
     },
 
     "ann_pq_topk" -> { (s, dir) =>
-      // rows-only: the codebook is a seeded driver-side Lloyd fit (not
-      // SQL-expressible); code/recall contracts pinned in VectorsSpec.
+      // oracle: DuckDB replays encode/ADC/refine against the exported
+      // codebook (writeOracleAux); fit determinism pinned in VectorsSpec.
       // ANN over the product-quantized index — m bytes per vector in the
       // scan (32× below float32) with ADC scoring straight off the codes.
       val e = t(s, dir, "embeddings")
@@ -1271,8 +1271,8 @@ object SparkEntry {
     },
 
     "ann_ivf_topk" -> { (s, dir) =>
-      // rows-only: IVF cell assignment is KMeans-fit-dependent;
-      // candidate/ranking correctness pinned in VectorsSpec.
+      // oracle: DuckDB replays probe routing + exact ranking against the
+      // exported centroid/assignment tables (writeOracleAux).
       // Probes a PREBUILT index (built+saved once per corpus dir, loaded
       // thereafter) — the production contract: the quantizer is an
       // offline artifact like a bucketed table, not a per-query fit.
@@ -1282,7 +1282,8 @@ object SparkEntry {
     },
 
     "ann_incremental_ingest" -> { (s, dir) =>
-      // incremental vector ingest (rows-only, like ann_ivf_topk): the
+      // incremental vector ingest (oracle replays the batch assignment
+      // + probe arithmetic, like ann_ivf_topk): the
       // saved quantizer + the 90% corpus slice's saved assignment stand,
       // the new 10% batch is assigned to the EXISTING centroids and
       // unioned in — no refit, no corpus reshuffle. Queries then probe
@@ -2078,10 +2079,10 @@ object SparkEntry {
     },
 
     "ann_ivfpq_topk" -> { (s, dir) =>
-      // rows-only: FAISS IndexIVFPQ composition — coarse cells route the
+      // FAISS IndexIVFPQ composition — coarse cells route the
       // query, ADC scores the PQ codes inside probed cells, exact cosine
-      // re-ranks the rerank survivors (codebook+centroids are driver-fit;
-      // recall/determinism pinned in VectorsSpec)
+      // re-ranks the rerank survivors; oracle replays the whole chain
+      // against the exported centroids + codebook (writeOracleAux)
       val e = t(s, dir, "embeddings")
       val pq = Quantize.pqFit(e, "vec_id", "embedding")
       Quantize.annIvfPqTopK(t(s, dir, "embeddings").filter(col("vec_id") < 8),
@@ -2384,6 +2385,88 @@ object SparkEntry {
       (3L, "vector data stream batch"), (4L, "slow query filter"))
       .toDF("qid", "qtext")
   }
+
+  /** Fixed export location of the oracle's auxiliary MODEL artifacts —
+    * the IVF coarse quantizer (centroid table + cell-assigned corpus,
+    * the exact content [[graft.ops.Vectors.ivfSave]] persists) and the
+    * PQ codebook. [[Verify]] writes them after the query dump; the
+    * ann_* oracle SQL reads them back via read_parquet() and replays
+    * the assignment arithmetic (probe routing, subspace encoding, ADC,
+    * exact refine) in DuckDB — which is what turns the four index-based
+    * ANN queries from rows-only into hash-checked. The models
+    * themselves are fit artifacts (seed-fixed KMeans / Lloyd's), like a
+    * bucketed table's layout: the oracle checks the QUERY arithmetic
+    * against them, not the fit. */
+  val oracleAuxDir: String = "/tmp/graft_oracle_aux"
+
+  def writeOracleAux(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val ivf = ivfIndexFor(s, dir)
+    ivf.centroids.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_centroids")
+    ivf.assigned.select("cid", "cell")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/ivf_assigned")
+    val pq = Quantize.pqFit(t(s, dir, "embeddings"), "vec_id", "embedding")
+    (0 until pq.m).flatMap { j =>
+      (0 until pq.k).map { c =>
+        (j, c, pq.codebook.slice((j * pq.k + c) * pq.subDim,
+          (j * pq.k + c + 1) * pq.subDim).toSeq)
+      }
+    }.toDF("j", "c", "sub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/pq_codebook")
+  }
+
+  private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
+  private def auxAssigned = s"read_parquet('$oracleAuxDir/ivf_assigned/*.parquet')"
+  private def auxCodebook = s"read_parquet('$oracleAuxDir/pq_codebook/*.parquet')"
+
+  /** Shared oracle fragment: the nProbe nearest centroids per query
+    * (squared-L2 ascending, centroid index as the stable tie-break —
+    * list_distance is the monotone sqrt of the UDF's squared distance,
+    * so the ordering is identical). */
+  private def probedCellsSql(nProbe: Int): String =
+    s"""probed AS (
+          SELECT qid, cell FROM (
+            SELECT q.vec_id AS qid, c.cell,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), c.centroid), c.cell) AS pr
+            FROM embeddings q, $auxCentroids c
+            WHERE q.vec_id < 8)
+          WHERE pr <= $nProbe)"""
+
+  /** Shared oracle fragment: PQ-encode the corpus against the exported
+    * codebook (nearest sub-centroid per subspace, lower code wins ties)
+    * and rebuild each reconstruction in subspace order — one flat
+    * DOUBLE[] whose left-to-right inner products accumulate in exactly
+    * the order the codegen'd pq_adc_dot / pq_recon_norm2 kernels use. */
+  private def pqReconSql: String =
+    s"""subq AS (
+          SELECT e.vec_id, js.j,
+            (CAST(e.embedding AS DOUBLE[]))[js.j*8+1 : js.j*8+8] AS sv
+          FROM embeddings e, (SELECT unnest(range(8)) AS j) js),
+        codes AS (
+          SELECT vec_id, j, sub FROM (
+            SELECT s.vec_id, s.j, cb.sub,
+              row_number() OVER (PARTITION BY s.vec_id, s.j
+                ORDER BY list_distance(s.sv, cb.sub), cb.c) AS rn
+            FROM subq s JOIN $auxCodebook cb ON cb.j = s.j)
+          WHERE rn = 1),
+        recon AS (
+          SELECT vec_id, flatten(list(sub ORDER BY j)) AS rv
+          FROM codes GROUP BY vec_id)"""
+
+  /** Shared oracle fragment: exact-cosine re-rank of a (qid, cid)
+    * candidate set to top-k — the DuckDB twin of
+    * [[graft.ops.Vectors.exactCosineRefine]]. */
+  private def refineSql(k: Int): String =
+    s"""SELECT qid, cid, rk FROM (
+          SELECT cd.qid, cd.cid,
+            row_number() OVER (PARTITION BY cd.qid
+              ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, cd.cid) AS rk
+          FROM cand cd JOIN embeddings q ON q.vec_id = cd.qid
+                       JOIN embeddings e ON e.vec_id = cd.cid)
+        WHERE rk <= $k"""
 
   /** DuckDB rendering of the seed-fixed LSH hyperplane buckets: one CASE
     * per plane summing sign bits, with the plane vectors inlined as
@@ -3590,6 +3673,75 @@ object SparkEntry {
            node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
          FROM i5"""
     },
+
+    // ── ANN index-replay oracles (aux model artifacts from writeOracleAux):
+    // probe routing, cell membership, PQ encode/ADC, and the exact refine
+    // are all replayed in DuckDB against the exported centroids/codebook.
+    "ann_ivf_topk" ->
+      s"""WITH ${probedCellsSql(4)}
+         SELECT qid, cid, rk FROM (
+           SELECT p.qid, a.cid,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, a.cid) AS rk
+           FROM probed p
+           JOIN $auxAssigned a ON a.cell = p.cell
+           JOIN embeddings q ON q.vec_id = p.qid
+           JOIN embeddings e ON e.vec_id = a.cid
+           WHERE a.cid <> p.qid)
+         WHERE rk <= 5""",
+
+    "ann_incremental_ingest" ->
+      s"""WITH merged AS (
+           SELECT cid, cell FROM $auxAssigned WHERE cid % 10 <> 0
+           UNION ALL
+           SELECT b.vec_id AS cid,
+             (SELECT c.cell FROM $auxCentroids c
+               ORDER BY list_distance(CAST(b.embedding AS DOUBLE[]), c.centroid), c.cell
+               LIMIT 1) AS cell
+           FROM embeddings b WHERE b.vec_id % 10 = 0),
+         ${probedCellsSql(4)}
+         SELECT qid, cid, rk FROM (
+           SELECT p.qid, a.cid,
+             row_number() OVER (PARTITION BY p.qid
+               ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC, a.cid) AS rk
+           FROM probed p
+           JOIN merged a ON a.cell = p.cell
+           JOIN embeddings q ON q.vec_id = p.qid
+           JOIN embeddings e ON e.vec_id = a.cid
+           WHERE a.cid <> p.qid)
+         WHERE rk <= 5""",
+
+    "ann_pq_topk" ->
+      s"""WITH $pqReconSql,
+         cand AS (
+           SELECT qid, cid FROM (
+             SELECT q.vec_id AS qid, r.vec_id AS cid,
+               row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_inner_product(CAST(q.embedding AS DOUBLE[]), r.rv) /
+                   (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                    sqrt(list_inner_product(r.rv, r.rv))) DESC, r.vec_id) AS rr
+             FROM embeddings q JOIN recon r ON r.vec_id <> q.vec_id
+             WHERE q.vec_id < 8)
+           WHERE rr <= 50)
+         ${refineSql(5)}""",
+
+    "ann_ivfpq_topk" ->
+      s"""WITH $pqReconSql,
+         ${probedCellsSql(4)},
+         cand AS (
+           SELECT qid, cid FROM (
+             SELECT p.qid, r.vec_id AS cid,
+               row_number() OVER (PARTITION BY p.qid ORDER BY
+                 list_inner_product(CAST(q.embedding AS DOUBLE[]), r.rv) /
+                   (sqrt(list_inner_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+                    sqrt(list_inner_product(r.rv, r.rv))) DESC, r.vec_id) AS rr
+             FROM probed p
+             JOIN $auxAssigned a ON a.cell = p.cell
+             JOIN recon r ON r.vec_id = a.cid
+             JOIN embeddings q ON q.vec_id = p.qid
+             WHERE a.cid <> p.qid)
+           WHERE rr <= 20)
+         ${refineSql(5)}""",
 
     "ann_bruteforce_topk" ->
       """SELECT qid, cid, rk FROM (

@@ -29,6 +29,13 @@ object Verify {
       }
       finally spark.catalog.clearCache()
     }
+    // oracle aux artifacts (IVF centroids/assignment, PQ codebook) for
+    // the ann_* index-replay oracles — written after the dump so the
+    // DuckDB pass can read them from the fixed path
+    try SparkEntry.writeOracleAux(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] oracle aux export failed: ${e.getMessage}")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
