@@ -1961,19 +1961,25 @@ object SparkEntry {
     },
 
     "media_pipeline" -> { (s, dir) =>
-      // rows-only: the full multimodal path the cluster schedules —
-      // synthesized binary payloads → media frame (modality routing) →
-      // mapPartitions decode (honest stub, deterministic fake metadata)
-      // → video frame sampling (explode generator, payload dropped).
-      // Every Spark-side contract (schema, typed metadata struct, batch
-      // shape, 1→k frame fan-out) is real; only the codec is faked.
-      // MediaSpec pins decode determinism and frame arithmetic.
+      // the full multimodal path the cluster schedules — binary payloads
+      // → media frame (modality routing) → mapPartitions decode → video
+      // frame sampling (explode generator, payload dropped). Audio rows
+      // carry REAL synthesized RIFF/WAVE payloads that the decode stage
+      // parses byte-level (WavCodec); image/video keep the md5-derived
+      // deterministic fake (no codecs in this container). Both paths are
+      // hash-checked: the oracle replays the WAV synthesis arithmetic
+      // (duration = nSamples/8 ms) and the md5 fake directly in SQL.
+      // udf justified: imperative little-endian byte assembly (RIFF
+      // header + PCM samples) has no Column-function form.
+      val wavUdf = udf((id: Long) =>
+        graft.multimodal.WavCodec.synthesize(id, 8000, 800 + (id % 32).toInt * 8))
       val ext = element_at(
         typedlit(Seq(".jpg", ".wav", ".mp4", ".txt", ".png")),
         (col("doc_id") % 5 + 1).cast("int"))
       val bin = t(s, dir, "documents").select(
         concat(lit("media/doc_"), col("doc_id").cast("string"), ext).as("path"),
-        col("text").cast("binary").as("content"))
+        when(col("doc_id") % 5 === 1, wavUdf(col("doc_id")))
+          .otherwise(col("text").cast("binary")).as("content"))
       val decoded = graft.multimodal.MediaOps.decode(
         graft.multimodal.MediaOps.toMediaFrame(bin))
       graft.multimodal.MediaOps.frameSample(decoded, everyMs = 5000L)
@@ -3989,6 +3995,36 @@ object SparkEntry {
            CASE WHEN s.split = 'train' AND dirty.a IS NOT NULL
              THEN 'train_contaminated' ELSE s.split END AS split
          FROM s LEFT JOIN dirty ON s.doc_id = dirty.a""",
+
+    "media_pipeline" ->
+      """WITH m AS (
+           SELECT doc_id,
+             'media/doc_' || CAST(doc_id AS VARCHAR) ||
+               (['.jpg','.wav','.mp4','.txt','.png'])[(doc_id % 5) + 1] AS path,
+             CASE (doc_id % 5) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+               WHEN 2 THEN 'video' WHEN 3 THEN 'other' ELSE 'image' END AS modality,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS h
+           FROM documents),
+         d AS (
+           SELECT path, modality,
+             CASE WHEN modality = 'audio' THEN 8000
+                  ELSE CAST(64 + h % 1920 AS INT) END AS width,
+             CASE WHEN modality = 'audio' THEN 1
+                  ELSE CAST(64 + (h // 2048) % 1080 AS INT) END AS height,
+             CASE modality WHEN 'image' THEN 'rgb8' WHEN 'audio' THEN 'pcm16'
+               WHEN 'video' THEN 'yuv420' ELSE 'bin' END AS format,
+             CAST(CASE WHEN modality = 'image' THEN 0
+                  WHEN modality = 'audio' THEN 100 + doc_id % 32
+                  ELSE 1000 + (h // 8388608) % 60000 END AS BIGINT) AS duration_ms
+           FROM m),
+         f AS (
+           SELECT *, CAST(floor(greatest(1.0, CASE WHEN modality = 'video'
+               THEN duration_ms / 5000.0 ELSE 1.0 END)) AS BIGINT) AS nf
+           FROM d)
+         SELECT path, modality, CAST(u.fi AS BIGINT) AS frame_idx,
+           CAST(u.fi * 5000 AS BIGINT) AS frame_ts_ms,
+           width, height, format, duration_ms
+         FROM f, unnest(range(f.nf)) AS u(fi)""",
 
     "media_probe" ->
       """SELECT doc_id,

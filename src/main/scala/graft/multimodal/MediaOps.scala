@@ -10,9 +10,11 @@ import graft.ops.Sketches
   * extension family): image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract / frame-sample stages.
   *
-  * The decode internals are STUBBED — this container has no image/audio
-  * codecs — behind deterministic fakes, but everything Spark-side is real
-  * and tested: the schema, the per-partition batching shape (the Scala
+  * Audio decodes for REAL: [[WavCodec]] is a pure-JVM RIFF/WAVE PCM
+  * parser (header walk + data-chunk duration + PCM stats). Image/video
+  * decode stays behind a deterministic md5-derived fake — this container
+  * has no codec libraries — but everything Spark-side is real and
+  * tested: the schema, the per-partition batching shape (the Scala
   * analogue of `mapInPandas`: one decoder handle per partition, rows
   * streamed through it), partition sizing by byte weight, and the
   * explode-shaped frame sampler.
@@ -78,19 +80,36 @@ object MediaOps {
 
   private def decodeOne(path: String, modality: String, bytes: Array[Byte]): Decoded = {
     val b = if (bytes == null) Array.empty[Byte] else bytes
-    // hash the payload bytes directly — a per-row String copy of a media
-    // payload is exactly the allocation a 100 TB binary scan cannot afford
-    val h = Sketches.fnv1a64Masked(b)
-    // ??? real codec goes here — deterministic fake keeps tests meaningful
-    val w = 64 + math.floorMod(h, 1920).toInt
-    val ht = 64 + math.floorMod(h >> 11, 1080).toInt
+    // REAL codec for audio: a well-formed RIFF/WAVE payload is parsed
+    // byte-level ([[WavCodec]]) — sample rate lands in `width`, channel
+    // count in `height` (the meta struct is shaped by the image case;
+    // audio reuses the two int slots), duration from the data chunk.
+    if (modality == "audio") {
+      WavCodec.parse(b) match {
+        case Some(m) =>
+          return Decoded(path, modality, b, m.sampleRate, m.channels,
+            s"pcm${m.bitsPerSample}", m.durationMs)
+        case None => // not a WAV container — fall through to the fake
+      }
+    }
+    // image/video (and undecodable audio) keep a deterministic fake —
+    // no codec libraries in this container. The fake is the first 60
+    // bits of md5(payload): one pass over the bytes (same cost class as
+    // any hash) and replayable by the SQL oracle as
+    // CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT), which is what
+    // lets media_pipeline be hash-checked end to end.
+    val hex = java.security.MessageDigest.getInstance("MD5").digest(b)
+      .map("%02x".format(_)).mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16) // 60 bits, non-negative
+    val w = 64 + (h % 1920L).toInt
+    val ht = 64 + ((h / 2048L) % 1080L).toInt
     val fmt = modality match {
       case "image" => "rgb8"
       case "audio" => "pcm16"
       case "video" => "yuv420"
       case _ => "bin"
     }
-    val dur = if (modality == "image") 0L else 1000L + math.floorMod(h >> 23, 60000L)
+    val dur = if (modality == "image") 0L else 1000L + (h / 8388608L) % 60000L
     Decoded(path, modality, b, w, ht, fmt, dur)
   }
 

@@ -48,6 +48,42 @@ class MediaSpec extends AnyFunSuite {
     assert(rows.map(_.getSeq[Float](1)).toSet == again.collect().map(_.getSeq[Float](1)).toSet)
   }
 
+  test("WAV codec: synthesize → parse round-trip, stats, graceful rejection") {
+    import graft.multimodal.WavCodec
+    val b = WavCodec.synthesize(seed = 7L, sampleRate = 8000, nSamples = 1600)
+    val m = WavCodec.parse(b).get
+    assert(m == WavCodec.WavMeta(8000, 1, 16, 1600))
+    assert(m.durationMs == 200L)
+    val (peak, rmsMilli) = WavCodec.pcm16Stats(b).get
+    assert(peak > 0 && peak <= 32768)
+    assert(rmsMilli > 0 && rmsMilli <= 1000)
+    // same inputs → same bytes (the oracle replays this determinism)
+    assert(java.util.Arrays.equals(b, WavCodec.synthesize(7L, 8000, 1600)))
+    // rejection paths must be None, never a throw
+    assert(WavCodec.parse("not a wav at all".getBytes("UTF-8")).isEmpty)
+    assert(WavCodec.parse(b.take(30)).isEmpty)
+    assert(WavCodec.parse(null).isEmpty)
+  }
+
+  test("decode parses a real WAV payload; non-WAV audio falls back to the fake") {
+    import graft.multimodal.WavCodec
+    val wav = WavCodec.synthesize(seed = 3L, sampleRate = 16000, nSamples = 3200)
+    val rows = Seq(
+      ("s3://bucket/voice.wav", wav),
+      ("s3://bucket/talk.mp3", "not-a-riff-container".getBytes("UTF-8")))
+    val d = MediaOps.decode(MediaOps.toMediaFrame(rows.toDF("path", "content")))
+      .collect().map(r => r.getAs[String]("path") ->
+        r.getAs[org.apache.spark.sql.Row]("meta")).toMap
+    val real = d("s3://bucket/voice.wav")
+    assert(real.getAs[Int]("width") == 16000)      // sample rate
+    assert(real.getAs[Int]("height") == 1)         // channels
+    assert(real.getAs[String]("format") == "pcm16")
+    assert(real.getAs[Long]("duration_ms") == 200L)
+    val fake = d("s3://bucket/talk.mp3")
+    assert(fake.getAs[String]("format") == "pcm16")
+    assert(fake.getAs[Long]("duration_ms") >= 1000L) // md5-fake range
+  }
+
   test("frame sampling explodes video rows only") {
     val sampled = MediaOps.frameSample(MediaOps.decode(mediaDf), everyMs = 1000L)
     val byPath = sampled.groupBy("path").count().as[(String, Long)].collect().toMap
