@@ -1866,10 +1866,11 @@ object SparkEntry {
     },
 
     "embed_pca" -> { (s, dir) =>
-      // rows-only: PCA reduction of the embedding matrix to 8 dims
-      // (storage/prefilter path). Eigenbasis is not oracle-expressible;
-      // orthonormality, sign canon, variance ordering, and neighbor
-      // preservation are pinned in VectorsSpec.
+      // PCA reduction of the embedding matrix to 8 dims (storage /
+      // prefilter path). The oracle replays the projection as one inner
+      // product per component against the exported signed rotation
+      // (writeOracleAux); orthonormality, sign canon, variance ordering,
+      // and neighbor preservation are pinned in VectorsSpec.
       Vectors.pcaProject(t(s, dir, "embeddings"), "vec_id", "embedding",
           kDims = 8)
         .withColumnRenamed("id", "vec_id")
@@ -2421,11 +2422,17 @@ object SparkEntry {
       }
     }.toDF("j", "c", "sub")
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/pq_codebook")
+    // the PCA rotation (sign canon folded in) — deterministic refit of
+    // the same model embed_pca projects with
+    Vectors.pcaRotationFrame(t(s, dir, "embeddings"), "vec_id", "embedding",
+        kDims = 8)
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/pca_rotation")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
   private def auxAssigned = s"read_parquet('$oracleAuxDir/ivf_assigned/*.parquet')"
   private def auxCodebook = s"read_parquet('$oracleAuxDir/pq_codebook/*.parquet')"
+  private def auxPcaRotation = s"read_parquet('$oracleAuxDir/pca_rotation/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3678,6 +3685,16 @@ object SparkEntry {
              AS node_type,
            node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
          FROM i5"""
+    },
+
+    "embed_pca" -> {
+      val comps = (1 to 8).map { c =>
+        s"""CAST(floor(1000 * list_inner_product(CAST(embedding AS DOUBLE[]),
+               (SELECT loading FROM $auxPcaRotation WHERE comp = $c))) AS BIGINT) AS pc${c}_milli"""
+      }.mkString(",\n           ")
+      s"""SELECT vec_id,
+           $comps
+         FROM embeddings"""
     },
 
     // ── ANN index-replay oracles (aux model artifacts from writeOracleAux):

@@ -310,14 +310,30 @@ object Vectors {
     * scalar columns (driver-compare-safe). */
   def pcaProject(df: DataFrame, idCol: String, vecCol: String, kDims: Int,
       fitSampleRows: Long = 100000L, seed: Long = 42L): DataFrame = {
+    val (model, signs, asVec) = pcaFit(df, idCol, vecCol, kDims, fitSampleRows, seed)
+    val projArr = org.apache.spark.ml.functions.vector_to_array(col("__proj"))
+    val outCols = (0 until kDims).map { c =>
+      floor(lit(1000.0) * lit(signs(c)) * projArr.getItem(c))
+        .cast("long").as(s"pc${c + 1}_milli")
+    }
+    model.transform(asVec).select(col("id") +: outCols: _*)
+  }
+
+  /** Shared PCA fit + sign canon (the coordinate with the largest
+    * |loading| per component must be positive; ties take the first such
+    * coordinate — eigenvectors are only defined up to sign). The fit is
+    * deterministic for a given input (seed-fixed sample, exact
+    * eigendecomposition), which is what lets [[pcaRotationFrame]] refit
+    * and export the SAME rotation the projection used. */
+  private def pcaFit(df: DataFrame, idCol: String, vecCol: String,
+      kDims: Int, fitSampleRows: Long, seed: Long):
+      (org.apache.spark.ml.feature.PCAModel, Seq[Double], DataFrame) = {
     val asVec = df.select(col(idCol).as("id"),
       array_to_vector(col(vecCol).cast("array<double>")).as("__features"))
     val fitDf = boundedFitSample(asVec, fitSampleRows, seed)
     val model = new org.apache.spark.ml.feature.PCA()
       .setK(kDims).setInputCol("__features").setOutputCol("__proj")
       .fit(fitDf)
-    // sign canon per component: the coordinate with the largest |loading|
-    // must be positive (ties: first such coordinate)
     val pc = model.pc // dim x k, column-major
     val dim = pc.numRows
     val signs = (0 until kDims).map { c =>
@@ -325,11 +341,23 @@ object Vectors {
       val lead = coords.maxBy(math.abs)
       if (lead < 0) -1.0 else 1.0
     }
-    val projArr = org.apache.spark.ml.functions.vector_to_array(col("__proj"))
-    val outCols = (0 until kDims).map { c =>
-      floor(lit(1000.0) * lit(signs(c)) * projArr.getItem(c))
-        .cast("long").as(s"pc${c + 1}_milli")
-    }
-    model.transform(asVec).select(col("id") +: outCols: _*)
+    (model, signs, asVec)
+  }
+
+  /** The signed rotation as a table — (comp 1-based, loading DOUBLE[dim]
+    * with the sign canon folded in). This is the PCA analogue of the
+    * exported IVF centroids: a fit artifact the SQL oracle reads back to
+    * replay the projection as one inner product per component. */
+  def pcaRotationFrame(df: DataFrame, idCol: String, vecCol: String,
+      kDims: Int, fitSampleRows: Long = 100000L,
+      seed: Long = 42L): DataFrame = {
+    val (model, signs, _) = pcaFit(df, idCol, vecCol, kDims, fitSampleRows, seed)
+    val pc = model.pc
+    val dim = pc.numRows
+    val spark = df.sparkSession
+    import spark.implicits._
+    (0 until kDims).map { c =>
+      (c + 1, (0 until dim).map(r => pc(r, c) * signs(c)))
+    }.toDF("comp", "loading")
   }
 }
