@@ -101,6 +101,72 @@ object Bpe {
     BpeModel(merges.result())
   }
 
+  /** Distributed-pair-count fit: byte-identical merges to [[fit]], with
+    * each iteration's pair count run as a Spark aggregation instead of a
+    * driver loop — the path when the word dictionary itself outgrows
+    * driver memory (a multilingual 100 TB crawl). Driver state per
+    * iteration is ONE row (the argmax pair); the dictionary stays a
+    * DataFrame end to end, lineage cut by localCheckpoint every 10
+    * merges so the 50-iteration plan never deepens unboundedly.
+    *
+    * Same determinism contract as [[fit]]: exact weighted counts,
+    * argmax ties broken lexicographically (ORDER BY n DESC, a, b),
+    * left-to-right non-overlapping merge application. The udfs are
+    * justified: code-point symbol split and adjacent-pair rewrite are
+    * per-element stateful array transforms with no Column-function form.
+    */
+  def fitDistributed(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 100000): BpeModel = {
+    val mergeUdf = udf { (syms: Seq[String], a: String, b: String) =>
+      val out = Vector.newBuilder[String]
+      var j = 0
+      while (j < syms.length) {
+        if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) {
+          out += (a + b); j += 2
+        } else { out += syms(j); j += 1 }
+      }
+      out.result()
+    }
+    val symsUdf = udf((w: String) => symbolsOf(w))
+    var vocab = df.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w").asc).limit(maxVocab)
+      .select(symsUdf(col("w")).as("syms"), col("c"))
+      .persist()
+    vocab.count()
+
+    val merges = List.newBuilder[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val best = vocab.filter(size(col("syms")) > 1)
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(syms)-2), j -> struct(syms[j] AS a, syms[j+1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        val next = vocab
+          .select(mergeUdf(col("syms"), lit(a), lit(b)).as("syms"), col("c"))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab =
+          if ((i + 1) % 10 == 0) { val cp = next.localCheckpoint(); next.unpersist(); cp }
+          else next
+        i += 1
+      }
+    }
+    vocab.unpersist()
+    BpeModel(merges.result())
+  }
+
   /** Encode one whitespace-tokenized text: per word, greedily merge the
     * LOWEST-RANK adjacent pair until none applies (GPT-2 `bpe()` loop).
     * Returns pieces across all words, in order. */

@@ -46,6 +46,19 @@ class BpeSpec extends AnyFunSuite {
     assert(m.merges.length <= 3)
   }
 
+  test("distributed pair-count fit emits the identical merge table") {
+    // the hand-derivable corpus (incl. its lexicographic tie) AND a real
+    // text slice: both paths must agree merge-for-merge
+    assert(Bpe.fitDistributed(corpus, "text", nMerges = 4).merges ==
+      Bpe.fit(corpus, "text", nMerges = 4).merges)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(120)
+    val a = Bpe.fit(docs, "text", nMerges = 12)
+    val b = Bpe.fitDistributed(docs, "text", nMerges = 12)
+    assert(a.merges == b.merges)
+    assert(a.merges.length == 12)
+  }
+
   test("save/load round-trips the merge list exactly") {
     val m = Bpe.fit(corpus, "text", nMerges = 4)
     val p = java.nio.file.Files.createTempFile("graft_bpe", ".txt")

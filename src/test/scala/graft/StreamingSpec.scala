@@ -163,6 +163,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("ProcessingTime trigger drains multiple micro-batches on a cadence") {
+    // the reference's daemon scheduler (a sleep-loop re-running the
+    // pipeline on a fixed period) maps onto Trigger.ProcessingTime: the
+    // query stays up and fires a micro-batch every interval — unlike
+    // AvailableNow, which drains and stops. Two addData rounds must
+    // surface in two distinct batches.
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pt_out")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT id FROM pt_out").collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L, 3L))
+      // ≥2 distinct batch ids: the cadence actually re-fired, the second
+      // round was not folded into the first drain
+      assert(q.recentProgress.map(_.batchId).distinct.length >= 2,
+        q.recentProgress.map(_.batchId).mkString(","))
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert over 3 micro-batches equals the batch argmax") {
     import graft.streaming.UpsertStream
     val base = s"${System.getProperty("java.io.tmpdir")}/graft_t9_spec_" +
