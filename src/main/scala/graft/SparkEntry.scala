@@ -1075,7 +1075,9 @@ object SparkEntry {
     },
 
     "f9_extract_doi" -> { (s, dir) =>
-      // DOI extraction with bibliography veto over synthesized doc text
+      // DOI extraction with bibliography veto over synthesized doc text;
+      // oracle replays the match-clean-veto loop as regexp_extract_all +
+      // list_filter (validated against the CPython mirror 500/500)
       val txt = concat(col("text"), lit(" see 10."),
         (lit(1000) + col("doc_id") % 9000).cast("string"), lit("/ref."), col("lang"),
         when(col("doc_id") % 4 === 0, lit(" listed in the bibliography"))
@@ -1186,9 +1188,11 @@ object SparkEntry {
       // SemDeDup (Abbas et al. 2023): k-means cells block the pair join,
       // each semantic-dup group keeps its lowest-centroid-cosine member.
       // Runs off the SAVED quantizer (shared with ann_ivf_topk — the
-      // fit is an offline artifact, a dedup run never refits). Rows-only
-      // (k-means is not oracle-expressible); group membership / keep-rule
-      // / recall-vs-exact pinned in DedupSpec.
+      // fit is an offline artifact, a dedup run never refits). Oracle:
+      // DuckDB replays the whole chain against the exported index —
+      // within-cell cosine pairs, WITH RECURSIVE min-id components, the
+      // centroid-cosine keep rule. Group membership / recall-vs-exact
+      // also pinned in DedupSpec.
       Dedup.semanticDedup(ivfIndexFor(s, dir), threshold = 0.4)
     },
 
@@ -3686,6 +3690,59 @@ object SparkEntry {
            node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
          FROM i5"""
     },
+
+    "f9_extract_doi" ->
+      """WITH s AS (
+           SELECT doc_id,
+             substr(text || ' see 10.' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '/ref.' || lang ||
+               CASE WHEN doc_id % 4 = 0 THEN ' listed in the bibliography' ELSE '' END, 1, 5000) AS st
+           FROM documents),
+         c AS (
+           SELECT doc_id, st,
+             regexp_extract_all(st, '10\.\d{4,}/[^\s\]\)>",;]+') AS cands
+           FROM s),
+         f AS (
+           SELECT doc_id,
+             list_filter(cands, cd ->
+               len(regexp_replace(cd, '[.,;:\]\)>]+$', '')) >= 10 AND
+               contains(regexp_replace(cd, '[.,;:\]\)>]+$', ''), '/') AND
+               NOT (
+                 contains(lower(substr(st, greatest(1, strpos(st, cd) - 100), 200)), 'reference') OR
+                 contains(lower(substr(st, greatest(1, strpos(st, cd) - 100), 200)), 'cited') OR
+                 contains(lower(substr(st, greatest(1, strpos(st, cd) - 100), 200)), 'bibliography'))) AS surv
+           FROM c)
+         SELECT doc_id,
+           CASE WHEN len(surv) > 0 THEN regexp_replace(surv[1], '[.,;:\]\)>]+$', '') END AS doi
+         FROM f""",
+
+    "dedup_semantic" ->
+      s"""WITH RECURSIVE emb AS (
+           SELECT a.cid, a.cell, CAST(e.embedding AS DOUBLE[]) AS v,
+             sqrt(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) AS n
+           FROM $auxAssigned a JOIN embeddings e ON e.vec_id = a.cid),
+         pairs AS (
+           SELECT x.cid AS i, y.cid AS j
+           FROM emb x JOIN emb y ON x.cell = y.cell AND x.cid < y.cid
+           WHERE list_inner_product(x.v, y.v) / (x.n * y.n) >= 0.4),
+         edges AS (SELECT i AS a, j AS b FROM pairs UNION ALL SELECT j, i FROM pairs),
+         nodes AS (SELECT i AS node FROM pairs UNION SELECT j FROM pairs),
+         r(node, m) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.a, r.m FROM r JOIN edges e ON e.b = r.node),
+         grp AS (SELECT node, min(m) AS g FROM r GROUP BY node),
+         cen AS (SELECT cell, centroid,
+             sqrt(list_inner_product(centroid, centroid)) AS cn
+           FROM $auxCentroids),
+         scored AS (
+           SELECT grp.node, emb.cell, grp.g,
+             CAST(floor(1000 * list_inner_product(emb.v, cen.centroid) / (emb.n * cen.cn)) AS BIGINT)
+               AS centroid_cos_milli
+           FROM grp JOIN emb ON emb.cid = grp.node
+                    JOIN cen ON cen.cell = emb.cell)
+         SELECT node AS id, cell, g AS "group", centroid_cos_milli,
+           (row_number() OVER (PARTITION BY g ORDER BY centroid_cos_milli, node) = 1) AS keep
+         FROM scored""",
 
     "embed_pca" -> {
       val comps = (1 to 8).map { c =>
