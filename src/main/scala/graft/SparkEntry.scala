@@ -2410,6 +2410,11 @@ object SparkEntry {
     * against them, not the fit. */
   val oracleAuxDir: String = "/tmp/graft_oracle_aux"
 
+  /** Gate tooling, not a library operator: runs at the verify SF
+    * (sf0.01), where the assigned table is hundreds of rows — the
+    * coalesce(1) exports are sized for DuckDB to read one file each,
+    * not for corpus-scale writes (the production index persistence
+    * path is [[graft.ops.Vectors.ivfSave]], cell-partitioned). */
   def writeOracleAux(s: SparkSession, dir: String): Unit = {
     import s.implicits._
     val ivf = ivfIndexFor(s, dir)
