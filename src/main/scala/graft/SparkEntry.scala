@@ -1036,14 +1036,15 @@ object SparkEntry {
     },
 
     "j3_fuzzy_match_scale" -> { (s, dir) =>
-      // rows-only: the 100 TB twin of j3 — the same brand block folds
-      // into the deletion-neighborhood candidate key, so a block's pair
-      // work is O(|block|·tokens) candidates instead of O(|block|²)
-      // comparisons; recall contract (exact for one-token edits, 98.6%
-      // measured vs all-pairs lev ≤ 4) pinned in FuzzyJoinSpec, so no
-      // SQL oracle
-      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
-          blockCols = Seq("p_brand"))((a, b) => levenshtein(a, b) <= 4)
+      // the 100 TB twin of j3: PassJoin segment signatures make the
+      // candidate set EXACT for lev ≤ 4 (FuzzyJoin.selfPairsExact) while
+      // staying an equi hash join — O(k²) keys per row instead of
+      // O(|block|²) comparisons — so the oracle is the plain blocked
+      // all-pairs lev band, hash-checked. (The deletion-neighborhood
+      // variant with its 98.6% recall contract remains the
+      // f12_similarity_scale path.)
+      FuzzyJoin.selfPairsExact(t(s, dir, "part"), "p_partkey", "p_name",
+          k = 4, blockCols = Seq("p_brand"))((a, b) => levenshtein(a, b) <= 4)
         .select(col("i").as("k1"), col("j").as("k2"),
           levenshtein(col("str_i"), col("str_j")).as("dist"))
     },
@@ -3695,6 +3696,13 @@ object SparkEntry {
            node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
          FROM i5"""
     },
+
+    "j3_fuzzy_match_scale" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 4""",
 
     "f9_extract_doi" ->
       """WITH s AS (

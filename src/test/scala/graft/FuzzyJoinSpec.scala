@@ -66,6 +66,40 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"recall=$recall (${scale.size}/${exactBlocked.size})")
   }
 
+  test("PassJoin exact variant EQUALS all-pairs lev<=4 — no missed pairs") {
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"))
+    val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"))
+    val exact = a.join(b, $"k1" < $"k2" && levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val pass = FuzzyJoin.selfPairsExact(p, "p_partkey", "p_name", k = 4)(
+        (x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(pass == exact, {
+      val miss = exact -- pass; val extra = pass -- exact
+      s"missed=${miss.take(5)} extra=${extra.take(5)} (${pass.size} vs ${exact.size})"
+    })
+  }
+
+  test("PassJoin handles char edits that straddle token boundaries") {
+    // exactly the miss class of the deletion-neighborhood keys
+    val rows = Seq(
+      (1L, "old bolt iron"), (2L, "cold rod iron"),   // 4 char edits across 2 tokens
+      (3L, "abc"), (4L, "xyzabc"),                    // short strings near the k bound
+      (5L, ""), (6L, "abcd"))
+      .toDF("id", "name")
+    val pass = FuzzyJoin.selfPairsExact(rows, "id", "name", k = 4)(
+        (x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val a = rows.select($"id".as("k1"), $"name".as("n1"))
+    val b = rows.select($"id".as("k2"), $"name".as("n2"))
+    val exact = a.join(b, $"k1" < $"k2" && levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    assert(pass == exact, s"$pass vs $exact")
+    assert(pass.contains((1L, 2L)))   // the cross-token case specifically
+  }
+
   test("two-table variant matches probe rows to a dimension") {
     val dim = Seq((10L, "acid green"), (11L, "royal blue")).toDF("id", "name")
     val probe = Seq((1L, "acid lime green"), (2L, "royal blue"),
