@@ -1050,7 +1050,9 @@ object SparkEntry {
     },
 
     "f12_similarity_scale" -> { (s, dir) =>
-      // rows-only: F12 at scale — same candidates, difflib-parity verify
+      // rows-only: F12 at scale — deletion-neighborhood candidates
+      // (98.6% recall contract, FuzzyJoinSpec) + difflib-parity verify;
+      // the verify itself is not SQL-expressible, so no oracle
       FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
           blockCols = Seq("p_brand"))((a, b) => gf.similarity(a, b) >= 0.9)
         .select(col("i").as("k1"), col("j").as("k2"),
