@@ -634,6 +634,20 @@ object SparkEntry {
         .select(col("event_id"), col("ts")).limit(1)
     },
 
+    "o4_retmax_limit" -> { (s, dir) =>
+      // O4 — the reference's retmax=1 "first hit only" lookup
+      // (pubmed_enrichment.py:136-137,143,158-164): a filtered search
+      // that keeps exactly the first match in a deterministic order.
+      // Catalyst pushes the Limit below the projection (LimitPushDown /
+      // TakeOrderedAndProject), so the scan never ranks the full match
+      // set — against a live source the same limit rides the client call.
+      t(s, dir, "documents")
+        .filter(col("text").contains("spark"))
+        .orderBy(col("doc_id"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .limit(1)
+    },
+
     "o5_head_n_preview" -> { (s, dir) =>
       t(s, dir, "documents").orderBy(col("doc_id"))
         .select(col("doc_id"), col("lang"), col("source")).limit(5)
@@ -3041,6 +3055,10 @@ object SparkEntry {
     "o2_argmax_mtime" ->
       """SELECT event_id, make_timestamp(epoch_us(ts)) AS ts FROM events
          ORDER BY ts DESC, event_id DESC LIMIT 1""",
+
+    "o4_retmax_limit" ->
+      """SELECT doc_id, source, n_chars FROM documents
+         WHERE contains(text, 'spark') ORDER BY doc_id LIMIT 1""",
 
     "o5_head_n_preview" ->
       """SELECT doc_id, lang, source FROM documents ORDER BY doc_id LIMIT 5""",
