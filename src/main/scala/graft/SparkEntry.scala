@@ -1057,10 +1057,13 @@ object SparkEntry {
       // all-pairs lev band, hash-checked. (The deletion-neighborhood
       // variant with its 98.6% recall contract remains the
       // f12_similarity_scale path.)
+      // banded DP: levenshtein(a, b, 4) early-exits rows whose distance
+      // exceeds the threshold (returns -1) — O(k·n) per pair instead of
+      // O(n²), and the verify is the dominant cost on ~10⁶ candidates
       FuzzyJoin.selfPairsExact(t(s, dir, "part"), "p_partkey", "p_name",
-          k = 4, blockCols = Seq("p_brand"))((a, b) => levenshtein(a, b) <= 4)
+          k = 4, blockCols = Seq("p_brand"))((a, b) => levenshtein(a, b, 4) >= 0)
         .select(col("i").as("k1"), col("j").as("k2"),
-          levenshtein(col("str_i"), col("str_j")).as("dist"))
+          levenshtein(col("str_i"), col("str_j"), 4).as("dist"))
     },
 
     "f12_similarity_scale" -> { (s, dir) =>
