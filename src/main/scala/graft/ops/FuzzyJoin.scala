@@ -216,4 +216,34 @@ object FuzzyJoin {
       .filter(verify(col("str_i"), col("str_j")))
       .select("i", "j", "str_i", "str_j")
   }
+
+  /** Two-table match with EXACT recall for `levenshtein <= k`: the
+    * PassJoin lemma in probe x index orientation — the probe (left) side
+    * emits position-banded substrings, the dimension (right) side its
+    * k+1 segments, so every (l, r) pair within edit distance k shares a
+    * key. Same id-only candidate discipline as [[pairs]]; both id
+    * columns must be unique per row. */
+  def pairsExact(left: DataFrame, leftId: String, leftStr: String,
+      right: DataFrame, rightId: String, rightStr: String, k: Int,
+      blockCols: Seq[String] = Nil)
+      (verify: (Column, Column) => Column): DataFrame = {
+    def keyed(df: DataFrame, idCol: String, strCol: String,
+        probe: Boolean, idName: String, role: String) = {
+      val prefix = blockCols.map(c => col(c).cast("string"))
+      df.select(col(idCol).as(idName),
+          concat_ws("\u0001", prefix: _*).as("__blk"),
+          explode(passKeysUdf(k, probe)(trim(col(strCol)))).as(s"k_$role"))
+        .select(col(idName),
+          concat_ws("\u0001", col("__blk"), col(s"k_$role")).as(s"key_$role"))
+    }
+    val a = fanout(keyed(left, leftId, leftStr, probe = true, "i", "a"))
+    val b = keyed(right, rightId, rightStr, probe = false, "j", "b")
+    val cand = a.join(maybeBroadcast(b), col("key_a") === col("key_b"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared_keys"))
+    cand
+      .join(maybeBroadcast(left.select(col(leftId).as("i"), col(leftStr).as("str_i"))), Seq("i"))
+      .join(maybeBroadcast(right.select(col(rightId).as("j"), col(rightStr).as("str_j"))), Seq("j"))
+      .filter(verify(col("str_i"), col("str_j")))
+      .select("i", "j", "str_i", "str_j")
+  }
 }

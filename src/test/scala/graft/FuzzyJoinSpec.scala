@@ -100,6 +100,23 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(pass.contains((1L, 2L)))   // the cross-token case specifically
   }
 
+  test("two-table PassJoin EQUALS the cross-table all-pairs lev<=4 answer") {
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val left = p.filter($"p_partkey" % 2 === 0)
+    val right = p.filter($"p_partkey" % 2 === 1)
+    val exact = left.select($"p_partkey".as("k1"), $"p_name".as("n1"))
+      .join(right.select($"p_partkey".as("k2"), $"p_name".as("n2")),
+        levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val pass = FuzzyJoin.pairsExact(left, "p_partkey", "p_name",
+        right, "p_partkey", "p_name", k = 4)(
+        (x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(pass == exact,
+      s"missed=${(exact -- pass).take(5)} extra=${(pass -- exact).take(5)}")
+  }
+
   test("two-table variant matches probe rows to a dimension") {
     val dim = Seq((10L, "acid green"), (11L, "royal blue")).toDF("id", "name")
     val probe = Seq((1L, "acid lime green"), (2L, "royal blue"),
