@@ -1066,6 +1066,23 @@ object SparkEntry {
           levenshtein(col("str_i"), col("str_j"), 4).as("dist"))
     },
 
+    "j3_fuzzy_match_cross" -> { (s, dir) =>
+      // cross-table twin of j3_fuzzy_match_scale: probe rows matched to
+      // a DIMENSION under the same exact PassJoin candidates
+      // (FuzzyJoin.pairsExact) — the reference's title-lookup-against-
+      // an-index shape (pubmed_enrichment.py:270-296) at the 100 TB
+      // plan: equi hash join on segment keys, banded-lev verify, never
+      // probe×dim all-pairs. Split of part by key parity stands in for
+      // the two tables; oracle is the blocked cross all-pairs band.
+      val p = t(s, dir, "part")
+      FuzzyJoin.pairsExact(p.filter(col("p_partkey") % 2 === 0),
+          "p_partkey", "p_name",
+          p.filter(col("p_partkey") % 2 === 1), "p_partkey", "p_name",
+          k = 4, blockCols = Seq("p_brand"))((a, b) => levenshtein(a, b, 4) >= 0)
+        .select(col("i").as("k1"), col("j").as("k2"),
+          levenshtein(col("str_i"), col("str_j"), 4).as("dist"))
+    },
+
     "f12_similarity_scale" -> { (s, dir) =>
       // rows-only: F12 at scale — deletion-neighborhood candidates
       // (98.6% recall contract, FuzzyJoinSpec) + difflib-parity verify;
@@ -3719,6 +3736,14 @@ object SparkEntry {
            node // 2 AS entity_id, CAST(r AS BIGINT) AS rank
          FROM i5"""
     },
+
+    "j3_fuzzy_match_cross" ->
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+           levenshtein(a.p_name, b.p_name) AS dist
+         FROM part a JOIN part b
+           ON a.p_brand = b.p_brand
+          AND a.p_partkey % 2 = 0 AND b.p_partkey % 2 = 1
+         WHERE levenshtein(a.p_name, b.p_name) <= 4""",
 
     "j3_fuzzy_match_scale" ->
       """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
