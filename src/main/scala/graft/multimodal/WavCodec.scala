@@ -39,7 +39,8 @@ object WavCodec {
     var p = 12
     var channels = 0; var sampleRate = 0; var bits = 0
     var dataLen = -1L
-    while (p + 8 <= bytes.length && (dataLen < 0 || sampleRate == 0)) {
+    var done = false
+    while (!done && p + 8 <= bytes.length && (dataLen < 0 || sampleRate == 0)) {
       val id = tag(bytes, p)
       val size = le32(bytes, p + 4).toLong & 0xffffffffL
       if (id == "fmt " && p + 8 + 16 <= bytes.length) {
@@ -49,9 +50,12 @@ object WavCodec {
       } else if (id == "data") {
         dataLen = math.min(size, (bytes.length - p - 8).toLong)
       }
+      // a declared size past the remaining buffer means truncation (or an
+      // attack on the Int offset: size near 2^31 would wrap `p` negative
+      // and re-enter the loop) — stop the walk, keep whatever parsed
+      if (size > (bytes.length - p - 8).toLong) done = true
       // chunks are word-aligned: odd sizes carry a pad byte
-      p += 8 + size.toInt + (size.toInt & 1)
-      if (size > Int.MaxValue - 16) return None
+      else p += 8 + size.toInt + (size.toInt & 1)
     }
     val frameBytes = channels * (bits / 8)
     if (sampleRate <= 0 || frameBytes <= 0 || dataLen < 0) None
@@ -66,12 +70,15 @@ object WavCodec {
       // data chunk offset: re-walk (parse validated structure already)
       var p = 12
       var off = -1; var len = 0L
-      while (off < 0 && p + 8 <= bytes.length) {
+      var done = false
+      while (!done && off < 0 && p + 8 <= bytes.length) {
         val size = le32(bytes, p + 4).toLong & 0xffffffffL
         if (tag(bytes, p) == "data") {
           off = p + 8; len = math.min(size, (bytes.length - p - 8).toLong)
         }
-        p += 8 + size.toInt + (size.toInt & 1)
+        // same truncation guard as parse: never advance past the buffer
+        if (size > (bytes.length - p - 8).toLong) done = true
+        else p += 8 + size.toInt + (size.toInt & 1)
       }
       var peak = 0; var sumSq = 0.0; var i = off
       val end = off + len.toInt

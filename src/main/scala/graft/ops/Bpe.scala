@@ -34,6 +34,23 @@ object Bpe {
     * distinguish "low" the word from "low" the prefix of "lower". */
   val EndOfWord = "</w>"
 
+  /** UTF-8 binary collation — the collation of Spark SQL's default
+    * string ORDER BY (UTF8String compares bytewise). Differs from Java's
+    * `String.compareTo` (UTF-16 code units) exactly when one side
+    * contains a supplementary-plane code point (surrogate pair sorts
+    * BELOW U+E000..U+FFFF under UTF-16, above under UTF-8/code-point
+    * order). Used for merge-argmax tie-breaks so [[fit]] and
+    * [[fitDistributed]] stay byte-identical on any text. */
+  private[ops] def utf8Compare(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
   /** Initial symbols of a word: one per Unicode CODE POINT, not UTF-16
     * code unit — a char-level split would tear supplementary characters
     * (emoji, math alphanumerics) into unpaired surrogates that
@@ -81,8 +98,19 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        // argmax count, ties broken lexicographically — deterministic
-        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        // argmax count, ties broken lexicographically in UTF-8 BYTE order
+        // (= code-point order) — the same collation Spark SQL's string
+        // ORDER BY uses in [[fitDistributed]], so the two fits agree on
+        // exact-count ties even for supplementary-plane symbols (Java
+        // String ordering would sort surrogates below U+E000..U+FFFF)
+        var best = counts.head._1
+        var bestC = counts.head._2
+        counts.foreach { case (p, c) =>
+          if (c > bestC || (c == bestC && {
+            val ca = utf8Compare(p._1, best._1)
+            ca < 0 || (ca == 0 && utf8Compare(p._2, best._2) < 0)
+          })) { best = p; bestC = c }
+        }
         merges += best
         val joined = best._1 + best._2
         vocab = vocab.map { case (syms, c) =>

@@ -44,8 +44,33 @@ object EventTime {
     * an explicit schema on file sources; deriving it from the same files
     * the stream will read is the schema-inference the reference gets for
     * free from pandas.)
+    *
+    * PRECONDITIONS (footer inference, like any schema-on-read start):
+    *  - If the glob matches NO file at stream start, inference is
+    *    impossible; rather than throw where the old hardcoded schema
+    *    allowed an empty dir, fall back to `emptyFallback` when given
+    *    (the caller's best-known prior), else rethrow the inference
+    *    error with the precondition spelled out.
+    *  - Files arriving MID-STREAM are read under the start-time schema:
+    *    a ts-encoding flip between files requires a stream restart (the
+    *    new start re-infers). Mixed encodings within one running stream
+    *    are not converged — same contract as any fixed-schema file
+    *    source.
     */
   def batchSchema(spark: SparkSession, dir: String,
-      glob: String = "events.parquet"): StructType =
-    spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+      glob: String = "events.parquet",
+      emptyFallback: Option[StructType] = None): StructType =
+    try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if emptyFallback.isDefined && e.getMessage != null &&
+             e.getMessage.contains("Unable to infer schema") =>
+        emptyFallback.get
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage != null && e.getMessage.contains("Unable to infer schema") =>
+        throw new IllegalStateException(
+          s"EventTime.batchSchema: no file matching '$glob' under $dir at " +
+          "stream start — footer inference needs at least one file; pass " +
+          "emptyFallback to start a stream over a not-yet-populated dir", e)
+    }
 }

@@ -53,6 +53,7 @@ object Vectors {
       nProbe: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (v: Seq[Float]) =>
       val n = math.min(nProbe, centroids.length)
+      if (n <= 0) Seq.empty[Int] else {
       val bd = new Array[Double](n)
       val bi = new Array[Int](n)
       var filled = 0
@@ -74,6 +75,7 @@ object Vectors {
         }
       }
       bi.take(filled).toSeq
+      }
     }
 
   /** Shared exact-refinement tail (the FAISS IndexRefine shape): rejoin

@@ -85,4 +85,20 @@ class BpeSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(n < chars, s"pieces $n not below char count $chars — no merge applied")
   }
+  test("fit argmax ties break in code-point order, matching fitDistributed") {
+    // supplementary-plane char (U+1D11E) vs private-use BMP char
+    // (U+E000): Java UTF-16 ordering sorts the surrogate pair FIRST,
+    // UTF-8/code-point ordering (Spark SQL string ORDER BY) sorts it
+    // LAST - an exact-count tie between the two must resolve the same
+    // way in the driver loop and the distributed fit
+    val supp = new String(Character.toChars(0x1D11E))
+    val pua = "\uE000"
+    val df = Seq((1L, s"a$supp a$pua")).toDF("doc_id", "text")
+    val m = Bpe.fit(df, "text", nMerges = 1)
+    assert(m.merges.head == ("a", pua),
+      s"fit broke the tie as ${m.merges.head} - UTF-16 collation leak")
+    val md = Bpe.fitDistributed(df, "text", nMerges = 1)
+    assert(md.merges.head == m.merges.head)
+  }
+
 }

@@ -101,4 +101,17 @@ class EventTimeSpec extends AnyFunSuite {
     assert(results("long_nanos").nonEmpty)
     assert(results("long_nanos") == results("ntz_micros"))
   }
+  test("batchSchema over an empty dir: fallback when given, clear error when not") {
+    val empty = new java.io.File(base, "empty_dir")
+    empty.mkdirs()
+    val fb = new org.apache.spark.sql.types.StructType()
+      .add("event_id", "long").add("ts", "timestamp")
+    assert(EventTime.batchSchema(spark, empty.getAbsolutePath,
+      emptyFallback = Some(fb)) == fb)
+    val err = intercept[IllegalStateException] {
+      EventTime.batchSchema(spark, empty.getAbsolutePath)
+    }
+    assert(err.getMessage.contains("at least one file"))
+  }
+
 }

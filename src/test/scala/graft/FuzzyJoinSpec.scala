@@ -127,4 +127,31 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got.contains((2L, 11L)))
     assert(!got.exists(_._1 == 3L))
   }
+  test("exactness holds on whitespace-flanked strings (keys = verify strings)") {
+    // ' abc' vs 'z abc': RAW edit distance 1 but TRIMMED distance 2 - the
+    // earlier trim-on-key-side spelling could verify a pair that never
+    // shared a key. Keys, lengths and verify now all read the raw string.
+    val rows = Seq((1L, " abc"), (2L, "z abc"), (3L, "abc  "),
+      (4L, "abc zz"), (5L, "  pale gold  "), (6L, "pale gold"))
+      .toDF("id", "name")
+    val a = rows.select($"id".as("k1"), $"name".as("n1"))
+    val b = rows.select($"id".as("k2"), $"name".as("n2"))
+    val exact = a.join(b, $"k1" < $"k2" && levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val self = FuzzyJoin.selfPairsExact(rows, "id", "name", k = 4)(
+        (x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(self == exact, s"missed=${exact -- self} extra=${self -- exact}")
+    val odd = rows.filter($"id" % 2 === 1)
+    val even = rows.filter($"id" % 2 === 0)
+    val exactX = odd.select($"id".as("k1"), $"name".as("n1"))
+      .join(even.select($"id".as("k2"), $"name".as("n2")),
+        levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val cross = FuzzyJoin.pairsExact(odd, "id", "name", even, "id", "name",
+        k = 4)((x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(cross == exactX, s"missed=${exactX -- cross} extra=${cross -- exactX}")
+  }
+
 }

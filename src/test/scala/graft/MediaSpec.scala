@@ -93,4 +93,29 @@ class MediaSpec extends AnyFunSuite {
       .select("frame_idx").as[Long].collect().sorted
     assert(frames.head == 0L && frames.toList == (0L until frames.length).toList)
   }
+  test("WavCodec never throws on adversarial chunk sizes (offset wrap)") {
+    import graft.multimodal.WavCodec
+    val good = WavCodec.synthesize(seed = 5L, sampleRate = 8000, nSamples = 100)
+    def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    // declared fmt-chunk size near 2^31: without the truncation guard the
+    // Int offset wraps negative, the walk re-enters and tag() throws
+    val evilFmt = good.clone()
+    put32(evilFmt, 16, Int.MaxValue - 20)
+    assert(WavCodec.parse(evilFmt).isEmpty)   // data never reached -> None
+    // declared data-chunk size near 2^31: clamped to the real remainder
+    val evilData = good.clone()
+    put32(evilData, 40, Int.MaxValue - 20)
+    assert(WavCodec.parse(evilData).exists(_.nSamples == 100L))
+    assert(WavCodec.pcm16Stats(evilData).isDefined)
+    // and the whole 32-bit corner: size fields that clear the old
+    // Int.MaxValue-16 rejection but still overflow the offset
+    for (sz <- Seq(Int.MaxValue - 10, Int.MaxValue, -1 /* 0xFFFFFFFF */ )) {
+      val e = good.clone(); put32(e, 16, sz)
+      assert(WavCodec.parse(e).isEmpty)
+    }
+  }
+
 }

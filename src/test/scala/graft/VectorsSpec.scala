@@ -326,4 +326,12 @@ class VectorsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(out.toSeq == out2.toSeq)
   }
+  test("nProbe = 0 degenerates to an empty result, not an exception") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Vectors.ivfBuild(emb, "vec_id", "embedding", nCells = 4)
+    val q = emb.filter($"vec_id" < 2)
+    assert(Vectors.annIvfTopK(q, idx, "vec_id", "embedding",
+      k = 3, nProbe = 0, pruneFiles = false).count() == 0)
+  }
+
 }
