@@ -2473,12 +2473,21 @@ object SparkEntry {
     Vectors.pcaRotationFrame(t(s, dir, "embeddings"), "vec_id", "embedding",
         kDims = 8)
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/pca_rotation")
+    // per-doc 64-bit simhash sketches (SimHash64Expr, goldens in
+    // SketchesSpec) — the oracle replays the BANDING and hamming verify
+    // of dedup_simhash in SQL against them, the same artifact split as
+    // the IVF assignment above (sketch = the index-side artifact, the
+    // pair join = the query arithmetic being checked)
+    t(s, dir, "documents")
+      .select(col("doc_id"), sf.simhash64(col("text")).as("sh"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/simhash")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
   private def auxAssigned = s"read_parquet('$oracleAuxDir/ivf_assigned/*.parquet')"
   private def auxCodebook = s"read_parquet('$oracleAuxDir/pq_codebook/*.parquet')"
   private def auxPcaRotation = s"read_parquet('$oracleAuxDir/pca_rotation/*.parquet')"
+  private def auxSimhash = s"read_parquet('$oracleAuxDir/simhash/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3482,6 +3491,23 @@ object SparkEntry {
                len(list_distinct(list_concat(a.sh, b.sh))) AS jac
            FROM t a JOIN t b ON a.doc_id < b.doc_id)
          WHERE jac >= 0.5""",
+
+    // the 64-bit sketch is the exported index artifact (per-row kernel,
+    // goldens in SketchesSpec); the oracle replays the QUERY arithmetic —
+    // 16-bit chunk banding and the hamming verify — in SQL (`>>` is
+    // arithmetic in DuckDB vs Spark's shiftrightunsigned, but the & 65535
+    // mask keeps only the shifted-in-window bits, so the chunks agree)
+    "dedup_simhash" ->
+      s"""WITH sh AS (SELECT doc_id, sh FROM $auxSimhash),
+         cand AS (
+           SELECT a.doc_id AS i, b.doc_id AS j, a.sh AS sa, b.sh AS sb
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+           WHERE ((a.sh >> 0) & 65535) = ((b.sh >> 0) & 65535)
+              OR ((a.sh >> 16) & 65535) = ((b.sh >> 16) & 65535)
+              OR ((a.sh >> 32) & 65535) = ((b.sh >> 32) & 65535)
+              OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535))
+         SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 6""",
 
     "dedup_incremental_lsh" ->
       """WITH t AS (
