@@ -127,6 +127,15 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got.contains((2L, 11L)))
     assert(!got.exists(_._1 == 3L))
   }
+  test("exact-variant candidate join stays an equi hash join (no all-pairs)") {
+    val df = Seq((1L, "abcdef"), (2L, "abcxef"), (3L, "zzzzzz")).toDF("id", "name")
+    val plan = FuzzyJoin.selfPairsExact(df, "id", "name", k = 2)(
+        (a, b) => lit(true))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"candidate join degenerated:\n$plan")
+  }
+
   test("exactness holds on whitespace-flanked strings (keys = verify strings)") {
     // ' abc' vs 'z abc': RAW edit distance 1 but TRIMMED distance 2 - the
     // earlier trim-on-key-side spelling could verify a pair that never
