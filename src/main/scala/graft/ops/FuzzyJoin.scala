@@ -103,12 +103,15 @@ object FuzzyJoin {
     * Lemma: partition the index-side string into k+1 contiguous
     * segments; any string within edit distance k must CONTAIN at least
     * one segment verbatim (pigeonhole — k edits can touch at most k
-    * segments), at a start position shifted by at most k. So the index
-    * side emits its k+1 segments keyed by (segment#, own length); the
-    * probe side emits, for every partner length within ±k, the
-    * substrings at the segment's position ±k. Key count is O(k²·(2k+1))
-    * per probe row — bounded, length-banded, and an equi hash join on
-    * the key; no O(block²) anywhere.
+    * segments). The index side emits its k+1 segments keyed by
+    * (segment#, own length); the probe side emits, for every partner
+    * length within ±k, the substrings the paper's LENGTH-AWARE selection
+    * allows: a shift δ = p − s0 needs |δ| edits before the segment and
+    * |Δ − δ| after it (Δ = probe len − partner len), so only
+    * δ ∈ [⌈(Δ−k)/2⌉, ⌊(Δ+k)/2⌋] — at most k+1 positions, not the naive
+    * 2k+1 of a plain ±k window. Key count is O(k²) per probe row —
+    * bounded, length-banded, and an equi hash join on the key; no
+    * O(block²) anywhere.
     *
     * Degenerate lengths (< k+1 chars, where a segment would be empty)
     * fall into a per-length "short" bucket on both sides — exact, and
@@ -142,12 +145,16 @@ object FuzzyJoin {
         if (lp < m) out += s"short\u0001$lp"
         else {
           val q = lp / m; val r = lp % m
+          val delta = L - lp
           var i = 0
           while (i < m) {
             val len = q + (if (i >= m - r) 1 else 0)
             val s0 = i * q + math.max(0, i - (m - r))
-            var p = math.max(0, s0 - k)
-            val pMax = math.min(L - len, s0 + k)
+            // length-aware shift window: a match at p = s0 + d needs |d|
+            // edits before the segment and |delta - d| after it, and the
+            // two sum to <= k - so d in [ceil((delta-k)/2), floor((delta+k)/2)]
+            var p = math.max(0, s0 - math.floorDiv(k - delta, 2))
+            val pMax = math.min(L - len, s0 + math.floorDiv(k + delta, 2))
             while (p <= pMax) {
               out += s"$i\u0001$lp\u0001${s.substring(p, p + len)}"
               p += 1
