@@ -163,4 +163,54 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(cross == exactX, s"missed=${exactX -- cross} extra=${cross -- exactX}")
   }
 
+  test("seeded fuzz: every pair within k edits is found by the exact variants") {
+    // guards the length-aware substring window (a proof-based pruning):
+    // random strings over a small alphabet, random <= 4-edit mutants,
+    // equality against the all-pairs answer - lengths span the short
+    // bucket, the segment boundary and the window's indel-heavy corners
+    val rnd = new scala.util.Random(20260813L)
+    val ab = "abcde"
+    def randStr(n: Int) = Seq.fill(n)(ab(rnd.nextInt(ab.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cur = s
+      (1 to edits).foreach { _ =>
+        rnd.nextInt(3) match {
+          case 0 if cur.nonEmpty =>
+            val p = rnd.nextInt(cur.length); cur = cur.take(p) + cur.drop(p + 1)
+          case 1 =>
+            val p = rnd.nextInt(cur.length + 1)
+            cur = cur.take(p) + ab(rnd.nextInt(ab.length)) + cur.drop(p)
+          case _ if cur.nonEmpty =>
+            val p = rnd.nextInt(cur.length)
+            cur = cur.take(p) + ab(rnd.nextInt(ab.length)) + cur.drop(p + 1)
+          case _ => ()
+        }
+      }
+      cur
+    }
+    val rows = (0 until 60).flatMap { i =>
+      val s = randStr(1 + rnd.nextInt(27))
+      Seq((i * 2L, s), (i * 2L + 1L, mutate(s, rnd.nextInt(5))))
+    }.toDF("id", "name")
+    val a = rows.select($"id".as("k1"), $"name".as("n1"))
+    val b = rows.select($"id".as("k2"), $"name".as("n2"))
+    val exact = a.join(b, $"k1" < $"k2" && levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val self = FuzzyJoin.selfPairsExact(rows, "id", "name", k = 4)(
+        (x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(self == exact, s"missed=${(exact -- self).take(8)} extra=${(self -- exact).take(8)}")
+    val odd = rows.filter($"id" % 2 === 1)
+    val even = rows.filter($"id" % 2 === 0)
+    val exactX = odd.select($"id".as("k1"), $"name".as("n1"))
+      .join(even.select($"id".as("k2"), $"name".as("n2")),
+        levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    val cross = FuzzyJoin.pairsExact(odd, "id", "name", even, "id", "name",
+        k = 4)((x, y) => levenshtein(x, y) <= 4)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(cross == exactX,
+      s"missed=${(exactX -- cross).take(8)} extra=${(cross -- exactX).take(8)}")
+  }
+
 }
