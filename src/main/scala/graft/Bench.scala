@@ -32,6 +32,15 @@ object Bench {
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
+    // ... and one full pass over every input table, so OS page-cache
+    // state doesn't tax whichever query alphabetically touches a table
+    // first (measured: an unchanged join read 7.1 s cold vs 1.6 s warm —
+    // a 4× artifact of sweep order, not of any plan)
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings").foreach { tbl =>
+      try spark.read.parquet(s"$sfDir/$tbl.parquet").count()
+      catch { case _: Throwable => }
+    }
     // ... and the iterative-loop machinery (shuffle writers, AQE
     // re-planning, checkpoint block manager paths) on a 3-edge graph, so
     // the FIRST graph/dedup query doesn't absorb all of that JIT alone.
