@@ -118,4 +118,29 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("WavCodec total-function fuzz: arbitrary and mutated bytes never throw") {
+    import graft.multimodal.WavCodec
+    val rnd = new scala.util.Random(7L)
+    // arbitrary garbage of tricky lengths (chunk-header boundaries)
+    for (n <- Seq(0, 1, 12, 43, 44, 45, 51, 52, 100, 400); _ <- 1 to 20) {
+      val b = new Array[Byte](n); rnd.nextBytes(b)
+      WavCodec.parse(b); WavCodec.pcm16Stats(b)   // must not throw
+    }
+    // single-byte mutations of a VALID wav - header fields, chunk sizes,
+    // tags; every mutant must parse to Some or None, never throw
+    val good = WavCodec.synthesize(seed = 11L, sampleRate = 8000, nSamples = 64)
+    for (_ <- 1 to 500) {
+      val b = good.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      WavCodec.parse(b); WavCodec.pcm16Stats(b)
+    }
+    // multi-byte mutations concentrated on the two size fields
+    for (_ <- 1 to 200) {
+      val b = good.clone()
+      val field = if (rnd.nextBoolean()) 16 else 40
+      for (o <- 0 until 4) b(field + o) = rnd.nextInt(256).toByte
+      WavCodec.parse(b); WavCodec.pcm16Stats(b)
+    }
+  }
+
 }
