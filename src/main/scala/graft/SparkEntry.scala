@@ -2082,10 +2082,19 @@ object SparkEntry {
     },
 
     "text_fingerprint" -> { (s, dir) =>
-      // rows-only: winnowing fingerprint (stateful scan); semantics pinned
-      // in SketchesSpec; the md5 content-hash variant is oracle-checked (d2)
+      // winnowing fingerprints in the canonical SET form (Schleimer et
+      // al. 2003): one row per selected-gram run. The per-position gram
+      // hashes are the exported kernel artifact (writeOracleAux); the
+      // oracle replays the window-argmin (latest index wins ties) and
+      // the run dedupe in SQL. The scalar folded form stays available as
+      // the rolling_fingerprint expression, fold==runs pinned in
+      // SketchesSpec. udf justified: variable-length struct-array out of
+      // a stateful windowed scan.
+      val runsUdf = udf((txt: String) => graft.ops.Sketches.winnowedRuns(txt))
       t(s, dir, "documents").select(col("doc_id"),
-        sf.rolling_fingerprint(col("text")).as("fp"))
+          explode(runsUdf(col("text"))).as("r"))
+        .select(col("doc_id"), col("r._1").as("win_start"),
+          col("r._2").as("pos"), col("r._3").as("fp_hash"))
     },
 
     "rag_bm25_topk" -> { (s, dir) =>
@@ -2481,6 +2490,15 @@ object SparkEntry {
     t(s, dir, "documents")
       .select(col("doc_id"), sf.simhash64(col("text")).as("sh"))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/simhash")
+    // per-position rolling k-gram hashes (the kernel layer under the
+    // winnowing selection) — the oracle replays text_fingerprint's
+    // window-argmin + run-dedupe over these rows; pos = -1 marks the
+    // short-text sentinel (whole-text FNV)
+    val gramsUdf = udf((txt: String) => graft.ops.Sketches.gramHashes(txt))
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(gramsUdf(col("text"))).as("g"))
+      .select(col("doc_id"), col("g._1").as("pos"), col("g._2").as("h"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/gram_hashes")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
@@ -2488,6 +2506,7 @@ object SparkEntry {
   private def auxCodebook = s"read_parquet('$oracleAuxDir/pq_codebook/*.parquet')"
   private def auxPcaRotation = s"read_parquet('$oracleAuxDir/pca_rotation/*.parquet')"
   private def auxSimhash = s"read_parquet('$oracleAuxDir/simhash/*.parquet')"
+  private def auxGramHashes = s"read_parquet('$oracleAuxDir/gram_hashes/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3508,6 +3527,35 @@ object SparkEntry {
               OR ((a.sh >> 48) & 65535) = ((b.sh >> 48) & 65535))
          SELECT i, j, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 6""",
+
+    // winnowing selection replayed over the exported per-position gram
+    // hashes: window argmin with ORDER BY h ASC, pos DESC (the kernel's
+    // `<=` scan keeps the LATEST index among equal minima), then the
+    // consecutive-run dedupe via lag; pos = -1 rows are the short-text
+    // sentinel emitted as the single (0, 0, fnv) fingerprint row
+    "text_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id, pos, h FROM $auxGramHashes WHERE pos >= 0),
+         n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         win AS (SELECT g.doc_id, g.pos AS wi
+                 FROM g JOIN n USING (doc_id) WHERE g.pos + 8 <= n.n),
+         sel AS (
+           SELECT doc_id, wi, pos, h FROM (
+             SELECT w.doc_id, w.wi, g.pos, g.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.wi
+                 ORDER BY g.h ASC, g.pos DESC) AS rn
+             FROM win w JOIN g ON g.doc_id = w.doc_id
+                              AND g.pos BETWEEN w.wi AND w.wi + 7)
+           WHERE rn = 1),
+         runs AS (
+           SELECT doc_id, wi, pos, h,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY wi) AS prev_pos
+           FROM sel)
+         SELECT doc_id, CAST(wi AS INTEGER) AS win_start,
+           CAST(pos AS INTEGER) AS pos, h AS fp_hash
+         FROM runs WHERE prev_pos IS NULL OR prev_pos <> pos
+         UNION ALL
+         SELECT doc_id, 0 AS win_start, 0 AS pos, h AS fp_hash
+         FROM $auxGramHashes WHERE pos = -1""",
 
     "dedup_incremental_lsh" ->
       """WITH t AS (

@@ -134,6 +134,54 @@ object Sketches {
     out
   }
 
+  /** Winnowing fingerprint RUNS — the canonical set form of winnowing
+    * (Schleimer, Wilkerson, Aiken 2003: the fingerprint is the SELECTED
+    * hashes, with positions): one row per run of consecutive windows
+    * that picked the same gram. `(winStart, pos, hash)` where winStart
+    * is the first window of the run, pos the selected gram's start
+    * offset, hash its rolling FNV. Selection matches
+    * [[rollingFingerprint]] exactly (window argmin, `<=` so the LATEST
+    * index among ties wins, run-deduped); the scalar fingerprint is the
+    * FNV-1a fold of these runs' hashes in order — pinned by spec.
+    * Short texts (< k chars) degrade to one `(0, 0, fnv1a64(text))` row,
+    * mirroring the scalar form's short-text case. */
+  def winnowedRuns(text: String, k: Int = 16, w: Int = 8): Array[(Int, Int, Long)] = {
+    val t = if (text == null) "" else text
+    if (t.length < k) return Array((0, 0, fnv1a64(t)))
+    val n = t.length - k + 1
+    val grams = new Array[Long](n)
+    var i = 0
+    while (i < n) { grams(i) = fnv1a64(t.substring(i, i + k)); i += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
+    var wi = 0
+    var lastMinIdx = -1
+    while (wi + w <= n) {
+      var minIdx = wi
+      var j = wi + 1
+      while (j < wi + w) { if (grams(j) <= grams(minIdx)) minIdx = j; j += 1 }
+      if (minIdx != lastMinIdx) {
+        out += ((wi, minIdx, grams(minIdx)))
+        lastMinIdx = minIdx
+      }
+      wi += 1
+    }
+    out.toArray
+  }
+
+  /** Per-position rolling k-gram hashes — the kernel layer under
+    * [[winnowedRuns]], exported as the oracle aux artifact so the
+    * window-argmin + run-dedupe selection can be replayed in SQL.
+    * Short texts emit the `(-1, fnv1a64(text))` sentinel row. */
+  def gramHashes(text: String, k: Int = 16): Array[(Int, Long)] = {
+    val t = if (text == null) "" else text
+    if (t.length < k) return Array((-1, fnv1a64(t)))
+    val n = t.length - k + 1
+    val out = new Array[(Int, Long)](n)
+    var i = 0
+    while (i < n) { out(i) = ((i, fnv1a64(t.substring(i, i + k)))); i += 1 }
+    out
+  }
+
   /** Winnowing-style document fingerprint: rolling FNV over character
     * k-grams (k=16), windowed minima (w=8), combined with FNV-1a over the
     * selected minima. Near-identical documents share most window minima, so

@@ -90,4 +90,33 @@ class SketchesSpec extends AnyFunSuite {
     assert(out(2L).getLong(3) < out(1L).getLong(3))
     assert(out(1L).getLong(3) > 0 && out(1L).getLong(3) < 1200)
   }
+  test("winnowedRuns is the set form of rollingFingerprint: fold == scalar") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(42L)
+    val texts = Seq("", "short", "x" * 16, "y" * 22,  // short + window-less edges
+      "the quick brown fox jumps over the lazy dog again and again") ++
+      (1 to 40).map(_ => Seq.fill(5 + rnd.nextInt(120))(
+        ('a' + rnd.nextInt(4)).toChar).mkString)   // tiny alphabet -> hash ties
+    texts.foreach { t =>
+      val runs = Sketches.winnowedRuns(t)
+      val folded =
+        if (t.length < 16) {
+          assert(runs.toSeq == Seq((0, 0, Sketches.fnv1a64(t))))
+          Sketches.fnv1a64(t)
+        } else {
+          var acc = 0xcbf29ce484222325L
+          runs.foreach { case (_, _, h) => acc ^= h; acc *= 0x100000001b3L }
+          acc
+        }
+      if (t.length >= 16)
+        assert(folded == Sketches.rollingFingerprint(t), s"len=${t.length}")
+      // runs are strictly increasing in window start and dedup consecutive pos
+      runs.sliding(2).foreach {
+        case Array((w1, p1, _), (w2, p2, _)) =>
+          assert(w1 < w2 && p1 != p2)
+        case _ => ()
+      }
+    }
+  }
+
 }
