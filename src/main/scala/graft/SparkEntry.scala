@@ -2419,19 +2419,27 @@ object SparkEntry {
     },
 
     "quality_classifier" -> { (s, dir) =>
-      // rows-only: FineWeb-style model-based quality filter — weak label
-      // from the Gopher gate, TF-IDF + logistic regression, corpus-wide
-      // calibrated score; the L-BFGS fit is not SQL-expressible (semantics
-      // pinned in QualityClassifierSpec: separable corpus accuracy,
-      // determinism, probability bounds)
-      val docs = t(s, dir, "documents")
-      val labeled = docs.select(col("doc_id"), col("text"),
-        TextAnalysis.gopherFlags(col("text"), minWords = 30, maxWords = 80)
-          .last.cast("int").as("weak_label"))
+      // FineWeb-style model-based quality filter — weak label from the
+      // Gopher gate, TF-IDF + logistic regression, corpus-wide score.
+      // The L-BFGS fit is the exported artifact (writeOracleAux refits
+      // deterministically and dumps features + coefficients); the oracle
+      // replays the SCORING layer — ordered sparse dot, sigmoid, milli
+      // floor — in SQL. Fit semantics pinned in QualityClassifierSpec
+      // (separable corpus accuracy, determinism, probability bounds).
+      // The weak-label column itself is text_gopher_rules' own oracle.
       graft.ops.QualityClassifier.trainScore(
-        labeled, "doc_id", "text", "weak_label")
+          qcLabeled(s, dir), "doc_id", "text", "weak_label")
+        .select("doc_id", "prob_milli", "pred")
     }
   )
+
+  /** The weak-labeled corpus the quality classifier trains on — shared
+    * by the query and the oracle-aux refit so both see identical
+    * inputs. */
+  private def qcLabeled(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"), col("text"),
+      TextAnalysis.gopherFlags(col("text"), minWords = 30, maxWords = 80)
+        .last.cast("int").as("weak_label"))
 
   /** Fixed keyword-bag query batch for the retrieval queries (a query
     * workload is driver-provided in production; literals keep the oracle
@@ -2499,6 +2507,17 @@ object SparkEntry {
       .select(col("doc_id"), explode(gramsUdf(col("text"))).as("g"))
       .select(col("doc_id"), col("g._1").as("pos"), col("g._2").as("h"))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/gram_hashes")
+    // quality-classifier replay artifacts: the deterministic refit's
+    // per-doc sparse TF-IDF features and the fitted linear model (idx -1
+    // carries the intercept) — the oracle recomputes margin, sigmoid and
+    // the milli floor from these
+    val qc = graft.ops.QualityClassifier.trainScoreFull(
+      qcLabeled(s, dir), "doc_id", "text", "weak_label")
+    qc.features
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/qc_features")
+    (qc.coefficients.zipWithIndex.map { case (w, i) => (i, w) } :+
+        ((-1, qc.intercept))).toSeq.toDF("idx", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/qc_model")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
@@ -2507,6 +2526,8 @@ object SparkEntry {
   private def auxPcaRotation = s"read_parquet('$oracleAuxDir/pca_rotation/*.parquet')"
   private def auxSimhash = s"read_parquet('$oracleAuxDir/simhash/*.parquet')"
   private def auxGramHashes = s"read_parquet('$oracleAuxDir/gram_hashes/*.parquet')"
+  private def auxQcFeatures = s"read_parquet('$oracleAuxDir/qc_features/*.parquet')"
+  private def auxQcModel = s"read_parquet('$oracleAuxDir/qc_model/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3556,6 +3577,29 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id, 0 AS win_start, 0 AS pos, h AS fp_hash
          FROM $auxGramHashes WHERE pos = -1""",
+
+    // the scoring layer of the quality classifier replayed against the
+    // exported refit artifacts: ordered sparse dot (ascending feature
+    // index — the BLAS accumulation order, exactly reproduced by
+    // list_inner_product over ORDER BY idx lists), sigmoid, milli floor.
+    // Docs whose TF-IDF is all-zero never reach the features table and
+    // score at the bare intercept via the left join.
+    "quality_classifier" ->
+      s"""WITH f AS (SELECT doc_id, idx, v FROM $auxQcFeatures),
+         w AS (SELECT idx, w FROM $auxQcModel WHERE idx >= 0),
+         b AS (SELECT w FROM $auxQcModel WHERE idx = -1),
+         dm AS (
+           SELECT f.doc_id,
+             list_inner_product(list(f.v ORDER BY f.idx),
+                                list(w.w ORDER BY f.idx)) AS dot
+           FROM f JOIN w USING (idx) GROUP BY f.doc_id),
+         scored AS (
+           SELECT d.doc_id,
+             CAST(floor(1000.0 /
+               (1.0 + exp(-((SELECT w FROM b) + coalesce(dm.dot, 0.0)))))
+               AS BIGINT) AS prob_milli
+           FROM documents d LEFT JOIN dm ON dm.doc_id = d.doc_id)
+         SELECT doc_id, prob_milli, prob_milli >= 500 AS pred FROM scored""",
 
     "dedup_incremental_lsh" ->
       """WITH t AS (

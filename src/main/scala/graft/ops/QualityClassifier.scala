@@ -31,12 +31,29 @@ import org.apache.spark.sql.functions._
   */
 object QualityClassifier {
 
+  /** Scored corpus plus the model-application artifacts that let an
+    * external engine REPLAY the scoring layer: `features` is the exact
+    * per-doc sparse TF-IDF the transform consumed (one row per active
+    * index), `coefficients`/`intercept` the fitted linear model. The
+    * margin is Σ w(idx)·v(idx) + b accumulated in ascending-index order
+    * (BLAS sparse-dense dot), so an order-preserving SQL inner product
+    * reproduces it bit-for-bit. */
+  final case class Scored(scored: DataFrame, features: DataFrame,
+      coefficients: Array[Double], intercept: Double)
+
   /** Train on `labelCol` (0/1) over a bounded md5-ordered sample, score
     * every row. Output: (idCol, label, prob_milli, pred) where
     * prob_milli = floor(1000·P(label=1)) and pred = P ≥ 0.5. */
   def trainScore(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int = 256, fitSampleRows: Int = 100000,
-      regParam: Double = 0.01, maxIter: Int = 25): DataFrame = {
+      regParam: Double = 0.01, maxIter: Int = 25): DataFrame =
+    trainScoreFull(df, idCol, textCol, labelCol, dim, fitSampleRows,
+      regParam, maxIter).scored
+
+  /** [[trainScore]] plus replay artifacts — see [[Scored]]. */
+  def trainScoreFull(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, dim: Int = 256, fitSampleRows: Int = 100000,
+      regParam: Double = 0.01, maxIter: Int = 25): Scored = {
     val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
       .setPattern("\\s+")
     val tf = new HashingTF().setInputCol("__tokens").setOutputCol("__tf")
@@ -57,9 +74,20 @@ object QualityClassifier {
     // `featured` stays cached for the lazy corpus-wide transform (the
     // fit pass above materialized it); caller / clearCache releases it —
     // same cache contract as [[TfIdfEmbed.embed]]
-    model.transform(feats)
+    val scored = model.transform(feats)
       .select(col(idCol), col("__label").cast("long").as("label"),
         floor(lit(1000) * p1(col("probability"))).cast("long").as("prob_milli"))
       .withColumn("pred", col("prob_milli") >= 500)
+    val activeUdf = udf((v: Vector) => {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+      // explicit zeros contribute exactly 0.0 to the dot; skipping them
+      // preserves the accumulated sum bit-for-bit
+      v.foreachActive((i, x) => if (x != 0.0) out += ((i, x)))
+      out.toSeq
+    })
+    val featureRows = feats
+      .select(col(idCol), explode(activeUdf(col("__feat"))).as("e"))
+      .select(col(idCol), col("e._1").as("idx"), col("e._2").as("v"))
+    Scored(scored, featureRows, model.coefficients.toArray, model.intercept)
   }
 }
