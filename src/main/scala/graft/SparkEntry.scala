@@ -1505,18 +1505,20 @@ object SparkEntry {
     },
 
     "rag_tfidf_embed" -> { (s, dir) =>
-      // rows-only: MLlib hashing-TF/IDF embeddings (hash-seeded, not
-      // SQL-expressible); unit-norm + ANN-compat pinned in ChunkEmbedSpec.
-      // The driver-facing projection is scalar (dim / L2 norm / vector
-      // digest) because the raw array<float> column crashes the driver's
-      // pandas sort; the full vectors stay the library output.
+      // MLlib hashing-TF/IDF embeddings, emitted as exact per-dimension
+      // integer micro-units (scalar columns — raw float arrays crash the
+      // driver's pandas sort). The hash mapping (term→bucket) and the
+      // fitted IDF vector are the exported artifacts (writeOracleAux);
+      // the oracle replays bucketed TF counting, IDF scaling, the
+      // ordered L2 normalization and the float downcast — every step
+      // IEEE-deterministic, so the micro floor matches bit-for-bit.
+      // Unit-norm + ANN-compat contracts pinned in ChunkEmbedSpec.
       TfIdfEmbed.embed(t(s, dir, "documents"), "doc_id", "text", dim = 128)
         .select(col("doc_id"),
-          size(col("embedding")).as("dim"),
-          round(Vectors.norm(col("embedding")), 6).as("l2_norm"),
-          xxhash64(array_join(
-            transform(col("embedding"), x => round(x, 5).cast("string")), ","))
-            .as("vec_digest"))
+          posexplode(col("embedding")).as(Seq("idx", "v")))
+        .select(col("doc_id"), col("idx"),
+          floor(lit(1000000) * col("v").cast("double")).cast("long")
+            .as("v_micro"))
     },
 
     "dedup_components" -> { (s, dir) =>
@@ -2518,6 +2520,15 @@ object SparkEntry {
     (qc.coefficients.zipWithIndex.map { case (w, i) => (i, w) } :+
         ((-1, qc.intercept))).toSeq.toDF("idx", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/qc_model")
+    // TF-IDF replay artifacts: hashing-trick term→bucket mapping over
+    // the corpus vocabulary + the fitted IDF weights — the oracle
+    // recomputes rag_tfidf_embed's bucketed TF, IDF scaling and ordered
+    // L2 normalization from these
+    TfIdfEmbed.termBuckets(t(s, dir, "documents"), "text", dim = 128)
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/tfidf_buckets")
+    TfIdfEmbed.idfWeights(t(s, dir, "documents"), "doc_id", "text", dim = 128)
+      .zipWithIndex.map { case (w, i) => (i, w) }.toSeq.toDF("idx", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/tfidf_idf")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
@@ -2528,6 +2539,8 @@ object SparkEntry {
   private def auxGramHashes = s"read_parquet('$oracleAuxDir/gram_hashes/*.parquet')"
   private def auxQcFeatures = s"read_parquet('$oracleAuxDir/qc_features/*.parquet')"
   private def auxQcModel = s"read_parquet('$oracleAuxDir/qc_model/*.parquet')"
+  private def auxTfidfBuckets = s"read_parquet('$oracleAuxDir/tfidf_buckets/*.parquet')"
+  private def auxTfidfIdf = s"read_parquet('$oracleAuxDir/tfidf_idf/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3600,6 +3613,49 @@ object SparkEntry {
                AS BIGINT) AS prob_milli
            FROM documents d LEFT JOIN dm ON dm.doc_id = d.doc_id)
          SELECT doc_id, prob_milli, prob_milli >= 500 AS pred FROM scored""",
+
+    // TF-IDF embedding replay against the exported hash mapping + IDF
+    // weights: tokenization mirrors RegexTokenizer (lowercase, \s+ gaps,
+    // min token length 1), TF counts token occurrences per bucket, the
+    // L2 norm accumulates squares in ascending bucket order (the MLlib
+    // sparse-norm order — list_inner_product preserves it), and the
+    // float downcast before the micro floor mirrors the operator's
+    // array<float> output. All-zero docs keep their unnormalized zeros
+    // (the Normalizer's norm=0 branch).
+    "rag_tfidf_embed" ->
+      s"""WITH tok AS (
+           SELECT d.doc_id, u.term
+           FROM documents d,
+             unnest(string_split_regex(lower(d.text), '\\s+')) AS u(term)
+           WHERE len(u.term) >= 1),
+         tf AS (
+           SELECT tok.doc_id, tb.idx, CAST(count(*) AS DOUBLE) AS tf
+           FROM tok JOIN $auxTfidfBuckets tb USING (term)
+           GROUP BY tok.doc_id, tb.idx),
+         nz AS (
+           SELECT tf.doc_id, tf.idx, tf.tf * i.w AS v
+           FROM tf JOIN $auxTfidfIdf i USING (idx)
+           WHERE tf.tf * i.w != 0),
+         nrm AS (
+           SELECT doc_id,
+             sqrt(list_inner_product(list(v ORDER BY idx),
+                                     list(v ORDER BY idx))) AS nrm
+           FROM nz GROUP BY doc_id),
+         grid AS (
+           SELECT d.doc_id, u.idx FROM documents d,
+             (SELECT unnest(range(128)) AS idx) u),
+         outv AS (
+           SELECT g.doc_id, g.idx,
+             CASE WHEN nrm.nrm IS NULL OR nrm.nrm = 0
+               THEN coalesce(nz.v, 0.0)
+               ELSE coalesce(nz.v, 0.0) / nrm.nrm END AS vd
+           FROM grid g
+           LEFT JOIN nz ON nz.doc_id = g.doc_id AND nz.idx = g.idx
+           LEFT JOIN nrm ON nrm.doc_id = g.doc_id)
+         SELECT doc_id, CAST(idx AS INTEGER) AS idx,
+           CAST(floor(1000000 * CAST(CAST(vd AS FLOAT) AS DOUBLE)) AS BIGINT)
+             AS v_micro
+         FROM outv""",
 
     "dedup_incremental_lsh" ->
       """WITH t AS (

@@ -43,4 +43,40 @@ object TfIdfEmbed {
     val toFloats = udf((v: Vector) => v.toArray.map(_.toFloat))
     out.select(col(idCol), toFloats(col("__vec")).as("embedding"))
   }
+
+  /** The IDF weight vector the [[embed]] chain fits — a deterministic
+    * refit exposed as an oracle replay artifact (the fit statistics are
+    * corpus-deterministic, so this equals the weights embed() applied). */
+  def idfWeights(df: DataFrame, idCol: String, textCol: String,
+      dim: Int = 256): Array[Double] = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+      .setPattern("\\s+")
+    val tf = new HashingTF().setInputCol("__tokens").setOutputCol("__tf")
+      .setNumFeatures(dim)
+    val tokenized = tf.transform(tok.transform(df)).select(col(idCol), col("__tf"))
+    new IDF().setInputCol("__tf").setOutputCol("__tfidf").fit(tokenized)
+      .idf.toArray
+  }
+
+  /** The hashing-trick term→bucket mapping over the corpus vocabulary,
+    * computed through the SAME HashingTF the embed chain uses (murmur3
+    * on the term) — bounded by distinct-token count, the artifact that
+    * lets an external engine replay bucketed TF counting without
+    * reimplementing the hash. */
+  def termBuckets(df: DataFrame, textCol: String,
+      dim: Int = 256): DataFrame = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+      .setPattern("\\s+")
+    val terms = tok.transform(df)
+      .select(explode(col("__tokens")).as("term")).distinct()
+      .withColumn("__one", array(col("term")))
+    val tf = new HashingTF().setInputCol("__one").setOutputCol("__v")
+      .setNumFeatures(dim)
+    val idxUdf = udf((v: Vector) => {
+      var idx = -1
+      v.foreachActive((i, x) => if (x != 0.0) idx = i)
+      idx
+    })
+    tf.transform(terms).select(col("term"), idxUdf(col("__v")).as("idx"))
+  }
 }
