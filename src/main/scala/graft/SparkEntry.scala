@@ -1190,6 +1190,15 @@ object SparkEntry {
         maxHamming = 6)
     },
 
+    "dedup_winnow_overlap" -> { (s, dir) =>
+      // MOSS-style near-dup pairs: >= 3 shared winnowed fingerprints
+      // (verbatim 16-char runs), boilerplate hashes df-capped; the
+      // oracle replays selection + df cap + pair count over the
+      // exported per-position gram hashes (same aux as text_fingerprint)
+      Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
+        minShared = 3L, maxDf = 50)
+    },
+
     "dedup_incremental_lsh" -> { (s, dir) =>
       // incremental ingest: the corpus slice (doc_id % 10 ≠ 0) is indexed
       // ONCE (MinHashIndex — sketch rows only, an offline artifact), the
@@ -3590,6 +3599,38 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id, 0 AS win_start, 0 AS pos, h AS fp_hash
          FROM $auxGramHashes WHERE pos = -1""",
+
+    // winnowing-overlap pairs: the same selection replay as
+    // text_fingerprint, then distinct per-doc fingerprints, the df cap,
+    // and the shared-count pair join
+    "dedup_winnow_overlap" ->
+      s"""WITH g AS (SELECT doc_id, pos, h FROM $auxGramHashes WHERE pos >= 0),
+         n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+         win AS (SELECT g.doc_id, g.pos AS wi
+                 FROM g JOIN n USING (doc_id) WHERE g.pos + 8 <= n.n),
+         sel AS (
+           SELECT doc_id, wi, pos, h FROM (
+             SELECT w.doc_id, w.wi, g.pos, g.h,
+               row_number() OVER (PARTITION BY w.doc_id, w.wi
+                 ORDER BY g.h ASC, g.pos DESC) AS rn
+             FROM win w JOIN g ON g.doc_id = w.doc_id
+                              AND g.pos BETWEEN w.wi AND w.wi + 7)
+           WHERE rn = 1),
+         runs AS (
+           SELECT doc_id, wi, pos, h,
+             lag(pos) OVER (PARTITION BY doc_id ORDER BY wi) AS prev_pos
+           FROM sel),
+         fp AS (
+           SELECT DISTINCT doc_id, h FROM (
+             SELECT doc_id, h FROM runs
+             WHERE prev_pos IS NULL OR prev_pos <> pos
+             UNION ALL
+             SELECT doc_id, h FROM $auxGramHashes WHERE pos = -1)),
+         keep AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 50),
+         fk AS (SELECT fp.doc_id, fp.h FROM fp JOIN keep USING (h))
+         SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+         FROM fk a JOIN fk b ON a.h = b.h AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 3""",
 
     // the scoring layer of the quality classifier replayed against the
     // exported refit artifacts: ordered sparse dot (ascending feature

@@ -231,6 +231,38 @@ object Dedup {
       .select("i", "j", "sz_i", "sz_j", "n_shared", "containment_milli")
   }
 
+  /** MOSS-style winnowing-overlap pairs (Schleimer, Wilkerson, Aiken
+    * 2003): two documents are near-dups when they share at least
+    * `minShared` WINNOWED fingerprints — selected char-k-gram hashes, so
+    * a match is evidence of verbatim 16-char runs at guaranteed density
+    * (winnowing selects ≥ one gram per w-window). Complements the
+    * token-shingle detectors: character-level, order-sensitive, and
+    * local — a plagiarized passage lights up even when the global
+    * Jaccard is diluted by surrounding text.
+    *
+    * Scale shape mirrors [[containmentPairs]]: per-doc fingerprints are
+    * an equi-join key, hot fingerprints above `maxDf` docs are dropped
+    * as boilerplate (bounds every posting list), the fingerprint table
+    * is checkpointed once and feeds the df cap and both join sides, and
+    * the pair aggregate moves ids only. */
+  def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+      minShared: Long = 3L, maxDf: Int = 50): DataFrame = {
+    val runsUdf = udf((txt: String) => Sketches.winnowedRuns(txt))
+    val fp = df.select(col(idCol).as("id"),
+        explode(runsUdf(col(textCol))).as("r"))
+      .select(col("id"), col("r._3").as("h")).distinct()
+      .localCheckpoint(true)
+    val keep = fp.groupBy("h").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf)
+    val idx = fp.join(maybeBroadcast(keep.select("h")), Seq("h"))
+    val a = fanout(idx.select(col("h"), col("id").as("i")))
+    val b = idx.select(col("h"), col("id").as("j"))
+    a.join(maybeBroadcast(b), Seq("h"))
+      .filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash + LSH near-dup pairs: signature banding proposes candidates,
     * exact shingle Jaccard verifies. numHashes = bands × rowsPerBand;
     * detection probability for true Jaccard s is 1-(1-s^r)^b

@@ -295,4 +295,33 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSeq
     assert(got == Seq((1L, 4L), (2L, 4L)))
   }
+  test("winnowing overlap finds verbatim-run pairs, df-caps boilerplate") {
+    import graft.ops.Dedup
+    val quoted = "the quick brown fox jumps over the lazy dog in the misty morning light"
+    val rows = Seq(
+      (1L, "intro text before " + quoted + " and some trailing words here"),
+      (2L, "a different framing where " + quoted + " appears quoted verbatim"),
+      (3L, "completely unrelated content about parquet shuffle partitions"),
+      (4L, "more unrelated filler concerning broadcast joins and codegen"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlapPairs(rows, "doc_id", "text",
+        minShared = 3L, maxDf = 50)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2)).toSet
+    assert(pairs.contains((1L, 2L)), s"quoted-run pair missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    // boilerplate cap: a hash present in EVERY doc stops pairing when
+    // maxDf drops below the corpus size
+    val boiler = "shared boilerplate header exactly replicated " * 2
+    val many = (1L to 6L).map(i => (i, boiler + s" unique tail $i"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowOverlapPairs(many, "doc_id", "text",
+      minShared = 1L, maxDf = 5)
+    val uncapped = Dedup.winnowOverlapPairs(many, "doc_id", "text",
+      minShared = 1L, maxDf = 50)
+    assert(uncapped.count() > capped.count())
+    // plan: candidates come from an equi hash join on the fingerprint
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
 }
