@@ -134,6 +134,42 @@ object Sketches {
     out
   }
 
+  /** Per-position rolling k-gram FNV hashes, shared by the winnowing
+    * kernels. ASCII fast path hashes windows of ONE byte buffer with
+    * zero per-window allocation (the substring-per-position spelling
+    * allocated a String + byte[] per gram — measured 5.2 s -> see bench
+    * on the sf0.1 overlap join); any non-ASCII char falls back to the
+    * substring path, whose UTF-8 bytes define the hash for all text. */
+  private def gramHashArray(t: String, k: Int): Array[Long] = {
+    val n = t.length - k + 1
+    val out = new Array[Long](n)
+    var ascii = true
+    var ci = 0
+    while (ascii && ci < t.length) {
+      if (t.charAt(ci) >= 0x80) ascii = false
+      ci += 1
+    }
+    if (ascii) {
+      val bytes = t.getBytes(StandardCharsets.ISO_8859_1)
+      var i = 0
+      while (i < n) {
+        var h = 0xcbf29ce484222325L
+        var j = i
+        while (j < i + k) {
+          h ^= (bytes(j) & 0xffL)
+          h *= 0x100000001b3L
+          j += 1
+        }
+        out(i) = h
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) { out(i) = fnv1a64(t.substring(i, i + k)); i += 1 }
+    }
+    out
+  }
+
   /** Winnowing fingerprint RUNS — the canonical set form of winnowing
     * (Schleimer, Wilkerson, Aiken 2003: the fingerprint is the SELECTED
     * hashes, with positions): one row per run of consecutive windows
@@ -149,9 +185,7 @@ object Sketches {
     val t = if (text == null) "" else text
     if (t.length < k) return Array((0, 0, fnv1a64(t)))
     val n = t.length - k + 1
-    val grams = new Array[Long](n)
-    var i = 0
-    while (i < n) { grams(i) = fnv1a64(t.substring(i, i + k)); i += 1 }
+    val grams = gramHashArray(t, k)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long)]
     var wi = 0
     var lastMinIdx = -1
@@ -175,10 +209,10 @@ object Sketches {
   def gramHashes(text: String, k: Int = 16): Array[(Int, Long)] = {
     val t = if (text == null) "" else text
     if (t.length < k) return Array((-1, fnv1a64(t)))
-    val n = t.length - k + 1
-    val out = new Array[(Int, Long)](n)
+    val grams = gramHashArray(t, k)
+    val out = new Array[(Int, Long)](grams.length)
     var i = 0
-    while (i < n) { out(i) = ((i, fnv1a64(t.substring(i, i + k)))); i += 1 }
+    while (i < grams.length) { out(i) = ((i, grams(i))); i += 1 }
     out
   }
 
@@ -191,9 +225,7 @@ object Sketches {
     val t = if (text == null) "" else text
     if (t.length < k) return fnv1a64(t)
     val n = t.length - k + 1
-    val grams = new Array[Long](n)
-    var i = 0
-    while (i < n) { grams(i) = fnv1a64(t.substring(i, i + k)); i += 1 }
+    val grams = gramHashArray(t, k)
     var combined = 0xcbf29ce484222325L
     var wi = 0
     var lastMinIdx = -1

@@ -119,4 +119,17 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("gram-hash fast path matches the substring-defined hashes") {
+    import graft.ops.Sketches
+    val rnd = new scala.util.Random(9L)
+    val texts = (1 to 20).map(_ =>
+      Seq.fill(20 + rnd.nextInt(60))((32 + rnd.nextInt(95)).toChar).mkString) :+
+      "caf\u00e9 au lait plus enough trailing characters"   // non-ASCII fallback
+    texts.foreach { t =>
+      Sketches.gramHashes(t).foreach { case (p, h) =>
+        if (p >= 0) assert(h == Sketches.fnv1a64(t.substring(p, p + 16)))
+      }
+    }
+  }
+
 }
