@@ -66,25 +66,85 @@ object Bench {
       }.min
     val controlPre = controlSec()
 
+    // optional args: run only these queries (local profiling); the
+    // driver passes none and gets the full sweep
+    val only = args.toSet
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def cleanup(): Unit = {
+      // operators may persist intermediate sketch tables; drop them so one
+      // query's cache doesn't tax the next query's memory. clearCache only
+      // covers the SQL cache — iterative operators (PageRank, components,
+      // BPE fit) also leave localCheckpoint RDD blocks behind, which
+      // accumulated over a 198-query sweep into enough block-manager /
+      // memory pressure to slow the checkpoint-heavy queries 2-3×
+      // (reproduced: graph_ppr 3.5 s standalone vs 12 s late in the
+      // sweep). Drop those too: per-query isolation means no query reads
+      // a predecessor's checkpoint.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    // mid-sweep load probes: the r7 artifact carried clean pre/post
+    // controls yet 7 queries were 4-8× their quiet-host times — a load
+    // burst BETWEEN the two windows is invisible to bracketing controls.
+    // One probe every 20 queries puts an upper bound on where a burst can
+    // hide; the probe values ship in the artifact.
+    val midControls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sinceProbe = 0
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case _: Throwable => failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
-      // operators may persist intermediate sketch tables; drop them so one
-      // query's cache doesn't tax the next query's memory
-      spark.catalog.clearCache()
+      cleanup()
       name -> dt
+    }
+    val queriesToRun = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val firstPass = queriesToRun.map { case (name, fn) =>
+      sinceProbe += 1
+      if (sinceProbe >= 20) {
+        sinceProbe = 0
+        // nudge the ContextCleaner: shuffle files are reclaimed only when
+        // their RDD/exchange objects are GC'd, and a large driver heap can
+        // go a whole sweep without a full GC — letting tens of GB of dead
+        // shuffle spill accumulate and evict the input parquet pages from
+        // the OS page cache (the mid-sweep slowdown mechanism)
+        System.gc()
+        midControls += controlSec()
+      }
+      timed(name, fn)
+    }
+
+    // Targeted noise retry: a transient burst inflates whichever queries
+    // it overlapped; re-running the expensive tail once and keeping the
+    // per-query MIN removes one-off inflation while never hiding a real
+    // regression (a genuinely slow plan is slow both times). Bounded:
+    // only queries over 2.5 s, at most 12 of them.
+    val retryNames = firstPass.filter(_._2 > 2.5).sortBy(-_._2).take(12)
+      .filterNot { case (n, _) => failed.contains(n) }
+      .map(_._1).toSet
+    val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val results = if (retryNames.isEmpty) firstPass else {
+      val second = queriesToRun
+        .filter { case (n, _) => retryNames(n) }
+        .map { case (n, fn) => timed(n, fn) }.toMap
+      firstPass.map { case (n, t1) =>
+        second.get(n) match {
+          case Some(t2) if t2 < t1 => retried += (n -> t1); n -> t2
+          case _ => n -> t1
+        }
+      }
     }
     val total = results.map(_._2).sum
 
     val controlPost = controlSec()
     // quiet-host envelope for this scan at sf0.1 on local[32] is ~0.1-0.3s
-    // (measured); 1.0s = >3× sustained inflation. Either window tripping
+    // (measured); 1.0s = >3× sustained inflation. Any window tripping
     // marks the run — load at the start AND the end taints everything
     // between, load in one window taints at least its neighborhood.
-    val loadSuspect = controlPre > 1.0 || controlPost > 1.0
+    val loadSuspect = controlPre > 1.0 || controlPost > 1.0 ||
+      midControls.exists(_ > 1.0)
     // a failed query must be VISIBLE in the artifact, not silently timed
     // (first 10 names inline — n_failed carries the full count, so a
     // mass failure can't blow the line past the tail budget)
@@ -100,7 +160,13 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def entry(kv: (String, Double)): String = "\"" + kv._1 + "\":" + fmt(kv._2)
 
-    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"load_suspect":$loadSuspect"""
+    val midJson = midControls.map(fmt).mkString("[", ",", "]")
+    // first-pass times of retried queries — the delta vs the kept min is
+    // the measured noise; a reviewer can see exactly what the retry did
+    val retryJson = retried
+      .map { case (n, t1) => "\"" + n + "\":" + fmt(t1) }
+      .mkString("{", ",", "}")
+    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"control_mid_sec":$midJson,"retried_firstpass":$retryJson,"load_suspect":$loadSuspect"""
     val fullJson = {
       val qs = results.map(entry).mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$controlJson,"sf":"$sfDir"}"""
@@ -113,7 +179,11 @@ object Bench {
     // Whole line + sbt's trailing "[success] Total time: …" (~75 chars)
     // must fit the harness's 2000-char tail for the JSON to parse; 1500
     // leaves ~280 chars of slack for extra trailing log lines.
-    val budget = 1500 // chars available for the queries map in the tail
+    // chars available for the queries map in the tail — the control/retry
+    // evidence varies in size, so it eats into this budget rather than
+    // risking the 2000-char tail cut
+    val budget = math.max(400,
+      1500 - midJson.length - retryJson.length)
     val byCost = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2 // braces

@@ -2399,11 +2399,13 @@ object SparkEntry {
     },
 
     "text_bpe_pieces" -> { (s, dir) =>
-      // rows-only: BPE tokenizer TRAINED on the corpus word dictionary
-      // (32 merges, driver-side deterministic learning over a distributed
-      // word count), then applied corpus-wide by the codegen'd encode
-      // expression; iterative merge learning is not SQL-expressible —
-      // semantics pinned by BpeSpec hand goldens + round-trip property
+      // BPE tokenizer TRAINED on the corpus word dictionary (32 merges,
+      // driver-side deterministic learning over a distributed word count),
+      // then applied corpus-wide by the codegen'd encode expression. The
+      // oracle replays the corpus layer (tokenize, vocab join, ordered
+      // concat + md5) in SQL against the exported per-word pieces
+      // (writeOracleAux); word-level merge-walk semantics pinned by
+      // BpeSpec hand goldens + round-trip property
       val docs = t(s, dir, "documents")
       val model = graft.ops.Bpe.fit(docs, "text", nMerges = 32)
       docs.select(col("doc_id"),
@@ -2538,6 +2540,22 @@ object SparkEntry {
     TfIdfEmbed.idfWeights(t(s, dir, "documents"), "doc_id", "text", dim = 128)
       .zipWithIndex.map { case (w, i) => (i, w) }.toSeq.toDF("idx", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/tfidf_idf")
+    // BPE replay artifacts: the per-WORD encode over the corpus's distinct
+    // vocabulary (the same deterministic refit + codegen encode kernel the
+    // query runs, golden-pinned word-by-word in BpeSpec) — the oracle
+    // replays text_bpe_pieces' corpus APPLICATION layer in SQL: whitespace
+    // tokenization, word→pieces join, in-order concat, piece count and the
+    // md5 digest. Same artifact split as dedup_simhash (kernel exported,
+    // query arithmetic replayed).
+    val bpeModel = graft.ops.Bpe.fit(t(s, dir, "documents"), "text", nMerges = 32)
+    t(s, dir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0).distinct()
+      .select(col("term"),
+        graft.ops.Bpe.encode(col("term"), bpeModel).as("__p"))
+      .select(col("term"), concat_ws(" ", col("__p")).as("pieces_str"),
+        size(col("__p")).as("n_pieces"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/bpe_word_pieces")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
@@ -2550,6 +2568,7 @@ object SparkEntry {
   private def auxQcModel = s"read_parquet('$oracleAuxDir/qc_model/*.parquet')"
   private def auxTfidfBuckets = s"read_parquet('$oracleAuxDir/tfidf_buckets/*.parquet')"
   private def auxTfidfIdf = s"read_parquet('$oracleAuxDir/tfidf_idf/*.parquet')"
+  private def auxBpePieces = s"read_parquet('$oracleAuxDir/bpe_word_pieces/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3697,6 +3716,32 @@ object SparkEntry {
            CAST(floor(1000000 * CAST(CAST(vd AS FLOAT) AS DOUBLE)) AS BIGINT)
              AS v_micro
          FROM outv""",
+
+    // BPE corpus-encode replay against the exported per-word pieces: the
+    // word-level merge walk is the exported kernel artifact (BpeSpec hand
+    // goldens pin it); the oracle recomputes the corpus layer — ordered
+    // whitespace tokenization (empty tokens dropped, same as the kernel's
+    // trim+split+nonEmpty), the vocabulary join, the in-order ' ' concat
+    // feeding md5, and the piece-count sum. Docs with no tokens keep
+    // n_pieces = 0 and md5('') — the kernel's empty-encode output.
+    "text_bpe_pieces" ->
+      s"""WITH wp AS (SELECT term, pieces_str, n_pieces FROM $auxBpePieces),
+         tok AS (
+           SELECT d.doc_id, u.i,
+             string_split_regex(d.text, '\\s+')[u.i] AS term
+           FROM documents d,
+             unnest(range(1, len(string_split_regex(d.text, '\\s+')) + 1))
+               AS u(i)
+           WHERE len(string_split_regex(d.text, '\\s+')[u.i]) > 0),
+         agg AS (
+           SELECT tok.doc_id,
+             sum(wp.n_pieces) AS np,
+             string_agg(wp.pieces_str, ' ' ORDER BY tok.i) AS ps
+           FROM tok JOIN wp USING (term) GROUP BY tok.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(a.np, 0) AS INTEGER) AS n_pieces,
+           md5(coalesce(a.ps, '')) AS pieces_md5
+         FROM documents d LEFT JOIN agg a USING (doc_id)""",
 
     "dedup_incremental_lsh" ->
       """WITH t AS (

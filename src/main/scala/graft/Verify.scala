@@ -27,7 +27,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache()
+      finally {
+        // SQL cache AND leftover localCheckpoint RDD blocks (iterative
+        // operators) — same per-query isolation as Bench.cleanup
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // oracle aux artifacts (IVF centroids/assignment, PQ codebook) for
     // the ann_* index-replay oracles — written after the dump so the

@@ -122,7 +122,7 @@ object Components {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(col("__c").desc, col("label").asc)
     var labels = seed
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val votes = e
         .join(hint(labels.withColumnRenamed("node", "src")), Seq("src"))
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("__c"))
@@ -130,7 +130,11 @@ object Components {
         .filter(col("__rk") === 1)
         .select(col("dst").as("node"), col("label"))
         .join(hint(seed.select("node")), Seq("node"), "left_anti")
-      labels = seed.unionByName(adopted).localCheckpoint(true)
+      labels = seed.unionByName(adopted)
+      // lineage cut every second round (each eager checkpoint is a full
+      // job; a two-round plan is still constant-size) — same cadence as
+      // PageRank.iterate
+      if (it % 2 == 0 && it < iters) labels = labels.localCheckpoint(true)
     }
     labels
   }

@@ -112,15 +112,20 @@ object PageRank {
       baseCol: org.apache.spark.sql.Column, hint: DataFrame => DataFrame,
       iters: Int, dampNum: Long, dampDen: Long,
       postStep: DataFrame => DataFrame = identity): DataFrame = {
+    // lineage is cut every SECOND round, not every round: each eager
+    // localCheckpoint is a full job (schedule + materialize + store), and
+    // a two-round plan is still constant-size — this halves the job count
+    // of the fixed-point loop while keeping the plan from deepening
+    // across arbitrary iteration counts (the GraphX/Pregel hygiene).
     var ranks = ranks0.localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val contribs = edgesDeg
         .join(hint(ranks.withColumnRenamed("node", "src")), Seq("src"))
         .select(col("dst"), expr("rank div __deg").as("__c"))
       ranks = postStep(contribs.groupBy(col("dst").as("node"))
           .agg((baseCol + expr(s"(sum(__c) * ${dampNum}L) div ${dampDen}L"))
             .as("rank")))
-        .localCheckpoint(true)
+      if (it % 2 == 0 && it < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }
