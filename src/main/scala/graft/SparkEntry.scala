@@ -59,8 +59,12 @@ object SparkEntry {
     * (canonical path + per-file name/size/mtime), not a hash of the dir
     * string: regenerating testdata in place, or two dirs whose names
     * collide under String.hashCode, must never serve stale centroids. */
-  private def ivfIndexFor(s: SparkSession, dir: String): graft.ops.Vectors.IvfIndex = {
-    val table = new java.io.File(s"$dir/embeddings.parquet")
+  /** Content fingerprint of one parquet table (canonical path + per-file
+    * name/size/mtime) — the cache key for offline index artifacts.
+    * Regenerating testdata in place, or two dirs whose names collide
+    * under String.hashCode, must never serve a stale index. */
+  private def tableDigest(dir: String, tableName: String): String = {
+    val table = new java.io.File(s"$dir/$tableName.parquet")
     val files: Seq[java.io.File] =
       if (table.isDirectory) {
         // recursive walk: a partitioned table keeps data in subdirs, and
@@ -74,9 +78,12 @@ object SparkEntry {
     val ident = (table.getCanonicalPath +:
       files.sortBy(f => f.toPath.toString)
         .map(f => s"${table.toPath.relativize(f.toPath)}:${f.length}:${f.lastModified}")).mkString("|")
-    val digest = java.security.MessageDigest.getInstance("MD5")
+    java.security.MessageDigest.getInstance("MD5")
       .digest(ident.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_$digest"
+  }
+
+  private def ivfIndexFor(s: SparkSession, dir: String): graft.ops.Vectors.IvfIndex = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_${tableDigest(dir, "embeddings")}"
     val marker = new java.io.File(s"$path/_built")
     this.synchronized {
       if (!marker.exists()) {
@@ -86,6 +93,25 @@ object SparkEntry {
       }
     }
     Vectors.ivfLoad(s, path)
+  }
+
+  /** The MinHash-LSH corpus index (doc_id % 10 ≠ 0 slice) as an offline
+    * artifact, same cache policy as [[ivfIndexFor]]: content-keyed path,
+    * first call pays the build, every later call loads sketch rows only.
+    * `force` rebuilds unconditionally — the build-cost bench entry. */
+  private def minHashIndexFor(s: SparkSession, dir: String,
+      force: Boolean = false): graft.ops.Dedup.MinHashIndex = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_mhidx_${tableDigest(dir, "documents")}"
+    val marker = new java.io.File(s"$path/_built")
+    this.synchronized {
+      if (force || !marker.exists()) {
+        Dedup.minHashIndexSave(Dedup.minHashIndexBuild(
+          t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+          "doc_id", "text"), path)
+        new java.io.FileOutputStream(marker).close()
+      }
+    }
+    Dedup.minHashIndexLoad(s, path)
   }
 
   /** documents + deterministic fingerprint (P1) — shared by several ops. */
@@ -1084,11 +1110,25 @@ object SparkEntry {
     },
 
     "f12_similarity_scale" -> { (s, dir) =>
-      // rows-only: F12 at scale — deletion-neighborhood candidates
-      // (98.6% recall contract, FuzzyJoinSpec) + difflib-parity verify;
-      // the verify itself is not SQL-expressible, so no oracle
-      FuzzyJoin.selfPairs(t(s, dir, "part"), "p_partkey", "p_name",
-          blockCols = Seq("p_brand"))((a, b) => gf.similarity(a, b) >= 0.9)
+      // rows-only (difflib ratio has no SQL form), but EXACT — no recall
+      // contract left in the query set: ratio ≥ θ implies the total
+      // matched chars M ≥ θ(la+lb)/2, M never exceeds LCS, and
+      // lev ≤ la+lb − 2·LCS, so every qualifying pair has
+      // lev ≤ (1−θ)(la+lb) ≤ (1−θ)·2·Lmax — PassJoin candidates at that
+      // k are an exact superset (FuzzyJoinSpec proves equality with
+      // brute-force all-pairs). Lmax is ONE bounded agg row; the cheap
+      // real_quick_ratio length bound 2·min/(la+lb) ≥ θ prunes
+      // candidates ahead of the difflib kernel.
+      val p = t(s, dir, "part")
+      val theta = 0.9
+      val lmax = p.agg(max(length(col("p_name"))).cast("int")).head().getInt(0)
+      val k = ((1.0 - theta) * 2 * lmax).toInt
+      FuzzyJoin.selfPairsExact(p, "p_partkey", "p_name", k = k,
+          blockCols = Seq("p_brand")) { (a, b) =>
+          (lit(2) * least(length(a), length(b)) >=
+            lit(theta) * (length(a) + length(b))) &&
+            gf.similarity(a, b) >= theta
+        }
         .select(col("i").as("k1"), col("j").as("k2"),
           gf.similarity(col("str_i"), col("str_j")).as("sim"))
     },
@@ -1199,19 +1239,32 @@ object SparkEntry {
         minShared = 3L, maxDf = 50)
     },
 
+    "dedup_incremental_index_build" -> { (s, dir) =>
+      // the BUILD half of incremental LSH dedup, benched separately from
+      // the probe (the r7 single entry conflated one-time index
+      // construction with the steady-state batch cost the operator
+      // exists to make cheap): unconditionally re-sketches the corpus
+      // slice and persists it (content-keyed path), returning the
+      // indexed-row count. Oracle: a doc sketches iff it has ≥ 3
+      // space-split tokens (shingleK = 3) — same tokenization the
+      // hash-green probe oracle replays.
+      val idx = minHashIndexFor(s, dir, force = true)
+      idx.sketches.agg(count(lit(1)).as("n_indexed"))
+    },
+
     "dedup_incremental_lsh" -> { (s, dir) =>
-      // incremental ingest: the corpus slice (doc_id % 10 ≠ 0) is indexed
-      // ONCE (MinHashIndex — sketch rows only, an offline artifact), the
-      // new batch (doc_id % 10 = 0) dedupes against it without the corpus
-      // being re-sketched or reshuffled. Oracle = exact cross-split
-      // jaccard: every qualifying crossing pair sits at jac ≥ 0.95 at
-      // sf0.01 (≥ 0.90 at sf0.001), where 16×4 banding recall is
-      // structurally 1 (miss prob ≤ 1e-7).
-      val docs = t(s, dir, "documents")
-      val idx = Dedup.minHashIndexBuild(
-        docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text")
+      // the PROBE half: the corpus index is an offline artifact (loaded
+      // sketch rows, built at most once per corpus content — see
+      // minHashIndexFor); only the new batch (doc_id % 10 = 0) is
+      // sketched, its band rows broadcast against the index, the corpus
+      // never re-shuffles. Oracle = exact cross-split jaccard: every
+      // qualifying crossing pair sits at jac ≥ 0.95 at sf0.01 (≥ 0.90 at
+      // sf0.001), where 16×4 banding recall is structurally 1 (miss
+      // prob ≤ 1e-7).
+      val idx = minHashIndexFor(s, dir)
       Dedup.minHashDedupeAgainst(idx,
-        docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", threshold = 0.5)
+        t(s, dir, "documents").filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", threshold = 0.5)
     },
 
     "dedup_embedding_cosine" -> { (s, dir) =>
@@ -1929,10 +1982,12 @@ object SparkEntry {
     },
 
     "profile_heavy_hitters" -> { (s, dir) =>
-      // rows-only: count-min-sketch top-20 tokens — the no-full-shuffle
-      // frequency profile (exact twin is text_vocab_topk). Sketch bytes
-      // are engine-specific, so no DuckDB oracle; the over-estimate
-      // bound vs exact counts is pinned in MiscOpsSpec.
+      // count-min-sketch top-20 tokens — the no-full-shuffle frequency
+      // profile (exact twin is text_vocab_topk). The sketch is a d×w
+      // COUNTER TABLE addressed by md5 slices (Profile.cmsCounters), so
+      // the oracle replays the whole pipeline — counters, deterministic
+      // candidate sample, min-over-d read-back, top-k — in SQL; the
+      // over-estimate bound vs exact counts stays pinned in MiscOpsSpec.
       Profile.heavyHittersCms(t(s, dir, "documents"), col("doc_id"),
         col("text"), k = 20)
     },
@@ -3717,6 +3772,46 @@ object SparkEntry {
              AS v_micro
          FROM outv""",
 
+    // full count-min-sketch replay, no aux artifact: counters = per-row
+    // 16-bit md5 slices mod 20000 (w = ceil(2/1e-4), d = 7 =
+    // ceil(log2(1/(1-0.99))) — Profile.cmsDims), candidates = the same
+    // md5 occurrence sample as the sampler oracles, estimate = min over
+    // the 7 counter rows. posexplode positions count ALL split elements
+    // (pos assigned before the empty-token filter), mirrored by indexing
+    // the full array with u.i - 1.
+    "profile_heavy_hitters" ->
+      s"""WITH occ AS (
+           SELECT d.doc_id AS id, u.i - 1 AS pos,
+             string_split_regex(trim(d.text), '\\s+')[u.i] AS tok
+           FROM documents d,
+             unnest(range(1, len(string_split_regex(trim(d.text), '\\s+')) + 1))
+               AS u(i)),
+         occ2 AS (SELECT * FROM occ WHERE len(tok) > 0),
+         hs AS (SELECT unnest(range(7)) AS i),
+         counters AS (
+           SELECT hs.i,
+             CAST(('0x' || substr(md5(tok), 1 + 4*hs.i, 4)) AS UBIGINT)
+               % 20000 AS bucket,
+             count(*) AS cnt
+           FROM occ2, hs GROUP BY 1, 2),
+         cand AS (
+           SELECT tok, count(*) AS sn FROM occ2
+           WHERE CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+                 CAST(pos AS VARCHAR) || ':' || tok), 1, 15)) AS UBIGINT)
+               % 10000 < 1000
+           GROUP BY tok HAVING count(*) >= 2),
+         cb AS (
+           SELECT c.tok, hs.i,
+             CAST(('0x' || substr(md5(c.tok), 1 + 4*hs.i, 4)) AS UBIGINT)
+               % 20000 AS bucket
+           FROM cand c CROSS JOIN hs),
+         est AS (
+           SELECT cb.tok, min(k.cnt) AS est_count
+           FROM cb JOIN counters k ON k.i = cb.i AND k.bucket = cb.bucket
+           GROUP BY cb.tok)
+         SELECT tok, CAST(est_count AS BIGINT) AS est_count FROM est
+         ORDER BY est_count DESC, tok ASC LIMIT 20""",
+
     // BPE corpus-encode replay against the exported per-word pieces: the
     // word-level merge walk is the exported kernel artifact (BpeSpec hand
     // goldens pin it); the oracle recomputes the corpus layer — ordered
@@ -3742,6 +3837,12 @@ object SparkEntry {
            CAST(coalesce(a.np, 0) AS INTEGER) AS n_pieces,
            md5(coalesce(a.ps, '')) AS pieces_md5
          FROM documents d LEFT JOIN agg a USING (doc_id)""",
+
+    // a doc sketches iff it has >= 3 space-split tokens (shingleK = 3) —
+    // the same tokenization the probe oracle below replays
+    "dedup_incremental_index_build" ->
+      """SELECT count(*) AS n_indexed FROM documents
+         WHERE doc_id % 10 <> 0 AND len(string_split(text, ' ')) >= 3""",
 
     "dedup_incremental_lsh" ->
       """WITH t AS (

@@ -163,55 +163,93 @@ object Profile {
       .drop("__med", "__mad")
   }
 
+  /** Count-min-sketch dimensions for (eps, confidence): width w =
+    * ceil(2/eps) buckets per row, depth d = ceil(log2(1/(1−confidence)))
+    * hash rows (Cormode & Muthukrishnan 2005). d ≤ 8 and w ≤ 65536
+    * because each row's bucket is carved from a 4-hex-digit (16-bit)
+    * slice of one md5 — see [[cmsCounters]]. */
+  private[ops] def cmsDims(eps: Double, confidence: Double): (Int, Int) = {
+    val w = math.ceil(2.0 / eps).toInt
+    val d = math.ceil(math.log(1.0 / (1.0 - confidence)) / math.log(2.0)).toInt
+    require(w <= 65536, s"eps=$eps needs width $w > 2^16; raise eps")
+    require(d >= 1 && d <= 8, s"confidence=$confidence needs depth $d > 8")
+    (w, d)
+  }
+
+  /** The d bucket indices of one item: row i's bucket is hex digits
+    * [1+4i, 4+4i) of md5(item), mod w — ONE md5 per item, d independent
+    * 16-bit slices (md5 bits are pairwise-uncorrelated far beyond what a
+    * sketch bound needs), and every engine with an md5() can replay the
+    * addressing exactly — the property that makes the sketch
+    * oracle-checkable, unlike an opaque serialized sketch blob. */
+  private def cmsBuckets(item: Column, w: Int, d: Int): Column =
+    array((0 until d).map(i =>
+      conv(substring(md5(item), 1 + 4 * i, 4), 16, 10)
+        .cast("long") % w): _*)
+
+  /** The count-min COUNTER TABLE of a token stream: (i, bucket, cnt),
+    * at most d·w rows regardless of corpus size. This IS the sketch —
+    * kept as data, not driver bytes: mergeable across corpora by
+    * union + re-sum (counter addition commutes), persistable as a tiny
+    * parquet, incrementable by adding a delta's counters. One map pass
+    * over occurrences (d rows each) into a partial-aggregated shuffle
+    * whose key space is bounded by d·w — the full token stream is never
+    * shuffled BY TOKEN. */
+  def cmsCounters(occurrences: DataFrame, tokCol: String,
+      eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
+    val (w, d) = cmsDims(eps, confidence)
+    occurrences
+      .select(posexplode(cmsBuckets(col(tokCol), w, d)).as(Seq("i", "bucket")))
+      .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Heavy hitters by count-min sketch: the top-k most frequent tokens
     * without ever shuffling the full token stream by token. Two linear
-    * passes: (1) ONE mergeable CMS aggregate over all occurrences —
-    * partial sketches per partition, a tiny merge shuffle, and a single
-    * bounded row (the sketch bytes) back to the driver; (2) a
-    * hash-deterministic occurrence sample proposes candidate tokens
-    * (anything frequent enough to matter appears in a 10000·f-per-myriad
-    * sample with overwhelming probability), whose true frequencies are
-    * then read off the broadcast sketch. The exact twin — a full
-    * groupBy(token) — shuffles every token occurrence; this shuffles
-    * only the sampled candidates.
+    * passes: (1) the [[cmsCounters]] aggregate — per-occurrence bucket
+    * rows partially aggregated map-side onto a key space bounded by d·w,
+    * never by vocabulary; (2) a hash-deterministic occurrence sample
+    * proposes candidate tokens (anything frequent enough to matter
+    * appears in a 10000·f-per-myriad sample with overwhelming
+    * probability), each candidate's estimate read back as
+    * min over d of its counter rows — a k·d-row join against the bounded
+    * counter table. The exact twin — a full groupBy(token) — shuffles
+    * every distinct token; this shuffles d·w counters plus the sampled
+    * candidates.
     *
     * CMS guarantees: estimate ≥ true count always, ≤ true + eps·N with
-    * probability `confidence` (pinned in MiscOpsSpec). Merge order never
-    * matters (counter addition is commutative), and the seed is fixed, so
-    * output is deterministic. Size `samplePerMyriad` to the scale: the
-    * candidate set must catch tokens with count ≥ the k-th frequency, so
-    * sampleRate · kthCount ≫ minSampleCount — at 100 TB even 1-per-myriad
-    * leaves thousands of sample hits per real heavy hitter.
+    * probability `confidence` (pinned in MiscOpsSpec). Counter addition
+    * commutes, the md5 addressing is engine-independent, so the output
+    * is deterministic AND the whole pipeline — counters, sample,
+    * min-read, top-k — replays as plain SQL in the DuckDB oracle. Size
+    * `samplePerMyriad` to the scale: the candidate set must catch tokens
+    * with count ≥ the k-th frequency, so sampleRate · kthCount ≫
+    * minSampleCount — at 100 TB even 1-per-myriad leaves thousands of
+    * sample hits per real heavy hitter.
     *
-    * Output: (tok, est_count), top-k by (est desc, tok asc).
-    *
-    * EAGER: the sketch pass runs at CALL time (the bytes must reach the
-    * driver before the candidate frame can reference them) — like
-    * [[Vectors.ivfBuild]], construct-and-discard is not free. The token
-    * stream is persisted across the sketch and candidate passes and
-    * stays cached until the session clears it (Verify/Bench clear per
-    * query; library callers manage the session cache). */
+    * Output: (tok, est_count), top-k by (est desc, tok asc). */
   def heavyHittersCms(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, eps: Double = 1e-4, confidence: Double = 0.99,
       samplePerMyriad: Int = 1000, minSampleCount: Int = 2): DataFrame = {
+    val (w, d) = cmsDims(eps, confidence)
     val occ = df.select(idCol.as("__id"),
       posexplode(split(trim(textCol), "\\s+")).as(Seq("__pos", "tok")))
+      .filter(length(col("tok")) > 0)
       .persist()
-    val cmsBytes = occ
-      .agg(count_min_sketch(col("tok"), lit(eps), lit(confidence),
-        lit(42)).as("cms"))
-      .head().getAs[Array[Byte]]("cms")
-    val sketch = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
-    val bc = df.sparkSession.sparkContext.broadcast(sketch)
-    val est = udf((t: String) => bc.value.estimateCount(t))
-    occ
+    val counters = cmsCounters(occ, "tok", eps, confidence)
+    val cand = occ
       .filter(Sampling.hashBucket(
         concat_ws(":", col("__id"), col("__pos"), col("tok")), 10000)
         < samplePerMyriad)
       .groupBy("tok").agg(count(lit(1)).as("__sample_n"))
       .filter(col("__sample_n") >= minSampleCount)
-      .withColumn("est_count", est(col("tok")))
+    cand
+      .select(col("tok"), posexplode(cmsBuckets(col("tok"), w, d))
+        .as(Seq("i", "bucket")))
+      // counters is HARD-bounded at d·w ≤ 8·65536 rows (~12 MB) no
+      // matter the corpus — always broadcastable, so the candidate side
+      // never shuffles for the read-back
+      .join(broadcast(counters), Seq("i", "bucket"))
+      .groupBy("tok").agg(min("cnt").as("est_count"))
       .orderBy(col("est_count").desc, col("tok").asc)
       .limit(k)
       .select("tok", "est_count")

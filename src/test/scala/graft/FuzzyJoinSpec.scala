@@ -82,6 +82,31 @@ class FuzzyJoinSpec extends AnyFunSuite {
     })
   }
 
+  test("Ratcliff-threshold PassJoin EQUALS brute-force all-pairs sim>=0.9") {
+    // the f12_similarity_scale construction: sim >= θ implies
+    // lev <= (1-θ)(la+lb) <= (1-θ)·2·Lmax (matched chars never exceed
+    // LCS; lev <= la+lb-2·LCS), so PassJoin at that k is an exact
+    // candidate superset of the similarity join — no recall contract
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val theta = 0.9
+    val lmax = p.agg(max(length($"p_name")).cast("int")).head().getInt(0)
+    val k = ((1.0 - theta) * 2 * lmax).toInt
+    val pass = FuzzyJoin.selfPairsExact(p, "p_partkey", "p_name", k = k,
+        blockCols = Seq("p_brand"))(
+        (x, y) => graft.expr.functions.similarity(x, y) >= theta)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"), $"p_brand".as("b1"))
+    val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"), $"p_brand".as("b2"))
+    val exact = a.join(b, $"b1" === $"b2" && $"k1" < $"k2" &&
+        graft.expr.functions.similarity($"n1", $"n2") >= theta)
+      .select("k1", "k2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(pass == exact, {
+      val miss = exact -- pass; val extra = pass -- exact
+      s"missed=${miss.take(5)} extra=${extra.take(5)} (${pass.size} vs ${exact.size})"
+    })
+  }
+
   test("PassJoin handles char edits that straddle token boundaries") {
     // exactly the miss class of the deletion-neighborhood keys
     val rows = Seq(

@@ -141,16 +141,21 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!sp.contains("CartesianProduct") && !sp.contains("NestedLoopJoin"), sp)
     assert(sp.contains("Join") || sp.contains("BroadcastHashJoin"), sp)
 
-    // CMS heavy hitters: the only groupBy is over SAMPLED candidates —
-    // the full token stream feeds one partial_count_min_sketch aggregate,
-    // never a per-token hash shuffle of every occurrence. The sample
-    // filter must sit under the candidate aggregate.
+    // CMS heavy hitters: the full token stream feeds only the COUNTER
+    // aggregate — keyed on (i, bucket), a key space hard-bounded at d·w —
+    // and the sampled candidate aggregate; the counter table reaches the
+    // read-back as a BROADCAST (never a shuffle of the candidate side on
+    // the counter keys). No shuffle anywhere is keyed on raw tok over
+    // the unsampled stream: 3 hash exchanges total (counters, sampled
+    // cand, post-join min), plus the top-k as TakeOrdered.
     val hh = graft.ops.Profile.heavyHittersCms(docs, $"doc_id", $"text",
       k = 10)
     val hp = plan(hh)
     assert(hp.contains("TakeOrderedAndProject"), hp)
-    assert("hashpartitioning".r.findAllIn(hp).size <= 1,
-      s"more than one hash shuffle in the candidate path:\n$hp")
+    assert(hp.contains("BroadcastHashJoin"), hp)
+    assert(hp.contains("bucket"), hp) // counter aggregate present
+    assert("hashpartitioning".r.findAllIn(hp).size <= 3,
+      s"unexpected extra hash shuffle in the CMS path:\n$hp")
   }
 
   test("continuation-op plan shapes: one-pass validate, broadcast pagerank, bounded containment") {
