@@ -2491,13 +2491,17 @@ object SparkEntry {
       // Gopher gate, TF-IDF + logistic regression, corpus-wide score.
       // The L-BFGS fit is the exported artifact (writeOracleAux refits
       // deterministically and dumps features + coefficients); the oracle
-      // replays the SCORING layer — ordered sparse dot, sigmoid, milli
-      // floor — in SQL. Fit semantics pinned in QualityClassifierSpec
-      // (separable corpus accuracy, determinism, probability bounds).
-      // The weak-label column itself is text_gopher_rules' own oracle.
+      // replays the SCORING layer in SQL. The checked score is
+      // margin_micro (floor of 10⁶ · the ordered sparse dot + intercept)
+      // — pure float arithmetic, bit-reproducible cross-engine — not the
+      // post-sigmoid milli floor, whose exp() is not correctly rounded
+      // in either engine and could flip a floor at a milli boundary.
+      // pred ≡ margin ≥ 0 ≡ P ≥ 0.5. Fit semantics pinned in
+      // QualityClassifierSpec; the weak-label column itself is
+      // text_gopher_rules' own oracle.
       graft.ops.QualityClassifier.trainScore(
           qcLabeled(s, dir), "doc_id", "text", "weak_label")
-        .select("doc_id", "prob_milli", "pred")
+        .select("doc_id", "margin_micro", "pred")
     }
   )
 
@@ -2592,6 +2596,11 @@ object SparkEntry {
     // L2 normalization from these
     TfIdfEmbed.termBuckets(t(s, dir, "documents"), "text", dim = 128)
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/tfidf_buckets")
+    // the exact RegexTokenizer token stream — DuckDB's lower()/RE2 '\s+'
+    // can diverge from the JVM tokenization (locale case mappings, \x0B),
+    // so the token layer ships as data like termBuckets does
+    TfIdfEmbed.tokens(t(s, dir, "documents"), "doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/tfidf_tokens")
     TfIdfEmbed.idfWeights(t(s, dir, "documents"), "doc_id", "text", dim = 128)
       .zipWithIndex.map { case (w, i) => (i, w) }.toSeq.toDF("idx", "w")
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/tfidf_idf")
@@ -2623,6 +2632,7 @@ object SparkEntry {
   private def auxQcModel = s"read_parquet('$oracleAuxDir/qc_model/*.parquet')"
   private def auxTfidfBuckets = s"read_parquet('$oracleAuxDir/tfidf_buckets/*.parquet')"
   private def auxTfidfIdf = s"read_parquet('$oracleAuxDir/tfidf_idf/*.parquet')"
+  private def auxTfidfTokens = s"read_parquet('$oracleAuxDir/tfidf_tokens/*.parquet')"
   private def auxBpePieces = s"read_parquet('$oracleAuxDir/bpe_word_pieces/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
@@ -3711,7 +3721,11 @@ object SparkEntry {
     // index — the BLAS accumulation order, exactly reproduced by
     // list_inner_product over ORDER BY idx lists), sigmoid, milli floor.
     // Docs whose TF-IDF is all-zero never reach the features table and
-    // score at the bare intercept via the left join.
+    // score at the bare intercept via the left join. The margin —
+    // list_inner_product over ascending idx, intercept added after —
+    // reproduces the BLAS accumulation bit-for-bit (float + is
+    // commutative; only reassociation would break it), so the micro
+    // floor is exact with NO exp() anywhere in the compare path.
     "quality_classifier" ->
       s"""WITH f AS (SELECT doc_id, idx, v FROM $auxQcFeatures),
          w AS (SELECT idx, w FROM $auxQcModel WHERE idx >= 0),
@@ -3723,26 +3737,23 @@ object SparkEntry {
            FROM f JOIN w USING (idx) GROUP BY f.doc_id),
          scored AS (
            SELECT d.doc_id,
-             CAST(floor(1000.0 /
-               (1.0 + exp(-((SELECT w FROM b) + coalesce(dm.dot, 0.0)))))
-               AS BIGINT) AS prob_milli
+             CAST(floor(1000000.0 *
+               ((SELECT w FROM b) + coalesce(dm.dot, 0.0)))
+               AS BIGINT) AS margin_micro
            FROM documents d LEFT JOIN dm ON dm.doc_id = d.doc_id)
-         SELECT doc_id, prob_milli, prob_milli >= 500 AS pred FROM scored""",
+         SELECT doc_id, margin_micro, margin_micro >= 0 AS pred FROM scored""",
 
     // TF-IDF embedding replay against the exported hash mapping + IDF
-    // weights: tokenization mirrors RegexTokenizer (lowercase, \s+ gaps,
-    // min token length 1), TF counts token occurrences per bucket, the
-    // L2 norm accumulates squares in ascending bucket order (the MLlib
-    // sparse-norm order — list_inner_product preserves it), and the
-    // float downcast before the micro floor mirrors the operator's
-    // array<float> output. All-zero docs keep their unnormalized zeros
-    // (the Normalizer's norm=0 branch).
+    // weights. The token stream is the exported RegexTokenizer output
+    // (tfidf_tokens) — re-tokenizing with DuckDB lower() + RE2 '\s+'
+    // could diverge on locale case mappings or \x0B whitespace, so the
+    // token layer is artifact, everything downstream (bucketed TF, IDF
+    // scaling, ordered L2 norm, float downcast before the micro floor)
+    // is replay. All-zero docs keep their unnormalized zeros (the
+    // Normalizer's norm=0 branch).
     "rag_tfidf_embed" ->
       s"""WITH tok AS (
-           SELECT d.doc_id, u.term
-           FROM documents d,
-             unnest(string_split_regex(lower(d.text), '\\s+')) AS u(term)
-           WHERE len(u.term) >= 1),
+           SELECT doc_id, term FROM $auxTfidfTokens),
          tf AS (
            SELECT tok.doc_id, tb.idx, CAST(count(*) AS DOUBLE) AS tf
            FROM tok JOIN $auxTfidfBuckets tb USING (term)

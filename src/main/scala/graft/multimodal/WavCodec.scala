@@ -52,7 +52,12 @@ object WavCodec {
       }
       // a declared size past the remaining buffer means truncation (or an
       // attack on the Int offset: size near 2^31 would wrap `p` negative
-      // and re-enter the loop) — stop the walk, keep whatever parsed
+      // and re-enter the loop) — stop the walk HERE, keeping only chunks
+      // parsed so far. Deliberately strict: chunks after the overrun are
+      // unreachable anyway when the size is honest truncation, and when
+      // it is garbage the "next chunk" offset it implies is meaningless —
+      // so a WAV whose truncated/corrupt chunk precedes 'fmt ' parses to
+      // None even if fmt bytes follow (no sound way to find them)
       if (size > (bytes.length - p - 8).toLong) done = true
       // chunks are word-aligned: odd sizes carry a pad byte
       else p += 8 + size.toInt + (size.toInt & 1)

@@ -57,17 +57,24 @@ object EventTime {
     *    are not converged — same contract as any fixed-schema file
     *    source.
     */
+  /** The empty-dir inference failure, recognized by ERROR CLASS first
+    * (stable across Spark versions) with the message text as a fallback
+    * for older builds that predate error classes — a reworded message
+    * must not silently bypass `emptyFallback`. */
+  private def isNoFilesToInfer(e: org.apache.spark.sql.AnalysisException): Boolean =
+    (e.getErrorClass != null &&
+      e.getErrorClass.contains("UNABLE_TO_INFER_SCHEMA")) ||
+    (e.getMessage != null && e.getMessage.contains("Unable to infer schema"))
+
   def batchSchema(spark: SparkSession, dir: String,
       glob: String = "events.parquet",
       emptyFallback: Option[StructType] = None): StructType =
     try spark.read.option("pathGlobFilter", glob).parquet(dir).schema
     catch {
       case e: org.apache.spark.sql.AnalysisException
-          if emptyFallback.isDefined && e.getMessage != null &&
-             e.getMessage.contains("Unable to infer schema") =>
+          if emptyFallback.isDefined && isNoFilesToInfer(e) =>
         emptyFallback.get
-      case e: org.apache.spark.sql.AnalysisException
-          if e.getMessage != null && e.getMessage.contains("Unable to infer schema") =>
+      case e: org.apache.spark.sql.AnalysisException if isNoFilesToInfer(e) =>
         throw new IllegalStateException(
           s"EventTime.batchSchema: no file matching '$glob' under $dir at " +
           "stream start — footer inference needs at least one file; pass " +

@@ -42,8 +42,16 @@ object QualityClassifier {
       coefficients: Array[Double], intercept: Double)
 
   /** Train on `labelCol` (0/1) over a bounded md5-ordered sample, score
-    * every row. Output: (idCol, label, prob_milli, pred) where
-    * prob_milli = floor(1000·P(label=1)) and pred = P ≥ 0.5. */
+    * every row. Output: (idCol, label, margin_micro, prob_milli, pred)
+    * where margin_micro = floor(10⁶·(w·x + b)), prob_milli =
+    * floor(1000·P(label=1)) and pred = P ≥ 0.5 (≡ margin ≥ 0).
+    *
+    * margin_micro is the CROSS-ENGINE-STABLE score: the margin is a pure
+    * ordered float dot (bit-reproducible anywhere), while the sigmoid
+    * behind prob_milli runs through exp(), which is not correctly
+    * rounded — a margin within ~1 ulp of a milli boundary could floor
+    * differently on another engine. Oracles compare margin_micro;
+    * prob_milli stays for human-readable thresholding. */
   def trainScore(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, dim: Int = 256, fitSampleRows: Int = 100000,
       regParam: Double = 0.01, maxIter: Int = 25): DataFrame =
@@ -74,10 +82,16 @@ object QualityClassifier {
     // `featured` stays cached for the lazy corpus-wide transform (the
     // fit pass above materialized it); caller / clearCache releases it —
     // same cache contract as [[TfIdfEmbed.embed]]
+    // rawPrediction(1) IS the margin w·x + b exactly as BLAS accumulated
+    // it (ascending index, intercept last) — no inverse-sigmoid round trip
     val scored = model.transform(feats)
       .select(col(idCol), col("__label").cast("long").as("label"),
+        floor(lit(1000000.0) * p1(col("rawPrediction"))).cast("long")
+          .as("margin_micro"),
         floor(lit(1000) * p1(col("probability"))).cast("long").as("prob_milli"))
-      .withColumn("pred", col("prob_milli") >= 500)
+      // margin-based (≡ P ≥ 0.5 mathematically, but decided by exact
+      // float comparison rather than through the sigmoid's exp())
+      .withColumn("pred", col("margin_micro") >= 0)
     val activeUdf = udf((v: Vector) => {
       val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
       // explicit zeros contribute exactly 0.0 to the dot; skipping them

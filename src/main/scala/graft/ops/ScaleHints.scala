@@ -32,14 +32,37 @@ private[graft] object ScaleHints {
     else df
   }
 
-  /** Round-robin fan-out of the probe side of a pair join, gated on the
-    * current partition count. A few-MB scan arrives as ONE partition, so
-    * without this the whole O(n²) condition evaluation runs on one core
-    * (measured: 483 s → 16 s on the sf0.1 ngram workload). A corpus-scale
-    * scan is already wider than the target, so no shuffle is injected.
-    */
+  /** Round-robin fan-out of the probe side of a pair join, gated on an
+    * estimate of how wide the frame already is. A few-MB scan arrives as
+    * ONE partition, so without this the whole O(n²) condition evaluation
+    * runs on one core (measured: 483 s → 16 s on the sf0.1 ngram
+    * workload). A corpus-scale scan is already wider than the target, so
+    * no shuffle is injected.
+    *
+    * The width estimate is plan-derived, not `df.rdd.getNumPartitions`:
+    * materializing the RDD lineage re-runs physical planning on every
+    * call (every pair-join probe paid it). Instead: (1) a frame the
+    * caller already repartitioned to >= target is left alone (the
+    * Repartition node is visible in the optimized plan); (2) otherwise
+    * estimated partitions = stats size / maxPartitionBytes — the same
+    * inputs the file splitter uses, so the decision agrees with the RDD
+    * count for scan-shaped probes. The estimate decides only whether a
+    * round-robin exchange is added, never a result. */
   def fanout(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism * 2
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val plan = df.queryExecution.optimizedPlan
+    val explicitlyWide = plan.collectFirst {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition
+        if r.numPartitions >= target => r
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+        if r.optNumPartitions.exists(_ >= target) => r
+    }.isDefined
+    if (explicitlyWide) df
+    else {
+      val maxPart = math.max(1L,
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      val estParts = plan.stats.sizeInBytes / maxPart
+      if (estParts >= target) df else df.repartition(target)
+    }
   }
 }

@@ -58,6 +58,18 @@ object TfIdfEmbed {
       .idf.toArray
   }
 
+  /** The exact (id, term) token stream the embed chain consumes — the
+    * RegexTokenizer output, exposed as an oracle replay artifact. An
+    * external engine re-tokenizing with its own lower() + \s+ regex can
+    * diverge (JVM String.toLowerCase is locale-sensitive, Java \s
+    * includes \x0B where RE2's does not), so the token layer ships as
+    * data and the replay checks everything downstream of it. */
+  def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = new RegexTokenizer().setInputCol(textCol).setOutputCol("__tokens")
+      .setPattern("\\s+")
+    tok.transform(df).select(col(idCol), explode(col("__tokens")).as("term"))
+  }
+
   /** The hashing-trick term→bucket mapping over the corpus vocabulary,
     * computed through the SAME HashingTF the embed chain uses (murmur3
     * on the term) — bounded by distinct-token count, the artifact that

@@ -316,4 +316,16 @@ class ScaleShapeSpec extends AnyFunSuite {
     // sanity: contaminated docs exist (injected near-dups overlap corpus)
     assert(out.filter($"contamination" > 0).count() > 0)
   }
+
+  test("fanout decides from the plan, never an RDD materialization") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // a narrow scan-shaped probe gains exactly one round-robin exchange
+    val f = graft.ops.ScaleHints.fanout(docs)
+    val fp = f.queryExecution.executedPlan.toString
+    assert(fp.contains("ROUND_ROBIN") || fp.contains("RoundRobinPartitioning"), fp)
+    // a frame the caller already repartitioned to >= target is returned
+    // AS-IS (same object): no second exchange stacks on top
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism * 2)
+    assert(graft.ops.ScaleHints.fanout(wide) eq wide)
+  }
 }
