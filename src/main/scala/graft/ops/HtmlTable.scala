@@ -39,13 +39,22 @@ object HtmlTable {
     s.replaceAll("\\s+", " ").trim
   }
 
-  /** Rows of the first table; empty when no table (fda_watcher.py:293-297). */
-  def parseListingTable(html: String, baseDomain: String): Seq[ListingRow] = {
+  /** One parsed `<tr>` of the first table, BEFORE the cell-count gate:
+    * `nCells` carries the actual `<td>` count so a reader can apply (or
+    * push down) the >= 3 rule itself — the [[graft.sources.HtmlTableSource]]
+    * scan filters on it during the parse. Missing cells read as "". */
+  case class RawRow(title: String, description: String, date: String,
+      url: String, nCells: Int)
+
+  /** Every `<tr>` of the first table with at least `minCells` cells;
+    * empty when no table. */
+  def parseRows(html: String, baseDomain: String,
+      minCells: Int): Seq[RawRow] = {
     if (html == null) return Seq.empty
     val tm = tablePat.matcher(html)
     if (!tm.find()) return Seq.empty
     val table = tm.group(1)
-    val rows = Seq.newBuilder[ListingRow]
+    val rows = Seq.newBuilder[RawRow]
     val rm = trPat.matcher(table)
     while (rm.find()) {
       val tr = rm.group(1)
@@ -55,11 +64,12 @@ object HtmlTable {
         while (cm.find()) b += cm.group(1)
         b.result()
       }
-      if (cells.length >= 3) {
-        val title = text(cells(0), joinWithSpace = true)
-        val desc = text(cells(1), joinWithSpace = true)
-        val date = text(cells(2), joinWithSpace = false)
-        val hm = hrefPat.matcher(cells(0))
+      if (cells.length >= minCells) {
+        def cell(i: Int) = if (i < cells.length) cells(i) else ""
+        val title = text(cell(0), joinWithSpace = true)
+        val desc = text(cell(1), joinWithSpace = true)
+        val date = text(cell(2), joinWithSpace = false)
+        val hm = hrefPat.matcher(cell(0))
         val url =
           if (hm.find()) {
             val raw = hm.group(2).trim
@@ -67,11 +77,16 @@ object HtmlTable {
             else if (raw.startsWith("/")) baseDomain.stripSuffix("/") + raw
             else baseDomain.stripSuffix("/") + "/" + raw
           } else ""
-        rows += ListingRow(title, desc, date, url)
+        rows += RawRow(title, desc, date, url, cells.length)
       }
     }
     rows.result()
   }
+
+  /** Rows of the first table; empty when no table (fda_watcher.py:293-297). */
+  def parseListingTable(html: String, baseDomain: String): Seq[ListingRow] =
+    parseRows(html, baseDomain, minCells = 3)
+      .map(r => ListingRow(r.title, r.description, r.date, r.url))
 
   /** DataFrame source shape: (page html) rows → listing records with the
     * watcher's id/timestamp columns (fda_watcher.py:331-339; `scraped_at`

@@ -22,8 +22,13 @@ import graft.expr.{functions => gf}
   */
 object FdaPipeline {
 
-  /** Output of one ingest run. */
-  case class Result(published: DataFrame, updatedMaster: DataFrame)
+  /** Output of one ingest run. `quarantined` carries the NEW (delta)
+    * records that failed the corpus gate — the manual-review split (S10,
+    * fda_watcher.py:224-227's too-short extraction): they are withheld
+    * from master, so a later run re-evaluates them if the source page
+    * improves; a human (or a better extractor) works the quarantine. */
+  case class Result(published: DataFrame, updatedMaster: DataFrame,
+      quarantined: DataFrame)
 
   /** @param fresh    scraped records: (url, title, description, date, text)
     * @param master   previous master table with a `rag_id` column
@@ -37,10 +42,11 @@ object FdaPipeline {
         Fingerprint.idBase(col("url"), col("title"), col("date"))))
 
     val delta = Fingerprint.deltaAntiJoin(fingerprinted, master, "rag_id")
-
-    val cleaned = delta
       .withColumn("corpus", gf.clean_corpus(col("text")))
-      .filter(length(col("corpus")) > 50)  // fda_watcher.py:224-227
+
+    val corpusOk = length(col("corpus")) > 50 // fda_watcher.py:224-227
+    val cleaned = delta.filter(corpusOk)
+    val quarantined = delta.filter(!corpusOk)
 
     val published = cleaned.select(
       TextOps.defaultNonEmpty(col("corpus"),
@@ -57,6 +63,6 @@ object FdaPipeline {
       cleaned.select(master.columns.toIndexedSeq.map(col): _*), master, "ingest_seq")
       .drop("ingest_seq")
 
-    Result(published, updatedMaster)
+    Result(published, updatedMaster, quarantined)
   }
 }

@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.pipeline.FdaPipeline
+
+/** The reference's daemon scheduler as a Structured Streaming driver
+  * (fda_rag_extraction/scripts/scheduler.py:116-123: schedule.every().day
+  * → run the watcher): a file-source stream watches the scrape landing
+  * directory, and each trigger tick runs the WHOLE FDA ingest lifecycle
+  * ([[FdaPipeline.run]]) on exactly the files that arrived since the
+  * last tick — Spark's checkpointed file tracking is the "what did I
+  * already process" state the reference keeps in its Excel master +
+  * cron lockfile.
+  *
+  * Per tick (foreachBatch):
+  *  - the batch's records fingerprint + anti-join against the persisted
+  *    master, so re-scraped known records are no-ops (delta-only, T2)
+  *  - publishable records append to `publishDir` (JSONL, S9)
+  *  - gate-failing NEW records land in `quarantineDir/batch=<id>` — the
+  *    manual-review split (S10); they are NOT entered into master, so a
+  *    later scrape of the same page retries them
+  *  - the master parquet is atomically replaced (write-new → swap) with
+  *    the union update (U1)
+  *
+  * The default trigger is `ProcessingTime(24 hours)` — the daily
+  * schedule; tests drive it with a fast trigger. `Trigger.AvailableNow`
+  * turns the same driver into a catch-up batch run (process everything
+  * pending, then stop) — the reference's "run once now" mode.
+  *
+  * Scale notes: the master re-write is per-tick sequential state like
+  * any streaming sink commit; at 100 TB the master would be a bucketed
+  * table ([[graft.sources.Sinks.writeBucketedMaster]]) and the swap a
+  * metastore pointer flip, but the per-tick dataflow — batch-sized
+  * work, master read once, delta-only downstream — is already the
+  * cluster shape. */
+object ScheduledIngest {
+
+  /** Scrape landing-file schema: one JSON record per scraped listing
+    * row (url, title, description, date, text). */
+  val freshSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("title", StringType),
+    StructField("description", StringType),
+    StructField("date", StringType),
+    StructField("text", StringType)))
+
+  /** Master persisted schema — the cleaned record plus its fingerprint. */
+  val masterSchema: StructType = StructType(Seq(
+    StructField("rag_id", StringType),
+    StructField("url", StringType),
+    StructField("title", StringType),
+    StructField("description", StringType),
+    StructField("date", StringType),
+    StructField("corpus", StringType)))
+
+  /** One tick's outcome, reported to `onTick` (the run-report logging of
+    * scheduler.py / fda_watcher's summary counters, as data). */
+  case class Tick(batchId: Long, nFresh: Long, nPublished: Long,
+      nQuarantined: Long, nMaster: Long)
+
+  private def loadMaster(spark: SparkSession, masterDir: String): DataFrame = {
+    val marker = new java.io.File(s"$masterDir/_SUCCESS")
+    if (marker.exists()) spark.read.parquet(masterDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], masterSchema)
+  }
+
+  /** Replace the master atomically enough for a single-writer daemon:
+    * the new master materializes to a side directory FIRST (reading the
+    * old master is finished by then — the union update is materialized
+    * there), then swaps in. A crash between the two renames leaves the
+    * side directory complete on disk; the next tick's load sees the old
+    * or the new master, never a half-written one. */
+  private def swapMaster(updated: DataFrame, masterDir: String): Long = {
+    val next = s"$masterDir.next"
+    updated.write.mode("overwrite").parquet(next)
+    val spark = updated.sparkSession
+    val n = spark.read.parquet(next).count()
+    val dir = new java.io.File(masterDir)
+    val old = new java.io.File(s"$masterDir.old")
+    if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
+    if (dir.exists()) dir.renameTo(old)
+    new java.io.File(next).renameTo(dir)
+    scala.reflect.io.Directory(old).deleteRecursively()
+    n
+  }
+
+  /** Start the daemon. `incomingDir` receives scrape landing files
+    * (JSONL, [[freshSchema]]); `runDateOf(batchId)` pins each tick's
+    * "today" (determinism over current_date — tests pass a constant). */
+  def start(spark: SparkSession, incomingDir: String, masterDir: String,
+      publishDir: String, quarantineDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("24 hours"),
+      runDateOf: Long => String = _ => java.time.LocalDate.now().toString,
+      source: String = "fda_oncology",
+      onTick: Tick => Unit = _ => ()): StreamingQuery = {
+    val fresh = spark.readStream.schema(freshSchema).json(incomingDir)
+    fresh.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        // published/quarantined plans re-read masterDir on every action,
+        // so BOTH are pinned (persist) and written BEFORE the master
+        // swap — an action after the swap would anti-join the updated
+        // master and see an empty delta
+        val master = loadMaster(spark, masterDir)
+        val res = FdaPipeline.run(b, master, runDateOf(batchId), source)
+        val p = res.published.persist()
+        val q = res.quarantined.persist()
+        try {
+          p.write.mode("append").json(publishDir)
+          q.write.mode("overwrite").json(s"$quarantineDir/batch=$batchId")
+          val (np, nq) = (p.count(), q.count())
+          val nm = swapMaster(res.updatedMaster, masterDir)
+          onTick(Tick(batchId, b.count(), np, nq, nm))
+        } finally { p.unpersist(); q.unpersist(); b.unpersist() }
+      }
+      .start()
+  }
+}

@@ -51,4 +51,56 @@ class HtmlTableSpec extends AnyFunSuite {
       .map("%02x".format(_)).mkString
     assert(noLink.getAs[String]("RAG_ID") == expected)
   }
+
+  test("DSv2 source round-trips the fixture page via spark.read.format") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_html_src")
+    java.nio.file.Files.writeString(dir.resolve("page1.html"), page)
+    java.nio.file.Files.writeString(dir.resolve("ignore.txt"), "not html")
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.format("graft-html")
+        .option("baseDomain", "https://www.fda.gov/")
+        .load(dir.toString)
+        .filter(col("n_cells") >= 3)
+      val rows = df.orderBy("date").collect()
+      val parsed = HtmlTable.parseListingTable(page, "https://www.fda.gov/")
+      assert(rows.length == parsed.length)
+      rows.zip(parsed).foreach { case (r, p) =>
+        assert(r.getAs[String]("title") == p.title)
+        assert(r.getAs[String]("description") == p.description)
+        assert(r.getAs[String]("date") == p.date)
+        assert(r.getAs[String]("url") == p.url)
+        assert(r.getAs[Int]("n_cells") >= 3)
+      }
+    } finally {
+      dir.toFile.listFiles.foreach(_.delete()); dir.toFile.delete()
+    }
+  }
+
+  test("DSv2 source pushes the cell-count gate into the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_html_push")
+    java.nio.file.Files.writeString(dir.resolve("p.html"), page)
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = spark.read.format("graft-html")
+        .option("baseDomain", "b").load(dir.toString)
+        .filter(col("n_cells") >= 3)
+      val plan = df.queryExecution.executedPlan.toString
+      // the bound reached the scan ...
+      assert(plan.contains("PushedMinCells: 3"), plan)
+      // ... and the Filter NODE is gone (fully handled by the source);
+      // match the operator spelling, not the scan's "RuntimeFilters: []"
+      assert(!plan.contains("- Filter ") && !plan.contains(") Filter "), plan)
+      // un-filtered read surfaces every <tr>: the th-only header row
+      // (0 td cells) and the 2-cell row — the gate is pushdown, not
+      // baked into the source
+      val all = spark.read.format("graft-html")
+        .option("baseDomain", "b").load(dir.toString).collect()
+      assert(all.exists(_.getAs[Int]("n_cells") == 2))
+      assert(all.exists(_.getAs[Int]("n_cells") == 0))
+      assert(all.length == 5)
+    } finally {
+      dir.toFile.listFiles.foreach(_.delete()); dir.toFile.delete()
+    }
+  }
 }

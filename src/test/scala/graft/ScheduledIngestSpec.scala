@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.ScheduledIngest
+
+/** The daily-trigger daemon (scheduler.py:116-123 as Structured
+  * Streaming): two trigger ticks over a landing directory must show
+  * delta-only processing — a re-scraped record is a no-op on tick 2 —
+  * and the manual-review quarantine split (S10). */
+class ScheduledIngestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def rec(url: String, title: String, text: String): String =
+    s"""{"url":"$url","title":"$title","description":"d","date":"01/15/2024","text":"$text"}"""
+
+  private val longText = ("fda approves new therapy for treatment of patients " * 4).trim
+
+  test("two ticks: delta-only processing + quarantine split") {
+    val root = Files.createTempDirectory("graft_sched")
+    def dir(n: String): String = { val p = root.resolve(n); Files.createDirectories(p); p.toString }
+    val incoming = dir("incoming")
+    val masterDir = s"$root/master"
+    val publish = dir("publish")
+    val quarantine = dir("quarantine")
+    val checkpoint = s"$root/ckpt"
+
+    val ticks = new java.util.concurrent.ConcurrentLinkedQueue[ScheduledIngest.Tick]()
+    // tick 1 landing file: one publishable record + one too-short one
+    Files.writeString(Path.of(incoming, "scrape1.json"),
+      rec("https://x/1", "Drug A", longText) + "\n" +
+      rec("https://x/2", "Drug B", "too short") + "\n")
+
+    val q = ScheduledIngest.start(spark, incoming, masterDir, publish,
+      quarantine, checkpoint,
+      trigger = Trigger.ProcessingTime("500 milliseconds"),
+      runDateOf = _ => "2026-01-01",
+      onTick = ticks.add(_))
+    try {
+      def waitTicks(n: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (ticks.size < n && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(ticks.size >= n, s"stream produced ${ticks.size} ticks, wanted $n")
+      }
+      waitTicks(1)
+      val t1 = ticks.peek()
+      assert(t1.nFresh == 2 && t1.nPublished == 1 && t1.nQuarantined == 1)
+      assert(t1.nMaster == 1) // quarantined record NOT entered into master
+
+      // tick 2 landing file: Drug A RE-SCRAPED (same url/title/date →
+      // same fingerprint → no-op) plus one genuinely new record
+      Files.writeString(Path.of(incoming, "scrape2.json"),
+        rec("https://x/1", "Drug A", longText) + "\n" +
+        rec("https://x/3", "Drug C", longText) + "\n")
+      waitTicks(2)
+      val t2 = ticks.toArray(Array.empty[ScheduledIngest.Tick]).last
+      assert(t2.nFresh == 2)
+      assert(t2.nPublished == 1, s"re-scrape must be a no-op: $t2")
+      assert(t2.nQuarantined == 0)
+      assert(t2.nMaster == 2) // Drug A + Drug C, exactly once each
+
+      // the published stream holds each record once across both ticks
+      val pub = spark.read.json(publish)
+      assert(pub.count() == 2)
+      assert(pub.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet == Set("Drug A", "Drug C"))
+      // quarantine batch 0 carries the short record for manual review
+      val quar = spark.read.json(s"$quarantine/batch=0")
+      assert(quar.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet == Set("Drug B"))
+    } finally {
+      q.stop()
+      scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
+}
