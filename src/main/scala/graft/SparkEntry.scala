@@ -1832,10 +1832,12 @@ object SparkEntry {
     },
 
     "text_compression" -> { (s, dir) =>
-      // rows-only: zlib deflate-ratio repetition gate (no SQL deflate
-      // exists → no oracle; kernel pinned vs a reference Deflater in
-      // SketchesSpec). Shuffle-free narrow map — the cheapest of the
-      // repetition signals at corpus scale.
+      // zlib deflate-ratio repetition gate. The deflate kernel has no
+      // SQL form, so the per-doc deflate lengths are the exported
+      // artifact (writeOracleAux; kernel pinned vs a reference Deflater
+      // in SketchesSpec) and the oracle replays the byte-length, ratio
+      // and zero-guard arithmetic — the dedup_simhash artifact split.
+      // Shuffle-free narrow map — the cheapest repetition signal.
       TextAnalysis.compressionStats(t(s, dir, "documents"), "doc_id", "text")
     },
 
@@ -1959,15 +1961,14 @@ object SparkEntry {
     },
 
     "profile_approx" -> { (s, dir) =>
-      // rows-only: HLL++ approximate distincts per column — the one-pass
-      // fixed-memory answer to profiling at corpus scale (the exact twin
-      // is profile_documents). Sketch is engine-specific, so no DuckDB
-      // oracle; relative error vs exact is pinned in MiscOpsSpec.
-      t(s, dir, "documents").select(
-        approx_count_distinct("doc_id").as("adc_doc_id"),
-        approx_count_distinct("source").as("adc_source"),
-        approx_count_distinct("lang").as("adc_lang"),
-        approx_count_distinct("n_chars").as("adc_n_chars"))
+      // KMV approximate distincts per column — the one-pass bounded-
+      // memory answer to profiling at corpus scale (exact twin is
+      // profile_documents). Unlike an HLL register blob, the KMV state
+      // is k md5 hash values, so the DuckDB oracle replays the entire
+      // estimate (min-k distinct hashes, (k−1)·2⁶⁰/kth) exactly;
+      // error-vs-exact also pinned in MiscOpsSpec.
+      Profile.approxDistinctKmv(t(s, dir, "documents"),
+        Seq("doc_id", "source", "lang", "n_chars"))
     },
 
     "embed_pca" -> { (s, dir) =>
@@ -2611,6 +2612,13 @@ object SparkEntry {
     // tokenization, word→pieces join, in-order concat, piece count and the
     // md5 digest. Same artifact split as dedup_simhash (kernel exported,
     // query arithmetic replayed).
+    // per-doc deflate lengths (the codegen Deflater kernel, pinned vs a
+    // reference Deflater in SketchesSpec) — the oracle replays
+    // text_compression's byte-length and ratio arithmetic over them
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.expr.sketchFunctions.deflate_len(col("text")).as("deflate_bytes"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/deflate_len")
     val bpeModel = graft.ops.Bpe.fit(t(s, dir, "documents"), "text", nMerges = 32)
     t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -2634,6 +2642,7 @@ object SparkEntry {
   private def auxTfidfIdf = s"read_parquet('$oracleAuxDir/tfidf_idf/*.parquet')"
   private def auxTfidfTokens = s"read_parquet('$oracleAuxDir/tfidf_tokens/*.parquet')"
   private def auxBpePieces = s"read_parquet('$oracleAuxDir/bpe_word_pieces/*.parquet')"
+  private def auxDeflateLen = s"read_parquet('$oracleAuxDir/deflate_len/*.parquet')"
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3782,6 +3791,43 @@ object SparkEntry {
            CAST(floor(1000000 * CAST(CAST(vd AS FLOAT) AS DOUBLE)) AS BIGINT)
              AS v_micro
          FROM outv""",
+
+    // deflate lengths are artifact (no SQL deflate); byte length, ratio
+    // and the zero-guard are replay — 1000·dl and its double conversion
+    // are exact below 2^53, so the floored division matches bit-for-bit
+    "text_compression" ->
+      s"""WITH dl AS (SELECT doc_id, deflate_bytes FROM $auxDeflateLen)
+         SELECT d.doc_id,
+           CAST(strlen(d.text) AS BIGINT) AS n_bytes,
+           dl.deflate_bytes,
+           CASE WHEN strlen(d.text) > 0
+             THEN CAST(floor(1000.0 * dl.deflate_bytes /
+               strlen(d.text)) AS BIGINT)
+             ELSE 0 END AS ratio_milli
+         FROM documents d JOIN dl USING (doc_id)""",
+
+    // full KMV replay, no aux artifact: per column, the k = 256 smallest
+    // distinct 60-bit md5 hashes; estimate = count when below k, else
+    // (k−1) · 2⁶⁰ / kth-smallest — 255.0 and 2⁶⁰ are exactly
+    // representable doubles and the one division is IEEE-identical, so
+    // the floor matches bit-for-bit
+    "profile_approx" -> {
+      def kmv(expr: String, alias: String, notNull: String) =
+        s"""k_$alias AS (
+           SELECT DISTINCT CAST(('0x' || substr(md5($expr), 1, 15)) AS UBIGINT) AS h
+           FROM documents WHERE $notNull IS NOT NULL ORDER BY h LIMIT 256),
+         e_$alias AS (
+           SELECT CASE WHEN count(*) < 256 THEN count(*)
+             ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+               CAST(max(h) AS DOUBLE)) AS BIGINT) END AS adc_$alias
+           FROM k_$alias)"""
+      s"""WITH ${kmv("CAST(doc_id AS VARCHAR)", "doc_id", "doc_id")},
+         ${kmv("source", "source", "source")},
+         ${kmv("lang", "lang", "lang")},
+         ${kmv("CAST(n_chars AS VARCHAR)", "n_chars", "n_chars")}
+         SELECT adc_doc_id, adc_source, adc_lang, adc_n_chars
+         FROM e_doc_id, e_source, e_lang, e_n_chars"""
+    },
 
     // full count-min-sketch replay, no aux artifact: counters = per-row
     // 16-bit md5 slices mod 20000 (w = ceil(2/1e-4), d = 7 =

@@ -255,6 +255,48 @@ object Profile {
       .select("tok", "est_count")
   }
 
+  /** KMV (k-minimum-values) distinct-count sketch, one output column
+    * per input column (`adc_<col>`) on a single row — the
+    * [[heavyHittersCms]] philosophy applied to COUNT DISTINCT: the
+    * sketch state is k 60-bit md5 hash values, so the estimate —
+    * (k−1) · 2⁶⁰ / k-th-smallest-hash (Bar-Yossef et al. 2002), exact
+    * below k — is engine-independent and the whole pipeline replays as
+    * plain SQL, unlike an opaque HLL register blob. Determinism: md5 is
+    * seedless; min-k of a set does not depend on row order.
+    *
+    * Scale shape: a bounded TreeSet keeps the k smallest DISTINCT
+    * hashes per partition (one pass, O(k) memory — the honest sketch
+    * contract), so the merge shuffles at most k·partitions values, never
+    * the distinct universe. mapPartitions is justified: maintaining
+    * bounded sketch state across rows has no Column-function form.
+    * Estimator error ~ 1/√(k−2) (≈6% at k = 256); exact when the true
+    * distinct count is below k. */
+  def approxDistinctKmv(df: DataFrame, cols: Seq[String],
+      k: Int = 256): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val enc = org.apache.spark.sql.Encoders.scalaLong
+    val twoPow60 = 1.152921504606846976e18 // 2^60, exactly representable
+    val perCol = cols.map { c =>
+      val h60 = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+      val perPart = df.where(col(c).isNotNull).select(h60.as("h"))
+        .as[Long](enc)
+        .mapPartitions { it =>
+          val ts = new java.util.TreeSet[java.lang.Long]()
+          it.foreach { h => ts.add(h); if (ts.size > k) ts.pollLast() }
+          ts.iterator.asScala.map(Long2long)
+        }(enc)
+      perPart.toDF("h").distinct().orderBy(col("h")).limit(k)
+        .agg(count(lit(1)).as("__n"), max(col("h")).as("__hmax"))
+        .select(
+          when(col("__n") < k, col("__n"))
+            .otherwise(floor(lit((k - 1).toDouble) * lit(twoPow60) /
+              col("__hmax").cast("double")).cast("long"))
+            .as(s"adc_$c"))
+    }
+    perCol.reduce(_.crossJoin(_)) // k-sized single-row frames
+  }
+
   /** Order-independent dataset content digest — the "did anything
     * change" primitive that decides whether downstream caches (saved
     * indexes, materialized rollups, published snapshots) need a rebuild

@@ -123,6 +123,26 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV distinct sketch: exact below k, within ~1/sqrt(k) above, deterministic") {
+    import graft.ops.Profile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val row = Profile.approxDistinctKmv(docs,
+      Seq("doc_id", "source", "lang", "n_chars")).head()
+    for ((c, i) <- Seq("doc_id", "source", "lang", "n_chars").zipWithIndex) {
+      val exact = docs.select(countDistinct(col(c))).as[Long].head()
+      val est = row.getLong(i)
+      if (exact < 256) assert(est == exact, s"$c below k must be exact: $est vs $exact")
+      else {
+        val rel = math.abs(est - exact).toDouble / exact
+        assert(rel <= 0.20, s"$c: kmv=$est exact=$exact rel=$rel") // ~3σ at k=256
+      }
+    }
+    // md5 is seedless and min-k ignores row order → same answer again
+    val again = Profile.approxDistinctKmv(docs.repartition(7),
+      Seq("doc_id", "source", "lang", "n_chars")).head()
+    assert(again == row)
+  }
+
   test("funnelDepth: hand-built walks — conversion, order, window, greedy anchor") {
     import graft.ops.Funnel
     def ts(min: Int) = java.sql.Timestamp.valueOf(
