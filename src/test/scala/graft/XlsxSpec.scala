@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.sources.Xlsx
+
+/** S4/S7 — the master interchange file as a REAL .xlsx round-trip
+  * (fda_watcher.py:388/:555), dependency-free OOXML. */
+class XlsxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("master round-trips through a real xlsx file") {
+    val path = java.nio.file.Files.createTempFile("graft_master", ".xlsx").toString
+    val master = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(md5(concat_ws("_", $"source", $"doc_id")).as("rag_id"),
+        $"source", $"lang", $"n_chars".cast("string").as("n_chars"))
+      .limit(50)
+    Xlsx.writeMaster(master, path)
+    val back = Xlsx.readMaster(spark, path)
+    assert(back.columns.toList == List("rag_id", "source", "lang", "n_chars"))
+    assert(back.count() == 50)
+    assert(back.collect().map(_.toSeq).toSet == master.collect().map(_.toSeq).toSet)
+    new java.io.File(path).delete()
+  }
+
+  test("xlsx escaping: XML-special chars, whitespace, unicode, nulls survive") {
+    val path = java.nio.file.Files.createTempFile("graft_esc", ".xlsx").toString
+    val df = Seq(
+      ("a&b", "<tag> \"quoted\" 'single'"),
+      ("tab\there", "line\nbreak kept"),
+      ("naïve — π≈3.14159", ""),
+      (null: String, "after-null")).toDF("k", "v")
+    Xlsx.writeMaster(df, path)
+    val back = Xlsx.readMaster(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(back == Set(
+      ("a&b", "<tag> \"quoted\" 'single'"),
+      ("tab\there", "line\nbreak kept"),
+      ("naïve — π≈3.14159", ""),
+      ("", "after-null"))) // null writes as empty cell
+    new java.io.File(path).delete()
+  }
+
+  test("reads shared-string and numeric cells other producers emit") {
+    // hand-built minimal xlsx the way pandas/openpyxl shape it: shared
+    // strings + plain numeric <v> cells + a sparse row (blank cell B3)
+    val path = java.nio.file.Files.createTempFile("graft_ext", ".xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(n: String, c: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(n)); zos.write(c.getBytes("UTF-8")); zos.closeEntry()
+    }
+    put("xl/sharedStrings.xml",
+      """<sst><si><t>title</t></si><si><t>count</t></si><si><t>Drug A</t></si></sst>""")
+    put("xl/worksheets/sheet1.xml",
+      """<worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>
+        |<row r="3"><c r="B3"><v>7</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val back = Xlsx.readMaster(spark, path).collect()
+    assert(back.map(_.toSeq).toSet == Set(Seq("Drug A", "42"), Seq("", "7")))
+    new java.io.File(path).delete()
+  }
+
+  test("corpus-sized frames are rejected, pointing at the parquet master") {
+    val df = spark.range(20).select($"id".cast("string").as("k"))
+    val path = java.nio.file.Files.createTempFile("graft_cap", ".xlsx").toString
+    val e = intercept[IllegalArgumentException] {
+      Xlsx.writeMaster(df, path, maxRows = 10)
+    }
+    assert(e.getMessage.contains("bucketed master"))
+    new java.io.File(path).delete()
+  }
+}
