@@ -126,12 +126,20 @@ object Bench {
       .map(_._1).toSet
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = if (retryNames.isEmpty) firstPass else {
+      val failedBefore = failed.toSet
       val second = queriesToRun
         .filter { case (n, _) => retryNames(n) }
         .map { case (n, fn) => timed(n, fn) }.toMap
+      // a query that was green on the first pass must not be reported
+      // failed because only its RETRY crashed — the retry exists to
+      // de-noise timings, never to change the pass/fail verdict (and a
+      // fast crash would otherwise also win the min)
+      val failedOnRetry = failed.toSet -- failedBefore
+      failed.clear(); failed ++= failedBefore
       firstPass.map { case (n, t1) =>
         second.get(n) match {
-          case Some(t2) if t2 < t1 => retried += (n -> t1); n -> t2
+          case Some(t2) if t2 < t1 && !failedOnRetry(n) =>
+            retried += (n -> t1); n -> t2
           case _ => n -> t1
         }
       }

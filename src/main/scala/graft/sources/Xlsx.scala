@@ -138,10 +138,13 @@ object Xlsx {
         val out = ArrayBuffer.empty[String]
         for (j <- 0 until cells.getLength) {
           val c = cells.item(j).asInstanceOf[org.w3c.dom.Element]
-          // A1-ref column index; cells may be sparse (blank cells omitted)
-          val ref = c.getAttribute("r")
-          val letters = ref.takeWhile(_.isLetter)
-          val ci = letters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+          // A1-ref column index; cells may be sparse (blank cells
+          // omitted). A writer may legally omit r entirely — then cells
+          // are consecutive, so the next slot is the position.
+          val letters = c.getAttribute("r").takeWhile(_.isLetter)
+          val ci =
+            if (letters.isEmpty) out.length
+            else letters.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
           while (out.length < ci) out += ""
           val t = c.getAttribute("t")
           val v = t match {

@@ -92,11 +92,17 @@ object ScheduledIngest {
   /** Start the daemon. `incomingDir` receives scrape landing files
     * (JSONL, [[freshSchema]]); `runDateOf(batchId)` pins each tick's
     * "today" (determinism over current_date — tests pass a constant). */
+  /** Optional human-facing interchange: when `masterXlsxPath` is set,
+    * each tick also re-exports the updated master as a real .xlsx —
+    * the reference's daily job maintains exactly this file
+    * (fda_watcher.py:555 to_excel). Bounded by [[Xlsx.writeMaster]]'s
+    * collect cap; the engine's source of truth stays the parquet. */
   def start(spark: SparkSession, incomingDir: String, masterDir: String,
       publishDir: String, quarantineDir: String, checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("24 hours"),
       runDateOf: Long => String = _ => java.time.LocalDate.now().toString,
       source: String = "fda_oncology",
+      masterXlsxPath: Option[String] = None,
       onTick: Tick => Unit = _ => ()): StreamingQuery = {
     val fresh = spark.readStream.schema(freshSchema).json(incomingDir)
     fresh.writeStream
@@ -117,6 +123,8 @@ object ScheduledIngest {
           q.write.mode("overwrite").json(s"$quarantineDir/batch=$batchId")
           val (np, nq) = (p.count(), q.count())
           val nm = swapMaster(res.updatedMaster, masterDir)
+          masterXlsxPath.foreach(x =>
+            graft.sources.Xlsx.writeMaster(spark.read.parquet(masterDir), x))
           onTick(Tick(batchId, b.count(), np, nq, nm))
         } finally { p.unpersist(); q.unpersist(); b.unpersist() }
       }

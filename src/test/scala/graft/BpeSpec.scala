@@ -101,4 +101,25 @@ class BpeSpec extends AnyFunSuite {
     assert(md.merges.head == m.merges.head)
   }
 
+
+  test("full-text encode == concatenation of per-word encodes (the oracle's artifact split)") {
+    // the text_bpe_pieces oracle joins exported PER-WORD pieces to the
+    // tokenized corpus; that replay is sound only because encodeText
+    // treats words independently — pin it, including over supplementary-
+    // plane words, repeated words and degenerate whitespace
+    import graft.ops.Bpe
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").limit(50).collect().map(_.getString(0))
+    val extra = Seq("", "   ", "a", "a a a", "low lower lowest low",
+      "\uD83D\uDE00 emoji \uD83D\uDE00", "tab\tand  doubled   spaces")
+    val model = Bpe.fit(docs.foldLeft(spark.createDataFrame(
+      Seq.empty[Tuple1[String]]).toDF("text")) { (df, t) =>
+        df.union(Seq(Tuple1(t)).toDF("text")) }, "text", nMerges = 16)
+    (docs ++ extra).foreach { t =>
+      val full = Bpe.encodeText(t, model.ranks).toSeq
+      val perWord = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+        .flatMap(w => Bpe.encodeText(w, model.ranks))
+      assert(full == perWord, s"divergence on: '$t'")
+    }
+  }
 }

@@ -34,10 +34,12 @@ class ScheduledIngestSpec extends AnyFunSuite {
       rec("https://x/1", "Drug A", longText) + "\n" +
       rec("https://x/2", "Drug B", "too short") + "\n")
 
+    val xlsxPath = s"$root/master.xlsx"
     val q = ScheduledIngest.start(spark, incoming, masterDir, publish,
       quarantine, checkpoint,
       trigger = Trigger.ProcessingTime("500 milliseconds"),
       runDateOf = _ => "2026-01-01",
+      masterXlsxPath = Some(xlsxPath),
       onTick = ticks.add(_))
     try {
       def waitTicks(n: Int): Unit = {
@@ -71,6 +73,12 @@ class ScheduledIngestSpec extends AnyFunSuite {
       val quar = spark.read.json(s"$quarantine/batch=0")
       assert(quar.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSet == Set("Drug B"))
+      // the human-facing Excel master tracked the ticks (reference
+      // fda_watcher.py:555) — reads back with the final master content
+      val xl = graft.sources.Xlsx.readMaster(spark, xlsxPath)
+      assert(xl.count() == 2)
+      assert(xl.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet == Set("Drug A", "Drug C"))
     } finally {
       q.stop()
       scala.reflect.io.Directory(root.toFile).deleteRecursively()
