@@ -1993,6 +1993,24 @@ object SparkEntry {
         col("text"), k = 20)
     },
 
+    "profile_heavy_hitters_incr" -> { (s, dir) =>
+      // mergeable-sketch proof: counter tables built per corpus slice
+      // (as different ingest runs would) union + re-sum into EXACTLY
+      // the full-corpus sketch — counter addition commutes — so this
+      // query hash-matches the SAME oracle as profile_heavy_hitters.
+      // The build/merge/probe split is the sketch lifecycle at 100 TB:
+      // per-slice counters persist as tiny tables, a merge is a
+      // d·w-bounded aggregate, and a fresh batch never re-sketches
+      // history.
+      val docs = t(s, dir, "documents")
+      def occ(f: DataFrame) =
+        Profile.tokenOccurrences(f, col("doc_id"), col("text"))
+      val merged = Profile.cmsMerge(Seq(
+        Profile.cmsCounters(occ(docs.filter(col("doc_id") % 10 =!= 0)), "tok"),
+        Profile.cmsCounters(occ(docs.filter(col("doc_id") % 10 === 0)), "tok")))
+      Profile.heavyHittersFromCounters(merged, occ(docs), k = 20)
+    },
+
     "sample_per_group" -> { (s, dir) =>
       // deterministic 7-per-source sample: md5-ranked reservoir inside
       // each stratum — stable across runs, one shuffle on the stratum
@@ -2643,6 +2661,40 @@ object SparkEntry {
   private def auxTfidfTokens = s"read_parquet('$oracleAuxDir/tfidf_tokens/*.parquet')"
   private def auxBpePieces = s"read_parquet('$oracleAuxDir/bpe_word_pieces/*.parquet')"
   private def auxDeflateLen = s"read_parquet('$oracleAuxDir/deflate_len/*.parquet')"
+
+  /** Shared by profile_heavy_hitters and its merged-sketch twin. */
+  private val heavyHittersOracleSql: String =
+    """WITH occ AS (
+         SELECT d.doc_id AS id, u.i - 1 AS pos,
+           string_split_regex(trim(d.text), '\s+')[u.i] AS tok
+         FROM documents d,
+           unnest(range(1, len(string_split_regex(trim(d.text), '\s+')) + 1))
+             AS u(i)),
+       occ2 AS (SELECT * FROM occ WHERE len(tok) > 0),
+       hs AS (SELECT unnest(range(7)) AS i),
+       counters AS (
+         SELECT hs.i,
+           CAST(('0x' || substr(md5(tok), 1 + 4*hs.i, 4)) AS UBIGINT)
+             % 20000 AS bucket,
+           count(*) AS cnt
+         FROM occ2, hs GROUP BY 1, 2),
+       cand AS (
+         SELECT tok, count(*) AS sn FROM occ2
+         WHERE CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
+               CAST(pos AS VARCHAR) || ':' || tok), 1, 15)) AS UBIGINT)
+             % 10000 < 1000
+         GROUP BY tok HAVING count(*) >= 2),
+       cb AS (
+         SELECT c.tok, hs.i,
+           CAST(('0x' || substr(md5(c.tok), 1 + 4*hs.i, 4)) AS UBIGINT)
+             % 20000 AS bucket
+         FROM cand c CROSS JOIN hs),
+       est AS (
+         SELECT cb.tok, min(k.cnt) AS est_count
+         FROM cb JOIN counters k ON k.i = cb.i AND k.bucket = cb.bucket
+         GROUP BY cb.tok)
+       SELECT tok, CAST(est_count AS BIGINT) AS est_count FROM est
+       ORDER BY est_count DESC, tok ASC LIMIT 20"""
 
   /** Shared oracle fragment: the nProbe nearest centroids per query
     * (squared-L2 ascending, centroid index as the stable tie-break —
@@ -3836,38 +3888,12 @@ object SparkEntry {
     // the 7 counter rows. posexplode positions count ALL split elements
     // (pos assigned before the empty-token filter), mirrored by indexing
     // the full array with u.i - 1.
-    "profile_heavy_hitters" ->
-      s"""WITH occ AS (
-           SELECT d.doc_id AS id, u.i - 1 AS pos,
-             string_split_regex(trim(d.text), '\\s+')[u.i] AS tok
-           FROM documents d,
-             unnest(range(1, len(string_split_regex(trim(d.text), '\\s+')) + 1))
-               AS u(i)),
-         occ2 AS (SELECT * FROM occ WHERE len(tok) > 0),
-         hs AS (SELECT unnest(range(7)) AS i),
-         counters AS (
-           SELECT hs.i,
-             CAST(('0x' || substr(md5(tok), 1 + 4*hs.i, 4)) AS UBIGINT)
-               % 20000 AS bucket,
-             count(*) AS cnt
-           FROM occ2, hs GROUP BY 1, 2),
-         cand AS (
-           SELECT tok, count(*) AS sn FROM occ2
-           WHERE CAST(('0x' || substr(md5(CAST(id AS VARCHAR) || ':' ||
-                 CAST(pos AS VARCHAR) || ':' || tok), 1, 15)) AS UBIGINT)
-               % 10000 < 1000
-           GROUP BY tok HAVING count(*) >= 2),
-         cb AS (
-           SELECT c.tok, hs.i,
-             CAST(('0x' || substr(md5(c.tok), 1 + 4*hs.i, 4)) AS UBIGINT)
-               % 20000 AS bucket
-           FROM cand c CROSS JOIN hs),
-         est AS (
-           SELECT cb.tok, min(k.cnt) AS est_count
-           FROM cb JOIN counters k ON k.i = cb.i AND k.bucket = cb.bucket
-           GROUP BY cb.tok)
-         SELECT tok, CAST(est_count AS BIGINT) AS est_count FROM est
-         ORDER BY est_count DESC, tok ASC LIMIT 20""",
+    "profile_heavy_hitters" -> heavyHittersOracleSql,
+
+    // the merged-sketch query is BIT-IDENTICAL to the full-corpus one
+    // (counter addition commutes), so it shares the oracle — the hash
+    // match IS the merge==full proof
+    "profile_heavy_hitters_incr" -> heavyHittersOracleSql,
 
     // BPE corpus-encode replay against the exported per-word pieces: the
     // word-level merge walk is the exported kernel artifact (BpeSpec hand

@@ -227,15 +227,30 @@ object Profile {
     * sample hits per real heavy hitter.
     *
     * Output: (tok, est_count), top-k by (est desc, tok asc). */
-  def heavyHittersCms(df: DataFrame, idCol: Column, textCol: Column,
+  /** (__id, __pos, tok) token occurrences — the input stream of both
+    * the counter aggregate and the candidate sample. */
+  def tokenOccurrences(df: DataFrame, idCol: Column,
+      textCol: Column): DataFrame =
+    df.select(idCol.as("__id"),
+      posexplode(split(trim(textCol), "\\s+")).as(Seq("__pos", "tok")))
+      .filter(length(col("tok")) > 0)
+
+  /** Merge counter tables (e.g. per-corpus-slice sketches built at
+    * different times): counter addition commutes, so union + re-sum IS
+    * the merged sketch — byte-identical to sketching the union. */
+  def cmsMerge(counterTables: Seq[DataFrame]): DataFrame =
+    counterTables.reduce(_.unionByName(_))
+      .groupBy("i", "bucket").agg(sum("cnt").as("cnt"))
+
+  /** Heavy-hitter read-back against an EXISTING counter table — the
+    * probe half of the sketch lifecycle (build/merge once, query
+    * cheaply). `occ` supplies the candidate sample (usually the same
+    * stream the counters were built from, or just the fresh slice when
+    * only new tokens can newly qualify). */
+  def heavyHittersFromCounters(counters: DataFrame, occ: DataFrame,
       k: Int, eps: Double = 1e-4, confidence: Double = 0.99,
       samplePerMyriad: Int = 1000, minSampleCount: Int = 2): DataFrame = {
     val (w, d) = cmsDims(eps, confidence)
-    val occ = df.select(idCol.as("__id"),
-      posexplode(split(trim(textCol), "\\s+")).as(Seq("__pos", "tok")))
-      .filter(length(col("tok")) > 0)
-      .persist()
-    val counters = cmsCounters(occ, "tok", eps, confidence)
     val cand = occ
       .filter(Sampling.hashBucket(
         concat_ws(":", col("__id"), col("__pos"), col("tok")), 10000)
@@ -253,6 +268,14 @@ object Profile {
       .orderBy(col("est_count").desc, col("tok").asc)
       .limit(k)
       .select("tok", "est_count")
+  }
+
+  def heavyHittersCms(df: DataFrame, idCol: Column, textCol: Column,
+      k: Int, eps: Double = 1e-4, confidence: Double = 0.99,
+      samplePerMyriad: Int = 1000, minSampleCount: Int = 2): DataFrame = {
+    val occ = tokenOccurrences(df, idCol, textCol).persist()
+    heavyHittersFromCounters(cmsCounters(occ, "tok", eps, confidence), occ,
+      k, eps, confidence, samplePerMyriad, minSampleCount)
   }
 
   /** KMV (k-minimum-values) distinct-count sketch, one output column

@@ -62,9 +62,15 @@ object ScheduledIngest {
   case class Tick(batchId: Long, nFresh: Long, nPublished: Long,
       nQuarantined: Long, nMaster: Long)
 
+  private def fsFor(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
   private def loadMaster(spark: SparkSession, masterDir: String): DataFrame = {
-    val marker = new java.io.File(s"$masterDir/_SUCCESS")
-    if (marker.exists()) spark.read.parquet(masterDir)
+    val (fs, p) = fsFor(spark, masterDir)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
+      spark.read.parquet(masterDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], masterSchema)
   }
@@ -72,20 +78,25 @@ object ScheduledIngest {
   /** Replace the master atomically enough for a single-writer daemon:
     * the new master materializes to a side directory FIRST (reading the
     * old master is finished by then — the union update is materialized
-    * there), then swaps in. A crash between the two renames leaves the
-    * side directory complete on disk; the next tick's load sees the old
-    * or the new master, never a half-written one. */
+    * there), then swaps in via filesystem renames (Hadoop FileSystem
+    * API — local FS in tests, HDFS/object-store semantics on a
+    * cluster; on S3-like stores the production form is a metastore /
+    * table-format pointer flip, same dataflow). A crash between the
+    * renames leaves the side directory complete on disk; the next
+    * tick's load sees the old or the new master, never a half-written
+    * one. */
   private def swapMaster(updated: DataFrame, masterDir: String): Long = {
     val next = s"$masterDir.next"
     updated.write.mode("overwrite").parquet(next)
     val spark = updated.sparkSession
     val n = spark.read.parquet(next).count()
-    val dir = new java.io.File(masterDir)
-    val old = new java.io.File(s"$masterDir.old")
-    if (old.exists()) scala.reflect.io.Directory(old).deleteRecursively()
-    if (dir.exists()) dir.renameTo(old)
-    new java.io.File(next).renameTo(dir)
-    scala.reflect.io.Directory(old).deleteRecursively()
+    val (fs, dir) = fsFor(spark, masterDir)
+    val nextP = new org.apache.hadoop.fs.Path(next)
+    val oldP = new org.apache.hadoop.fs.Path(s"$masterDir.old")
+    if (fs.exists(oldP)) fs.delete(oldP, true)
+    if (fs.exists(dir)) fs.rename(dir, oldP)
+    fs.rename(nextP, dir)
+    fs.delete(oldP, true)
     n
   }
 
