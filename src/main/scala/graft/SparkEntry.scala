@@ -1993,6 +1993,20 @@ object SparkEntry {
         col("text"), k = 20)
     },
 
+    "profile_approx_incr" -> { (s, dir) =>
+      // mergeable-KMV proof, same pattern as profile_heavy_hitters_incr:
+      // per-slice min-k sketches kmvMerge into EXACTLY the full-corpus
+      // sketch (min-k of a union = min-k over the unioned min-k sets),
+      // so this hash-matches profile_approx's oracle verbatim.
+      val docs = t(s, dir, "documents")
+      val a = docs.filter(col("doc_id") % 10 =!= 0)
+      val b = docs.filter(col("doc_id") % 10 === 0)
+      Seq("doc_id", "source", "lang", "n_chars").map { c =>
+        Profile.kmvEstimate(Profile.kmvMerge(Seq(
+          Profile.kmvSketch(a, c), Profile.kmvSketch(b, c))), s"adc_$c")
+      }.reduce(_.crossJoin(_))
+    },
+
     "profile_heavy_hitters_incr" -> { (s, dir) =>
       // mergeable-sketch proof: counter tables built per corpus slice
       // (as different ingest runs would) union + re-sum into EXACTLY
@@ -2661,6 +2675,25 @@ object SparkEntry {
   private def auxTfidfTokens = s"read_parquet('$oracleAuxDir/tfidf_tokens/*.parquet')"
   private def auxBpePieces = s"read_parquet('$oracleAuxDir/bpe_word_pieces/*.parquet')"
   private def auxDeflateLen = s"read_parquet('$oracleAuxDir/deflate_len/*.parquet')"
+
+  /** Shared by profile_approx and its merged-sketch twin. */
+  private val kmvOracleSql: String = {
+    def kmv(expr: String, alias: String, notNull: String) =
+      s"""k_$alias AS (
+         SELECT DISTINCT CAST(('0x' || substr(md5($expr), 1, 15)) AS UBIGINT) AS h
+         FROM documents WHERE $notNull IS NOT NULL ORDER BY h LIMIT 256),
+       e_$alias AS (
+         SELECT CASE WHEN count(*) < 256 THEN count(*)
+           ELSE CAST(floor(255.0 * 1152921504606846976.0 /
+             CAST(max(h) AS DOUBLE)) AS BIGINT) END AS adc_$alias
+         FROM k_$alias)"""
+    s"""WITH ${kmv("CAST(doc_id AS VARCHAR)", "doc_id", "doc_id")},
+       ${kmv("source", "source", "source")},
+       ${kmv("lang", "lang", "lang")},
+       ${kmv("CAST(n_chars AS VARCHAR)", "n_chars", "n_chars")}
+       SELECT adc_doc_id, adc_source, adc_lang, adc_n_chars
+       FROM e_doc_id, e_source, e_lang, e_n_chars"""
+  }
 
   /** Shared by profile_heavy_hitters and its merged-sketch twin. */
   private val heavyHittersOracleSql: String =
@@ -3863,23 +3896,12 @@ object SparkEntry {
     // (k−1) · 2⁶⁰ / kth-smallest — 255.0 and 2⁶⁰ are exactly
     // representable doubles and the one division is IEEE-identical, so
     // the floor matches bit-for-bit
-    "profile_approx" -> {
-      def kmv(expr: String, alias: String, notNull: String) =
-        s"""k_$alias AS (
-           SELECT DISTINCT CAST(('0x' || substr(md5($expr), 1, 15)) AS UBIGINT) AS h
-           FROM documents WHERE $notNull IS NOT NULL ORDER BY h LIMIT 256),
-         e_$alias AS (
-           SELECT CASE WHEN count(*) < 256 THEN count(*)
-             ELSE CAST(floor(255.0 * 1152921504606846976.0 /
-               CAST(max(h) AS DOUBLE)) AS BIGINT) END AS adc_$alias
-           FROM k_$alias)"""
-      s"""WITH ${kmv("CAST(doc_id AS VARCHAR)", "doc_id", "doc_id")},
-         ${kmv("source", "source", "source")},
-         ${kmv("lang", "lang", "lang")},
-         ${kmv("CAST(n_chars AS VARCHAR)", "n_chars", "n_chars")}
-         SELECT adc_doc_id, adc_source, adc_lang, adc_n_chars
-         FROM e_doc_id, e_source, e_lang, e_n_chars"""
-    },
+    "profile_approx" -> kmvOracleSql,
+
+    // the merged-sketch query is BIT-IDENTICAL to the full-corpus one
+    // (min-k of a union = min-k over unioned min-k sets), so it shares
+    // the oracle — the hash match IS the merge==full proof
+    "profile_approx_incr" -> kmvOracleSql,
 
     // full count-min-sketch replay, no aux artifact: counters = per-row
     // 16-bit md5 slices mod 20000 (w = ceil(2/1e-4), d = 7 =

@@ -294,31 +294,50 @@ object Profile {
     * bounded sketch state across rows has no Column-function form.
     * Estimator error ~ 1/√(k−2) (≈6% at k = 256); exact when the true
     * distinct count is below k. */
-  def approxDistinctKmv(df: DataFrame, cols: Seq[String],
-      k: Int = 256): DataFrame = {
+  /** The ≤ k smallest DISTINCT 60-bit md5 hashes of one column — the
+    * KMV sketch AS DATA (column `h`): persistable as a tiny table and
+    * mergeable with [[kmvMerge]]. Bounded per-partition TreeSet keeps
+    * the one-pass O(k)-state contract; the merge shuffles at most
+    * k·partitions values. */
+  def kmvSketch(df: DataFrame, c: String, k: Int = 256): DataFrame = {
     import scala.jdk.CollectionConverters._
     val enc = org.apache.spark.sql.Encoders.scalaLong
-    val twoPow60 = 1.152921504606846976e18 // 2^60, exactly representable
-    val perCol = cols.map { c =>
-      val h60 = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
-        .cast("long")
-      val perPart = df.where(col(c).isNotNull).select(h60.as("h"))
-        .as[Long](enc)
-        .mapPartitions { it =>
-          val ts = new java.util.TreeSet[java.lang.Long]()
-          it.foreach { h => ts.add(h); if (ts.size > k) ts.pollLast() }
-          ts.iterator.asScala.map(Long2long)
-        }(enc)
-      perPart.toDF("h").distinct().orderBy(col("h")).limit(k)
-        .agg(count(lit(1)).as("__n"), max(col("h")).as("__hmax"))
-        .select(
-          when(col("__n") < k, col("__n"))
-            .otherwise(floor(lit((k - 1).toDouble) * lit(twoPow60) /
-              col("__hmax").cast("double")).cast("long"))
-            .as(s"adc_$c"))
-    }
-    perCol.reduce(_.crossJoin(_)) // k-sized single-row frames
+    val h60 = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    df.where(col(c).isNotNull).select(h60.as("h"))
+      .as[Long](enc)
+      .mapPartitions { it =>
+        val ts = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h => ts.add(h); if (ts.size > k) ts.pollLast() }
+        ts.iterator.asScala.map(Long2long)
+      }(enc)
+      .toDF("h").distinct().orderBy(col("h")).limit(k)
   }
+
+  /** Merge KMV sketches (e.g. per-corpus-slice, built at different
+    * times): min-k of a union = min-k over the unioned min-k sets, so
+    * union + distinct + re-cut IS the merged sketch — byte-identical to
+    * sketching the union. */
+  def kmvMerge(sketches: Seq[DataFrame], k: Int = 256): DataFrame =
+    sketches.reduce(_.unionByName(_)).distinct().orderBy(col("h")).limit(k)
+
+  /** The distinct-count estimate of one sketch, as a 1-row frame with
+    * the given column name: exact count when below k, else
+    * (k−1)·2⁶⁰ / k-th-smallest (Bar-Yossef et al. 2002). */
+  def kmvEstimate(sketch: DataFrame, outCol: String, k: Int = 256): DataFrame = {
+    val twoPow60 = 1.152921504606846976e18 // 2^60, exactly representable
+    sketch.agg(count(lit(1)).as("__n"), max(col("h")).as("__hmax"))
+      .select(
+        when(col("__n") < k, col("__n"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(twoPow60) /
+            col("__hmax").cast("double")).cast("long"))
+          .as(outCol))
+  }
+
+  def approxDistinctKmv(df: DataFrame, cols: Seq[String],
+      k: Int = 256): DataFrame =
+    cols.map(c => kmvEstimate(kmvSketch(df, c, k), s"adc_$c", k))
+      .reduce(_.crossJoin(_)) // 1-row frames
 
   /** Order-independent dataset content digest — the "did anything
     * change" primitive that decides whether downstream caches (saved
