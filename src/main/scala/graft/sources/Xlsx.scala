@@ -37,7 +37,9 @@ object Xlsx {
       case '"' => b.append("&quot;")
       case '\'' => b.append("&apos;")
       // literal control chars are invalid in XML 1.0 (Excel rejects the
-      // file); tab/newline are legal and round-trip
+      // file); tab/newline are legal and round-trip. Unpaired surrogates
+      // (invalid UTF-16) become U+FFFD/'?' at UTF-8 encoding time — no
+      // UTF-8 format can carry them (XlsxSpec fuzzes the valid space).
       case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ()
       case c => b.append(c)
     }

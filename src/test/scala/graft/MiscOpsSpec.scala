@@ -123,6 +123,29 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("sketch merges equal full builds: cmsMerge and kmvMerge (unit-level)") {
+    import graft.ops.Profile
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = docs.filter(col("doc_id") % 3 === 0)
+    val b = docs.filter(col("doc_id") % 3 =!= 0)
+    def occ(f: org.apache.spark.sql.DataFrame) =
+      Profile.tokenOccurrences(f, col("doc_id"), col("text"))
+    // CMS: union + re-sum of per-slice counters == counters of the union
+    val merged = Profile.cmsMerge(Seq(
+        Profile.cmsCounters(occ(a), "tok"), Profile.cmsCounters(occ(b), "tok")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val full = Profile.cmsCounters(occ(docs), "tok")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == full)
+    // KMV: min-k over unioned min-k sets == min-k of the union
+    val km = Profile.kmvMerge(Seq(
+        Profile.kmvSketch(a, "doc_id"), Profile.kmvSketch(b, "doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    val kf = Profile.kmvSketch(docs, "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(km == kf)
+  }
+
   test("KMV distinct sketch: exact below k, within ~1/sqrt(k) above, deterministic") {
     import graft.ops.Profile
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -74,4 +74,27 @@ class XlsxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucketed master"))
     new java.io.File(path).delete()
   }
+
+  test("seeded fuzz: printable/whitespace content round-trips byte-identically") {
+    val rnd = new scala.util.Random(11)
+    // XML 1.0 cannot carry control chars < 0x20 except tab/newline/CR
+    // (the writer drops them by design); everything else must survive
+    // pool of whole CODE POINTS — sampling raw chars would tear the
+    // emoji's surrogate pair into invalid UTF-16 that no UTF-8 format
+    // can carry (the writer correctly replaces lone surrogates)
+    val pool: Vector[String] =
+      (' ' to '~').map(_.toString).toVector ++
+        "\t\n äöü—π漢字".map(_.toString) :+ new String(Character.toChars(0x1F600))
+    def str(): String =
+      (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+    val rows = (1 to 120).map(_ => (str(), str(), str()))
+    val df = spark.createDataFrame(rows).toDF("a", "b", "c")
+    val path = java.nio.file.Files.createTempFile("graft_fuzz", ".xlsx").toString
+    Xlsx.writeMaster(df, path)
+    val back = Xlsx.readMaster(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    // multiset equality — duplicates must be preserved
+    assert(back.sorted.toSeq == rows.sorted.toSeq)
+    new java.io.File(path).delete()
+  }
 }
