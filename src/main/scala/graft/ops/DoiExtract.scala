@@ -33,7 +33,11 @@ object DoiExtract {
         val firstIdx = searchText.indexOf(candidate)
         val ctxStart = math.max(0, firstIdx - 100)
         val ctxEnd = math.min(searchText.length, ctxStart + 200)
-        val context = searchText.substring(ctxStart, ctxEnd).toLowerCase
+        // Locale.ROOT: mirrors CPython str.lower() (locale-independent
+        // Unicode casing) — a tr_TR default locale would map I to dotless
+        // ı and silently miss the "bibliography" veto keyword
+        val context = searchText.substring(ctxStart, ctxEnd)
+          .toLowerCase(java.util.Locale.ROOT)
         if (!vetoWords.exists(context.contains)) return Some(cleaned)
       }
     }

@@ -30,7 +30,10 @@ object HtmlExtract {
     val m = tagPat.matcher(html)
     val out = Vector.newBuilder[Tag]
     while (m.find()) {
-      out += Tag(m.group(2).toLowerCase, m.group(1) == "/", m.group(3),
+      // Locale.ROOT: an <I> tag must lowercase to "i" on every JVM —
+      // the tr_TR default locale maps it to dotless ı
+      out += Tag(m.group(2).toLowerCase(java.util.Locale.ROOT),
+        m.group(1) == "/", m.group(3),
         m.start(), m.end())
     }
     out.result()
@@ -143,7 +146,8 @@ object HtmlExtract {
   /** URL-level short-circuits of the scrape step (fda_watcher.py:130-134). */
   def corpusForUrl(url: String, html: => String): String = {
     if (url == null || !url.contains("http")) ""
-    else if (url.toLowerCase.endsWith(".pdf")) "[PDF CONTENT - REQUIRES OCR]"
+    else if (url.toLowerCase(java.util.Locale.ROOT).endsWith(".pdf"))
+      "[PDF CONTENT - REQUIRES OCR]"
     else extractText(html)
   }
 }
