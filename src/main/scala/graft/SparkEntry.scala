@@ -2130,6 +2130,26 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     },
 
+    "curate_length_batches" -> { (s, dir) =>
+      // dynamic-batching prep: power-of-two length buckets, 8-doc
+      // batches cut in md5 order inside (bucket, shard), per-batch
+      // padding-waste accounting — the op that keeps a training job
+      // from padding every batch to the corpus max. 4 shards keep any
+      // dominant length band fanned out (no whole-bucket sort).
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.lengthBucketedBatches(docs, col("doc_id").cast("string"),
+          col("n_tokens"), batchSize = 8, nShards = 4)
+        .groupBy("bucket_cap", "shard", "batch_no")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("tokens_used").as("sum_tokens"),
+          max("tokens_used").as("max_tokens"))
+        .withColumn("pad_waste_milli",
+          floor(lit(1000) * (col("n_docs") * col("bucket_cap") - col("sum_tokens")) /
+            (col("n_docs") * col("bucket_cap"))).cast("long"))
+    },
+
     "pack_sequences" -> { (s, dir) =>
       // concat-and-cut training sequence packing: 4 shards, 2048-token
       // sequences; each doc labeled with its start offset and sequence
@@ -4636,6 +4656,39 @@ object SparkEntry {
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            sha256(text) AS sha
          FROM documents""",
+
+    // length-bucketed batching replay: the power-of-two CASE ladder, the
+    // md5 shard + in-bucket order, fixed 8-row batch cut, and the
+    // padding-waste arithmetic (exact integers into one double division)
+    "curate_length_batches" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 4 AS BIGINT) AS shard
+           FROM documents),
+         b AS (
+           SELECT *, CAST(CASE
+             WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+             WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+             WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+             WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+             WHEN n_tokens <= 4096 THEN 4096 ELSE 8192 END AS INTEGER) AS bucket_cap
+           FROM d),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY bucket_cap, shard ORDER BY h) AS rn
+           FROM b),
+         a AS (
+           SELECT bucket_cap, shard,
+             CAST(floor((rn - 1) / 8) AS BIGINT) AS batch_no,
+             count(*) AS n_docs,
+             CAST(sum(least(n_tokens, bucket_cap)) AS BIGINT) AS sum_tokens,
+             CAST(max(least(n_tokens, bucket_cap)) AS BIGINT) AS max_tokens
+           FROM r GROUP BY 1, 2, 3)
+         SELECT bucket_cap, shard, batch_no, n_docs, sum_tokens, max_tokens,
+           CAST(floor(1000.0 * (n_docs * bucket_cap - sum_tokens) /
+             (n_docs * bucket_cap)) AS BIGINT) AS pad_waste_milli
+         FROM a""",
 
     "pack_sequences" ->
       """WITH d AS (SELECT doc_id, source,

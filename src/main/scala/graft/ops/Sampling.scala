@@ -179,6 +179,43 @@ object Sampling {
       .drop("__h")
   }
 
+  /** Length-bucketed micro-batching — the dynamic-batching data prep
+    * that keeps padding waste bounded: each document lands in the
+    * smallest `ladder` bucket that holds its token count (static batch
+    * shapes, the XLA/compiler-friendly contract), batches of
+    * `batchSize` are cut inside each bucket in deterministic md5(key)
+    * order, and every row carries its (bucket_cap, shard, batch_no)
+    * assignment. Documents longer than the top rung stay in it
+    * (training-side truncation); `tokens_used = least(tokens, cap)` is
+    * emitted so waste accounting stays exact.
+    *
+    * Sharded like [[packSequences]]: the per-bucket window partitions on
+    * (bucket, shard), so no single sort ever sees a whole bucket — a
+    * corpus where 80% of documents share one length band still fans out
+    * across `nShards` sorts. One shuffle; batch numbering is per
+    * (bucket, shard), which is all dynamic batching needs (members share
+    * a pad target; global numbering buys nothing). */
+  def lengthBucketedBatches(df: DataFrame, keyCol: Column,
+      tokenCol: Column, batchSize: Int, nShards: Int,
+      ladder: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+        8192)): DataFrame = {
+    require(batchSize >= 1 && nShards >= 1 && ladder.nonEmpty &&
+      ladder == ladder.sorted, "need positive sizes and a sorted ladder")
+    val cap = ladder.init.reverse.foldLeft(lit(ladder.last)) {
+      case (acc, rung) => when(tokenCol <= rung, lit(rung)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bucket_cap"), col("shard"))
+      .orderBy(col("__h"))
+    df.withColumn("__h", md5(keyCol))
+      .withColumn("shard", hashBucket(keyCol, nShards))
+      .withColumn("bucket_cap", cap)
+      .withColumn("batch_no",
+        floor((row_number().over(w) - 1) / batchSize).cast("long"))
+      .withColumn("tokens_used",
+        least(tokenCol, col("bucket_cap")).cast("long"))
+      .drop("__h")
+  }
+
   /** Token-budget domain mixing — real training mixes are specified as
     * "N tokens from this source", not "a fraction of its documents":
     * within each stratum, documents are taken in deterministic md5(key)

@@ -182,4 +182,37 @@ class SamplingSpec extends AnyFunSuite {
     // temperature share is 571 — big strata shrink, small ones grow
     assert(got("c")._2 < 762L && got("a")._2 > 1000L / 21L)
   }
+
+  test("lengthBucketedBatches: smallest rung holds, batches bounded, deterministic") {
+    import graft.ops.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val out = Sampling.lengthBucketedBatches(docs, $"doc_id".cast("string"),
+      $"n_tokens", batchSize = 8, nShards = 4).cache()
+    try {
+      // every doc sits in the smallest rung that holds it (or the top rung)
+      val ladder = Seq(16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192)
+      out.collect().foreach { r =>
+        val (n, cap) = (r.getAs[Long]("n_tokens"), r.getAs[Int]("bucket_cap"))
+        val expect = ladder.find(n <= _).getOrElse(8192)
+        assert(cap == expect, s"n=$n cap=$cap")
+        assert(r.getAs[Long]("tokens_used") == math.min(n, cap.toLong))
+      }
+      // no batch exceeds batchSize; only the LAST batch per (bucket, shard)
+      // may be short
+      val sizes = out.groupBy("bucket_cap", "shard", "batch_no")
+        .count().collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+      assert(sizes.forall(_._2._2 <= 8))
+      sizes.groupBy(_._1).foreach { case (_, bs) =>
+        val maxBatch = bs.map(_._2._1).max
+        bs.filter(_._2._1 < maxBatch).foreach { case (_, (_, n)) =>
+          assert(n == 8, s"non-final batch short: $bs") }
+      }
+      // pure function of content: same assignment on a different layout
+      val again = Sampling.lengthBucketedBatches(
+        docs.repartition(7), $"doc_id".cast("string"), $"n_tokens", 8, 4)
+      assert(again.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
+    } finally out.unpersist()
+  }
 }
