@@ -2401,6 +2401,16 @@ object SparkEntry {
       Dedup.dedupTokenBlocks(t(s, dir, "documents"), "doc_id", "text", 20)
     },
 
+    "dedup_boilerplate_blocks" -> { (s, dir) =>
+      // CCNet/RefinedWeb template strip: a 10-token block in MORE THAN 3
+      // documents is boilerplate and vanishes from every document
+      // (including the first — no "original" worth keeping), unlike the
+      // keep-first rule above. Injected near-dup clusters make real
+      // boilerplate blocks exist at sf0.01.
+      Dedup.stripBoilerplateBlocks(t(s, dir, "documents"), "doc_id", "text",
+        blockTokens = 10, maxDocs = 3)
+    },
+
     "dedup_span_coverage" -> { (s, dir) =>
       // Lee et al. duplicated-span coverage: fraction of each document's
       // tokens inside an exact 20-token span occurring elsewhere in the
@@ -5589,6 +5599,27 @@ object SparkEntry {
              AND (5 * n_alpha_words >= 4 * n_words)
              AND (n_stop_words >= 2)) AS gopher_pass
          FROM c""",
+
+    // same block CTE as dedup_token_blocks at width 10; the keep rule is
+    // a df-threshold NOT IN against the (tiny) boilerplate set instead
+    // of first-occurrence
+    "dedup_boilerplate_blocks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+         e AS (SELECT doc_id, unnest(w) AS tok,
+           generate_subscripts(w, 1) AS idx FROM t),
+         b AS (SELECT doc_id, CAST((idx - 1) // 10 AS INT) AS block_idx,
+           string_agg(tok, ' ' ORDER BY idx) AS block
+           FROM e GROUP BY doc_id, block_idx),
+         boiler AS (SELECT block FROM b
+           GROUP BY block HAVING count(DISTINCT doc_id) > 3),
+         k AS (SELECT doc_id, block_idx, block,
+           block NOT IN (SELECT block FROM boiler) AS keep FROM b)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN keep THEN block END, ' '
+             ORDER BY block_idx), '') AS text_clean
+         FROM k GROUP BY doc_id""",
 
     "dedup_token_blocks" ->
       """WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w

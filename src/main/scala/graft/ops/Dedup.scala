@@ -539,12 +539,15 @@ object Dedup {
     * Output: (id, n_blocks, n_kept, text_deduped) — text_deduped empty
     * when every block was seen earlier (an exact duplicate of prior docs).
     */
-  def dedupTokenBlocks(df: DataFrame, idCol: String, textCol: String,
+  /** (id, block_idx, block): consecutive non-overlapping
+    * `blockTokens`-token blocks of each document — the shared cut under
+    * [[dedupTokenBlocks]] and [[stripBoilerplateBlocks]]. Pure columnar
+    * generate, no shuffle. */
+  private def tokenBlocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
     val toksCol = split(trim(col(textCol)), "\\s+")
-    val blocks = df
-      .select(col(idCol), toksCol.as("__w"))
+    df.select(col(idCol), toksCol.as("__w"))
       .select(col(idCol), when(size(col("__w")) > 0,
         transform(sequence(lit(0),
             greatest(ceil(size(col("__w")).cast("double") / blockTokens)
@@ -552,19 +555,60 @@ object Dedup {
           i => concat_ws(" ", slice(col("__w"), i * blockTokens + 1, lit(blockTokens)))))
         .otherwise(array().cast("array<string>")).as("__blocks"))
       .select(col(idCol), posexplode(col("__blocks")).as(Seq("block_idx", "block")))
-    val w = Window.partitionBy(md5(col("block")))
-      .orderBy(col(idCol).asc, col("block_idx").asc)
-    val kept = blocks
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__keep", col("__rk") === 1)
-    kept.groupBy(col(idCol))
+  }
+
+  /** Reassemble documents from blocks marked with a boolean `__keep`:
+    * (id, n_blocks, n_kept, <outCol> = kept blocks rejoined in order). */
+  private def reassembleBlocks(marked: DataFrame, idCol: String,
+      outCol: String): DataFrame =
+    marked.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_blocks"),
         sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
         concat_ws(" ", transform(
           array_sort(filter(
             collect_list(struct(col("block_idx"), col("__keep"), col("block"))),
             s => s.getField("__keep"))),
-          s => s.getField("block"))).as("text_deduped"))
+          s => s.getField("block"))).as(outCol))
+
+  def dedupTokenBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int): DataFrame = {
+    val blocks = tokenBlocks(df, idCol, textCol, blockTokens)
+    val w = Window.partitionBy(md5(col("block")))
+      .orderBy(col(idCol).asc, col("block_idx").asc)
+    val kept = blocks
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__keep", col("__rk") === 1)
+    reassembleBlocks(kept, idCol, "text_deduped")
+  }
+
+  /** CCNet/RefinedWeb-style BOILERPLATE strip, at block granularity: a
+    * block whose DOCUMENT FREQUENCY exceeds `maxDocs` is boilerplate
+    * (cookie banners, navigation, license headers — text that identifies
+    * a TEMPLATE, not a document) and is removed from EVERY document —
+    * including the first, unlike [[dedupTokenBlocks]]' keep-first rule,
+    * because boilerplate has no "original" worth keeping. The reference
+    * corpus is line-structured web text; on the single-line test corpus
+    * the fixed token cut plays the line role (the paper's unit is
+    * whichever structural span the corpus has).
+    *
+    * Scale shape: the df-count is a partial-aggregated shuffle on the
+    * block hash; the BOILERPLATE SET is then tiny by construction (a
+    * block must repeat across > maxDocs docs to enter), so the strip is
+    * a broadcast-friendly anti-join marking — the corpus never shuffles
+    * a second time. Output: (id, n_blocks, n_kept, text_clean). */
+  def stripBoilerplateBlocks(df: DataFrame, idCol: String, textCol: String,
+      blockTokens: Int, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1, "maxDocs must be >= 1")
+    val blocks = tokenBlocks(df, idCol, textCol, blockTokens)
+    val boiler = blocks
+      .groupBy(md5(col("block")).as("__bh"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") > maxDocs)
+      .select(col("__bh"), lit(true).as("__boiler"))
+    val marked = blocks.withColumn("__bh", md5(col("block")))
+      .join(ScaleHints.maybeBroadcast(boiler), Seq("__bh"), "left")
+      .withColumn("__keep", col("__boiler").isNull)
+    reassembleBlocks(marked, idCol, "text_clean")
   }
 
   /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at

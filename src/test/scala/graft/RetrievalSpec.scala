@@ -111,6 +111,24 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 2L, "a b c"), (2L, 1L, "z z")))
   }
 
+  test("stripBoilerplateBlocks: template blocks vanish EVERYWHERE, rare blocks stay") {
+    // block size 2, maxDocs 2: [t p] appears in docs 1..4 (df 4 > 2 →
+    // boilerplate, stripped from ALL including the first); [a b] df 2 stays
+    val df = Seq(
+      (1L, "t p a b"), (2L, "t p a b"), (3L, "t p c d"), (4L, "t p e f"),
+      (5L, "g h"))
+      .toDF("doc_id", "text")
+    val got = Dedup.stripBoilerplateBlocks(df, "doc_id", "text", 2, maxDocs = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 1L, "a b"),   // boilerplate stripped from the FIRST doc too
+      (2L, 2L, 1L, "a b"),   // df-2 block [a b] survives in both carriers
+      (3L, 2L, 1L, "c d"),
+      (4L, 2L, 1L, "e f"),
+      (5L, 1L, 1L, "g h")))  // untouched doc passes through
+  }
+
   test("mrrAtK: first relevant rank, hit counts, zero for missed queries") {
     val ranking = Seq(
       (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 30L),
