@@ -2401,6 +2401,12 @@ object SparkEntry {
       Dedup.dedupTokenBlocks(t(s, dir, "documents"), "doc_id", "text", 20)
     },
 
+    "text_novelty" -> { (s, dir) =>
+      // uniqueness curation signal: share of each doc's distinct 3-gram
+      // shingles found in no other document (near-dup clusters score low)
+      TextAnalysis.noveltyScore(t(s, dir, "documents"), "doc_id", "text")
+    },
+
     "dedup_boilerplate_blocks" -> { (s, dir) =>
       // CCNet/RefinedWeb template strip: a 10-token block in MORE THAN 3
       // documents is boilerplate and vanishes from every document
@@ -5599,6 +5605,32 @@ object SparkEntry {
              AND (5 * n_alpha_words >= 4 * n_words)
              AND (n_stop_words >= 2)) AS gopher_pass
          FROM c""",
+
+    // per-doc distinct 3-gram shingles (the dedup_incremental_lsh gram
+    // CTE), document frequency over them, unique share per doc
+    "text_novelty" ->
+      """WITH t AS (
+           SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 3 THEN
+               list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i+1] || ' ' ||
+                      string_split(text, ' ')[i+2]))
+             ELSE [] END AS sh
+           FROM documents),
+         g AS (SELECT doc_id, unnest(sh) AS gram FROM t),
+         f AS (SELECT gram, count(*) AS dfreq FROM g GROUP BY gram),
+         p AS (
+           SELECT g.doc_id, count(*) AS n_grams,
+             sum(CASE WHEN f.dfreq = 1 THEN 1 ELSE 0 END) AS n_unique
+           FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+         SELECT d.doc_id,
+           CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(coalesce(p.n_unique, 0) AS BIGINT) AS n_unique,
+           CASE WHEN coalesce(p.n_grams, 0) > 0
+             THEN CAST(floor(1000.0 * p.n_unique / p.n_grams) AS BIGINT)
+             ELSE 0 END AS novelty_milli
+         FROM documents d LEFT JOIN p USING (doc_id)""",
 
     // same block CTE as dedup_token_blocks at width 10; the keep rule is
     // a df-threshold NOT IN against the (tiny) boilerplate set instead

@@ -123,6 +123,22 @@ class MiscOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyScore: clones score 0, unique docs 1000, short docs 0-of-0") {
+    import graft.ops.TextAnalysis
+    val df = Seq(
+      (1L, "a b c d e"),   // clone of doc 2 → every gram shared → 0
+      (2L, "a b c d e"),
+      (3L, "p q r s t"),   // all grams unique → 1000
+      (4L, "x y"))         // under 3 tokens → 0 grams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyScore(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 0L, 0L), (2L, 3L, 0L, 0L),
+      (3L, 3L, 3L, 1000L), (4L, 0L, 0L, 0L)))
+  }
+
   test("sketch merges equal full builds: cmsMerge and kmvMerge (unit-level)") {
     import graft.ops.Profile
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
