@@ -1122,7 +1122,11 @@ object SparkEntry {
       val p = t(s, dir, "part")
       val theta = 0.9
       val lmax = p.agg(max(length(col("p_name"))).cast("int")).head().getInt(0)
-      val k = ((1.0 - theta) * 2 * lmax).toInt
+      // ceil, not toInt: (1-θ) is not an exact double ((1.0-0.9)·2·10 =
+      // 1.9999…), and a floor would shave the radius by 1 exactly at
+      // integer boundaries — voiding the exactness contract. Ceil only
+      // ever widens the candidate superset.
+      val k = math.ceil((1.0 - theta) * 2 * lmax).toInt
       FuzzyJoin.selfPairsExact(p, "p_partkey", "p_name", k = k,
           blockCols = Seq("p_brand")) { (a, b) =>
           (lit(2) * least(length(a), length(b)) >=

@@ -262,8 +262,13 @@ object Profile {
         .as(Seq("i", "bucket")))
       // counters is HARD-bounded at d·w ≤ 8·65536 rows (~12 MB) no
       // matter the corpus — always broadcastable, so the candidate side
-      // never shuffles for the read-back
-      .join(broadcast(counters), Seq("i", "bucket"))
+      // never shuffles for the read-back. LEFT join + coalesce(0): a
+      // probed token absent from the counters' build stream (the doc
+      // invites probing with a different occ) has empty buckets whose
+      // correct CMS reading is 0 — an inner join would either drop it or
+      // min() over a surviving subset and inflate the estimate.
+      .join(broadcast(counters), Seq("i", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
       .groupBy("tok").agg(min("cnt").as("est_count"))
       .orderBy(col("est_count").desc, col("tok").asc)
       .limit(k)

@@ -59,10 +59,23 @@ private[graft] object ScaleHints {
     }.isDefined
     if (explicitlyWide) df
     else {
-      val maxPart = math.max(1L,
-        df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
-      val estParts = plan.stats.sizeInBytes / maxPart
-      if (estParts >= target) df else df.repartition(target)
+      // checkpoint-derived frames (LogicalRDD leaves) have NO usable
+      // size statistics — computeStats falls back to defaultSizeInBytes
+      // (Long.MaxValue), which would read as "already wide" and skip the
+      // fan-out exactly when a 1-partition checkpoint needs it most. The
+      // leaf RDD already exists, so its real partition count is free.
+      val leafRddParts = plan.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.getNumPartitions
+      }
+      if (leafRddParts.nonEmpty) {
+        if (leafRddParts.max >= target) df else df.repartition(target)
+      } else {
+        val maxPart = math.max(1L,
+          df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+        val estParts = plan.stats.sizeInBytes / maxPart
+        if (estParts >= target) df else df.repartition(target)
+      }
     }
   }
 }

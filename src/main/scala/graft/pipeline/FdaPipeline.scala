@@ -44,7 +44,11 @@ object FdaPipeline {
     val delta = Fingerprint.deltaAntiJoin(fingerprinted, master, "rag_id")
       .withColumn("corpus", gf.clean_corpus(col("text")))
 
-    val corpusOk = length(col("corpus")) > 50 // fda_watcher.py:224-227
+    // coalesce: a NULL corpus (null text in the landing record) must fail
+    // the gate INTO quarantine — bare `!(length(null) > 50)` is NULL and
+    // would drop the row from both branches, leaving it invisible and
+    // re-processed forever
+    val corpusOk = coalesce(length(col("corpus")) > 50, lit(false)) // fda_watcher.py:224-227
     val cleaned = delta.filter(corpusOk)
     val quarantined = delta.filter(!corpusOk)
 

@@ -36,11 +36,17 @@ object Xlsx {
       case '>' => b.append("&gt;")
       case '"' => b.append("&quot;")
       case '\'' => b.append("&apos;")
-      // literal control chars are invalid in XML 1.0 (Excel rejects the
-      // file); tab/newline are legal and round-trip. Unpaired surrogates
-      // (invalid UTF-16) become U+FFFD/'?' at UTF-8 encoding time — no
-      // UTF-8 format can carry them (XlsxSpec fuzzes the valid space).
-      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' => ()
+      // carriage return must go out as a character REFERENCE: XML 1.0
+      // end-of-line normalization rewrites a literal #xD to #xA at parse
+      // time (silent \r → \n corruption); &#13; survives — the same
+      // escaping Excel/openpyxl emit
+      case '\r' => b.append("&#13;")
+      // other literal control chars are invalid in XML 1.0 (Excel
+      // rejects the file); tab/newline are legal and round-trip.
+      // Unpaired surrogates (invalid UTF-16) become U+FFFD/'?' at UTF-8
+      // encoding time — no UTF-8 format can carry them (XlsxSpec fuzzes
+      // the valid space).
+      case c if c < ' ' && c != '\t' && c != '\n' => ()
       case c => b.append(c)
     }
     b.toString

@@ -19,7 +19,8 @@ import graft.pipeline.FdaPipeline
   * Per tick (foreachBatch):
   *  - the batch's records fingerprint + anti-join against the persisted
   *    master, so re-scraped known records are no-ops (delta-only, T2)
-  *  - publishable records append to `publishDir` (JSONL, S9)
+  *  - publishable records land in `publishDir/batch=<id>` (JSONL, S9;
+  *    per-batch overwrite, so a foreachBatch retry is idempotent)
   *  - gate-failing NEW records land in `quarantineDir/batch=<id>` — the
   *    manual-review split (S10); they are NOT entered into master, so a
   *    later scrape of the same page retries them
@@ -69,8 +70,20 @@ object ScheduledIngest {
 
   private def loadMaster(spark: SparkSession, masterDir: String): DataFrame = {
     val (fs, p) = fsFor(spark, masterDir)
-    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
-      spark.read.parquet(masterDir)
+    def complete(d: org.apache.hadoop.fs.Path): Boolean =
+      fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS"))
+    // crash recovery for the two-rename swap: if the daemon died between
+    // "dir → .old" and ".next → dir", masterDir is missing but a COMPLETE
+    // copy exists next door — .next (the new state, fully written before
+    // any rename) wins over .old (the prior state). Without this, a
+    // crash in that window would silently restart from an empty master.
+    if (!complete(p)) {
+      val next = new org.apache.hadoop.fs.Path(s"$masterDir.next")
+      val old = new org.apache.hadoop.fs.Path(s"$masterDir.old")
+      if (complete(next)) fs.rename(next, p)
+      else if (complete(old)) fs.rename(old, p)
+    }
+    if (complete(p)) spark.read.parquet(masterDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], masterSchema)
   }
@@ -130,7 +143,11 @@ object ScheduledIngest {
         val p = res.published.persist()
         val q = res.quarantined.persist()
         try {
-          p.write.mode("append").json(publishDir)
+          // per-batch overwrite (not a flat append): a foreachBatch RETRY
+          // after a partial tick must not duplicate records — re-running
+          // batch N rewrites batch=N in place, so publish is idempotent
+          // like the quarantine split. Readers see one partitioned tree.
+          p.write.mode("overwrite").json(s"$publishDir/batch=$batchId")
           q.write.mode("overwrite").json(s"$quarantineDir/batch=$batchId")
           val (np, nq) = (p.count(), q.count())
           val nm = swapMaster(res.updatedMaster, masterDir)

@@ -90,7 +90,7 @@ class FuzzyJoinSpec extends AnyFunSuite {
     val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val theta = 0.9
     val lmax = p.agg(max(length($"p_name")).cast("int")).head().getInt(0)
-    val k = ((1.0 - theta) * 2 * lmax).toInt
+    val k = math.ceil((1.0 - theta) * 2 * lmax).toInt // ceil: see the query
     val pass = FuzzyJoin.selfPairsExact(p, "p_partkey", "p_name", k = k,
         blockCols = Seq("p_brand"))(
         (x, y) => graft.expr.functions.similarity(x, y) >= theta)

@@ -79,6 +79,29 @@ class ScheduledIngestSpec extends AnyFunSuite {
       assert(xl.count() == 2)
       assert(xl.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
         .collect().toSet == Set("Drug A", "Drug C"))
+
+      // crash-window recovery: simulate a death between the swap's two
+      // renames (masterDir gone, a COMPLETE .next beside it) — a fresh
+      // daemon must recover the master, so a re-scrape stays a no-op
+      q.stop()
+      assert(new java.io.File(masterDir)
+        .renameTo(new java.io.File(s"$masterDir.next")))
+      Files.writeString(Path.of(incoming, "scrape3.json"),
+        rec("https://x/1", "Drug A", longText) + "\n")
+      val q2 = ScheduledIngest.start(spark, incoming, masterDir, publish,
+        quarantine, s"$root/ckpt2_all",
+        trigger = Trigger.ProcessingTime("500 milliseconds"),
+        runDateOf = _ => "2026-01-02",
+        onTick = ticks.add(_))
+      try {
+        waitTicks(3)
+        val t3 = ticks.toArray(Array.empty[ScheduledIngest.Tick]).last
+        // fresh checkpoint re-reads ALL landing files (3 records of which
+        // 1 is the quarantine-eligible short one); the recovered master
+        // makes every previously-published record a no-op
+        assert(t3.nPublished == 0, s"master not recovered: $t3")
+        assert(t3.nMaster == 2)
+      } finally q2.stop()
     } finally {
       q.stop()
       scala.reflect.io.Directory(root.toFile).deleteRecursively()

@@ -30,6 +30,7 @@ class XlsxSpec extends AnyFunSuite {
     val df = Seq(
       ("a&b", "<tag> \"quoted\" 'single'"),
       ("tab\there", "line\nbreak kept"),
+      ("cr\rkept", "crlf\r\nkept"),
       ("naïve — π≈3.14159", ""),
       (null: String, "after-null")).toDF("k", "v")
     Xlsx.writeMaster(df, path)
@@ -38,6 +39,8 @@ class XlsxSpec extends AnyFunSuite {
     assert(back == Set(
       ("a&b", "<tag> \"quoted\" 'single'"),
       ("tab\there", "line\nbreak kept"),
+      // &#13; escaping survives XML end-of-line normalization
+      ("cr\rkept", "crlf\r\nkept"),
       ("naïve — π≈3.14159", ""),
       ("", "after-null"))) // null writes as empty cell
     new java.io.File(path).delete()
@@ -84,7 +87,7 @@ class XlsxSpec extends AnyFunSuite {
     // can carry (the writer correctly replaces lone surrogates)
     val pool: Vector[String] =
       (' ' to '~').map(_.toString).toVector ++
-        "\t\n äöü—π漢字".map(_.toString) :+ new String(Character.toChars(0x1F600))
+        "\t\n\r äöü—π漢字".map(_.toString) :+ new String(Character.toChars(0x1F600))
     def str(): String =
       (0 until rnd.nextInt(30)).map(_ => pool(rnd.nextInt(pool.length))).mkString
     val rows = (1 to 120).map(_ => (str(), str(), str()))
