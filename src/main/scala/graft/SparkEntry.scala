@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.jdk.CollectionConverters._
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel, Validate, PageRank, Layout}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel, Validate, PageRank, Layout, UrlOps}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -2411,6 +2411,48 @@ object SparkEntry {
       TextAnalysis.noveltyScore(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    "url_canonicalize" -> { (s, dir) =>
+      // web-corpus address normalization: four raw spellings per page
+      // (cased host, default port, tracking params, fragment, dup
+      // slashes, unsorted query) must collapse to one canonical form
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        rawUrlVariants.as("url"))
+      raw.select(col("doc_id"), col("url"),
+        UrlOps.canonicalize(col("url")).as("canonical"))
+    },
+
+    "dedup_url" -> { (s, dir) =>
+      // URL-exact dedup on the canonical spelling: re-crawls of the same
+      // address group; survivor = earliest id, n_dups = re-crawl count
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        rawUrlVariants.as("url"))
+      UrlOps.dedupByUrl(raw, "url", "doc_id")
+    },
+
+    "curate_domain_cap" -> { (s, dir) =>
+      // domain-level anti-spam curation: blocklisted hosts dropped
+      // (broadcast anti-join), then at most 15 docs per registrable
+      // domain under a deterministic quality order — the link-farm
+      // domain holding ~40% of raw volume survives with exactly 15
+      val s2 = s
+      import s2.implicits._
+      val docs = t(s, dir, "documents")
+      val v = col("doc_id") % 10
+      val host = when(v <= 3, lit("spam.linkfarm.net"))
+        .when(v <= 5, lit("blog.example.org"))
+        .when(v === 6, lit("Docs.Example.COM"))
+        .when(v === 7, lit("www.news-site.io"))
+        .when(v === 8, lit("archive.example.org:8080"))
+        .otherwise(lit("banned.tracker.net"))
+      val raw = docs.select(col("doc_id"), col("n_chars"),
+        concat(lit("https://"), host, lit("/p/"),
+          col("doc_id").cast("string")).as("url"))
+      val blocklist = Seq("banned.tracker.net").toDF("blocked_domain")
+      UrlOps.domainCapFilter(raw, "url", blocklist, cap = 15,
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("doc_id", "domain", "domain_rank")
+    },
+
     "dedup_boilerplate_blocks" -> { (s, dir) =>
       // CCNet/RefinedWeb template strip: a 10-token block in MORE THAN 3
       // documents is boilerplate and vanishes from every document
@@ -2589,6 +2631,28 @@ object SparkEntry {
   /** Fixed keyword-bag query batch for the retrieval queries (a query
     * workload is driver-provided in production; literals keep the oracle
     * replayable). Terms drawn from the generator vocabulary. */
+  /** Four deterministic raw spellings of the same two canonical
+    * addresses per id-group of 4: variants 0/1 are one https page
+    * (cased host + :443 + dup slash + fragment + tracking param +
+    * unsorted query between them), variants 2/3 one http page (cased
+    * www host + :80 + utm-only query + fragment). Exercises every
+    * [[graft.ops.UrlOps.canonicalize]] rule and gives `dedup_url`
+    * non-trivial survivor groups. */
+  private def rawUrlVariants: Column = {
+    val g = expr("doc_id div 4").cast("string")
+    when(col("doc_id") % 4 === 0,
+        concat(lit("https://News.Example.org:443/articles//item-"), g,
+          lit("?b=2&a=1")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://news.example.org/articles/item-"), g,
+          lit("?a=1&utm_source=feed&b=2#sec")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("HTTP://WWW.Example.COM:80/item-"), g,
+          lit("?utm_medium=x")))
+      .otherwise(
+        concat(lit("http://www.example.com/item-"), g, lit("#top")))
+  }
+
   private def retrievalQueries(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq((1L, "spark table scan window"), (2L, "customer order join merge"),
@@ -5636,6 +5700,47 @@ object SparkEntry {
              ELSE 0 END AS novelty_milli
          FROM documents d LEFT JOIN p USING (doc_id)""",
 
+    // the UrlOps.canonicalize rule chain replayed stage by stage:
+    // fragment strip, scheme/host lowercase, default-port strip, dup
+    // slash collapse, tracking-param filter + bytewise param sort
+    "url_canonicalize" ->
+      s"""WITH raw AS (SELECT doc_id, $urlVariantSql AS url FROM documents),
+         $urlCanonCte
+         SELECT doc_id, url, canonical FROM canon""",
+
+    "dedup_url" ->
+      s"""WITH raw AS (SELECT doc_id, $urlVariantSql AS url FROM documents),
+         $urlCanonCte
+         SELECT canonical AS canonical_url, min(doc_id) AS survivor_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+         FROM canon GROUP BY canonical""",
+
+    // domainOf replay (host lowercase, port strip, www strip), blocklist
+    // filter, then the per-domain row_number cap
+    "curate_domain_cap" ->
+      """WITH raw AS (SELECT doc_id, n_chars,
+           CASE WHEN doc_id % 10 <= 3 THEN 'spam.linkfarm.net'
+                WHEN doc_id % 10 <= 5 THEN 'blog.example.org'
+                WHEN doc_id % 10 = 6 THEN 'Docs.Example.COM'
+                WHEN doc_id % 10 = 7 THEN 'www.news-site.io'
+                WHEN doc_id % 10 = 8 THEN 'archive.example.org:8080'
+                ELSE 'banned.tracker.net' END AS host
+           FROM documents),
+         d AS (SELECT doc_id, n_chars,
+           regexp_replace(regexp_replace(lower(regexp_extract(
+             regexp_replace('https://' || host || '/p/' ||
+               CAST(doc_id AS VARCHAR), '#.*', ''),
+             '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)),
+             ':[0-9]+$', ''), '^www\.', '') AS domain
+           FROM raw),
+         k AS (SELECT * FROM d WHERE domain <> 'banned.tracker.net'),
+         r AS (SELECT doc_id, domain,
+           CAST(row_number() OVER (PARTITION BY domain
+             ORDER BY n_chars DESC, doc_id) AS INT) AS domain_rank
+           FROM k)
+         SELECT doc_id, domain, domain_rank FROM r
+         WHERE domain_rank <= 15""",
+
     // same block CTE as dedup_token_blocks at width 10; the keep rule is
     // a df-threshold NOT IN against the (tiny) boilerplate set instead
     // of first-occurrence
@@ -5683,6 +5788,56 @@ object SparkEntry {
     * [[graft.ops.Retrieval.bm25Scores]] — +, ×, / on doubles are exactly
     * rounded so only ln() could diverge (by ≤1 ulp; floor flips are
     * measure-zero and verified empirically at sf0.001/sf0.01). */
+  /** DuckDB spelling of [[rawUrlVariants]] — must synthesize the
+    * byte-identical raw URL per doc_id. */
+  private lazy val urlVariantSql: String =
+    """CASE WHEN doc_id % 4 = 0 THEN
+           'https://News.Example.org:443/articles//item-' ||
+             CAST(doc_id // 4 AS VARCHAR) || '?b=2&a=1'
+         WHEN doc_id % 4 = 1 THEN
+           'https://news.example.org/articles/item-' ||
+             CAST(doc_id // 4 AS VARCHAR) || '?a=1&utm_source=feed&b=2#sec'
+         WHEN doc_id % 4 = 2 THEN
+           'HTTP://WWW.Example.COM:80/item-' ||
+             CAST(doc_id // 4 AS VARCHAR) || '?utm_medium=x'
+         ELSE 'http://www.example.com/item-' ||
+             CAST(doc_id // 4 AS VARCHAR) || '#top' END"""
+
+  /** [[graft.ops.UrlOps.canonicalize]] replayed as a DuckDB CTE chain
+    * over a `raw(doc_id, url)` relation; yields `canon(doc_id, url,
+    * canonical)`. Stage-for-stage mirror of the Column expression tree
+    * (same regexes, same tracking-param list, same bytewise sort). */
+  private lazy val urlCanonCte: String =
+    """s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nf
+           FROM raw),
+         s2 AS (SELECT doc_id, url,
+             lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+             lower(regexp_extract(nf,
+               '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1)) AS hostport,
+             regexp_extract(nf,
+               '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS rawpath,
+             regexp_extract(nf, '\?(.*)$', 1) AS rawq
+           FROM s1),
+         s3 AS (SELECT doc_id, url, scheme,
+             CASE WHEN scheme = 'http'
+                  THEN regexp_replace(hostport, ':80$', '')
+                  WHEN scheme = 'https'
+                  THEN regexp_replace(hostport, ':443$', '')
+                  ELSE hostport END AS host,
+             CASE WHEN rawpath = '' THEN '/'
+                  ELSE regexp_replace(rawpath, '//+', '/', 'g') END AS path,
+             coalesce(array_to_string(
+               list_sort(list_filter(string_split(rawq, '&'),
+                 p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)='))),
+               '&'), '') AS q
+           FROM s2),
+         canon AS (SELECT doc_id, url,
+             scheme || '://' || host || path ||
+               CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
+           FROM s3)"""
+
   private lazy val bm25Cte: String =
     """WITH q(qid, qtext) AS (VALUES
            (1, 'spark table scan window'), (2, 'customer order join merge'),
