@@ -2227,6 +2227,15 @@ object SparkEntry {
         retrievalQueries(s), "qid", "qtext", k = 10)
     },
 
+    "rag_mmr_diversify" -> { (s, dir) =>
+      // retrieve-then-diversify: BM25 top-12 candidates per query, then
+      // greedy MMR (λ=0.7, all-integer milli-units, doc_id tie-break)
+      // down to 5 — near-dup passages lose to new-evidence passages
+      Retrieval.mmrTopK(t(s, dir, "documents"), "doc_id", "text",
+        retrievalQueries(s), "qid", "qtext",
+        nCand = 12, k = 5, lambdaMilli = 700)
+    },
+
     "rag_incremental_index" -> { (s, dir) =>
       // incremental lexical-index maintenance: a batch of UPDATED docs
       // (doc_id % 7) and NEW docs (doc_id % 11, shifted ids) upserts into
@@ -5292,6 +5301,68 @@ object SparkEntry {
                ORDER BY score_micro DESC, doc_id) AS INT) AS rank
            FROM sc)
          WHERE rank <= 10""",
+
+    // the greedy MMR trajectory replayed as a recursive CTE: state = one
+    // frontier row per qid carrying the picked list; each round joins
+    // the remaining candidates, takes max sim against the picked list,
+    // and arg-mins on the (-score, doc_id) key — the exact integer
+    // arithmetic and tie-break of Retrieval.mmrDiversify
+    "rag_mmr_diversify" ->
+      s"""${bm25Cte.replace("WITH q(", "WITH RECURSIVE q(")},
+         cand AS (SELECT qid, doc_id, score_micro FROM (
+             SELECT qid, doc_id, score_micro,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY score_micro DESC, doc_id) AS rnk FROM sc)
+           WHERE rnk <= 12),
+         mx AS (SELECT qid, max(score_micro) AS mxs FROM cand GROUP BY qid),
+         rel AS (SELECT c.qid, c.doc_id, c.score_micro * 1000 // mxs AS rel_milli
+           FROM cand c JOIN mx USING (qid)),
+         ctoks AS (SELECT r.qid, r.doc_id, dt.term
+           FROM rel r JOIN dt ON r.doc_id = dt.doc_id),
+         sz AS (SELECT qid, doc_id, count(*) AS n FROM ctoks
+           GROUP BY qid, doc_id),
+         inter AS (SELECT a.qid AS qid, a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) AS ov
+           FROM ctoks a JOIN ctoks b ON a.qid = b.qid AND a.term = b.term
+             AND a.doc_id < b.doc_id
+           GROUP BY a.qid, a.doc_id, b.doc_id),
+         jac0 AS (SELECT i.qid, doc_a, doc_b,
+             (1000 * ov) // (sa.n + sb.n - ov) AS sim_milli
+           FROM inter i JOIN sz sa ON i.qid = sa.qid AND i.doc_a = sa.doc_id
+             JOIN sz sb ON i.qid = sb.qid AND i.doc_b = sb.doc_id),
+         jac AS (SELECT qid, doc_a, doc_b, sim_milli FROM jac0
+           UNION ALL SELECT qid, doc_b, doc_a, sim_milli FROM jac0),
+         st AS (
+           SELECT qid, 1 AS step, [doc_id] AS sel_list, doc_id AS picked,
+             rel_milli
+           FROM (SELECT qid, doc_id, rel_milli,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY rel_milli DESC, doc_id) AS rn FROM rel)
+           WHERE rn = 1
+           UNION ALL
+           SELECT qid, step + 1 AS step,
+             list_append(sel_list, arg_min(doc_id, ord)) AS sel_list,
+             arg_min(doc_id, ord) AS picked,
+             arg_min(rel_milli, ord) AS rel_milli
+           FROM (
+             -- scalar (score desc, doc_id asc) key: score ∈ [-3e5,7e5],
+             -- doc_id < 1e10, so (7e5-score)*1e10 + doc_id fits BIGINT
+             SELECT qid, step, sel_list, doc_id, rel_milli,
+               (700000 - score_mmr) * 10000000000 + doc_id AS ord
+             FROM (
+               SELECT s.qid, s.step, s.sel_list, r.doc_id, r.rel_milli,
+                 700 * r.rel_milli - 300 * coalesce(max(j.sim_milli), 0)
+                   AS score_mmr
+               FROM st s
+               JOIN rel r ON r.qid = s.qid
+                 AND NOT list_contains(s.sel_list, r.doc_id)
+               LEFT JOIN jac j ON j.qid = s.qid AND j.doc_a = r.doc_id
+                 AND list_contains(s.sel_list, j.doc_b)
+               WHERE s.step < 5
+               GROUP BY s.qid, s.step, s.sel_list, r.doc_id, r.rel_milli))
+           GROUP BY qid, step, sel_list)
+         SELECT qid, CAST(step AS INT) AS rank, picked AS doc_id, rel_milli
+         FROM st""",
 
     "rag_incremental_index" -> {
       // the bm25 CTE re-based onto the merged corpus (updates + inserts)

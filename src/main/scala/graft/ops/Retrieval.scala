@@ -262,4 +262,98 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select("qid", "rank", "doc_id", scoreCol)
   }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998):
+    * greedily pick `k` results per query maximizing
+    * `λ·relevance − (1−λ)·max_similarity_to_already_picked` — the
+    * standard diversification pass between retrieval and context
+    * packing (near-duplicate passages burn context-window tokens that a
+    * diverse set would spend on new evidence).
+    *
+    * All-integer arithmetic (`lambdaMilli` ∈ [0,1000], rel and sim in
+    * milli-units), ties broken by doc_id — so the greedy trajectory is
+    * engine-exact and the oracle replays it as a recursive CTE.
+    *
+    * Spark-first shape: the greedy loop is UNROLLED into k declarative
+    * rounds (each: anti-join away the picked set, one sparse
+    * sims-to-picked join + max, one WindowGroupLimit argmax per qid) —
+    * no UDF, no collect, no per-group state; `candidates`/`sims` are
+    * small per qid (≤ nCand and ≤ nCand² rows) and every round keys its
+    * joins and window on qid, so the pass scales linearly with the
+    * number of queries. Callers should materialize both inputs
+    * (`localCheckpoint`) — the unrolled plan branches over them k
+    * times and nests k windows deep, so un-truncated lineage makes the
+    * PLANNER the bottleneck, not the data ([[mmrTopK]] does; measured:
+    * sf0.01 planning blew the driver heap without it). The per-round
+    * frontier is checkpointed for the same reason — plan size stays
+    * O(k), not O(k²).
+    *
+    * `candidates`: (qid, doc_id, rel_milli); `sims`: (qid, doc_a,
+    * doc_b, sim_milli), symmetric, zero-sim pairs omitted. Output:
+    * (qid, rank, doc_id, rel_milli), rank 1..k in pick order.
+    */
+  def mmrDiversify(candidates: DataFrame, sims: DataFrame, k: Int,
+      lambdaMilli: Int): DataFrame = {
+    require(k >= 1 && lambdaMilli >= 0 && lambdaMilli <= 1000)
+    val w = Window.partitionBy("qid").orderBy(col("__score").desc, col("doc_id").asc)
+    def pickOne(scored: DataFrame, rank: Int): DataFrame =
+      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("qid"), lit(rank).cast("int").as("rank"), col("doc_id"),
+          col("rel_milli"))
+    // first pick: λ·rel with no picked set yet — argmax(rel)
+    var selected = pickOne(
+      candidates.withColumn("__score", col("rel_milli") * lambdaMilli), 1)
+    for (i <- 2 to k) {
+      val selIds = selected.select("qid", "doc_id")
+      val remaining = candidates.join(selIds, Seq("qid", "doc_id"), "left_anti")
+      val pen = sims.join(selIds.withColumnRenamed("doc_id", "doc_b"),
+          Seq("qid", "doc_b"))
+        .groupBy(col("qid"), col("doc_a").as("doc_id"))
+        .agg(max("sim_milli").as("__pen"))
+      val scored = remaining.join(pen, Seq("qid", "doc_id"), "left")
+        .withColumn("__score",
+          col("rel_milli") * lambdaMilli -
+            coalesce(col("__pen"), lit(0L)) * (1000 - lambdaMilli))
+      selected = selected.unionByName(pickOne(scored, i)).localCheckpoint(true)
+    }
+    selected
+  }
+
+  /** BM25 retrieve-then-MMR-diversify over one shared [[docTerms]]
+    * index: top-`nCand` BM25 candidates per query (relevance rescaled
+    * to rel_milli = ⌊1000·score/max_score⌋ per qid), candidate-pair
+    * similarity = distinct-token Jaccard in milli-units (computed only
+    * among each query's candidates — the corpus never self-joins), then
+    * [[mmrDiversify]] down to `k`. */
+  def mmrTopK(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      nCand: Int, k: Int, lambdaMilli: Int): DataFrame = {
+    val index = docTerms(docs, idCol, textCol).persist()
+    val top = bm25TopKIndexed(index, queries, qidCol, qtextCol, nCand)
+    val mx = top.groupBy("qid").agg(max("score_micro").as("__mx"))
+    val candidates = top.join(mx, "qid")
+      .select(col("qid"), col("doc_id"),
+        expr("score_micro * 1000L div __mx").as("rel_milli"))
+      .localCheckpoint(true)
+    val candTerms = candidates.select("qid", "doc_id")
+      .join(index.select("doc_id", "term"), "doc_id")
+      .select(col("qid"), col("doc_id"), col("term"))
+      .localCheckpoint(true)
+    val sz = candTerms.groupBy("qid", "doc_id").agg(count(lit(1)).as("n"))
+    val inter = candTerms.alias("x").join(candTerms.alias("y"),
+        col("x.qid") === col("y.qid") && col("x.term") === col("y.term") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.qid").as("qid"), col("x.doc_id").as("doc_a"),
+        col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ov"))
+    val jac0 = inter
+      .join(sz.toDF("qid", "doc_a", "na"), Seq("qid", "doc_a"))
+      .join(sz.toDF("qid", "doc_b", "nb"), Seq("qid", "doc_b"))
+      .select(col("qid"), col("doc_a"), col("doc_b"),
+        expr("1000L * ov div (na + nb - ov)").as("sim_milli"))
+    val sims = jac0.unionByName(jac0.select(col("qid"),
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+      col("sim_milli"))).localCheckpoint(true)
+    mmrDiversify(candidates, sims, k, lambdaMilli)
+  }
 }
