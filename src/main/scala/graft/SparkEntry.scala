@@ -616,6 +616,16 @@ object SparkEntry {
         "source", "n_chars", Seq(0.5, 0.9, 0.99))
     },
 
+    "profile_quantiles_hist" -> { (s, dir) =>
+      // the DETERMINISTIC fixed-memory quantile twin: per-(source, bin)
+      // counts (bounded-cardinality shuffle, plain-table mergeable
+      // sketch) → smallest bin reaching rank ceil(p·n); error ≤ binWidth
+      // by construction and the estimate is engine-exact — what
+      // percentile_approx's GK state can never be
+      Profile.histQuantilesPerGroup(t(s, dir, "documents"),
+        "source", "n_chars", Seq(50, 90, 99), binWidth = 100L)
+    },
+
     "validate_documents" -> { (s, dir) =>
       // Deequ-shaped ingest gate: 8 declared expectations, ONE aggregate
       // pass (+ a broadcast dim join for the referential rule). The tight
@@ -4010,6 +4020,25 @@ object SparkEntry {
     // representable doubles and the one division is IEEE-identical, so
     // the floor matches bit-for-bit
     "profile_approx" -> kmvOracleSql,
+
+    // the histogram quantile sketch replayed bin for bin: fixed-width
+    // bins, cumulative counts, smallest bin reaching rank
+    // ceil(p·n) = (n·pct + 99) div 100, lower bound reported
+    "profile_quantiles_hist" ->
+      """WITH c AS (SELECT source, n_chars // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS cnt
+           FROM documents GROUP BY source, bin),
+         cum AS (SELECT source, bin,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum
+           FROM c),
+         t AS (SELECT source, sum(cnt) AS n FROM c GROUP BY source),
+         rk AS (SELECT t.source, p.prob_pct,
+             (t.n * p.prob_pct + 99) // 100 AS rnk
+           FROM t, (SELECT unnest([50, 90, 99]) AS prob_pct) p)
+         SELECT rk.source, CAST(rk.prob_pct AS INT) AS prob_pct,
+           CAST(min(cum.bin) * 100 AS BIGINT) AS q_hist
+         FROM rk JOIN cum ON cum.source = rk.source AND cum.cum >= rk.rnk
+         GROUP BY rk.source, rk.prob_pct""",
 
     // the merged-sketch query is BIT-IDENTICAL to the full-corpus one
     // (min-k of a union = min-k over unioned min-k sets), so it shares

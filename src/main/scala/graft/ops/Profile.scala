@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** One-pass data profiling — the constraint/quality summary a 100 TB
   * ingest job runs before committing a batch (the Deequ/dbt-test shape):
@@ -433,4 +434,51 @@ object Profile {
           col("__i").cast("int") + 1))
       .select(col(groupCol), col("prob_pct"), col("q_approx").cast("long"))
   }
+
+  /** The mergeable SKETCH half of the deterministic quantile twin: per
+    * (group, fixed-width value bin) counts — one map-side-combined
+    * shuffle whose key cardinality is bounded by groups × bins, never by
+    * rows. Merging shards/batches is `unionByName` + re-sum (proven
+    * merge == full in ProfileSpec), the property GK summaries buy with
+    * engine-private state; here the state is a plain table, so the
+    * estimate is engine-exact and the oracle replays it. */
+  def histQuantileSketch(df: DataFrame, groupCol: String, metricCol: String,
+      binWidth: Long): DataFrame = {
+    require(binWidth >= 1, "binWidth must be >= 1")
+    df.filter(col(metricCol).isNotNull)
+      .groupBy(col(groupCol),
+        expr(s"CAST($metricCol AS BIGINT) div ${binWidth}L").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate per-group percentiles from a [[histQuantileSketch]]: for
+    * each probability p, the smallest bin whose cumulative count reaches
+    * rank ⌈p·n⌉ (integer arithmetic: (n·pct + 99) div 100), reported as
+    * the bin's lower bound. Deterministic, order-free, error ≤ binWidth
+    * by construction — the honest contract at any scale, vs
+    * percentile_approx whose GK state is engine-specific (rows-only).
+    * Output: (group, prob_pct, q_hist). */
+  def histQuantilesFromSketch(sketch: DataFrame, groupCol: String,
+      probPcts: Seq[Int], binWidth: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy("bin")
+    val cum = sketch.withColumn("cum", sum(col("cnt")).over(w))
+    val n = sketch.groupBy(col(groupCol)).agg(sum("cnt").as("n"))
+    val rk = n.select(col(groupCol), explode(lit(probPcts.toArray)).as("prob_pct"),
+        col("n"))
+      .withColumn("rnk", expr("(n * prob_pct + 99) div 100"))
+    rk.join(cum, Seq(groupCol))
+      .filter(col("cum") >= col("rnk"))
+      .groupBy(col(groupCol), col("prob_pct"))
+      .agg(min("bin").as("__bin"))
+      .select(col(groupCol), col("prob_pct"),
+        (col("__bin") * binWidth).cast("long").as("q_hist"))
+  }
+
+  /** Build-and-estimate convenience: [[histQuantileSketch]] →
+    * [[histQuantilesFromSketch]]. */
+  def histQuantilesPerGroup(df: DataFrame, groupCol: String,
+      metricCol: String, probPcts: Seq[Int], binWidth: Long): DataFrame =
+    histQuantilesFromSketch(
+      histQuantileSketch(df, groupCol, metricCol, binWidth),
+      groupCol, probPcts, binWidth)
 }

@@ -97,4 +97,38 @@ class ProfileSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
     assert(run() == run())
   }
+
+  test("histQuantilesPerGroup: bin lower bound within binWidth of truth") {
+    // uniform 0..9999, binWidth 100: true p50 = 4999 (0-indexed rank
+    // 5000 → value 4999), estimate = lower bound of the bin holding
+    // rank ceil(p·n) → 4900 ≤ est ≤ 4999
+    val df = (0 until 10000).map(i => ("g", i.toLong)).toDF("src", "v")
+    val got = Profile.histQuantilesPerGroup(df, "src", "v",
+      Seq(50, 90, 99), binWidth = 100L).collect()
+      .map(r => r.getAs[Int]("prob_pct") -> r.getAs[Long]("q_hist")).toMap
+    assert(got(50) == 4900L)   // rank 5000 sits in bin [4900,5000)
+    assert(got(90) == 8900L)
+    assert(got(99) == 9800L)   // rank 9900 → value 9899 → bin 98
+  }
+
+  test("histQuantileSketch merge of shards equals full-corpus sketch") {
+    import org.apache.spark.sql.functions.{col, sum => ssum}
+    val rows = (0 until 3000).map(i => (s"s${i % 2}", (i * 13 % 500).toLong))
+    val full = rows.toDF("src", "v")
+    val (aRows, bRows) = rows.splitAt(1100)
+    val merged = Profile.histQuantileSketch(aRows.toDF("src", "v"), "src", "v", 50L)
+      .unionByName(Profile.histQuantileSketch(bRows.toDF("src", "v"), "src", "v", 50L))
+      .groupBy("src", "bin").agg(ssum("cnt").as("cnt"))
+    val fullSketch = Profile.histQuantileSketch(full, "src", "v", 50L)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(toSet(merged) == toSet(fullSketch))
+    // and the estimates off the merged sketch match the one-pass path
+    val estMerged = Profile.histQuantilesFromSketch(merged, "src", Seq(50, 99), 50L)
+    val estFull = Profile.histQuantilesPerGroup(full, "src", "v", Seq(50, 99), 50L)
+    assert(toSet(estMerged.select(col("src"), col("prob_pct").cast("long"),
+        col("q_hist"))) ==
+      toSet(estFull.select(col("src"), col("prob_pct").cast("long"),
+        col("q_hist"))))
+  }
 }
