@@ -626,6 +626,18 @@ object SparkEntry {
         "source", "n_chars", Seq(50, 90, 99), binWidth = 100L)
     },
 
+    "profile_psi" -> { (s, dir) =>
+      // distribution drift vs a synthetic prior snapshot (10% of ids
+      // absent; every doc_id%3==0 doc 200 chars shorter in the prior —
+      // a real length-distribution shift): per-source PSI over n_chars
+      // histograms, micro-units, 0.2-rule alert flag
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
+          col("n_chars") + 200).otherwise(col("n_chars")))
+      Profile.psiDrift(docs, prior, "source", "n_chars", binWidth = 100L)
+    },
+
     "validate_documents" -> { (s, dir) =>
       // Deequ-shaped ingest gate: 8 declared expectations, ONE aggregate
       // pass (+ a broadcast dim join for the referential rule). The tight
@@ -4039,6 +4051,41 @@ object SparkEntry {
            CAST(min(cum.bin) * 100 AS BIGINT) AS q_hist
          FROM rk JOIN cum ON cum.source = rk.source AND cum.cum >= rk.rnk
          GROUP BY rk.source, rk.prob_pct""",
+
+    // PSI replay: both histograms, full-outer bin join, Laplace-smoothed
+    // p/q through the identical double expression tree (ln is the lone
+    // libm call), per-bin micro floor before the integer sum
+    "profile_psi" ->
+      """WITH pr AS (SELECT source,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 200
+                  ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 10 <> 0),
+         c AS (SELECT source, n_chars // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS cnt_c
+           FROM documents GROUP BY source, bin),
+         p AS (SELECT source, n_chars // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS cnt_p
+           FROM pr GROUP BY source, bin),
+         j AS (SELECT coalesce(c.source, p.source) AS source,
+             coalesce(c.bin, p.bin) AS bin,
+             coalesce(cnt_c, 0) AS cnt_c, coalesce(cnt_p, 0) AS cnt_p
+           FROM c FULL OUTER JOIN p
+             ON c.source = p.source AND c.bin = p.bin),
+         tt AS (SELECT source, CAST(sum(cnt_c) AS BIGINT) AS n_c,
+             CAST(sum(cnt_p) AS BIGINT) AS n_p,
+             CAST(count(*) AS BIGINT) AS n_bins
+           FROM j GROUP BY source),
+         term AS (SELECT j.source, tt.n_bins,
+             CAST(cnt_c + 1 AS DOUBLE) / CAST(n_c + n_bins AS DOUBLE) AS pp,
+             CAST(cnt_p + 1 AS DOUBLE) / CAST(n_p + n_bins AS DOUBLE) AS qq
+           FROM j JOIN tt USING (source)),
+         sgrp AS (SELECT source, n_bins,
+             CAST(sum(CAST(floor((1000000.0 * (pp - qq)) * ln(pp / qq))
+               AS BIGINT)) AS BIGINT) AS psi_micro
+           FROM term GROUP BY source, n_bins)
+         SELECT source, n_bins, psi_micro,
+           CAST(psi_micro >= 200000 AS INT) AS drift_flag
+         FROM sgrp""",
 
     // the merged-sketch query is BIT-IDENTICAL to the full-corpus one
     // (min-k of a union = min-k over unioned min-k sets), so it shares

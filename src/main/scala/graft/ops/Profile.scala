@@ -481,4 +481,51 @@ object Profile {
     histQuantilesFromSketch(
       histQuantileSketch(df, groupCol, metricCol, binWidth),
       groupCol, probPcts, binWidth)
+
+  /** Population Stability Index per group — the distribution-level
+    * drift monitor ([[profileDrift]] watches schema-level stats; PSI
+    * watches the VALUE distribution): PSI = Σ_bins (p−q)·ln(p/q)
+    * between the current and prior snapshots' [[histQuantileSketch]]
+    * histograms, with add-one (Laplace) smoothing so bins present on
+    * one side only contribute finitely. Convention: PSI < 0.1 stable,
+    * 0.1–0.2 moderate, > 0.2 action (`alertMicro` defaults to the 0.2
+    * rule in micro-units).
+    *
+    * Engine-exact: p and q derive from exact integer counts through an
+    * identical double expression tree on both engines (ln is the lone
+    * libm call — same isolation as BM25's idf), each bin term is
+    * floored to micro-units BEFORE the per-group integer sum, so the
+    * result is merge-order-free and the oracle replays it bit-for-bit.
+    * Cost: two bounded-cardinality sketch shuffles + one sketch-sized
+    * join — the corpora are scanned once each, never joined row-level.
+    */
+  def psiDrift(cur: DataFrame, prior: DataFrame, groupCol: String,
+      metricCol: String, binWidth: Long,
+      alertMicro: Long = 200000L): DataFrame = {
+    val c = histQuantileSketch(cur, groupCol, metricCol, binWidth)
+      .withColumnRenamed("cnt", "cnt_c")
+    val p = histQuantileSketch(prior, groupCol, metricCol, binWidth)
+      .withColumnRenamed("cnt", "cnt_p")
+    val joined = c.join(p, Seq(groupCol, "bin"), "full_outer")
+      .select(col(groupCol), col("bin"),
+        coalesce(col("cnt_c"), lit(0L)).as("cnt_c"),
+        coalesce(col("cnt_p"), lit(0L)).as("cnt_p"))
+    val tot = joined.groupBy(col(groupCol)).agg(
+      sum("cnt_c").cast("long").as("n_c"),
+      sum("cnt_p").cast("long").as("n_p"),
+      count(lit(1)).as("n_bins"))
+    joined.join(ScaleHints.maybeBroadcast(tot), Seq(groupCol))
+      .withColumn("__p", (col("cnt_c") + 1).cast("double") /
+        (col("n_c") + col("n_bins")).cast("double"))
+      .withColumn("__q", (col("cnt_p") + 1).cast("double") /
+        (col("n_p") + col("n_bins")).cast("double"))
+      .withColumn("__term_micro",
+        floor(lit(1e6) * (col("__p") - col("__q")) *
+          log(col("__p") / col("__q"))).cast("long"))
+      .groupBy(col(groupCol), col("n_bins"))
+      .agg(sum("__term_micro").cast("long").as("psi_micro"))
+      .withColumn("drift_flag", (col("psi_micro") >= alertMicro).cast("int"))
+      .select(col(groupCol), col("n_bins"), col("psi_micro"),
+        col("drift_flag"))
+  }
 }

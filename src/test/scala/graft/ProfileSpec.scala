@@ -131,4 +131,35 @@ class ProfileSpec extends AnyFunSuite {
       toSet(estFull.select(col("src"), col("prob_pct").cast("long"),
         col("q_hist"))))
   }
+
+  test("psiDrift: zero on identical snapshots, reference value on shift") {
+    // reference replay of the exact expression tree
+    def refPsi(cur: Map[Long, Long], pri: Map[Long, Long]): Long = {
+      val bins = (cur.keySet ++ pri.keySet).toSeq
+      val (nC, nP, b) = (cur.values.sum, pri.values.sum, bins.size)
+      bins.map { bin =>
+        val p = (cur.getOrElse(bin, 0L) + 1).toDouble / (nC + b).toDouble
+        val q = (pri.getOrElse(bin, 0L) + 1).toDouble / (nP + b).toDouble
+        math.floor(1e6 * (p - q) * math.log(p / q)).toLong
+      }.sum
+    }
+    // identical → every bin has p == q → psi exactly 0, no flag
+    val same = (0 until 100).map(i => ("g", (i % 7) * 10L)).toDF("src", "v")
+    val zero = Profile.psiDrift(same, same, "src", "v", binWidth = 10L)
+      .collect()(0)
+    assert(zero.getAs[Long]("psi_micro") == 0L &&
+      zero.getAs[Int]("drift_flag") == 0)
+
+    // shifted distribution incl. a bin present on one side only
+    val cur = Seq.fill(8)(("g", 5L)) ++ Seq.fill(2)(("g", 15L))
+    val pri = Seq.fill(2)(("g", 5L)) ++ Seq.fill(6)(("g", 15L)) ++
+      Seq.fill(2)(("g", 25L))
+    val got = Profile.psiDrift(cur.toDF("src", "v"), pri.toDF("src", "v"),
+      "src", "v", binWidth = 10L).collect()(0)
+    val want = refPsi(Map(0L -> 8L, 1L -> 2L),
+      Map(0L -> 2L, 1L -> 6L, 2L -> 2L))
+    assert(got.getAs[Long]("psi_micro") == want)
+    assert(got.getAs[Long]("n_bins") == 3L)
+    assert(got.getAs[Int]("drift_flag") == (if (want >= 200000L) 1 else 0))
+  }
 }
