@@ -2156,6 +2156,37 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     },
 
+    "media_frame_dedup" -> { (s, dir) =>
+      // cross-video dedup from sampled-frame signatures: the corpus's
+      // video slice (doc_id%5==2, media_pipeline's synthesis arithmetic)
+      // plus a trimmed re-upload of every 4th clip; re-encodes of
+      // identical content share ALL frame sigs (jaccard 1000), trims are
+      // contained (overlap 1000, jaccard < 1000). df-capped inverted
+      // index — no video-to-video comparison ever materializes.
+      val vids = t(s, dir, "documents").filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), col("text"),
+          concat(lit("media/doc_"), col("doc_id").cast("string"),
+            lit(".mp4")).as("path"),
+          expr("CAST(1000 + (CAST(conv(substr(md5(text), 1, 15), 16, 10) " +
+            "AS BIGINT) div 8388608) % 60000 AS BIGINT)").as("duration_ms"))
+        .withColumn("nf", floor(greatest(lit(1.0),
+          col("duration_ms") / lit(5000.0))).cast("long"))
+        .select(col("doc_id"), col("text"), col("path"), col("nf"))
+      val withTrims = vids.unionByName(
+        vids.filter(col("doc_id") % 20 === 2)
+          .select(col("doc_id"), col("text"),
+            regexp_replace(col("path"), "\\.mp4$", "_trim.mp4").as("path"),
+            greatest(lit(1L), col("nf") - 2).as("nf")))
+      val frames = withTrims
+        .withColumn("frame_idx", explode(sequence(lit(0L), col("nf") - 1)))
+        .select(col("path"),
+          substring(md5(concat(md5(col("text").cast("binary")), lit("_"),
+            col("frame_idx").cast("string")).cast("binary")), 1, 16)
+            .as("frame_sig"))
+      graft.multimodal.MediaOps.frameDedupPairs(frames, "path", "frame_sig",
+        dfCap = 8, minOverlapMilli = 800L)
+    },
+
     "curate_length_batches" -> { (s, dir) =>
       // dynamic-batching prep: power-of-two length buckets, 8-doc
       // batches cut in md5 order inside (bucket, shard), per-batch
@@ -4825,6 +4856,45 @@ object SparkEntry {
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            sha256(text) AS sha
          FROM documents""",
+
+    // frame-dedup replay: video synthesis arithmetic (media_pipeline's h
+    // and duration), trim twin, per-frame sigs, df cap, pair join and
+    // the two integer overlap measures
+    "media_frame_dedup" ->
+      """WITH v AS (SELECT doc_id, text,
+             'media/doc_' || CAST(doc_id AS VARCHAR) || '.mp4' AS path,
+             CAST(('0x' || substr(md5(text), 1, 15)) AS UBIGINT) AS h
+           FROM documents WHERE doc_id % 5 = 2),
+         n AS (SELECT doc_id, text, path,
+             CAST(floor(greatest(1.0,
+               CAST(1000 + (h // 8388608) % 60000 AS BIGINT) / 5000.0))
+               AS BIGINT) AS nf
+           FROM v),
+         allv AS (SELECT text, path, nf FROM n
+           UNION ALL
+           SELECT text, replace(path, '.mp4', '_trim.mp4'),
+             greatest(1, nf - 2)
+           FROM n WHERE doc_id % 20 = 2),
+         fr AS (SELECT DISTINCT path,
+             substr(md5(md5(text) || '_' || CAST(u.fi AS VARCHAR)), 1, 16)
+               AS sig
+           FROM allv, unnest(range(allv.nf)) AS u(fi)),
+         dfc AS (SELECT sig FROM fr GROUP BY sig HAVING count(*) <= 8),
+         oc AS (SELECT fr.path, fr.sig FROM fr JOIN dfc USING (sig)),
+         sz AS (SELECT path, CAST(count(*) AS BIGINT) AS n FROM oc
+           GROUP BY path),
+         pr AS (SELECT a.path AS path_a, b.path AS path_b,
+             CAST(count(*) AS BIGINT) AS shared_frames
+           FROM oc a JOIN oc b ON a.sig = b.sig AND a.path < b.path
+           GROUP BY a.path, b.path)
+         SELECT path_a, path_b, shared_frames,
+           CAST(1000 * shared_frames // least(sa.n, sb.n) AS BIGINT)
+             AS overlap_milli,
+           CAST(1000 * shared_frames // (sa.n + sb.n - shared_frames)
+             AS BIGINT) AS jaccard_milli
+         FROM pr JOIN sz sa ON pr.path_a = sa.path
+           JOIN sz sb ON pr.path_b = sb.path
+         WHERE 1000 * shared_frames // least(sa.n, sb.n) >= 800""",
 
     // length-bucketed batching replay: the power-of-two CASE ladder, the
     // md5 shard + in-bucket order, fixed 8-row batch cut, and the

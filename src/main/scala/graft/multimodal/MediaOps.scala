@@ -159,4 +159,43 @@ object MediaOps {
     val parts = math.max(1, (total / math.max(1L, targetBytesPerPartition)).toInt)
     media.repartition(parts)
   }
+
+  /** Cross-video duplicate detection from sampled-frame signatures —
+    * the multimodal sibling of [[graft.ops.Dedup.winnowOverlapPairs]]:
+    * re-encodes, re-uploads, and trimmed copies of one clip share their
+    * frame signatures, so a df-capped inverted index over (path, sig)
+    * surfaces the pairs without any video ever comparing to another
+    * directly.
+    *
+    * Output per surviving pair: shared frame count, overlap coefficient
+    * vs the SMALLER clip (milli — a trimmed copy scores 1000, the
+    * containment semantics), and frame Jaccard (milli — trims score
+    * below 1000, full re-encodes exactly 1000).
+    *
+    * Scale shape: `distinct` + df-count + self-join all key on the
+    * signature; the df cap (intro cards / black frames / station logos
+    * shared by thousands of clips) bounds every posting list, making
+    * the pair fan-out linear in occurrences — the same guarantee as the
+    * containment index. The final stats join keys on the path. */
+  def frameDedupPairs(frames: DataFrame, pathCol: String, sigCol: String,
+      dfCap: Int, minOverlapMilli: Long): DataFrame = {
+    val occ = frames.select(col(pathCol).as("path"), col(sigCol).as("sig"))
+      .distinct()
+    val kept = occ.join(
+      occ.groupBy("sig").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap).select("sig"),
+      Seq("sig"))
+    val sz = kept.groupBy("path").agg(count(lit(1)).as("n"))
+    val a = kept.select(col("sig"), col("path").as("path_a"))
+    val b = kept.select(col("sig"), col("path").as("path_b"))
+    a.join(b, Seq("sig")).filter(col("path_a") < col("path_b"))
+      .groupBy("path_a", "path_b").agg(count(lit(1)).as("shared_frames"))
+      .join(sz.toDF("path_a", "n_a"), "path_a")
+      .join(sz.toDF("path_b", "n_b"), "path_b")
+      .select(col("path_a"), col("path_b"), col("shared_frames"),
+        expr("1000 * shared_frames div least(n_a, n_b)").as("overlap_milli"),
+        expr("1000 * shared_frames div (n_a + n_b - shared_frames)")
+          .as("jaccard_milli"))
+      .filter(col("overlap_milli") >= minOverlapMilli)
+  }
 }

@@ -143,4 +143,29 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("frameDedupPairs: re-encode, trim, df-capped boilerplate, stranger") {
+    // clip A: frames f0..f4; B is a re-encode (same frames); C is A
+    // trimmed to f0..f2; D is unrelated; every clip also carries the
+    // 'intro' boilerplate sig shared by all 4 (df cap 3 < 4 drops it).
+    def frames(path: String, sigs: Seq[String]) = sigs.map(s => (path, s))
+    val df = (
+      frames("a.mp4", Seq("f0", "f1", "f2", "f3", "f4", "intro")) ++
+      frames("b.mp4", Seq("f0", "f1", "f2", "f3", "f4", "intro")) ++
+      frames("c.mp4", Seq("f0", "f1", "f2", "intro")) ++
+      frames("d.mp4", Seq("x0", "x1", "intro"))
+    ).toDF("path", "sig")
+    val got = MediaOps.frameDedupPairs(df, "path", "sig",
+        dfCap = 3, minOverlapMilli = 800L)
+      .orderBy("path_a", "path_b")
+      .as[(String, String, Long, Long, Long)].collect().toList
+    // a-b: shared 5, min 5 → overlap 1000, jaccard 1000
+    // a-c and b-c: shared 3, min 3 → overlap 1000; union = 5+3-3 = 5
+    // (intro df-capped away on BOTH sides) → jaccard 600
+    // d pairs with nobody (intro was df-capped away)
+    assert(got == List(
+      ("a.mp4", "b.mp4", 5L, 1000L, 1000L),
+      ("a.mp4", "c.mp4", 3L, 1000L, 600L),
+      ("b.mp4", "c.mp4", 3L, 1000L, 600L)))
+  }
+
 }
