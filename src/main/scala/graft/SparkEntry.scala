@@ -1932,6 +1932,19 @@ object SparkEntry {
         col("doc_id").cast("string"), nShards = 8)
     },
 
+    "mix_reweight" -> { (s, dir) =>
+      // mixture correction: importance weights steering the observed
+      // source mix toward an explicit target (src1* strata targeted at
+      // 30 milli-shares, the rest at 70), clamped to [200, 5000] with
+      // the clamp flagged — rare strata must not explode
+      val docs = t(s, dir, "documents")
+      val targets = docs.select(col("source")).distinct()
+        .withColumn("target_milli",
+          when(col("source").startsWith("src1"), lit(30L)).otherwise(lit(70L)))
+      Sampling.reweightToTarget(docs, "source", targets, "target_milli",
+        minMilli = 200L, maxMilli = 5000L)
+    },
+
     "mix_token_budget" -> { (s, dir) =>
       // token-budget mixing: take ~20k tokens (n_chars as the proxy)
       // per source in deterministic hash order, keeping whole documents
@@ -4702,6 +4715,22 @@ object SparkEntry {
          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) % 10000
            < CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0
                          WHEN 'src2' THEN 10000 ELSE 2500 END""",
+
+    // reweight replay: counts, total, target CASE, integer weight and
+    // clamp arithmetic
+    "mix_reweight" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source),
+         tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+         w AS (SELECT source, n_docs,
+             1000 * n_docs // N AS share_milli,
+             (CASE WHEN source LIKE 'src1%' THEN 30 ELSE 70 END) * N
+               // n_docs AS wraw
+           FROM c, tot)
+         SELECT source, n_docs, CAST(share_milli AS BIGINT) AS share_milli,
+           CAST(least(greatest(wraw, 200), 5000) AS BIGINT) AS weight_milli,
+           CAST(wraw <> least(greatest(wraw, 200), 5000) AS INT) AS clamped
+         FROM w""",
 
     "mix_domains" ->
       """WITH b AS (SELECT doc_id, source,

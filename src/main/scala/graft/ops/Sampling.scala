@@ -353,4 +353,34 @@ object Sampling {
       .withColumn("kept", coalesce(ordExpr >= col("__kth"), lit(false)))
       .drop("__kth")
   }
+
+  /** Importance weights that steer the OBSERVED stratum mixture toward
+    * a TARGET mixture — the glue between profiling (what the corpus is)
+    * and [[mixEpochs]]/[[weightedSample]] (what to do about it):
+    * weight ∝ target_share / actual_share, per stratum.
+    *
+    * All-integer: weight_milli = ⌊target_milli · N / n_s⌋ (targets need
+    * not sum to 1000 — a common scale factor cancels when the weights
+    * feed a normalized sampler), clamped to [minMilli, maxMilli] with
+    * the clamp flagged — an unbounded weight on a rare stratum is how
+    * mixture correction turns three documents into 4% of a training
+    * run. One count shuffle on the stratum key; the totals row and the
+    * target table broadcast. Output: (stratum, n_docs, share_milli,
+    * weight_milli, clamped). */
+  def reweightToTarget(df: DataFrame, groupCol: String, targets: DataFrame,
+      targetCol: String, minMilli: Long, maxMilli: Long): DataFrame = {
+    require(minMilli <= maxMilli)
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    val tot = counts.agg(sum("n_docs").cast("long").as("__N"))
+    counts.crossJoin(broadcast(tot))
+      .join(ScaleHints.maybeBroadcast(targets), Seq(groupCol))
+      .withColumn("share_milli", expr("1000 * n_docs div __N"))
+      .withColumn("__wraw", expr(s"$targetCol * __N div n_docs"))
+      .withColumn("weight_milli",
+        least(greatest(col("__wraw"), lit(minMilli)), lit(maxMilli)))
+      .withColumn("clamped",
+        (col("__wraw") =!= col("weight_milli")).cast("int"))
+      .select(col(groupCol), col("n_docs"), col("share_milli"),
+        col("weight_milli"), col("clamped"))
+  }
 }

@@ -215,4 +215,23 @@ class SamplingSpec extends AnyFunSuite {
       assert(again.collect().map(_.toSeq).toSet == out.collect().map(_.toSeq).toSet)
     } finally out.unpersist()
   }
+
+  test("reweightToTarget: inverse-share weights, clamp flagged") {
+    val docs = (Seq.fill(8)("a") ++ Seq.fill(2)("b")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val targets = Seq(("a", 500L), ("b", 500L)).toDF("source", "target_milli")
+    // N=10: w_a = 500*10/8 = 625, w_b = 500*10/2 = 2500; no clamp
+    val wide = Sampling.reweightToTarget(docs, "source", targets,
+        "target_milli", minMilli = 100L, maxMilli = 3000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    assert(wide("a") == ((8L, 800L, 625L, 0)))
+    assert(wide("b") == ((2L, 200L, 2500L, 0)))
+    // tight cap: b clamps to 1000 and is flagged
+    val tight = Sampling.reweightToTarget(docs, "source", targets,
+        "target_milli", minMilli = 100L, maxMilli = 1000L)
+      .collect().map(r => r.getString(0) -> (r.getLong(3), r.getInt(4))).toMap
+    assert(tight("a") == ((625L, 0)))
+    assert(tight("b") == ((1000L, 1)))
+  }
 }
