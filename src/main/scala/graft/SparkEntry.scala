@@ -2486,6 +2486,13 @@ object SparkEntry {
       TextAnalysis.noveltyScore(t(s, dir, "documents"), "doc_id", "text")
     },
 
+    "text_keyphrases" -> { (s, dir) =>
+      // RAKE keyphrases: stopword-delimited candidate runs, degree/freq
+      // word scores in milli, top-3 phrases per document
+      TextAnalysis.rakeKeyphrases(t(s, dir, "documents"), "doc_id", "text",
+        k = 3)
+    },
+
     "url_canonicalize" -> { (s, dir) =>
       // web-corpus address normalization: four raw spellings per page
       // (cased host, default port, tracking params, fragment, dup
@@ -5945,6 +5952,36 @@ object SparkEntry {
              THEN CAST(floor(1000.0 * p.n_unique / p.n_grams) AS BIGINT)
              ELSE 0 END AS novelty_milli
          FROM documents d LEFT JOIN p USING (doc_id)""",
+
+    // RAKE replay: stopword/punct delimiting, distinct phrase set,
+    // degree/freq word stats, milli-floored word scores, phrase sums,
+    // (score desc, phrase) top-3
+    "text_keyphrases" ->
+      """WITH ph0 AS (SELECT doc_id,
+             unnest(string_split_regex(regexp_replace(regexp_replace(
+               lower(text),
+               '\b(the|a|of|and|to|in|is|it|on|for)\b', '|', 'g'),
+               '[.,;:!?()]', '|', 'g'), '\|+')) AS phrase
+           FROM documents),
+         ph AS (SELECT DISTINCT doc_id, trim(phrase) AS phrase FROM ph0
+           WHERE trim(phrase) <> ''),
+         tk AS (SELECT doc_id, phrase,
+             unnest(string_split_regex(phrase, '\s+')) AS word,
+             len(string_split_regex(phrase, '\s+')) AS plen
+           FROM ph),
+         ws AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(plen) AS BIGINT) AS deg
+           FROM tk GROUP BY doc_id, word),
+         psc AS (SELECT tk.doc_id, tk.phrase,
+             CAST(sum(1000 * deg // freq) AS BIGINT) AS score_milli
+           FROM tk JOIN ws ON tk.doc_id = ws.doc_id AND tk.word = ws.word
+           GROUP BY tk.doc_id, tk.phrase)
+         SELECT doc_id, rank, phrase, score_milli FROM (
+           SELECT doc_id, phrase, score_milli,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_milli DESC, phrase) AS INT) AS rank
+           FROM psc)
+         WHERE rank <= 3""",
 
     // the UrlOps.canonicalize rule chain replayed stage by stage:
     // fragment strip, scheme/host lowercase, default-port strip, dup

@@ -415,4 +415,48 @@ object TextAnalysis {
       when(nb > 0, floor(lit(1000) * dl / nb)).otherwise(lit(0))
         .cast("long").as("ratio_milli"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al. 2010): candidate phrases =
+    * maximal stopword/punctuation-free runs; word score = degree/freq
+    * over the document's phrase set (degree = Σ phrase length per
+    * occurrence — co-occurring words boost each other); phrase score =
+    * Σ word scores; top-`k` phrases per document.
+    *
+    * Engine-exact integer variant: word score floored to milli BEFORE
+    * the phrase sum, ties by phrase text. Phrase SET semantics — a
+    * phrase repeated verbatim in one document scores once (dedup before
+    * the stats pass), which keeps the replay positional-index-free.
+    *
+    * Scale shape: two explodes and two aggregates, all keyed on
+    * (doc_id[, word/phrase]) — per-document work is bounded by document
+    * length, nothing global. The stopword delimiter set is
+    * [[stopwords]] (bounded, compiled into one regex alternation).
+    * Output: (doc_id, rank, phrase, score_milli). */
+  def rakeKeyphrases(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val stopRe = "\\b(" + stopwords.mkString("|") + ")\\b"
+    val delimited = regexp_replace(
+      regexp_replace(lower(col(textCol)), stopRe, "|"), "[.,;:!?()]", "|")
+    val phrases = df
+      .select(col(idCol).as("doc_id"),
+        explode(split(delimited, "\\|+")).as("__p"))
+      .select(col("doc_id"), trim(col("__p")).as("phrase"))
+      .filter(col("phrase") =!= "").distinct()
+    val toks = phrases
+      .withColumn("__w", split(col("phrase"), "\\s+"))
+      .select(col("doc_id"), col("phrase"),
+        explode(col("__w")).as("word"), size(col("__w")).as("plen"))
+    val wstats = toks.groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("wscore_milli", expr("1000 * deg div freq"))
+    val scored = toks.join(wstats.select("doc_id", "word", "wscore_milli"),
+        Seq("doc_id", "word"))
+      .groupBy("doc_id", "phrase")
+      .agg(sum("wscore_milli").cast("long").as("score_milli"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_milli").desc, col("phrase").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "rank", "phrase", "score_milli")
+  }
 }

@@ -411,4 +411,24 @@ class MiscOpsSpec extends AnyFunSuite {
       .as[(String, Long)].collect()
     assert(hh.toSeq == hh2.toSeq)
   }
+
+  test("rakeKeyphrases: hand-traced degree/freq scores, ties by phrase") {
+    val df = Seq(
+      (1L, "the quick brown fox and lazy dog in a deep sleep. quick brown fox"),
+      (2L, "alpha beta. alpha gamma")).toDF("doc_id", "text")
+    val got = TextAnalysis.rakeKeyphrases(df, "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+      .as[(Long, Int, String, Long)].collect().toList
+    // doc 1 phrases (distinct): "quick brown fox" (repeated → once),
+    //   "lazy dog", "deep sleep"; every word freq 1, deg = phrase len →
+    //   scores 9000 / 4000 / 4000; 4000-tie broken by phrase text
+    // doc 2: alpha in both phrases → freq 2, deg 4 → wscore 2000;
+    //   beta/gamma 2000 → both phrases 4000, tie by text
+    assert(got == List(
+      (1L, 1, "quick brown fox", 9000L),
+      (1L, 2, "deep sleep", 4000L),
+      (1L, 3, "lazy dog", 4000L),
+      (2L, 1, "alpha beta", 4000L),
+      (2L, 2, "alpha gamma", 4000L)))
+  }
 }
