@@ -1705,6 +1705,13 @@ object SparkEntry {
         .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
     },
 
+    "events_decay_score" -> { (s, dir) =>
+      // freshness-weighted engagement: per-user half-life-decayed value
+      // sum (72h half-life, power-of-two shift — exact, no exp())
+      Funnel.halfLifeDecayScore(events(s, dir), "user_id", "ts", "value",
+        halfLifeHours = 72L)
+    },
+
     "events_interpolate" -> { (s, dir) =>
       // linear interpolation for INTERIOR gaps (the LOCF twin for
       // metrics where holding the last value biases downward-trending
@@ -4294,6 +4301,20 @@ object SparkEntry {
            CAST(min(k) AS BIGINT) AS k_min,
            CAST(max(k) AS BIGINT) AS k_max
          FROM e GROUP BY event_type""",
+
+    // decay replay: epoch-microsecond age, shift-by-k division, same
+    // floor/quantize order
+    "events_decay_score" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+         r AS (SELECT max(us) AS us_ref FROM e),
+         d AS (SELECT user_id,
+             least((us_ref - us) // 259200000000, 62) AS k,
+             CAST(floor(1000 * value) AS BIGINT) AS v
+           FROM e, r)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(v // (CAST(1 AS BIGINT) << CAST(k AS INT))) AS BIGINT)
+             AS decay_score_milli
+         FROM d GROUP BY user_id""",
 
     "events_interpolate" ->
       """WITH s AS (SELECT user_id, event_id,

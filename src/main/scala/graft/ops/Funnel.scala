@@ -177,4 +177,32 @@ object Funnel {
       .agg(count(lit(1)).as("n_active"),
         count(when(col("day") === col("first_day"), 1)).as("n_new"))
   }
+
+  /** Half-life-decayed engagement score per key: recent activity counts
+    * in full, older activity at value/2^(age/halfLife) — the freshness
+    * weighting behind "recently active users/documents first" ranking.
+    *
+    * Engine-exact by construction: the decay is a POWER-OF-TWO SHIFT on
+    * an integer-quantized value (v_milli div 2^k), never exp() — exp is
+    * not correctly rounded in either engine, so an exp-based score can
+    * flip a floor at a boundary (cf. the quality-classifier margin
+    * lesson); the shift is exact at every age. Age anchors to the
+    * corpus max timestamp (deterministic — no wall clock), microsecond
+    * integer arithmetic, k capped at 62 so the shift never overflows.
+    * One 1-row broadcast + one key-partitioned aggregate. */
+  def halfLifeDecayScore(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, halfLifeHours: Long): DataFrame = {
+    require(halfLifeHours >= 1)
+    val ref = events.agg(max(col(tsCol)).as("__tref"))
+    events.crossJoin(broadcast(ref))
+      .withColumn("__k", least(
+        expr(s"(unix_micros(__tref) - unix_micros($tsCol)) div " +
+          s"${3600000000L * halfLifeHours}L"),
+        lit(62L)))
+      .withColumn("__dv", expr(s"CAST(floor(1000 * $valueCol) AS BIGINT) " +
+        "div shiftleft(CAST(1 AS BIGINT), CAST(__k AS INT))"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum("__dv").cast("long").as("decay_score_milli"))
+  }
 }

@@ -412,6 +412,24 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(hh.toSeq == hh2.toSeq)
   }
 
+  test("halfLifeDecayScore: power-of-two decay at exact half-life steps") {
+    import java.sql.Timestamp
+    val h = 3600L * 1000
+    val tRef = 1700000000000L
+    val df = Seq(
+      (1L, new Timestamp(tRef), 10.0),            // k=0 → 10000
+      (1L, new Timestamp(tRef - 72 * h), 10.0),   // k=1 → 5000
+      (1L, new Timestamp(tRef - 144 * h), 10.0),  // k=2 → 2500
+      (1L, new Timestamp(tRef - 143 * h), 10.0),  // k=1 → 5000 (not yet 2 half-lives)
+      (2L, new Timestamp(tRef - 720 * h), 8.0))   // k=10 → 8000 >> 10 = 7
+    .toDF("user_id", "ts", "value")
+    val got = graft.ops.Funnel.halfLifeDecayScore(df, "user_id", "ts",
+        "value", halfLifeHours = 72L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == ((4L, 22500L)))
+    assert(got(2L) == ((1L, 7L)))
+  }
+
   test("rakeKeyphrases: hand-traced degree/freq scores, ties by phrase") {
     val df = Seq(
       (1L, "the quick brown fox and lazy dog in a deep sleep. quick brown fox"),
