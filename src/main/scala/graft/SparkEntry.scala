@@ -638,6 +638,25 @@ object SparkEntry {
       Profile.psiDrift(docs, prior, "source", "n_chars", binWidth = 100L)
     },
 
+    "profile_psi_incr" -> { (s, dir) =>
+      // the merged-shard twin: current sketch assembled from two shard
+      // sketches (union + re-sum) — bit-identical to the one-pass
+      // sketch, so this shares profile_psi's oracle and the hash match
+      // IS the merge==full proof
+      val docs = t(s, dir, "documents")
+      val prior = docs.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
+          col("n_chars") + 200).otherwise(col("n_chars")))
+      val merged = Profile.histQuantileSketch(
+          docs.filter(col("doc_id") % 2 === 0), "source", "n_chars", 100L)
+        .unionByName(Profile.histQuantileSketch(
+          docs.filter(col("doc_id") % 2 =!= 0), "source", "n_chars", 100L))
+        .groupBy("source", "bin").agg(sum("cnt").as("cnt"))
+      Profile.psiFromSketches(merged,
+        Profile.histQuantileSketch(prior, "source", "n_chars", 100L),
+        "source")
+    },
+
     "validate_documents" -> { (s, dir) =>
       // Deequ-shaped ingest gate: 8 declared expectations, ONE aggregate
       // pass (+ a broadcast dim join for the referential rule). The tight
@@ -4113,37 +4132,12 @@ object SparkEntry {
     // PSI replay: both histograms, full-outer bin join, Laplace-smoothed
     // p/q through the identical double expression tree (ln is the lone
     // libm call), per-bin micro floor before the integer sum
-    "profile_psi" ->
-      """WITH pr AS (SELECT source,
-             CASE WHEN doc_id % 3 = 0 THEN n_chars + 200
-                  ELSE n_chars END AS n_chars
-           FROM documents WHERE doc_id % 10 <> 0),
-         c AS (SELECT source, n_chars // 100 AS bin,
-             CAST(count(*) AS BIGINT) AS cnt_c
-           FROM documents GROUP BY source, bin),
-         p AS (SELECT source, n_chars // 100 AS bin,
-             CAST(count(*) AS BIGINT) AS cnt_p
-           FROM pr GROUP BY source, bin),
-         j AS (SELECT coalesce(c.source, p.source) AS source,
-             coalesce(c.bin, p.bin) AS bin,
-             coalesce(cnt_c, 0) AS cnt_c, coalesce(cnt_p, 0) AS cnt_p
-           FROM c FULL OUTER JOIN p
-             ON c.source = p.source AND c.bin = p.bin),
-         tt AS (SELECT source, CAST(sum(cnt_c) AS BIGINT) AS n_c,
-             CAST(sum(cnt_p) AS BIGINT) AS n_p,
-             CAST(count(*) AS BIGINT) AS n_bins
-           FROM j GROUP BY source),
-         term AS (SELECT j.source, tt.n_bins,
-             CAST(cnt_c + 1 AS DOUBLE) / CAST(n_c + n_bins AS DOUBLE) AS pp,
-             CAST(cnt_p + 1 AS DOUBLE) / CAST(n_p + n_bins AS DOUBLE) AS qq
-           FROM j JOIN tt USING (source)),
-         sgrp AS (SELECT source, n_bins,
-             CAST(sum(CAST(floor((1000000.0 * (pp - qq)) * ln(pp / qq))
-               AS BIGINT)) AS BIGINT) AS psi_micro
-           FROM term GROUP BY source, n_bins)
-         SELECT source, n_bins, psi_micro,
-           CAST(psi_micro >= 200000 AS INT) AS drift_flag
-         FROM sgrp""",
+    "profile_psi" -> psiOracleSql,
+
+    // the merged-shard query is BIT-IDENTICAL to the one-pass sketch
+    // (counts sum), so it shares the oracle — the hash match IS the
+    // merge==full proof
+    "profile_psi_incr" -> psiOracleSql,
 
     // the merged-sketch query is BIT-IDENTICAL to the full-corpus one
     // (min-k of a union = min-k over unioned min-k sets), so it shares
@@ -6085,13 +6079,44 @@ object SparkEntry {
          FROM k GROUP BY doc_id"""
   )
 
-  /** Shared BM25 pipeline CTE (DuckDB): the literal query batch, doc-term
-    * tf/dl, corpus stats, per-term df, query terms, integer micro-nat idf,
-    * per-term floored contributions, per-(query, doc) integer score sums.
-    * Arithmetic is spelled operation-for-operation like the Spark plan in
-    * [[graft.ops.Retrieval.bm25Scores]] — +, ×, / on doubles are exactly
-    * rounded so only ln() could diverge (by ≤1 ulp; floor flips are
-    * measure-zero and verified empirically at sf0.001/sf0.01). */
+  /** PSI drift oracle (DuckDB), shared by profile_psi and its merged-
+    * shard twin: prior snapshot synthesis, both fixed-width histograms,
+    * full-outer bin join, add-one smoothing, per-bin micro floor before
+    * the integer sum — expression-tree mirror of
+    * [[graft.ops.Profile.psiDrift]] (ln is the lone libm call, the same
+    * isolation argument as the BM25 idf). */
+  private lazy val psiOracleSql: String =
+    """WITH pr AS (SELECT source,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 200
+                  ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 10 <> 0),
+         c AS (SELECT source, n_chars // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS cnt_c
+           FROM documents GROUP BY source, bin),
+         p AS (SELECT source, n_chars // 100 AS bin,
+             CAST(count(*) AS BIGINT) AS cnt_p
+           FROM pr GROUP BY source, bin),
+         j AS (SELECT coalesce(c.source, p.source) AS source,
+             coalesce(c.bin, p.bin) AS bin,
+             coalesce(cnt_c, 0) AS cnt_c, coalesce(cnt_p, 0) AS cnt_p
+           FROM c FULL OUTER JOIN p
+             ON c.source = p.source AND c.bin = p.bin),
+         tt AS (SELECT source, CAST(sum(cnt_c) AS BIGINT) AS n_c,
+             CAST(sum(cnt_p) AS BIGINT) AS n_p,
+             CAST(count(*) AS BIGINT) AS n_bins
+           FROM j GROUP BY source),
+         term AS (SELECT j.source, tt.n_bins,
+             CAST(cnt_c + 1 AS DOUBLE) / CAST(n_c + n_bins AS DOUBLE) AS pp,
+             CAST(cnt_p + 1 AS DOUBLE) / CAST(n_p + n_bins AS DOUBLE) AS qq
+           FROM j JOIN tt USING (source)),
+         sgrp AS (SELECT source, n_bins,
+             CAST(sum(CAST(floor((1000000.0 * (pp - qq)) * ln(pp / qq))
+               AS BIGINT)) AS BIGINT) AS psi_micro
+           FROM term GROUP BY source, n_bins)
+         SELECT source, n_bins, psi_micro,
+           CAST(psi_micro >= 200000 AS INT) AS drift_flag
+         FROM sgrp"""
+
   /** DuckDB spelling of [[rawUrlVariants]] — must synthesize the
     * byte-identical raw URL per doc_id. */
   private lazy val urlVariantSql: String =
@@ -6142,6 +6167,13 @@ object SparkEntry {
                CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical
            FROM s3)"""
 
+  /** Shared BM25 pipeline CTE (DuckDB): the literal query batch, doc-term
+    * tf/dl, corpus stats, per-term df, query terms, integer micro-nat idf,
+    * per-term floored contributions, per-(query, doc) integer score sums.
+    * Arithmetic is spelled operation-for-operation like the Spark plan in
+    * [[graft.ops.Retrieval.bm25Scores]] — +, ×, / on doubles are exactly
+    * rounded so only ln() could diverge (by ≤1 ulp; floor flips are
+    * measure-zero and verified empirically at sf0.001/sf0.01). */
   private lazy val bm25Cte: String =
     """WITH q(qid, qtext) AS (VALUES
            (1, 'spark table scan window'), (2, 'customer order join merge'),

@@ -501,11 +501,20 @@ object Profile {
     */
   def psiDrift(cur: DataFrame, prior: DataFrame, groupCol: String,
       metricCol: String, binWidth: Long,
-      alertMicro: Long = 200000L): DataFrame = {
-    val c = histQuantileSketch(cur, groupCol, metricCol, binWidth)
-      .withColumnRenamed("cnt", "cnt_c")
-    val p = histQuantileSketch(prior, groupCol, metricCol, binWidth)
-      .withColumnRenamed("cnt", "cnt_p")
+      alertMicro: Long = 200000L): DataFrame =
+    psiFromSketches(
+      histQuantileSketch(cur, groupCol, metricCol, binWidth),
+      histQuantileSketch(prior, groupCol, metricCol, binWidth),
+      groupCol, alertMicro)
+
+  /** PSI from two prebuilt [[histQuantileSketch]] tables — the entry
+    * point when the snapshots arrive as merged shard sketches (the
+    * sketch is a plain count table, so merge = union + re-sum and
+    * merged == full bit-for-bit; ProfileSpec pins it). */
+  def psiFromSketches(curSketch: DataFrame, priorSketch: DataFrame,
+      groupCol: String, alertMicro: Long = 200000L): DataFrame = {
+    val c = curSketch.withColumnRenamed("cnt", "cnt_c")
+    val p = priorSketch.withColumnRenamed("cnt", "cnt_p")
     val joined = c.join(p, Seq(groupCol, "bin"), "full_outer")
       .select(col(groupCol), col("bin"),
         coalesce(col("cnt_c"), lit(0L)).as("cnt_c"),
