@@ -1642,6 +1642,18 @@ object SparkEntry {
       Components.connectedComponents(edges)
     },
 
+    "layout_compaction" -> { (s, dir) =>
+      // OPTIMIZE planning from metadata only: every document stands in
+      // for a small file (bytes = n_chars), packed per source into
+      // 4000-byte output bins by sorted next-fit — one window, no
+      // sequential state; oversized files isolate by the same arithmetic
+      Layout.compactionPlan(
+        t(s, dir, "documents").select(col("source"),
+          concat(lit("f_"), col("doc_id").cast("string")).as("file"),
+          col("n_chars").cast("long").as("bytes")),
+        "source", "file", "bytes", targetBytes = 4000L)
+    },
+
     "layout_partition_prune" -> { (s, dir) =>
       // hive-partitioned layout round trip: documents written dir-per-lang
       // (one file per dir — repartition first), read back with a partition
@@ -4226,6 +4238,22 @@ object SparkEntry {
            UNION
            SELECT s.a, cc.label FROM sym s JOIN cc ON s.b = cc.node)
          SELECT node, min(label) AS component FROM cc GROUP BY node""",
+
+    // compaction replay: same (bytes desc, name) window, running-total
+    // bin arithmetic, per-bin rollup
+    "layout_compaction" ->
+      """WITH f AS (SELECT source, 'f_' || CAST(doc_id AS VARCHAR) AS file,
+             CAST(n_chars AS BIGINT) AS bytes
+           FROM documents),
+         c AS (SELECT source, file, bytes,
+             sum(bytes) OVER (PARTITION BY source
+               ORDER BY bytes DESC, file
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM f)
+         SELECT source, CAST((cum - bytes) // 4000 AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(bytes) AS BIGINT) AS bin_bytes
+         FROM c GROUP BY source, (cum - bytes) // 4000""",
 
     "layout_partition_prune" ->
       """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

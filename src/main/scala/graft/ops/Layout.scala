@@ -106,4 +106,37 @@ object Layout {
   def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
       filter: Column): DataFrame =
     spark.read.parquet(path).filter(filter)
+
+  /** Small-file compaction planner — the OPTIMIZE/bin-packing pass every
+    * table-format maintenance job runs: assign each input file to a
+    * target-sized output bin, deterministically, from file METADATA only
+    * (no data read).
+    *
+    * Packing rule: within each partition key, files sort (bytes desc,
+    * name) and fill bins by running total — next-fit on the sorted
+    * order, the classic 2-approximation that needs ONE window instead
+    * of a sequential best-fit state machine. bin = (cumsum − bytes) div
+    * target, so a file starts a new bin exactly when the running total
+    * before it has crossed a target boundary; oversized files (≥
+    * target) land alone in their own bin by the same arithmetic.
+    *
+    * Scale shape: the input is file metadata — rows = files, grouped by
+    * the partition key, so the window never sees more rows per key than
+    * one table partition holds (listing-sized, not data-sized); the
+    * plan is computable on a single coordinator-scale table even for a
+    * 100 TB lake. Output: one row per planned output file —
+    * (key, bin, n_files, bin_bytes) — feed it to a rewrite job. */
+  def compactionPlan(files: DataFrame, keyCol: String, nameCol: String,
+      bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(bytesCol).desc, col(nameCol).asc)
+    files
+      .withColumn("__cum", sum(col(bytesCol)).over(w))
+      .withColumn("bin",
+        expr(s"(__cum - $bytesCol) div ${targetBytes}L").cast("long"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).cast("long").as("bin_bytes"))
+  }
 }

@@ -146,4 +146,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(merged.filter(col("gen") === 2 && col("quality").isNull).count() == 0)
     assert(merged.count() == 40)
   }
+
+  test("compactionPlan: sorted next-fit bins, oversized file isolates") {
+    // key k: sizes 900, 600, 500, 100 → sorted cumsum 900,1500,2000,2100
+    //   target 1000: bins (cum-bytes)/1000 → 0, 0, 1, 2
+    //   (900+600 overfills bin 0 — next-fit closes it at the boundary)
+    // oversized 2500 in key j: (2500-2500)/1000 = bin 0, alone
+    val files = Seq(
+      ("k", "a", 900L), ("k", "b", 600L), ("k", "c", 500L), ("k", "d", 100L),
+      ("j", "big", 2500L), ("j", "tiny", 10L)).toDF("src", "file", "bytes")
+    val got = Layout.compactionPlan(files, "src", "file", "bytes", 1000L)
+      .orderBy("src", "bin")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(
+      ("j", 0L, 1L, 2500L), ("j", 2L, 1L, 10L),
+      ("k", 0L, 2L, 1500L), ("k", 1L, 1L, 500L), ("k", 2L, 1L, 100L)))
+  }
 }
