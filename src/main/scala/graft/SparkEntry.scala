@@ -450,6 +450,49 @@ object SparkEntry {
           .cast("double").as("revenue"))
     },
 
+    "tpch_q5_shaped" -> { (s, dir) =>
+      // classic 6-way star join (local-supplier revenue per nation):
+      // fixed-size dims (nation 25, region 5) hard-broadcast, the
+      // SF-proportional fact sides shuffle on their join keys, the
+      // c_nationkey = s_nationkey residual rides the supplier join —
+      // the join-ordering/broadcast-selection shape Q5 exists to test
+      val nat = broadcast(t(s, dir, "nation"))
+      val reg = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01") &&
+            col("o_orderdate") < lit("1997-01-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(nat, col("s_nationkey") === col("n_nationkey"))
+        .join(reg, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+    },
+
+    "tpch_q18_shaped" -> { (s, dir) =>
+      // large-volume-order shape (HAVING over a pre-aggregated fact,
+      // then enrich): the quantity rollup happens BEFORE any join — at
+      // scale the filter kills ~99% of orders while still key-sized,
+      // so the enrich joins probe with a tiny build side
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)"))
+          .cast("double").as("total_qty"))
+        .filter(col("total_qty") > 250.0)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("total_qty"))
+    },
+
     "tpch_q4_shaped" -> { (s, dir) =>
       // EXISTS-shaped LEFT SEMI join (the one classic join shape the set
       // lacked): orders with ≥1 returned lineitem, counted per priority.
@@ -3518,6 +3561,32 @@ object SparkEntry {
          WHERE EXISTS (SELECT 1 FROM lineitem
            WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
          GROUP BY o_orderpriority""",
+
+    "tpch_q5_shaped" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON o_orderkey = l_orderkey
+         JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
+
+    "tpch_q18_shaped" ->
+      """WITH big AS (
+           SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT c_name, o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+         FROM orders
+         JOIN big ON o_orderkey = l_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE total_qty > 250.0""",
 
     "tpch_q3_shaped" ->
       """SELECT l_orderkey,
