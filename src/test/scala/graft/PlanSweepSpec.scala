@@ -24,7 +24,9 @@ class PlanSweepSpec extends AnyFunSuite {
     "rag_bm25_topk", "rag_context_pack", "rag_eval_mrr", "rag_eval_ndcg",
     "rag_hard_negatives", "rag_hybrid_rrf", "rag_incremental_index",
     "sample_dsir", "text_bigram_pmi", "text_lm_score",
-    "text_vocab_coverage")
+    "text_vocab_coverage",
+    // r8 additions: corpus max-ts anchor / stratum totals — 1-row aggs
+    "events_decay_score", "mix_reweight")
 
   test("no query plans a CartesianProduct; BNLJ only on audited 1-row crossJoins") {
     val dir = "/root/testdata/sf0.001"
