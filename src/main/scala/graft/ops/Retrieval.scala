@@ -314,7 +314,11 @@ object Retrieval {
         .withColumn("__score",
           col("rel_milli") * lambdaMilli -
             coalesce(col("__pen"), lit(0L)) * (1000 - lambdaMilli))
-      selected = selected.unionByName(pickOne(scored, i)).localCheckpoint(true)
+      selected = selected.unionByName(pickOne(scored, i))
+      // lineage cut every SECOND round (the PageRank cadence): with
+      // candidates/sims already materialized leaves, one un-cut round
+      // nests only a single window/join layer — half the eager jobs
+      if (i % 2 == 0 && i < k) selected = selected.localCheckpoint(true)
     }
     selected
   }
