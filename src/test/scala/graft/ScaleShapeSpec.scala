@@ -287,6 +287,51 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!up.contains("Join") && !up.contains("Sort"), up)
   }
 
+  test("round-8 op plan shapes: broadcast blocklist+dims, single-shuffle url dedup, WindowGroupLimit caps") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+    // domain cap: blocklist is a broadcast LEFT ANTI; the per-domain cap
+    // prunes at the partial level (WindowGroupLimit), never a global sort
+    val dc = plan("curate_domain_cap")
+    assert(dc.contains("BroadcastHashJoin") && dc.contains("LeftAnti"), dc)
+    assert(dc.contains("WindowGroupLimit"), dc)
+
+    // url dedup: ONE shuffle — the groupBy on the canonical URL
+    val du = plan("dedup_url")
+    assert(du.split("Exchange").length - 1 == 1, du)
+    assert(!du.contains("Join"), du)
+
+    // Q5 star join: both fixed-size dims broadcast; facts shuffle on
+    // their keys, no nested-loop anywhere
+    val q5 = plan("tpch_q5_shaped")
+    assert(q5.split("BroadcastHashJoin").length - 1 >= 2, q5)
+    assert(!q5.contains("CartesianProduct") && !q5.contains("NestedLoopJoin"), q5)
+
+    // Q18: the quantity rollup aggregates BEFORE any join (the plan's
+    // first join input is a HashAggregate, not a raw lineitem scan)
+    val q18 = plan("tpch_q18_shaped")
+    assert(q18.contains("HashAggregate"), q18)
+    assert(!q18.contains("CartesianProduct") && !q18.contains("NestedLoopJoin"), q18)
+
+    // compaction plan: metadata-only — one window shuffle on the key,
+    // the groupBy reuses the partitioning (≤ 2 exchanges total)
+    val lc = plan("layout_compaction")
+    assert(lc.split("Exchange").length - 1 <= 2, lc)
+    assert(!lc.contains("Join"), lc)
+
+    // PSI: two bounded sketch aggregates full-outer joined — equi join
+    // only, totals broadcast back
+    val psi = plan("profile_psi")
+    assert(psi.contains("FullOuter"), psi)
+    assert(!psi.contains("CartesianProduct") && !psi.contains("NestedLoopJoin"), psi)
+
+    // frame dedup: sig-keyed equi joins only; df-cap aggregate present
+    val fd = plan("media_frame_dedup")
+    assert(!fd.contains("CartesianProduct") && !fd.contains("NestedLoopJoin"), fd)
+  }
+
   test("filters and projections reach the parquet scan (pushdown proof)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
