@@ -1014,6 +1014,22 @@ object SparkEntry {
         col("n_events"), col("value_sum").cast("double").as("value_sum"))
     },
 
+    "t10_stream_drift" -> { (s, dir) =>
+      // streaming PSI drift: the hist sketch folded micro-batch by
+      // micro-batch (foreachBatch, AvailableNow) into a running master,
+      // then scored against the synthesized prior — shares profile_psi's
+      // oracle, so the hash match proves stream==batch for the sketch
+      val merged = graft.streaming.DriftStream.runSketchNow(s,
+        graft.streaming.DriftStream.readDocs(s, dir),
+        "source", "n_chars", binWidth = 100L)
+      val prior = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
+        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
+          col("n_chars") + 200).otherwise(col("n_chars")))
+      Profile.psiFromSketches(merged,
+        Profile.histQuantileSketch(prior, "source", "n_chars", 100L),
+        "source")
+    },
+
     "t4_sliding_window" -> { (s, dir) =>
       // 3-hour sliding aggregates per event type: RANGE frame over event
       // time in micros; sums accumulate in DECIMAL (order-independent,
@@ -4219,6 +4235,11 @@ object SparkEntry {
     // (counts sum), so it shares the oracle — the hash match IS the
     // merge==full proof
     "profile_psi_incr" -> psiOracleSql,
+
+    // the STREAMING fold ends at the same sketch table (merge is
+    // addition), so it shares the oracle too — hash match proves
+    // stream==batch for the drift monitor
+    "t10_stream_drift" -> psiOracleSql,
 
     // the merged-sketch query is BIT-IDENTICAL to the full-corpus one
     // (min-k of a union = min-k over unioned min-k sets), so it shares
