@@ -2483,6 +2483,39 @@ object SparkEntry {
         .select("qid", "rank", "doc_id")
     },
 
+    "rag_random_negatives" -> { (s, dir) =>
+      // the uniform-negative companion to hard negatives: per query, 10
+      // hash-deterministic corpus docs EXCLUDING both the retrieved
+      // top-10 and the full relevant set (a relevant doc sampled as a
+      // "negative" is the classic false-negative contamination). The
+      // hash gate thins the scan×|Q| candidate space to ~8% before the
+      // anti-join and window; |Q| is a bounded broadcast batch.
+      val docs = t(s, dir, "documents")
+      val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
+      val q = retrievalQueries(s)
+      val qTerms = q.select(col("qid"),
+        explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
+      val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("nt"))
+      val relevant = idx.join(qTerms, Seq("term"))
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("__hit"))
+        .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
+        .filter(col("doc_id") % 2 === 0)
+        .select("qid", "doc_id")
+      val avoid = Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10)
+        .select("qid", "doc_id").unionByName(relevant).distinct()
+      val cand = docs.select(col("doc_id"))
+        .crossJoin(broadcast(q.select("qid")))
+        .withColumn("__h", expr(
+          "CAST(conv(substr(md5(concat(CAST(qid AS STRING), '_', " +
+            "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        .filter(col("__h") % 10000 < 800)
+        .join(avoid, Seq("qid", "doc_id"), "left_anti")
+      val w = Window.partitionBy("qid").orderBy(col("__h").asc, col("doc_id").asc)
+      cand.withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 10)
+        .select("qid", "rank", "doc_id")
+    },
+
     "rag_eval_ndcg" -> { (s, dir) =>
       // position-discounted retrieval evaluation: NDCG@10 of the BM25
       // ranking against the same all-terms ground truth as rag_eval_mrr
@@ -5746,6 +5779,39 @@ object SparkEntry {
            WHERE h.hit = qn.nt AND h.doc_id % 2 = 0)
          SELECT bm.qid, bm.rank, bm.doc_id
          FROM bm ANTI JOIN rel ON bm.qid = rel.qid AND bm.doc_id = rel.doc_id""",
+
+    // random negatives: hash gate (same md5→UBIGINT pattern as the
+    // samplers), avoid = bm25 top-10 ∪ relevant, hash-order take-10
+    "rag_random_negatives" ->
+      s"""$bm25Cte,
+         bm AS (SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score_micro DESC, doc_id) AS INT) AS rank
+           FROM sc QUALIFY rank <= 10),
+         qn AS (SELECT qid, CAST(count(*) AS BIGINT) AS nt
+           FROM qt GROUP BY qid),
+         rel AS (SELECT h.qid, h.doc_id FROM (
+             SELECT qt.qid AS qid, dt.doc_id AS doc_id,
+               CAST(count(*) AS BIGINT) AS hit
+             FROM dt JOIN qt ON dt.term = qt.term
+             GROUP BY qt.qid, dt.doc_id) h
+           JOIN qn ON h.qid = qn.qid
+           WHERE h.hit = qn.nt AND h.doc_id % 2 = 0),
+         avoid AS (SELECT qid, doc_id FROM bm
+           UNION SELECT qid, doc_id FROM rel),
+         cand AS (SELECT q.qid AS qid, d.doc_id AS doc_id,
+             CAST(('0x' || substr(md5(CAST(q.qid AS VARCHAR) || '_' ||
+               CAST(d.doc_id AS VARCHAR)), 1, 15)) AS UBIGINT) AS h
+           FROM documents d, q),
+         flt AS (SELECT c.qid, c.doc_id, c.h FROM cand c
+           ANTI JOIN avoid a ON c.qid = a.qid AND c.doc_id = a.doc_id
+           WHERE c.h % 10000 < 800)
+         SELECT qid, rank, doc_id FROM (
+           SELECT qid, doc_id,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY h, doc_id) AS INT) AS rank
+           FROM flt)
+         WHERE rank <= 10""",
 
     "rag_eval_ndcg" ->
       s"""$bm25Cte,
