@@ -669,6 +669,38 @@ object SparkEntry {
         "source", "n_chars", Seq(50, 90, 99), binWidth = 100L)
     },
 
+    "profile_join_estimate" -> { (s, dir) =>
+      // pre-join planning audit (the measure half of measure-decide-act
+      // for salting): predicted |orders ⋈ customer| on custkey from the
+      // two key histograms — Σ cntA·cntB — plus the skew facts that
+      // decide the join strategy BEFORE it runs. Both inputs are
+      // post-aggregate key histograms, never the raw tables.
+      val a = t(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("na"))
+      val b = t(s, dir, "customer")
+        .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("nb"))
+      a.join(b, "k")
+        .agg(sum(col("na") * col("nb")).cast("long").as("est_rows"),
+          count(lit(1)).as("n_shared_keys"),
+          max(col("na") * col("nb")).cast("long").as("max_key_product"))
+    },
+
+    "events_transitions" -> { (s, dir) =>
+      // behavioral Markov matrix: per-user next-event via lead() over
+      // (ts, event_id), transition counts and per-state milli
+      // probabilities — one user-keyed shuffle + one pair aggregate
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = events(s, dir)
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("cur_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("cur_type").agg(sum("n").cast("long").as("__tot"))
+      pairs.join(tot, "cur_type")
+        .select(col("cur_type"), col("next_type"), col("n"),
+          expr("1000 * n div __tot").as("p_milli"))
+    },
+
     "profile_psi" -> { (s, dir) =>
       // distribution drift vs a synthetic prior snapshot (10% of ids
       // absent; every doc_id%3==0 doc 200 chars shorter in the prior —
@@ -4258,6 +4290,34 @@ object SparkEntry {
            CAST(min(cum.bin) * 100 AS BIGINT) AS q_hist
          FROM rk JOIN cum ON cum.source = rk.source AND cum.cum >= rk.rnk
          GROUP BY rk.source, rk.prob_pct""",
+
+    "profile_join_estimate" ->
+      """WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS na
+           FROM orders GROUP BY o_custkey),
+         b AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS nb
+           FROM customer GROUP BY c_custkey)
+         SELECT CAST(sum(na * nb) AS BIGINT) AS est_rows,
+           CAST(count(*) AS BIGINT) AS n_shared_keys,
+           CAST(max(na * nb) AS BIGINT) AS max_key_product
+         FROM a JOIN b ON a.k = b.k""",
+
+    // lead() over the identical (ts, event_id) order; pair counts and
+    // per-state milli shares
+    "events_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             make_timestamp(epoch_us(ts)) AS ts FROM events),
+         p AS (SELECT event_type AS cur_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM e),
+         c AS (SELECT cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+           FROM p WHERE next_type IS NOT NULL
+           GROUP BY cur_type, next_type),
+         t AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS tot
+           FROM c GROUP BY cur_type)
+         SELECT c.cur_type, c.next_type, c.n,
+           CAST(1000 * c.n // t.tot AS BIGINT) AS p_milli
+         FROM c JOIN t ON c.cur_type = t.cur_type""",
 
     // PSI replay: both histograms, full-outer bin join, Laplace-smoothed
     // p/q through the identical double expression tree (ln is the lone
