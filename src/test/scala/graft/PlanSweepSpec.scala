@@ -25,8 +25,10 @@ class PlanSweepSpec extends AnyFunSuite {
     "rag_hard_negatives", "rag_hybrid_rrf", "rag_incremental_index",
     "sample_dsir", "text_bigram_pmi", "text_lm_score",
     "text_vocab_coverage",
-    // r8 additions: corpus max-ts anchor / stratum totals — 1-row aggs
-    "events_decay_score", "mix_reweight")
+    // r8 additions: corpus max-ts anchor / stratum totals — 1-row aggs;
+    // random negatives crossJoins the bounded broadcast query batch
+    // (the ann_bruteforce shape) before the 8% hash gate
+    "events_decay_score", "mix_reweight", "rag_random_negatives")
 
   test("no query plans a CartesianProduct; BNLJ only on audited 1-row crossJoins") {
     val dir = "/root/testdata/sf0.001"
