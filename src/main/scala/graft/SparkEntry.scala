@@ -707,9 +707,7 @@ object SparkEntry {
       // a real length-distribution shift): per-source PSI over n_chars
       // histograms, micro-units, 0.2-rule alert flag
       val docs = t(s, dir, "documents")
-      val prior = docs.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
-          col("n_chars") + 200).otherwise(col("n_chars")))
+      val prior = psiPriorSnapshot(docs)
       Profile.psiDrift(docs, prior, "source", "n_chars", binWidth = 100L)
     },
 
@@ -719,9 +717,7 @@ object SparkEntry {
       // sketch, so this shares profile_psi's oracle and the hash match
       // IS the merge==full proof
       val docs = t(s, dir, "documents")
-      val prior = docs.filter(col("doc_id") % 10 =!= 0)
-        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
-          col("n_chars") + 200).otherwise(col("n_chars")))
+      val prior = psiPriorSnapshot(docs)
       val merged = Profile.histQuantileSketch(
           docs.filter(col("doc_id") % 2 === 0), "source", "n_chars", 100L)
         .unionByName(Profile.histQuantileSketch(
@@ -1054,9 +1050,7 @@ object SparkEntry {
       val merged = graft.streaming.DriftStream.runSketchNow(s,
         graft.streaming.DriftStream.readDocs(s, dir),
         "source", "n_chars", binWidth = 100L)
-      val prior = t(s, dir, "documents").filter(col("doc_id") % 10 =!= 0)
-        .withColumn("n_chars", when(col("doc_id") % 3 === 0,
-          col("n_chars") + 200).otherwise(col("n_chars")))
+      val prior = psiPriorSnapshot(t(s, dir, "documents"))
       Profile.psiFromSketches(merged,
         Profile.histQuantileSketch(prior, "source", "n_chars", 100L),
         "source")
@@ -2499,42 +2493,26 @@ object SparkEntry {
       // pairs that teach an embedding model the decision boundary).
       // Judgments are sparse in real corpora — here only even doc_ids
       // were "judged" — so the odd top-ranked docs mine as negatives.
-      val docs = t(s, dir, "documents")
-      val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
-      val q = retrievalQueries(s)
-      val qTerms = q.select(col("qid"),
-        explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
-      val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("nt"))
-      val relevant = idx.join(qTerms, Seq("term"))
-        .groupBy("qid", "doc_id").agg(count(lit(1)).as("__hit"))
-        .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
-        .filter(col("doc_id") % 2 === 0)
-        .select("qid", "doc_id")
+      val (idx, q, allRelevant) = retrievalGroundTruth(s, dir)
+      val judged = allRelevant.filter(col("doc_id") % 2 === 0)
       Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10)
-        .join(relevant, Seq("qid", "doc_id"), "left_anti")
+        .join(judged, Seq("qid", "doc_id"), "left_anti")
         .select("qid", "rank", "doc_id")
     },
 
     "rag_random_negatives" -> { (s, dir) =>
       // the uniform-negative companion to hard negatives: per query, 10
       // hash-deterministic corpus docs EXCLUDING both the retrieved
-      // top-10 and the full relevant set (a relevant doc sampled as a
-      // "negative" is the classic false-negative contamination). The
-      // hash gate thins the scan×|Q| candidate space to ~8% before the
-      // anti-join and window; |Q| is a bounded broadcast batch.
-      val docs = t(s, dir, "documents")
-      val idx = Retrieval.docTerms(docs, "doc_id", "text").persist()
-      val q = retrievalQueries(s)
-      val qTerms = q.select(col("qid"),
-        explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
-      val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("nt"))
-      val relevant = idx.join(qTerms, Seq("term"))
-        .groupBy("qid", "doc_id").agg(count(lit(1)).as("__hit"))
-        .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
-        .filter(col("doc_id") % 2 === 0)
-        .select("qid", "doc_id")
+      // top-10 and the FULL relevant set — unlike hard negatives (which
+      // deliberately mine the un-judged relevant docs), a random
+      // negative drawn from ANY relevant doc is false-negative
+      // contamination, so no judged-subset filter here. The hash gate
+      // thins the scan×|Q| candidate space to ~8% before the anti-join
+      // and window; |Q| is a bounded broadcast batch.
+      val (idx, q, allRelevant) = retrievalGroundTruth(s, dir)
       val avoid = Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10)
-        .select("qid", "doc_id").unionByName(relevant).distinct()
+        .select("qid", "doc_id").unionByName(allRelevant).distinct()
+      val docs = t(s, dir, "documents")
       val cand = docs.select(col("doc_id"))
         .crossJoin(broadcast(q.select("qid")))
         .withColumn("__h", expr(
@@ -2872,9 +2850,6 @@ object SparkEntry {
       TextAnalysis.gopherFlags(col("text"), minWords = 30, maxWords = 80)
         .last.cast("int").as("weak_label"))
 
-  /** Fixed keyword-bag query batch for the retrieval queries (a query
-    * workload is driver-provided in production; literals keep the oracle
-    * replayable). Terms drawn from the generator vocabulary. */
   /** Four deterministic raw spellings of the same two canonical
     * addresses per id-group of 4: variants 0/1 are one https page
     * (cased host + :443 + dup slash + fragment + tracking param +
@@ -2897,6 +2872,40 @@ object SparkEntry {
         concat(lit("http://www.example.com/item-"), g, lit("#top")))
   }
 
+  /** Shared retrieval ground-truth machinery: the persisted docTerms
+    * index, the fixed query batch, and the ALL-TERMS relevant set
+    * (every distinct query term present in the doc). Callers needing
+    * the sparse judged subset (rag_hard_negatives' fiction: only even
+    * doc_ids were judged) filter further — extracting this is what
+    * keeps the judged-vs-full distinction explicit at each call site. */
+  private def retrievalGroundTruth(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val idx = Retrieval.docTerms(t(s, dir, "documents"), "doc_id", "text")
+      .persist()
+    val q = retrievalQueries(s)
+    val qTerms = q.select(col("qid"),
+      explode(array_distinct(split(trim(col("qtext")), "\\s+"))).as("term"))
+    val qn = qTerms.groupBy("qid").agg(count(lit(1)).as("nt"))
+    val allRelevant = idx.join(qTerms, Seq("term"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("__hit"))
+      .join(qn, Seq("qid")).filter(col("__hit") === col("nt"))
+      .select("qid", "doc_id")
+    (idx, q, allRelevant)
+  }
+
+  /** The synthetic PRIOR snapshot the PSI drift trio scores against:
+    * 10% of ids absent, every doc_id%3==0 doc 200 chars shorter — one
+    * definition shared by profile_psi / profile_psi_incr /
+    * t10_stream_drift so all three stay bit-identical to the shared
+    * psiOracleSql's prior CTE. */
+  private def psiPriorSnapshot(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 =!= 0)
+      .withColumn("n_chars", when(col("doc_id") % 3 === 0,
+        col("n_chars") + 200).otherwise(col("n_chars")))
+
+  /** Fixed keyword-bag query batch for the retrieval queries (a query
+    * workload is driver-provided in production; literals keep the oracle
+    * replayable). Terms drawn from the generator vocabulary. */
   private def retrievalQueries(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq((1L, "spark table scan window"), (2L, "customer order join merge"),
@@ -5856,7 +5865,7 @@ object SparkEntry {
              FROM dt JOIN qt ON dt.term = qt.term
              GROUP BY qt.qid, dt.doc_id) h
            JOIN qn ON h.qid = qn.qid
-           WHERE h.hit = qn.nt AND h.doc_id % 2 = 0),
+           WHERE h.hit = qn.nt),
          avoid AS (SELECT qid, doc_id FROM bm
            UNION SELECT qid, doc_id FROM rel),
          cand AS (SELECT q.qid AS qid, d.doc_id AS doc_id,

@@ -129,8 +129,13 @@ object Layout {
   def compactionPlan(files: DataFrame, keyCol: String, nameCol: String,
       bytesCol: String, targetBytes: Long): DataFrame = {
     require(targetBytes >= 1)
+    // explicit ROWS frame: the default RANGE frame would give rows tied
+    // on (bytes, name) — e.g. a caller unioning two listings of the
+    // same file — ONE shared cumulative total and both a wrong bin
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCol).orderBy(col(bytesCol).desc, col(nameCol).asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     files
       .withColumn("__cum", sum(col(bytesCol)).over(w))
       .withColumn("bin",

@@ -101,14 +101,18 @@ object UrlOps {
 
   /** Domain-level curation: drop blocklisted domains, then keep at most
     * `cap` documents per domain under a deterministic preference order
-    * (`orderCols`). The blocklist is a small table → broadcast
-    * anti-join; the cap is one window keyed on the domain whose
+    * (`orderCols`). `blocklist` must carry its domains in a column
+    * named `blocked_domain` (enforced). The blocklist is a small
+    * table → broadcast anti-join; the cap is one window keyed on the
+    * domain whose
     * `row_number <= cap` filter prunes at the partial level
     * (WindowGroupLimit), so a spam domain with 10^9 pages never
     * materializes more than its top `cap` per partition. */
   def domainCapFilter(df: DataFrame, urlCol: String, blocklist: DataFrame,
       cap: Int, orderCols: Seq[Column]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(blocklist.columns.contains("blocked_domain"),
+      "blocklist must have a 'blocked_domain' column")
     val withDom = df.withColumn("domain", domainOf(col(urlCol)))
     val kept = withDom.join(broadcast(blocklist),
       withDom("domain") === blocklist("blocked_domain"), "left_anti")

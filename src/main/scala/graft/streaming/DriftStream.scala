@@ -25,22 +25,23 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object DriftStream {
 
   /** File-source stream over the documents table (AvailableNow =
-    * process everything currently there, batch-by-batch, then stop). */
+    * process everything currently there, batch-by-batch, then stop).
+    * Schema comes from [[CurateStream.documentsSchema]] — the declared
+    * constant every documents stream shares; no batch footer read. */
   def readDocs(spark: SparkSession, dir: String,
-      maxFilesPerTrigger: Int = 1): DataFrame = {
-    val schema = spark.read
-      .parquet(s"$dir/documents.parquet").schema
+      maxFilesPerTrigger: Int = 1): DataFrame =
     spark.readStream
-      .schema(schema)
+      .schema(CurateStream.documentsSchema)
       .option("pathGlobFilter", "documents.parquet")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(dir)
-  }
 
   /** Run an AvailableNow pass folding each micro-batch's histogram
     * sketch into a running master; returns the merged (group, bin, cnt)
-    * sketch as a DataFrame. `reader` defaults to [[readDocs]] but specs
-    * inject multi-file directories to force real multi-batch merging. */
+    * sketch as a DataFrame. `groupCol` must be a STRING column (the
+    * fold keys the driver map on it; a numeric stratum key needs a cast
+    * at the call site). Specs inject multi-file directories to force
+    * real multi-batch merging. */
   def runSketchNow(spark: SparkSession, stream: DataFrame,
       groupCol: String, metricCol: String, binWidth: Long): DataFrame = {
     val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
@@ -50,8 +51,8 @@ object DriftStream {
           .histQuantileSketch(batch, groupCol, metricCol, binWidth)
           .collect()
           .foreach { r =>
-            val k = (r.getString(0), r.getLong(1))
-            acc(k) = acc.getOrElse(k, 0L) + r.getLong(2)
+            val k = (r.getAs[String](groupCol), r.getAs[Long]("bin"))
+            acc(k) = acc.getOrElse(k, 0L) + r.getAs[Long]("cnt")
           }
         ()
       }
