@@ -669,6 +669,16 @@ object SparkEntry {
         "source", "n_chars", Seq(50, 90, 99), binWidth = 100L)
     },
 
+    "profile_distinct_per_group" -> { (s, dir) =>
+      // distinct users per event type via per-group KMV (k=16 so the
+      // estimator branch engages at sf0.01 — every type has > 16
+      // distinct users): fixed memory per group at ANY cardinality,
+      // where exact countDistinct holds the whole key set per group
+      val sk = Profile.kmvSketchPerGroup(events(s, dir),
+        "event_type", "user_id", k = 16)
+      Profile.kmvEstimatePerGroup(sk, "event_type", "adc_users", k = 16)
+    },
+
     "profile_join_estimate" -> { (s, dir) =>
       // pre-join planning audit (the measure half of measure-decide-act
       // for salting): predicted |orders ⋈ customer| on custkey from the
@@ -4299,6 +4309,28 @@ object SparkEntry {
            CAST(min(cum.bin) * 100 AS BIGINT) AS q_hist
          FROM rk JOIN cum ON cum.source = rk.source AND cum.cum >= rk.rnk
          GROUP BY rk.source, rk.prob_pct""",
+
+    // per-group KMV replay: distinct 60-bit md5 hashes, row_number ≤ k
+    // per group, then the identical estimate arithmetic (the kmv
+    // double constant spelled byte-for-byte like the Spark literal)
+    "profile_distinct_per_group" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+               AS UBIGINT) AS h
+           FROM events WHERE user_id IS NOT NULL),
+         r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+           FROM h),
+         s AS (SELECT event_type, h FROM r WHERE rn <= 16),
+         a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             max(h) AS hmax
+           FROM s GROUP BY event_type)
+         SELECT event_type,
+           CAST(CASE WHEN n < 16 THEN n
+                ELSE CAST(floor(15.0 * 1.152921504606846976e18 /
+                  CAST(hmax AS DOUBLE)) AS BIGINT) END AS BIGINT)
+             AS adc_users
+         FROM a""",
 
     "profile_join_estimate" ->
       """WITH a AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS na

@@ -340,6 +340,39 @@ object Profile {
           .as(outCol))
   }
 
+  /** Per-GROUP KMV sketch: the k smallest distinct 60-bit hashes of `c`
+    * within each group — the grouped twin of [[kmvSketch]]. One shuffle
+    * on (group, h) for the distinct, then a WindowGroupLimit-pruned
+    * row_number ≤ k per group: no group ever materializes more than its
+    * k survivors past the partial level, so a hot group costs the same
+    * as a cold one. Merge across shards/batches = union + distinct +
+    * re-cut per group (min-k of a union), same as the global sketch. */
+  def kmvSketchPerGroup(df: DataFrame, groupCol: String, c: String,
+      k: Int = 256): DataFrame = {
+    val h60 = conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(groupCol).orderBy("h")
+    df.where(col(c).isNotNull)
+      .select(col(groupCol), h60.as("h")).distinct()
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** Per-group distinct-count estimates from a [[kmvSketchPerGroup]]
+    * sketch: exact count below k, else (k−1)·2⁶⁰ / k-th-smallest —
+    * identical arithmetic to [[kmvEstimate]], per group. */
+  def kmvEstimatePerGroup(sketch: DataFrame, groupCol: String,
+      outCol: String, k: Int = 256): DataFrame = {
+    val twoPow60 = 1.152921504606846976e18
+    sketch.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), max(col("h")).as("__hmax"))
+      .select(col(groupCol),
+        when(col("__n") < k, col("__n"))
+          .otherwise(floor(lit((k - 1).toDouble) * lit(twoPow60) /
+            col("__hmax").cast("double")).cast("long"))
+          .as(outCol))
+  }
+
   def approxDistinctKmv(df: DataFrame, cols: Seq[String],
       k: Int = 256): DataFrame =
     cols.map(c => kmvEstimate(kmvSketch(df, c, k), s"adc_$c", k))

@@ -132,6 +132,32 @@ class ProfileSpec extends AnyFunSuite {
         col("q_hist"))))
   }
 
+  test("kmvSketchPerGroup: exact branch below k, estimate within 30%, merge==full") {
+    // group "small" has 5 distinct values (< k=16 → exact count 5);
+    // group "big" has 400 (> k → estimator branch)
+    val rows = (1 to 5).map(i => ("small", s"u$i")) ++
+      (1 to 1200).map(i => ("big", s"v${i % 400}"))
+    val df = rows.toDF("g", "u")
+    val sk = Profile.kmvSketchPerGroup(df, "g", "u", k = 16)
+    val est = Profile.kmvEstimatePerGroup(sk, "g", "adc", k = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("small") == 5L)
+    assert(math.abs(est("big") - 400L) <= 120L)   // KMV rel-error ~1/√k
+    // merge of shard sketches == full sketch (min-k of a union, per group)
+    val (a, b) = rows.splitAt(700)
+    val merged = Profile.kmvSketchPerGroup(a.toDF("g", "u"), "g", "u", 16)
+      .unionByName(Profile.kmvSketchPerGroup(b.toDF("g", "u"), "g", "u", 16))
+      .distinct()
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.row_number
+    val recut = merged.withColumn("__rn",
+        row_number().over(Window.partitionBy("g").orderBy("h")))
+      .filter($"__rn" <= 16).select("g", "h")
+    def toSet(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(toSet(recut) == toSet(sk))
+  }
+
   test("psiDrift: zero on identical snapshots, reference value on shift") {
     // reference replay of the exact expression tree
     def refPsi(cur: Map[Long, Long], pri: Map[Long, Long]): Long = {
