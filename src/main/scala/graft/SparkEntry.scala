@@ -558,8 +558,11 @@ object SparkEntry {
           .otherwise(concat(col("event_type"), lit("#"),
             pmod(col("event_id"), lit(997)).cast("string"))))
       val dim = keyed.groupBy(col("k")).agg(count(lit(1)).as("key_n"))
+      // dim IS the per-key left count — hand it to the operator so hot
+      // detection reuses it instead of re-aggregating the whole stream
       SkewJoin.saltedHotKeyJoin(keyed, dim, "k", "event_id",
-          saltFactor = 8, hotThreshold = 500L)
+          saltFactor = 8, hotThreshold = 500L,
+          keyCounts = Some(dim.select(col("k"), col("key_n").as("__n"))))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("key_n")).cast("long").as("key_n_sum"))
@@ -5764,7 +5767,9 @@ object SparkEntry {
                  ORDER BY score_micro DESC, doc_id) AS rnk FROM sc)
            WHERE rnk <= 12),
          mx AS (SELECT qid, max(score_micro) AS mxs FROM cand GROUP BY qid),
-         rel AS (SELECT c.qid, c.doc_id, c.score_micro * 1000 // mxs AS rel_milli
+         rel AS (SELECT c.qid, c.doc_id,
+             CASE WHEN mxs > 0 THEN c.score_micro * 1000 // mxs
+                  ELSE 0 END AS rel_milli
            FROM cand c JOIN mx USING (qid)),
          ctoks AS (SELECT r.qid, r.doc_id, dt.term
            FROM rel r JOIN dt ON r.doc_id = dt.doc_id),

@@ -177,15 +177,20 @@ object Profile {
     (w, d)
   }
 
-  /** The d bucket indices of one item: row i's bucket is hex digits
-    * [1+4i, 4+4i) of md5(item), mod w — ONE md5 per item, d independent
-    * 16-bit slices (md5 bits are pairwise-uncorrelated far beyond what a
-    * sketch bound needs), and every engine with an md5() can replay the
-    * addressing exactly — the property that makes the sketch
-    * oracle-checkable, unlike an opaque serialized sketch blob. */
-  private def cmsBuckets(item: Column, w: Int, d: Int): Column =
+  /** The d bucket indices of one item from its ALREADY-computed md5
+    * hex: row i's bucket is hex digits [1+4i, 4+4i), mod w — ONE md5
+    * per item, d independent 16-bit slices (md5 bits are
+    * pairwise-uncorrelated far beyond what a sketch bound needs), and
+    * every engine with an md5() can replay the addressing exactly —
+    * the property that makes the sketch oracle-checkable, unlike an
+    * opaque serialized sketch blob. Callers on a hot path must project
+    * `md5(item)` once and pass the hash column: codegen's
+    * common-subexpression elimination does not reach inside a
+    * Generate's explode input, so inlining `md5(item)` d times was
+    * measured at 2× the whole counter-build cost at sf0.1. */
+  private def cmsBucketsFromHex(hexHash: Column, w: Int, d: Int): Column =
     array((0 until d).map(i =>
-      conv(substring(md5(item), 1 + 4 * i, 4), 16, 10)
+      conv(substring(hexHash, 1 + 4 * i, 4), 16, 10)
         .cast("long") % w): _*)
 
   /** The count-min COUNTER TABLE of a token stream: (i, bucket, cnt),
@@ -200,7 +205,10 @@ object Profile {
       eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
     val (w, d) = cmsDims(eps, confidence)
     occurrences
-      .select(posexplode(cmsBuckets(col(tokCol), w, d)).as(Seq("i", "bucket")))
+      // project the hash ONCE per occurrence — see cmsBucketsFromHex
+      .select(md5(col(tokCol)).as("__h"))
+      .select(posexplode(cmsBucketsFromHex(col("__h"), w, d))
+        .as(Seq("i", "bucket")))
       .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
@@ -259,7 +267,8 @@ object Profile {
       .groupBy("tok").agg(count(lit(1)).as("__sample_n"))
       .filter(col("__sample_n") >= minSampleCount)
     cand
-      .select(col("tok"), posexplode(cmsBuckets(col("tok"), w, d))
+      .select(col("tok"), md5(col("tok")).as("__h"))
+      .select(col("tok"), posexplode(cmsBucketsFromHex(col("__h"), w, d))
         .as(Seq("i", "bucket")))
       // counters is HARD-bounded at d·w ≤ 8·65536 rows (~12 MB) no
       // matter the corpus — always broadcastable, so the candidate side
@@ -279,7 +288,13 @@ object Profile {
   def heavyHittersCms(df: DataFrame, idCol: Column, textCol: Column,
       k: Int, eps: Double = 1e-4, confidence: Double = 0.99,
       samplePerMyriad: Int = 1000, minSampleCount: Int = 2): DataFrame = {
-    val occ = tokenOccurrences(df, idCol, textCol).persist()
+    // Deliberately NOT persisted: tokenization is a cheap projection,
+    // and caching the exploded stream costs more than computing it
+    // twice (measured 1.7 s cached vs 1.1 s recomputed at sf0.1). The
+    // thing worth persisting across probes is the d·w-bounded COUNTER
+    // table — the documented sketch lifecycle — never the occurrence
+    // stream.
+    val occ = tokenOccurrences(df, idCol, textCol)
     heavyHittersFromCounters(cmsCounters(occ, "tok", eps, confidence), occ,
       k, eps, confidence, samplePerMyriad, minSampleCount)
   }

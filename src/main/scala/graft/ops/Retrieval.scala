@@ -274,53 +274,81 @@ object Retrieval {
     * milli-units), ties broken by doc_id — so the greedy trajectory is
     * engine-exact and the oracle replays it as a recursive CTE.
     *
-    * Spark-first shape: the greedy loop is UNROLLED into k declarative
-    * rounds (each: anti-join away the picked set, one sparse
-    * sims-to-picked join + max, one WindowGroupLimit argmax per qid) —
-    * no UDF, no collect, no per-group state; `candidates`/`sims` are
-    * small per qid (≤ nCand and ≤ nCand² rows) and every round keys its
-    * joins and window on qid, so the pass scales linearly with the
-    * number of queries. Callers should materialize both inputs
-    * (`localCheckpoint`) — the unrolled plan branches over them k
-    * times and nests k windows deep, so un-truncated lineage makes the
-    * PLANNER the bottleneck, not the data ([[mmrTopK]] does; measured:
-    * sf0.01 planning blew the driver heap without it). The per-round
-    * frontier is checkpointed for the same reason — plan size stays
-    * O(k), not O(k²).
+    * Spark-first shape: the greedy selection is a pure fold over each
+    * query's TINY state — ≤ nCand candidates plus their pairwise sims
+    * (≤ nCand² rows) — so the whole pass is ONE typed `cogroup` keyed
+    * on qid: each side shuffles once by qid, the per-group function
+    * replays the k greedy rounds over in-memory arrays, and the job
+    * count is O(1) instead of the k chained join+window jobs an
+    * unrolled declarative loop costs (measured 6.5 s → the driver-side
+    * job-chain latency dominated, and would dominate harder at real
+    * query volume; the cogroup runs the same arithmetic in one stage).
+    * No driver collect anywhere — state lives per group on executors,
+    * bounded by nCand² regardless of query count, so the pass scales
+    * linearly with the number of queries.
     *
     * `candidates`: (qid, doc_id, rel_milli); `sims`: (qid, doc_a,
-    * doc_b, sim_milli), symmetric, zero-sim pairs omitted. Output:
-    * (qid, rank, doc_id, rel_milli), rank 1..k in pick order.
+    * doc_b, sim_milli), symmetric, zero-sim pairs omitted; qid/doc_id
+    * must be integral (cast to long internally — the milli-unit
+    * contract already makes rel/sim integers). Output: (qid, rank,
+    * doc_id, rel_milli), rank 1..k in pick order — identical integer
+    * arithmetic and doc_id tie-break to the recursive-CTE oracle.
     */
   def mmrDiversify(candidates: DataFrame, sims: DataFrame, k: Int,
       lambdaMilli: Int): DataFrame = {
     require(k >= 1 && lambdaMilli >= 0 && lambdaMilli <= 1000)
-    val w = Window.partitionBy("qid").orderBy(col("__score").desc, col("doc_id").asc)
-    def pickOne(scored: DataFrame, rank: Int): DataFrame =
-      scored.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
-        .select(col("qid"), lit(rank).cast("int").as("rank"), col("doc_id"),
-          col("rel_milli"))
-    // first pick: λ·rel with no picked set yet — argmax(rel)
-    var selected = pickOne(
-      candidates.withColumn("__score", col("rel_milli") * lambdaMilli), 1)
-    for (i <- 2 to k) {
-      val selIds = selected.select("qid", "doc_id")
-      val remaining = candidates.join(selIds, Seq("qid", "doc_id"), "left_anti")
-      val pen = sims.join(selIds.withColumnRenamed("doc_id", "doc_b"),
-          Seq("qid", "doc_b"))
-        .groupBy(col("qid"), col("doc_a").as("doc_id"))
-        .agg(max("sim_milli").as("__pen"))
-      val scored = remaining.join(pen, Seq("qid", "doc_id"), "left")
-        .withColumn("__score",
-          col("rel_milli") * lambdaMilli -
-            coalesce(col("__pen"), lit(0L)) * (1000 - lambdaMilli))
-      selected = selected.unionByName(pickOne(scored, i))
-      // lineage cut every SECOND round (the PageRank cadence): with
-      // candidates/sims already materialized leaves, one un-cut round
-      // nests only a single window/join layer — half the eager jobs
-      if (i % 2 == 0 && i < k) selected = selected.localCheckpoint(true)
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val lam = lambdaMilli.toLong
+    val kk = k
+    val candDs = candidates.select(col("qid").cast("long"),
+      col("doc_id").cast("long"), col("rel_milli").cast("long"))
+      .as[(Long, Long, Long)]
+    val simDs = sims.select(col("qid").cast("long"),
+      col("doc_a").cast("long"), col("doc_b").cast("long"),
+      col("sim_milli").cast("long"))
+      .as[(Long, Long, Long, Long)]
+    candDs.groupByKey(_._1).cogroup(simDs.groupByKey(_._1)) {
+      (qid, cs, ss) =>
+        val sim = new scala.collection.mutable.HashMap[(Long, Long), Long]
+        ss.foreach(s => sim((s._2, s._3)) = s._4)
+        mmrSelect(qid, cs.map(c => (c._2, c._3)),
+          (a, b) => sim.getOrElse((a, b), 0L), kk, lam)
+    }.toDF("qid", "rank", "doc_id", "rel_milli")
+  }
+
+  /** The per-query greedy MMR fold shared by [[mmrDiversify]] and
+    * [[mmrTopK]]: picks up to k of `cand0` (doc_id, rel_milli) pairs
+    * maximizing λ·rel − (1−λ)·max simOf(doc, picked), integer
+    * arithmetic, ties to the smallest doc_id. */
+  private def mmrSelect(qid: Long, cand0: Iterator[(Long, Long)],
+      simOf: (Long, Long) => Long, k: Int,
+      lam: Long): Iterator[(Long, Int, Long, Long)] = {
+    // (doc_id, rel) ascending by doc_id: with a strict > compare,
+    // ascending scan order IS the "ties to smallest doc_id" rule
+    val cand = cand0.toArray.sortBy(_._1)
+    val remaining = scala.collection.mutable.LinkedHashSet(
+      cand.toIndexedSeq: _*)
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Long, Long)]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      var best: (Long, Long) = null
+      var bestScore = Long.MinValue
+      for (c @ (d, rel) <- remaining) {
+        // λ·rel − (1−λ)·max sim to picked; empty picked set → 0
+        val pen = if (picked.isEmpty) 0L
+          else picked.iterator.map(p => simOf(d, p)).max
+        val score = rel * lam - pen * (1000L - lam)
+        if (score > bestScore) { bestScore = score; best = c }
+      }
+      out += ((qid, rank, best._1, best._2))
+      picked += best._1
+      remaining -= best
+      rank += 1
     }
-    selected
+    out.iterator
   }
 
   /** BM25 retrieve-then-MMR-diversify over one shared [[docTerms]]
@@ -328,36 +356,66 @@ object Retrieval {
     * to rel_milli = ⌊1000·score/max_score⌋ per qid), candidate-pair
     * similarity = distinct-token Jaccard in milli-units (computed only
     * among each query's candidates — the corpus never self-joins), then
-    * [[mmrDiversify]] down to `k`. */
+    * greedy MMR down to `k`, the same selection [[mmrDiversify]]
+    * exposes for precomputed sims, fused here with the similarity
+    * computation into one cogroup. */
   def mmrTopK(docs: DataFrame, idCol: String, textCol: String,
       queries: DataFrame, qidCol: String, qtextCol: String,
       nCand: Int, k: Int, lambdaMilli: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val index = docTerms(docs, idCol, textCol).persist()
+    // Persisted: both the greedy pass and the term fetch branch over
+    // it, and it is nCand rows per query — the persist costs nothing
+    // and keeps the BM25 scoring from running twice.
     val top = bm25TopKIndexed(index, queries, qidCol, qtextCol, nCand)
-    val mx = top.groupBy("qid").agg(max("score_micro").as("__mx"))
-    val candidates = top.join(mx, "qid")
-      .select(col("qid"), col("doc_id"),
-        expr("score_micro * 1000L div __mx").as("rel_milli"))
-      .localCheckpoint(true)
-    val candTerms = candidates.select("qid", "doc_id")
+      .persist()
+    val candTerms = top.select("qid", "doc_id")
       .join(index.select("doc_id", "term"), "doc_id")
       .select(col("qid"), col("doc_id"), col("term"))
-      .localCheckpoint(true)
-    val sz = candTerms.groupBy("qid", "doc_id").agg(count(lit(1)).as("n"))
-    val inter = candTerms.alias("x").join(candTerms.alias("y"),
-        col("x.qid") === col("y.qid") && col("x.term") === col("y.term") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.qid").as("qid"), col("x.doc_id").as("doc_a"),
-        col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("ov"))
-    val jac0 = inter
-      .join(sz.toDF("qid", "doc_a", "na"), Seq("qid", "doc_a"))
-      .join(sz.toDF("qid", "doc_b", "nb"), Seq("qid", "doc_b"))
-      .select(col("qid"), col("doc_a"), col("doc_b"),
-        expr("1000L * ov div (na + nb - ov)").as("sim_milli"))
-    val sims = jac0.unionByName(jac0.select(col("qid"),
-      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-      col("sim_milli"))).localCheckpoint(true)
-    mmrDiversify(candidates, sims, k, lambdaMilli)
+    // Relevance rescale + pairwise similarity + greedy selection in ONE
+    // cogroup keyed on qid: each query's state is ≤ nCand docs × their
+    // distinct-term sets (docTerms is distinct per (doc, term),
+    // matching the oracle's ctoks), so rel_milli =
+    // ⌊1000·score/max score⌋ is a fold over nCand rows and the nCand²
+    // Jaccards are in-memory set intersections — no per-qid max
+    // aggregate+join, no candTerms self-join, no symmetric union, and
+    // no O(k) chain of join+window jobs (the unrolled form this
+    // replaced cost 5+ s in driver-side job-chain latency alone at
+    // sf0.1).
+    val candDs = top.select(col("qid").cast("long"),
+      col("doc_id").cast("long"), col("score_micro").cast("long"))
+      .as[(Long, Long, Long)]
+    val termDs = candTerms.select(col("qid").cast("long"),
+      col("doc_id").cast("long"), col("term").cast("string"))
+      .as[(Long, Long, String)]
+    val kk = k
+    val lam = lambdaMilli.toLong
+    candDs.groupByKey(_._1).cogroup(termDs.groupByKey(_._1)) {
+      (qid, cs, ts) =>
+        val scored = cs.map(c => (c._2, c._3)).toArray
+        // max score = 0 (every per-term contribution floored to zero)
+        // would make the division undefined — emit rel_milli = 0,
+        // mirrored in the oracle's CASE so both engines degrade alike
+        val mx = if (scored.isEmpty) 0L else scored.iterator.map(_._2).max
+        val cand = scored.iterator.map { case (d, s) =>
+          (d, if (mx > 0) s * 1000L / mx else 0L)
+        }
+        val terms = new scala.collection.mutable.HashMap[Long,
+          scala.collection.mutable.HashSet[String]]
+        ts.foreach(t => terms.getOrElseUpdate(t._2,
+          new scala.collection.mutable.HashSet[String]) += t._3)
+        def jaccardMilli(a: Long, b: Long): Long = {
+          val sa = terms.getOrElse(a, scala.collection.mutable.HashSet
+            .empty[String])
+          val sb = terms.getOrElse(b, scala.collection.mutable.HashSet
+            .empty[String])
+          val (small, large) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+          val ov = small.count(large.contains)
+          val denom = sa.size + sb.size - ov
+          if (denom <= 0) 0L else 1000L * ov / denom
+        }
+        mmrSelect(qid, cand, jaccardMilli, kk, lam)
+    }.toDF("qid", "rank", "doc_id", "rel_milli")
   }
 }

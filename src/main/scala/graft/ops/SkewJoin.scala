@@ -38,33 +38,48 @@ object SkewJoin {
   /** Targeted salting — the shape that actually survives 100 TB: blanket
     * salting replicates the ENTIRE right side ×saltFactor, paying the
     * skew tax on every key; here only keys the data proves hot (≥
-    * `hotThreshold` left rows) are salted, everything else takes the
-    * plain equi join untouched. Semantics are still EXACTLY the plain
-    * inner join.
+    * `hotThreshold` left rows) get a spread salt, everything else joins
+    * on salt 0 with a single right copy. Semantics are still EXACTLY
+    * the plain inner join.
+    *
+    * One pass over each side — no hot/cold split-and-union (the split
+    * form scans the big left side twice and, under AQE, re-plans the
+    * detection aggregate per branch; measured 5 aggregate subplans and
+    * 7 scans on ONE query at sf0.1): after the broadcast membership
+    * probe, a hot left row salts to hash(distributeBy) mod saltFactor
+    * while a cold row takes salt 0, and the right side explodes to
+    * saltFactor copies for hot keys but exactly one (salt 0) for cold
+    * keys. The single equi join on (key, salt) then lands every hot key
+    * on saltFactor reducers and every cold key on one.
     *
     * The hot-key set is bounded by |left| / hotThreshold keys — the
     * caller picks the threshold so that bound broadcasts (e.g. 1e5 rows
     * per key on a 1e12-row input caps the set at 1e7 keys); the
     * detection agg is map-side combined, so it costs one pass + a tiny
-    * shuffle. Both sides split on the broadcast membership probe, the
-    * hot slice goes through [[saltedEquiJoin]], and the union restores
-    * the full result. */
+    * shuffle — or zero extra passes when the caller already holds the
+    * counts (`keyCounts`: (key, __n) with __n = exact left rows per
+    * key — common when the dim side IS a key-count rollup). */
   def saltedHotKeyJoin(left: DataFrame, right: DataFrame, key: String,
       distributeBy: String, saltFactor: Int,
-      hotThreshold: Long): DataFrame = {
+      hotThreshold: Long,
+      keyCounts: Option[DataFrame] = None): DataFrame = {
+    require(saltFactor > 0, "saltFactor must be positive")
     require(hotThreshold > 0, "hotThreshold must be positive")
+    val counts = keyCounts.getOrElse(
+      left.groupBy(col(key)).agg(count(lit(1)).as("__n")))
     val hot = broadcast(
-      left.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+      counts
         .filter(col("__n") >= hotThreshold)
         .select(col(key), lit(true).as("__is_hot")))
-    val l = left.join(hot, Seq(key), "left_outer")
+    val l = fanout(left).join(hot, Seq(key), "left_outer")
+      .withColumn("__salt",
+        when(col("__is_hot"), pmod(hash(col(distributeBy)), lit(saltFactor)))
+          .otherwise(lit(0)))
+      .drop("__is_hot")
     val r = right.join(hot, Seq(key), "left_outer")
-    val hotJoined = saltedEquiJoin(
-      l.filter(col("__is_hot")).drop("__is_hot"),
-      r.filter(col("__is_hot")).drop("__is_hot"),
-      key, distributeBy, saltFactor)
-    val coldJoined = l.filter(col("__is_hot").isNull).drop("__is_hot")
-      .join(r.filter(col("__is_hot").isNull).drop("__is_hot"), Seq(key))
-    hotJoined.unionByName(coldJoined)
+      .withColumn("__salt", explode(sequence(lit(0),
+        when(col("__is_hot"), lit(saltFactor - 1)).otherwise(lit(0)))))
+      .drop("__is_hot")
+    l.join(r, Seq(key, "__salt")).drop("__salt")
   }
 }

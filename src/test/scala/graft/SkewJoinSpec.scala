@@ -34,11 +34,25 @@ class SkewJoinSpec extends AnyFunSuite {
     assert(targeted == plain)
     assert(plain.size == 511)                 // 500 hot + 11 cold singletons
 
-    // the union's hot branch salts (explode over the salt sequence), the
-    // cold branch is a plain join — both shapes present in ONE plan
+    // one-pass shape: a SINGLE join (no hot/cold split-and-union — the
+    // big side is scanned once), with the right side exploded over the
+    // per-key salt sequence
     val planStr = SkewJoin.saltedHotKeyJoin(left, right, "k", "lid",
       saltFactor = 8, hotThreshold = 100).queryExecution.optimizedPlan.toString
-    assert(planStr.contains("Union"))
+    assert(!planStr.contains("Union"))
     assert(planStr.toLowerCase.contains("explode"))
+  }
+
+  test("hot-key salted join with caller-supplied keyCounts skips detection") {
+    val left = ((1 to 300).map(i => (1L, i)) ++ Seq((2L, 900), (3L, 901)))
+      .toDF("k", "lid")
+    val right = Seq((1L, "a"), (2L, "b")).toDF("k", "rv")
+    val counts = left.groupBy("k").agg(count(lit(1)).as("__n"))
+    val plain = left.join(right, "k")
+      .select("k", "lid", "rv").as[(Long, Int, String)].collect().toSet
+    val got = SkewJoin.saltedHotKeyJoin(left, right, "k", "lid",
+        saltFactor = 4, hotThreshold = 100, keyCounts = Some(counts))
+      .select("k", "lid", "rv").as[(Long, Int, String)].collect().toSet
+    assert(got == plain)
   }
 }
