@@ -655,11 +655,16 @@ object SparkEntry {
     },
 
     "profile_approx_quantiles" -> { (s, dir) =>
-      // GK-sketch per-source percentiles (rows-only: sketch internals are
-      // engine-specific; rank-error bound pinned in ProfileSpec) — the
-      // fixed-memory twin of a4's exact interpolated percentiles
-      Profile.approxQuantilesPerGroup(t(s, dir, "documents"),
-        "source", "n_chars", Seq(0.5, 0.9, 0.99))
+      // approximate per-source percentiles with a REPLAYABLE contract:
+      // deterministic md5 row sample (25%), exact empirical lower
+      // quantile over the sample — rank-error class (the GK guarantee)
+      // but every step hash-replays in the oracle, which
+      // percentile_approx's engine-private GK state never can (that
+      // library path remains Profile.approxQuantilesPerGroup, rank
+      // error pinned in ProfileSpec)
+      Profile.sampleQuantilesPerGroup(t(s, dir, "documents"),
+        "source", "n_chars", "doc_id", Seq(50, 90, 99),
+        samplePerMyriad = 2500)
     },
 
     "profile_quantiles_hist" -> { (s, dir) =>
@@ -4313,6 +4318,29 @@ object SparkEntry {
          FROM rk JOIN cum ON cum.source = rk.source AND cum.cum >= rk.rnk
          GROUP BY rk.source, rk.prob_pct""",
 
+    // the deterministic-sample quantile replayed end to end: md5 row
+    // sample membership, per-(source, value) counts, cumulative window,
+    // smallest sampled value reaching rank ceil(p·n_sample)
+    "profile_approx_quantiles" ->
+      """WITH s AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL
+             AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+               AS UBIGINT) % 10000 < 2500),
+         vc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+           FROM s GROUP BY source, v),
+         cum AS (SELECT source, v,
+             sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum
+           FROM vc),
+         t AS (SELECT source, sum(cnt) AS n FROM vc GROUP BY source),
+         rk AS (SELECT t.source, p.prob_pct,
+             (t.n * p.prob_pct + 99) // 100 AS rnk
+           FROM t, (SELECT unnest([50, 90, 99]) AS prob_pct) p)
+         SELECT rk.source, CAST(rk.prob_pct AS INT) AS prob_pct,
+           CAST(min(cum.v) AS BIGINT) AS q_sample
+         FROM rk JOIN cum ON cum.source = rk.source AND cum.cum >= rk.rnk
+         GROUP BY rk.source, rk.prob_pct""",
+
     // per-group KMV replay: distinct 60-bit md5 hashes, row_number ≤ k
     // per group, then the identical estimate arithmetic (the kmv
     // double constant spelled byte-for-byte like the Spark literal)
@@ -6449,7 +6477,7 @@ object SparkEntry {
              coalesce(array_to_string(
                list_sort(list_filter(string_split(rawq, '&'),
                  p -> p <> '' AND NOT regexp_matches(p,
-                   '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)='))),
+                   '(?i)^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref_src)='))),
                '&'), '') AS q
            FROM s2),
          canon AS (SELECT doc_id, url,

@@ -483,6 +483,49 @@ object Profile {
       .select(col(groupCol), col("prob_pct"), col("q_approx").cast("long"))
   }
 
+  /** Replayable approximate per-group quantiles by DETERMINISTIC
+    * sampling — the rank-error twin of [[histQuantilesPerGroup]]'s
+    * value-error contract, and the honest replacement for
+    * `percentile_approx` when the answer must be engine-checkable: GK
+    * summaries promise rank error but their state is engine-private;
+    * here the "sketch" is a hash-deterministic row sample (keep a row
+    * iff md5(key) mod 10000 < samplePerMyriad — no RNG state, the same
+    * device as [[heavyHittersFromCounters]]'s candidate sample), and
+    * the estimate is the EXACT empirical lower quantile of the sample:
+    * the smallest sampled value whose cumulative count reaches rank
+    * ⌈p·n_sample⌉, all-integer arithmetic. Every step — the sample
+    * membership, the cumulative window, the rank lookup — replays as
+    * plain SQL in any engine with md5(), so the result hash-matches
+    * across engines, which engine-private GK state never can.
+    *
+    * Scale: state is bounded by the sample rate the caller picks (rank
+    * error ~ 1/√(rate·n) per group), the per-(group, value) aggregate
+    * is map-side combined, and the window runs per group over sampled
+    * DISTINCT values only. Output: (group, prob_pct, q_sample). */
+  def sampleQuantilesPerGroup(df: DataFrame, groupCol: String,
+      metricCol: String, keyCol: String, probPcts: Seq[Int],
+      samplePerMyriad: Int): DataFrame = {
+    require(samplePerMyriad >= 1 && samplePerMyriad <= 10000)
+    val s = df.filter(col(metricCol).isNotNull)
+      .filter(Sampling.hashBucket(col(keyCol).cast("string"), 10000)
+        < samplePerMyriad)
+      .select(col(groupCol), col(metricCol).cast("long").as("__v"))
+    val vc = s.groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(groupCol).orderBy("__v")
+    val cum = vc.withColumn("__cum", sum(col("__cnt")).over(w))
+    val n = s.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val rk = n.select(col(groupCol),
+        explode(lit(probPcts.toArray)).as("prob_pct"), col("__n"))
+      .withColumn("__rnk", expr("(__n * prob_pct + 99) div 100"))
+    rk.join(cum, Seq(groupCol))
+      .filter(col("__cum") >= col("__rnk"))
+      .groupBy(col(groupCol), col("prob_pct"))
+      .agg(min("__v").as("__q"))
+      .select(col(groupCol), col("prob_pct"),
+        col("__q").cast("long").as("q_sample"))
+  }
+
   /** The mergeable SKETCH half of the deterministic quantile twin: per
     * (group, fixed-width value bin) counts — one map-side-combined
     * shuffle whose key cardinality is bounded by groups × bins, never by

@@ -365,7 +365,11 @@ object Sampling {
     * the clamp flagged — an unbounded weight on a rare stratum is how
     * mixture correction turns three documents into 4% of a training
     * run. One count shuffle on the stratum key; the totals row and the
-    * target table broadcast. Output: (stratum, n_docs, share_milli,
+    * target table broadcast. Observed strata MISSING from `targets`
+    * surface with NULL weight_milli/clamped (LEFT join) — a
+    * mixture-correction tool must never silently drop a stratum it has
+    * no signal for; callers decide whether null means "exclude" or
+    * "weight 1000". Output: (stratum, n_docs, share_milli,
     * weight_milli, clamped). */
   def reweightToTarget(df: DataFrame, groupCol: String, targets: DataFrame,
       targetCol: String, minMilli: Long, maxMilli: Long): DataFrame = {
@@ -373,11 +377,14 @@ object Sampling {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
     val tot = counts.agg(sum("n_docs").cast("long").as("__N"))
     counts.crossJoin(broadcast(tot))
-      .join(ScaleHints.maybeBroadcast(targets), Seq(groupCol))
+      .join(ScaleHints.maybeBroadcast(targets), Seq(groupCol), "left")
       .withColumn("share_milli", expr("1000 * n_docs div __N"))
       .withColumn("__wraw", expr(s"$targetCol * __N div n_docs"))
+      // greatest/least SKIP nulls, so a missing target would silently
+      // clamp to minMilli — gate on the raw weight to keep it null
       .withColumn("weight_milli",
-        least(greatest(col("__wraw"), lit(minMilli)), lit(maxMilli)))
+        when(col("__wraw").isNotNull,
+          least(greatest(col("__wraw"), lit(minMilli)), lit(maxMilli))))
       .withColumn("clamped",
         (col("__wraw") =!= col("weight_milli")).cast("int"))
       .select(col(groupCol), col("n_docs"), col("share_milli"),

@@ -37,10 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object UrlOps {
 
-  /** Query parameters dropped during canonicalization: click-tracking
-    * decorations that never change the addressed content. */
-  private val TrackingParamRe =
-    "^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+  /** Query parameters dropped during canonicalization (as NAME
+    * PATTERNS, matched case-insensitively — trackers arrive in any
+    * casing: `UTM_SOURCE=`, `Fbclid=`): click-tracking decorations that
+    * never change the addressed content. Bare `ref` is deliberately NOT
+    * here — on some hosts `?ref=<branch>` IS content addressing (code
+    * forges), so dropping it would collapse genuinely distinct pages;
+    * callers curating a corpus where `ref` is known to be a tracker
+    * pass an extended list to [[canonicalize]]. */
+  val DefaultTrackingParams: Seq[String] =
+    Seq("utm_[A-Za-z0-9_]*", "gclid", "fbclid", "msclkid",
+      "mc_cid", "mc_eid", "ref_src")
+
+  private def trackingParamRe(dropParams: Seq[String]): String =
+    dropParams.mkString("(?i)^(", "|", ")=")
 
   private def schemeOf(noFrag: Column): Column =
     lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
@@ -54,15 +64,18 @@ object UrlOps {
     *   - scheme and host lowercased (RFC 3986 §6.2.2.1);
     *   - default port stripped (`:80` for http, `:443` for https);
     *   - duplicate slashes in the path collapsed, empty path → `/`;
-    *   - query parameters: empties and tracking params (utm_*, gclid,
-    *     fbclid, ...) removed, the rest sorted bytewise so parameter
-    *     order never distinguishes two spellings of one address.
+    *   - query parameters: empties and tracking params
+    *     ([[DefaultTrackingParams]], matched case-insensitively;
+    *     override via `dropParams`) removed, the rest sorted bytewise
+    *     so parameter order never distinguishes two spellings of one
+    *     address.
     *
     * Idempotent: `canonicalize(canonicalize(u)) == canonicalize(u)`
     * (pinned in UrlOpsSpec). Non-URL inputs (no `scheme://`) map to an
     * empty-host form and are the caller's job to quarantine.
     */
-  def canonicalize(url: Column): Column = {
+  def canonicalize(url: Column,
+      dropParams: Seq[String] = DefaultTrackingParams): Column = {
     val noFrag = regexp_replace(url, "#.*", "")
     val scheme = schemeOf(noFrag)
     val hostPort = hostPortOf(noFrag)
@@ -74,7 +87,7 @@ object UrlOps {
       .otherwise(regexp_replace(rawPath, "//+", "/"))
     val rawQuery = regexp_extract(noFrag, "\\?(.*)$", 1)
     val params = filter(split(rawQuery, "&"),
-      p => p =!= "" && !p.rlike(TrackingParamRe))
+      p => p =!= "" && !p.rlike(trackingParamRe(dropParams)))
     val sortedQ = array_join(array_sort(params), "&")
     concat(scheme, lit("://"), host, path,
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ)))

@@ -109,17 +109,30 @@ private[sources] class HtmlListingScan(options: CaseInsensitiveStringMap,
       s"PushedMinCells: $minCells"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val path = options.get("path")
-    require(path != null && path.nonEmpty,
-      "graft-html: .load(path) with the page-file directory is required")
+    // .load(dir), .load(file) or the standard multi-path
+    // .load(p1, p2, …) (Spark passes the latter as a JSON array in the
+    // "paths" option) — the multi-path form is what a per-tick ingest
+    // driver uses to parse EXACTLY the pages that just landed
+    val roots: Seq[String] = Option(options.get("paths")) match {
+      case Some(js) if js.nonEmpty =>
+        org.json4s.jackson.JsonMethods.parse(js) match {
+          case org.json4s.JArray(vs) =>
+            vs.collect { case org.json4s.JString(s) => s }
+          case _ => Seq.empty
+        }
+      case None => Option(options.get("path")).toSeq
+    }
+    require(roots.nonEmpty,
+      "graft-html: .load(path…) with page files or a directory is required")
     val glob = options.getOrDefault("glob", "*.html")
     val hadoopConf = SparkSession.active.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(hadoopConf)
-    val matched =
+    val matched = roots.flatMap { p =>
+      val root = new Path(p)
+      val fs = root.getFileSystem(hadoopConf)
       if (fs.getFileStatus(root).isDirectory)
         fs.globStatus(new Path(root, glob)).toSeq
       else Seq(fs.getFileStatus(root))
+    }
     // one partition per page file: a crawl of N pages parses with N-way
     // parallelism and zero shuffle (files are small — a page is KBs; at
     // millions of pages the scheduler batches tasks, not this source)

@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * [[Sinks.writeMaster]] (parquet) and [[Sinks.writeBucketedMaster]]
   * (co-partitioned J1); `writeMaster` here COLLECTS and enforces
   * `maxRows` to make the driver-side materialization explicit and
-  * bounded. All cells are strings (string-typed interchange, the CSV
-  * contract); numeric cells read back as their literal text.
+  * bounded. Cells are typed the way openpyxl types them (integral /
+  * double / date-serial numeric cells, everything else inline strings);
+  * the plain reader surfaces literal cell text, the schema overload
+  * recovers longs/doubles/dates.
   */
 object Xlsx {
 
@@ -60,42 +62,77 @@ object Xlsx {
     b.toString
   }
 
+  /** Excel's 1900 date system epoch: serial n = days since 1899-12-30
+    * (the -12-30, not -31, absorbs the inherited Lotus leap-year bug) —
+    * the arithmetic openpyxl's date writer uses for any date ≥
+    * 1900-03-01. */
+  private[sources] val excelEpoch = java.time.LocalDate.of(1899, 12, 30)
+
   /** Write `df` (header = column names) as a one-sheet xlsx. Collects to
     * the driver — `maxRows` guards against pointing a corpus at an
     * interchange format (same bounded-collect contract as the IVF
-    * centroid load). Null cells are written as empty strings. */
+    * centroid load). Cells are TYPED the way openpyxl writes them:
+    * integral columns become plain numeric cells (no decimal point, no
+    * float drift), double columns numeric cells, date columns numeric
+    * serials (days since [[excelEpoch]]) carrying the built-in date
+    * number format (numFmtId 14), everything else inline strings. Null
+    * cells are written as empty strings. */
   def writeMaster(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
+    import org.apache.spark.sql.types._
     val cols = df.columns
+    val fields = df.schema.fields
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"xlsx master write: more than $maxRows rows — use the parquet/bucketed master for corpus-sized state")
     val sheet = new StringBuilder
     sheet.append("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
     sheet.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    def appendRow(r: Int, vals: Seq[String]): Unit = {
-      sheet.append(s"""<row r="$r">""")
-      vals.zipWithIndex.foreach { case (v, ci) =>
-        sheet.append(s"""<c r="${colLetters(ci)}$r" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>""")
+    def strCell(ref: String, v: String): String =
+      s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(v)}</t></is></c>"""
+    def cell(r: Int, ci: Int, value: Any, dt: DataType): String = {
+      val ref = s"${colLetters(ci)}$r"
+      if (value == null) strCell(ref, "")
+      else dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          s"""<c r="$ref"><v>${value.asInstanceOf[Number].longValue}</v></c>"""
+        case FloatType | DoubleType =>
+          val d = value.asInstanceOf[Number].doubleValue
+          if (d.isNaN || d.isInfinite) strCell(ref, d.toString)
+          else s"""<c r="$ref"><v>$d</v></c>"""
+        case DateType =>
+          val serial = java.time.temporal.ChronoUnit.DAYS.between(
+            excelEpoch, value.asInstanceOf[java.sql.Date].toLocalDate)
+          s"""<c r="$ref" s="1"><v>$serial</v></c>"""
+        case _ => strCell(ref, value.toString)
       }
-      sheet.append("</row>")
     }
-    appendRow(1, cols.toIndexedSeq)
+    sheet.append("""<row r="1">""")
+    cols.zipWithIndex.foreach { case (c, ci) =>
+      sheet.append(strCell(s"${colLetters(ci)}1", c)) }
+    sheet.append("</row>")
     rows.zipWithIndex.foreach { case (row, i) =>
-      appendRow(i + 2, cols.indices.map { j =>
-        val v = row.get(j); if (v == null) "" else v.toString
-      })
+      val r = i + 2
+      sheet.append(s"""<row r="$r">""")
+      cols.indices.foreach { j =>
+        sheet.append(cell(r, j, row.get(j), fields(j).dataType)) }
+      sheet.append("</row>")
     }
     sheet.append("</sheetData></worksheet>")
 
     val parts = Seq(
       "[Content_Types].xml" ->
-        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/></Types>""",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/><Default Extension="xml" ContentType="application/xml"/><Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/><Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/><Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/></Types>""",
       "_rels/.rels" ->
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""",
       "xl/workbook.xml" ->
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="master" sheetId="1" r:id="rId1"/></sheets></workbook>""",
       "xl/_rels/workbook.xml.rels" ->
-        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""",
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/styles" Target="styles.xml"/></Relationships>""",
+      // style 0 = default, style 1 = the built-in short-date format
+      // (numFmtId 14) date cells reference — what tells Excel/openpyxl
+      // that a serial-number cell IS a date
+      "xl/styles.xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><fonts count="1"><font/></fonts><fills count="1"><fill><patternFill patternType="none"/></fill></fills><borders count="1"><border/></borders><cellStyleXfs count="1"><xf numFmtId="0"/></cellStyleXfs><cellXfs count="2"><xf numFmtId="0" xfId="0"/><xf numFmtId="14" xfId="0" applyNumberFormat="1"/></cellXfs></styleSheet>""",
       "xl/worksheets/sheet1.xml" -> sheet.toString)
     val zos = new ZipOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
     try parts.foreach { case (name, content) =>
@@ -178,5 +215,30 @@ object Xlsx {
       spark.createDataFrame(
         spark.sparkContext.parallelize(data.toSeq, 1), schema)
     } finally zf.close()
+  }
+
+  /** Typed read-back: the all-string [[readMaster]] converted to
+    * `schema` by column NAME — integrals/doubles parsed from the
+    * numeric cell text, dates recovered from their Excel serials
+    * (serial → [[excelEpoch]] + n days, openpyxl's arithmetic), blanks
+    * → null. The schema plays the role openpyxl gives cell styles:
+    * it is what says a numeric cell means a date. */
+  def readMaster(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val raw = readMaster(spark, path)
+    val converted = schema.fields.map { f =>
+      val c = col(f.name)
+      val nonBlank = when(c === "", lit(null)).otherwise(c)
+      (f.dataType match {
+        case DateType =>
+          date_add(lit(java.sql.Date.valueOf("1899-12-30")),
+            nonBlank.cast(IntegerType))
+        case StringType => c
+        case dt => nonBlank.cast(dt)
+      }).as(f.name)
+    }
+    raw.select(converted.toIndexedSeq: _*)
   }
 }

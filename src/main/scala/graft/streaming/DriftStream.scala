@@ -15,12 +15,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * driver's oracle hash-checks precisely that (t10 shares profile_psi's
   * oracle SQL).
   *
-  * The per-batch `collect()` is bounded by construction: a sketch holds
-  * at most groups × bins rows (hundreds), never rows-of-data — the same
-  * bounded-driver-state argument as the BPE merge loop and the IVF
-  * centroid table. At production scale the same fold writes to a
-  * key-value store or a parquet master instead; the arithmetic is
-  * identical.
+  * The fold itself stays DISTRIBUTED — per batch, the running master is
+  * unionByName + re-sum with the batch's sketch (the exact
+  * profile_psi_incr shape), materialized by localCheckpoint so the plan
+  * does not deepen across batches; no sketch row ever lands in driver
+  * memory. The state is still bounded by groups × bins ONLY if the
+  * caller's group column is bounded, so `maxStateRows` enforces that
+  * contract explicitly: a high-cardinality group column fails the
+  * stream fast with an actionable message instead of silently growing
+  * executor state. At production scale the same fold writes to a
+  * parquet master instead; the arithmetic is identical.
   */
 object DriftStream {
 
@@ -38,29 +42,48 @@ object DriftStream {
 
   /** Run an AvailableNow pass folding each micro-batch's histogram
     * sketch into a running master; returns the merged (group, bin, cnt)
-    * sketch as a DataFrame. `groupCol` must be a STRING column (the
-    * fold keys the driver map on it; a numeric stratum key needs a cast
-    * at the call site). Specs inject multi-file directories to force
-    * real multi-batch merging. */
+    * sketch as a DataFrame. The fold is union + re-sum on executors
+    * (never a driver map); each batch's merged state is materialized
+    * with localCheckpoint (constant-size plan across batches, the
+    * iterative-loop hygiene) and the superseded snapshot's blocks are
+    * freed. `maxStateRows` fails the stream fast when the sketch
+    * outgrows the bounded-state contract — the one count() per batch
+    * that enforces it runs against the (tiny) sketch table, not the
+    * data. Specs inject multi-file directories to force real
+    * multi-batch merging. */
   def runSketchNow(spark: SparkSession, stream: DataFrame,
-      groupCol: String, metricCol: String, binWidth: Long): DataFrame = {
-    val acc = scala.collection.mutable.Map.empty[(String, Long), Long]
+      groupCol: String, metricCol: String, binWidth: Long,
+      maxStateRows: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.functions.sum
+    var master: Option[DataFrame] = None
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ops.Profile
+        val s = graft.ops.Profile
           .histQuantileSketch(batch, groupCol, metricCol, binWidth)
-          .collect()
-          .foreach { r =>
-            val k = (r.getAs[String](groupCol), r.getAs[Long]("bin"))
-            acc(k) = acc.getOrElse(k, 0L) + r.getAs[Long]("cnt")
-          }
+        val merged = master.fold(s)(m => m.unionByName(s)
+          .groupBy(groupCol, "bin").agg(sum("cnt").as("cnt")))
+        val mat = merged.localCheckpoint(true)
+        val n = mat.count()
+        if (n > maxStateRows)
+          throw new IllegalStateException(
+            s"drift sketch state ($n rows) exceeds maxStateRows=" +
+              s"$maxStateRows — raise binWidth or coarsen '$groupCol'")
+        master.foreach(_.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRDD => lr.rdd.unpersist(false)
+        })
+        master = Some(mat)
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    import spark.implicits._
-    acc.toSeq.map { case ((g, b), c) => (g, b, c) }
-      .toDF(groupCol, "bin", "cnt")
+    master.getOrElse(
+      // no batches: a correctly-typed empty sketch via the same builder
+      graft.ops.Profile.histQuantileSketch(
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          stream.schema),
+        groupCol, metricCol, binWidth))
   }
 }

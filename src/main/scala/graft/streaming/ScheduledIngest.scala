@@ -133,28 +133,111 @@ object ScheduledIngest {
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val b = batch.persist()
-        // published/quarantined plans re-read masterDir on every action,
-        // so BOTH are pinned (persist) and written BEFORE the master
-        // swap — an action after the swap would anti-join the updated
-        // master and see an empty delta
-        val master = loadMaster(spark, masterDir)
-        val res = FdaPipeline.run(b, master, runDateOf(batchId), source)
-        val p = res.published.persist()
-        val q = res.quarantined.persist()
-        try {
-          // per-batch overwrite (not a flat append): a foreachBatch RETRY
-          // after a partial tick must not duplicate records — re-running
-          // batch N rewrites batch=N in place, so publish is idempotent
-          // like the quarantine split. Readers see one partitioned tree.
-          p.write.mode("overwrite").json(s"$publishDir/batch=$batchId")
-          q.write.mode("overwrite").json(s"$quarantineDir/batch=$batchId")
-          val (np, nq) = (p.count(), q.count())
-          val nm = swapMaster(res.updatedMaster, masterDir)
-          masterXlsxPath.foreach(x =>
-            graft.sources.Xlsx.writeMaster(spark.read.parquet(masterDir), x))
-          onTick(Tick(batchId, b.count(), np, nq, nm))
-        } finally { p.unpersist(); q.unpersist(); b.unpersist() }
+        runTick(spark, batch, batchId, masterDir, publishDir,
+          quarantineDir, runDateOf, source, masterXlsxPath, onTick)
+      }
+      .start()
+  }
+
+  /** One tick of the ingest lifecycle over a batch of fresh records
+    * ([[freshSchema]]): fingerprint + delta anti-join against the
+    * master, publish/quarantine split, master swap, optional .xlsx
+    * re-export, tick report. Shared by the JSONL-landing driver
+    * ([[start]]) and the HTML-page driver ([[startHtml]]). */
+  private def runTick(spark: SparkSession, batch: DataFrame, batchId: Long,
+      masterDir: String, publishDir: String, quarantineDir: String,
+      runDateOf: Long => String, source: String,
+      masterXlsxPath: Option[String], onTick: Tick => Unit): Unit = {
+    val b = batch.persist()
+    // published/quarantined plans re-read masterDir on every action,
+    // so BOTH are pinned (persist) and written BEFORE the master
+    // swap — an action after the swap would anti-join the updated
+    // master and see an empty delta
+    val master = loadMaster(spark, masterDir)
+    val res = FdaPipeline.run(b, master, runDateOf(batchId), source)
+    val p = res.published.persist()
+    val q = res.quarantined.persist()
+    try {
+      // per-batch overwrite (not a flat append): a foreachBatch RETRY
+      // after a partial tick must not duplicate records — re-running
+      // batch N rewrites batch=N in place, so publish is idempotent
+      // like the quarantine split. Readers see one partitioned tree.
+      p.write.mode("overwrite").json(s"$publishDir/batch=$batchId")
+      q.write.mode("overwrite").json(s"$quarantineDir/batch=$batchId")
+      val (np, nq) = (p.count(), q.count())
+      val nm = swapMaster(res.updatedMaster, masterDir)
+      masterXlsxPath.foreach(x =>
+        graft.sources.Xlsx.writeMaster(spark.read.parquet(masterDir), x))
+      onTick(Tick(batchId, b.count(), np, nq, nm))
+    } finally { p.unpersist(); q.unpersist(); b.unpersist() }
+  }
+
+  /** Per-fetched-detail-page schema for [[startHtml]]'s text join:
+    * one JSON record per fetched detail page (url → extracted text),
+    * maintained by the pluggable fetcher. */
+  val detailSchema: StructType = StructType(Seq(
+    StructField("url", StringType),
+    StructField("text", StringType)))
+
+  /** The FULL §3.1 lifecycle as one runnable daily driver, fronted by
+    * the DSv2 listing source: the stream watches `incomingHtmlDir` for
+    * freshly-fetched listing PAGES (*.html — what the reference's
+    * requests session writes, fda_watcher.py:274-355), and each tick
+    *
+    *  1. parses exactly the pages that arrived since the last tick via
+    *     `spark.read.format("graft-html").load(newFiles…)` — the
+    *     listing-table gate (`n_cells >= minCells`) pushes INTO that
+    *     scan (S1),
+    *  2. joins each listing row's url against the fetcher-maintained
+    *     detail-text directory ([[detailSchema]] JSONL; a url without a
+    *     fetched detail page yields null text, which the corpus gate
+    *     routes to quarantine for a later re-scrape — exactly the
+    *     watcher's retry-on-improve behavior),
+    *  3. runs the same fingerprint/delta/publish/quarantine/master/
+    *     xlsx tick as [[start]] (P*, J1, D*, S9, S10, U1, S4/S7).
+    *
+    * The per-tick file-name collect is bounded by the files that landed
+    * in one trigger interval — the same bounded-driver argument as any
+    * file-source stream's listing. The HTTP fetch itself stays outside
+    * (SURVEY §7.1): a fetcher drops pages + detail JSONL into the two
+    * directories, and everything from parse to publish is this one
+    * program. */
+  def startHtml(spark: SparkSession, incomingHtmlDir: String,
+      detailTextDir: String, masterDir: String, publishDir: String,
+      quarantineDir: String, checkpointDir: String,
+      trigger: Trigger = Trigger.ProcessingTime("24 hours"),
+      runDateOf: Long => String = _ => java.time.LocalDate.now().toString,
+      source: String = "fda_oncology",
+      baseDomain: String = "",
+      minCells: Int = 3,
+      masterXlsxPath: Option[String] = None,
+      onTick: Tick => Unit = _ => ()): StreamingQuery = {
+    // discovery stream: the text source tracks which page files are new
+    // (checkpointed file index); the tick re-reads those files through
+    // the DSv2 source, which owns parsing + pushdown
+    val watcher = spark.readStream
+      .option("pathGlobFilter", "*.html")
+      .option("wholetext", "true")
+      .text(incomingHtmlDir)
+      .select(input_file_name().as("file"))
+    watcher.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (files: DataFrame, batchId: Long) =>
+        val newPages = files.select("file").distinct()
+          .collect().map(_.getString(0)).sorted
+        if (newPages.nonEmpty) {
+          val listing = spark.read.format("graft-html")
+            .option("baseDomain", baseDomain)
+            .load(newPages.toIndexedSeq: _*)
+            .filter(col("n_cells") >= minCells)
+          val detail = spark.read.schema(detailSchema).json(detailTextDir)
+          val fresh = listing
+            .select("url", "title", "description", "date")
+            .join(detail, Seq("url"), "left")
+          runTick(spark, fresh, batchId, masterDir, publishDir,
+            quarantineDir, runDateOf, source, masterXlsxPath, onTick)
+        }
       }
       .start()
   }

@@ -61,6 +61,34 @@ class ComponentsSpec extends AnyFunSuite {
     assert(two == Map(1L -> 7L, 5L -> 3L, 2L -> 7L, 3L -> 7L, 4L -> 3L))
   }
 
+  test("labelPropagation shuffle fallback (gate closed) equals the " +
+      "broadcast path") {
+    import graft.ops.PageRank
+    def h(x: Long): Long = { var v = x * 2654435761L; v ^= v >>> 13; math.abs(v) }
+    val edges = PageRank.symmetrize(
+      (1L to 300L).map(i => (h(i) % 30, h(i * 11 + 5) % 30))
+        .filter(p => p._1 != p._2).toDF("a", "b"), "a", "b")
+    val seeds = Seq((1L, 7L), (5L, 3L), (9L, 11L)).toDF("node", "label")
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      saved.keys.foreach(conf.set(_, "-1"))
+      val viaB = Components.labelPropagation(edges, seeds, "node", "label", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val viaS = Components.labelPropagation(edges, seeds, "node", "label", 3,
+          broadcastMaxNodes = 0)
+      val rs = viaS.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaB == rs)
+      assert(rs.size >= seeds.count())
+      // the gate-closed vote join must be the shuffled shape
+      assert(!viaS.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("triangleCounts: hand graph, K4 closure, hub without triangles") {
     import spark.implicits._
     // triangle {1,2,3} with pendant 4 off node 3

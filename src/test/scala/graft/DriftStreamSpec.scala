@@ -40,4 +40,26 @@ class DriftStreamSpec extends AnyFunSuite {
     assert(toSet(psiStream.select($"source", $"n_bins", $"psi_micro")) ==
       toSet(psiBatch.select($"source", $"n_bins", $"psi_micro")))
   }
+
+  test("high-cardinality group column fails fast at the maxStateRows cap") {
+    val dir = java.nio.file.Files.createTempDirectory("drift_hc").toString
+    // every row its own group: sketch state = one row per doc — far
+    // over a cap of 10, so the stream must die with the actionable
+    // message instead of silently accumulating unbounded state
+    val docs = (1L to 300L)
+      .map(i => (i, s"g$i", (i * 37 % 900).toInt))
+      .toDF("doc_id", "source", "n_chars")
+    docs.coalesce(1).write.parquet(s"$dir/d.parquet")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/d.parquet")
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      DriftStream.runSketchNow(spark, stream, "source", "n_chars",
+        binWidth = 100L, maxStateRows = 10L)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(e => e +: causes(e.getCause))
+    assert(causes(ex).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("maxStateRows")))
+  }
 }

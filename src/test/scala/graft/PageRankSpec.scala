@@ -57,4 +57,47 @@ class PageRankSpec extends AnyFunSuite {
     // quantized map too: 150000 + (2·(r//2))·85//100 stays at r = 1e6
     assert(got == Set(1000000L))
   }
+
+  test("shuffle fallback (gate closed) is hash-equal to the broadcast " +
+      "path and actually shuffles the per-iteration join") {
+    // deterministic pseudo-random digraph, large enough that both paths
+    // exercise real multi-partition joins
+    def h(x: Long): Long = { var v = x * 2654435761L; v ^= v >>> 13; math.abs(v) }
+    val pairs = (1L to 400L).map(i => (h(i) % 40, h(i * 7 + 3) % 40))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val edges = PageRank.symmetrize(pairs, "a", "b")
+
+    // the broadcast() hint wins over any threshold, so disabling
+    // auto-broadcast (both planner and AQE) isolates the two paths:
+    // gate open → hinted broadcast join; gate closed (maxNodes = 0) →
+    // plain shuffled join that AQE cannot silently convert back
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      saved.keys.foreach(conf.set(_, "-1"))
+      val viaB = PageRank.pageRank(edges, iters = 3)
+      val viaS = PageRank.pageRank(edges, iters = 3, broadcastMaxNodes = 0)
+      val rb = viaB.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rs = viaS.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rb == rs)
+      assert(rs.nonEmpty)
+      assert(viaB.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val shufflePlan = viaS.queryExecution.executedPlan.toString
+      assert(!shufflePlan.contains("BroadcastHashJoin"))
+      assert(shufflePlan.contains("Exchange hashpartitioning"))
+
+      // PPR: both gate paths agree too
+      val seeds = Seq(1L, 5L).toDF("node")
+      val pb = PageRank.personalizedPageRank(edges, seeds, "node", iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ps = PageRank.personalizedPageRank(edges, seeds, "node",
+          iters = 3, broadcastMaxNodes = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pb == ps)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }

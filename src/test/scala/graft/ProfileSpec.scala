@@ -98,6 +98,38 @@ class ProfileSpec extends AnyFunSuite {
     assert(run() == run())
   }
 
+  test("sampleQuantilesPerGroup: near truth on uniform data, monotone, " +
+      "deterministic") {
+    // uniform 0..9999 with unique row keys; 25% deterministic sample →
+    // rank error ~ 1/√2500 ⇒ estimates within a few hundred of truth
+    val df = (0 until 10000).map(i => ("g", i.toLong, i.toLong))
+      .toDF("src", "rid", "v")
+    def run() = Profile.sampleQuantilesPerGroup(df, "src", "v", "rid",
+      Seq(50, 90, 99), samplePerMyriad = 2500).collect()
+      .map(r => r.getAs[Int]("prob_pct") -> r.getAs[Long]("q_sample")).toMap
+    val got = run()
+    assert(math.abs(got(50) - 5000L) <= 300L)
+    assert(math.abs(got(90) - 9000L) <= 300L)
+    assert(math.abs(got(99) - 9900L) <= 300L)
+    assert(got(50) <= got(90) && got(90) <= got(99))
+    assert(run() == got) // hash-deterministic sample: no RNG state
+  }
+
+  test("sampleQuantilesPerGroup at full rate equals the exact empirical " +
+      "lower quantile") {
+    // samplePerMyriad = 10000 keeps every row, so the estimate must be
+    // EXACTLY the smallest value reaching rank ceil(p·n)
+    val vals = Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L, 5L, 3L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("src", "rid", "v")
+    val got = Profile.sampleQuantilesPerGroup(df, "src", "v", "rid",
+      Seq(50, 90), samplePerMyriad = 10000).collect()
+      .map(r => r.getAs[Int]("prob_pct") -> r.getAs[Long]("q_sample")).toMap
+    val sorted = vals.sorted // rank ceil(0.5·10)=5 → 5th smallest
+    assert(got(50) == sorted(4))
+    assert(got(90) == sorted(8))
+  }
+
   test("histQuantilesPerGroup: bin lower bound within binWidth of truth") {
     // uniform 0..9999, binWidth 100: true p50 = 4999 (0-indexed rank
     // 5000 → value 4999), estimate = lower bound of the bin holding

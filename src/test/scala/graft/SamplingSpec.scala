@@ -234,4 +234,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(tight("a") == ((625L, 0)))
     assert(tight("b") == ((1000L, 1)))
   }
+
+  test("reweightToTarget surfaces strata missing a target row as NULL " +
+      "weight instead of dropping them") {
+    val docs = (Seq.fill(6)("a") ++ Seq.fill(4)("zzz")).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val targets = Seq(("a", 500L)).toDF("source", "target_milli") // no zzz
+    val got = Sampling.reweightToTarget(docs, "source", targets,
+        "target_milli", minMilli = 100L, maxMilli = 3000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4))))
+      .toMap
+    assert(got.keySet == Set("a", "zzz")) // zzz present, not dropped
+    assert(got("a")._3.contains(833L))    // 500·10//6
+    assert(got("zzz") == ((4L, 400L, None, None)))
+  }
 }

@@ -107,4 +107,77 @@ class ScheduledIngestSpec extends AnyFunSuite {
       scala.reflect.io.Directory(root.toFile).deleteRecursively()
     }
   }
+
+  test("startHtml: DSv2-fronted lifecycle — parse new pages, detail join, " +
+      "publish + quarantine + xlsx master per tick, delta on tick 2") {
+    val root = Files.createTempDirectory("graft_sched_html")
+    def dir(n: String): String = { val p = root.resolve(n); Files.createDirectories(p); p.toString }
+    val pages = dir("pages")
+    val details = dir("details")
+    val masterDir = s"$root/master"
+    val publish = dir("publish")
+    val quarantine = dir("quarantine")
+    val xlsxPath = s"$root/master.xlsx"
+
+    def page(rows: (String, String, String)*): String =
+      "<html><body><table>" +
+        "<tr><th>Title</th><th>Desc</th><th>Date</th></tr>" +
+        rows.map { case (href, title, date) =>
+          s"""<tr><td><a href="$href">$title</a></td><td>d</td><td>$date</td></tr>"""
+        }.mkString +
+        "</table></body></html>"
+
+    // detail text fetched for Drug A only — Drug B's missing detail page
+    // must rout its row to quarantine (null text fails the corpus gate)
+    Files.writeString(Path.of(details, "fetched1.json"),
+      s"""{"url":"https://www.fda.gov/node/1","text":"$longText"}""" + "\n")
+    Files.writeString(Path.of(pages, "listing1.html"),
+      page(("/node/1", "Drug A", "01/15/2024"), ("/node/2", "Drug B", "01/16/2024")))
+
+    val ticks = new java.util.concurrent.ConcurrentLinkedQueue[ScheduledIngest.Tick]()
+    val q = ScheduledIngest.startHtml(spark, pages, details, masterDir,
+      publish, quarantine, s"$root/ckpt",
+      trigger = Trigger.ProcessingTime("500 milliseconds"),
+      runDateOf = _ => "2026-01-01",
+      baseDomain = "https://www.fda.gov/",
+      masterXlsxPath = Some(xlsxPath),
+      onTick = ticks.add(_))
+    try {
+      def waitTicks(n: Int): Unit = {
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while (ticks.size < n && System.nanoTime() < deadline) Thread.sleep(100)
+        assert(ticks.size >= n, s"stream produced ${ticks.size} ticks, wanted $n")
+      }
+      waitTicks(1)
+      val t1 = ticks.peek()
+      assert(t1.nFresh == 2 && t1.nPublished == 1 && t1.nQuarantined == 1)
+      assert(t1.nMaster == 1)
+      val quar = spark.read.json(quarantine)
+      assert(quar.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet == Set("Drug B"))
+
+      // tick 2: a new listing page re-lists Drug A (same url/title/date →
+      // fingerprint no-op) and adds Drug C, whose detail text has been
+      // fetched meanwhile
+      Files.writeString(Path.of(details, "fetched2.json"),
+        s"""{"url":"https://www.fda.gov/node/3","text":"$longText"}""" + "\n")
+      Files.writeString(Path.of(pages, "listing2.html"),
+        page(("/node/1", "Drug A", "01/15/2024"), ("/node/3", "Drug C", "01/17/2024")))
+      waitTicks(2)
+      val t2 = ticks.toArray(Array.empty[ScheduledIngest.Tick]).last
+      assert(t2.nFresh == 2)
+      assert(t2.nPublished == 1, s"re-listed row must be a no-op: $t2")
+      assert(t2.nMaster == 2)
+
+      val pub = spark.read.json(publish)
+      assert(pub.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet == Set("Drug A", "Drug C"))
+      val xl = graft.sources.Xlsx.readMaster(spark, xlsxPath)
+      assert(xl.select("title").as[String](org.apache.spark.sql.Encoders.STRING)
+        .collect().toSet == Set("Drug A", "Drug C"))
+    } finally {
+      q.stop()
+      scala.reflect.io.Directory(root.toFile).deleteRecursively()
+    }
+  }
 }

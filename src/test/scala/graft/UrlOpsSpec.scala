@@ -25,15 +25,27 @@ class UrlOpsSpec extends AnyFunSuite {
       "http://ex.com",
       // tracking-only query drops the '?' entirely
       "https://ex.com/p?utm_campaign=c",
-      // ref= dropped, refresh= kept (prefix must not over-match)
-      "https://ex.com/p?ref=abc&refresh=1"
+      // bare ref= KEPT by default (it can be content addressing —
+      // ?ref=<branch> on code forges); ref_src= (the tracker) dropped
+      "https://ex.com/p?ref=abc&ref_src=twsrc&refresh=1",
+      // trackers match case-insensitively — hosts emit any casing
+      "https://ex.com/p?UTM_SOURCE=f&Fbclid=x&z=1"
     ) == List(
       "https://ex.com/a/b?a=1&b=2",
       "http://ex.com/x?z=9",
       "https://ex.com:8443/x",
       "http://ex.com/",
       "https://ex.com/p",
-      "https://ex.com/p?refresh=1"))
+      "https://ex.com/p?ref=abc&refresh=1",
+      "https://ex.com/p?z=1"))
+  }
+
+  test("canonicalize with a caller-extended drop list drops bare ref") {
+    val got = Seq("https://ex.com/p?ref=abc&refresh=1").toDF("url")
+      .select(UrlOps.canonicalize($"url",
+        UrlOps.DefaultTrackingParams :+ "ref"))
+      .as[String].collect().toList
+    assert(got == List("https://ex.com/p?refresh=1"))
   }
 
   test("canonicalize is idempotent") {

@@ -78,6 +78,49 @@ class XlsxSpec extends AnyFunSuite {
     new java.io.File(path).delete()
   }
 
+  test("typed cells: long/double/date round-trip; date serials match " +
+      "openpyxl's 1900-system arithmetic") {
+    import org.apache.spark.sql.types._
+    val rows = Seq(
+      (1L, 2.5, java.sql.Date.valueOf("2024-01-15"), "a"),
+      (9007199254740993L, 0.1, java.sql.Date.valueOf("1900-03-01"), "b"),
+      (-42L, -1.0e-9, java.sql.Date.valueOf("2026-08-14"), "c"))
+    val df = rows.toDF("id", "score", "d", "name")
+    val path = java.nio.file.Files.createTempFile("graft_typed", ".xlsx").toString
+    Xlsx.writeMaster(df, path)
+
+    // raw read shows what a foreign reader sees: integers with NO
+    // decimal point (no float drift even past 2^53), dates as their
+    // Excel serial — 2024-01-15 is serial 45306 in the 1900 system
+    // (openpyxl date→serial for any date ≥ 1900-03-01)
+    val raw = Xlsx.readMaster(spark, path).collect()
+      .map(r => (r.getString(0), r.getString(2))).toMap
+    assert(raw("1") == "45306")
+    assert(raw("9007199254740993") == "61")       // 1900-03-01
+    assert(raw.contains("-42"))
+
+    // schema read recovers the exact typed values
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("score", DoubleType), StructField("d", DateType),
+      StructField("name", StringType)))
+    val back = Xlsx.readMaster(spark, path, schema).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDate(2), r.getString(3)))
+      .toSet
+    assert(back == rows.toSet)
+
+    // nulls in typed columns come back as nulls, not zeros
+    val withNulls = Seq((Some(1L), Option.empty[java.sql.Date]),
+      (Option.empty[Long], Some(java.sql.Date.valueOf("2024-01-01"))))
+      .toDF("id", "d")
+    Xlsx.writeMaster(withNulls, path)
+    val nb = Xlsx.readMaster(spark, path, StructType(Seq(
+      StructField("id", LongType), StructField("d", DateType)))).collect()
+    assert(nb.exists(r => r.isNullAt(0) &&
+      r.getDate(1) == java.sql.Date.valueOf("2024-01-01")))
+    assert(nb.exists(r => !r.isNullAt(0) && r.getLong(0) == 1L && r.isNullAt(1)))
+    new java.io.File(path).delete()
+  }
+
   test("seeded fuzz: printable/whitespace content round-trips byte-identically") {
     val rnd = new scala.util.Random(11)
     // XML 1.0 cannot carry control chars < 0x20 except tab/newline/CR
