@@ -28,7 +28,12 @@ class PlanSweepSpec extends AnyFunSuite {
     // r8 additions: corpus max-ts anchor / stratum totals — 1-row aggs;
     // random negatives crossJoins the bounded broadcast query batch
     // (the ann_bruteforce shape) before the 8% hash gate
-    "events_decay_score", "mix_reweight", "rag_random_negatives")
+    "events_decay_score", "mix_reweight", "rag_random_negatives",
+    // r9: the MMR rewrite dropped its localCheckpoint cuts, so the
+    // bm25 corpus-stats 1-row crossJoin (the rag_bm25_topk shape) is
+    // now visible in its lineage instead of hidden behind a
+    // materialized leaf — same audited broadcast, nothing new runs
+    "rag_mmr_diversify")
 
   test("no query plans a CartesianProduct; BNLJ only on audited 1-row crossJoins") {
     val dir = "/root/testdata/sf0.001"

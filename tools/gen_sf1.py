@@ -1,0 +1,188 @@
+#!/usr/bin/env python3
+"""Generate a 10x (sf1-scale) analog of /root/testdata/sf0.1 into
+/tmp/graft_sf1, for the sf1 spot-bench (BENCH_r{N}_sf1.json).
+
+The driver only ships sf{0.001,0.01,0.1}; scale-curve validation needs a
+10x data point. This generator reproduces each table's OBSERVABLE
+generating process at 10x the row count (same vocabularies, marginals,
+key-space ratios, seed-fixed), rather than replicating sf0.1 rows 10x --
+replication would multiply duplicate-cluster sizes and turn every
+pair-join family superlinear by construction, poisoning exactly the
+scale curves the bench exists to measure.
+"""
+import collections
+import json
+import os
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/graft_sf1"
+rng = np.random.default_rng(4242)
+os.makedirs(DST, exist_ok=True)
+
+
+def write(name, table):
+    pq.write_table(table, f"{DST}/{name}.parquet")
+    print(name, table.num_rows)
+
+
+def empirical(series):
+    vals, counts = np.unique(series, return_counts=True)
+    return vals, counts / counts.sum()
+
+
+def sample(series, n):
+    vals, p = empirical(series)
+    return rng.choice(vals, size=n, p=p)
+
+
+# region / nation: fixed dimension tables, copied verbatim
+for t in ("region", "nation"):
+    write(t, pq.read_table(f"{SRC}/{t}.parquet"))
+
+# ---- documents: iid tokens from the empirical token distribution,
+# empirical length / lang / source marginals ----
+d = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+tok_lists = d.text.str.split()
+counter = collections.Counter(t for ts in tok_lists for t in ts)
+vocab = np.array(list(counter.keys()))
+tok_p = np.array(list(counter.values()), dtype=float)
+tok_p /= tok_p.sum()
+N_DOC = 50_000
+lens = sample(tok_lists.str.len().values, N_DOC)
+flat = rng.choice(vocab, size=int(lens.sum()), p=tok_p)
+texts, off = [], 0
+for L in lens:
+    texts.append(" ".join(flat[off:off + L]))
+    off += L
+docs = pa.table({
+    "doc_id": pa.array(np.arange(N_DOC), pa.int64()),
+    "text": pa.array(texts, pa.string()),
+    "lang": pa.array(sample(d.lang.values, N_DOC), pa.string()),
+    "source": pa.array(sample(d.source.values, N_DOC), pa.string()),
+    "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+})
+write("documents", docs)
+
+# ---- embeddings: per-label Gaussian clusters fitted from sf0.1,
+# L2-normalized like the source vectors ----
+e = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+V = np.vstack(e.embedding.values)
+N_EMB = 20_000
+labels = sample(e.label.values, N_EMB).astype(np.int32)
+dim = V.shape[1]
+vecs = np.empty((N_EMB, dim), dtype=np.float32)
+for lb in np.unique(labels):
+    src = V[e.label.values == lb]
+    mu, sd = src.mean(axis=0), src.std(axis=0)
+    m = labels == lb
+    vecs[m] = rng.normal(mu, sd, size=(int(m.sum()), dim)).astype(np.float32)
+vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+emb = pa.table({
+    "vec_id": pa.array(np.arange(N_EMB), pa.int64()),
+    "embedding": pa.array([v for v in vecs], pa.list_(pa.float32())),
+    "label": pa.array(labels, pa.int32()),
+})
+write("embeddings", emb)
+
+# ---- part: two-word names from the empirical word distributions ----
+p = pq.read_table(f"{SRC}/part.parquet").to_pandas()
+w = p.p_name.str.split(" ")
+N_PART = 200_000
+pk = np.arange(N_PART)
+names = np.char.add(np.char.add(
+    sample(w.str[0].values, N_PART).astype(str), " "),
+    sample(w.str[1].values, N_PART).astype(str))
+part = pa.table({
+    "p_partkey": pa.array(pk, pa.int64()),
+    "p_name": pa.array(names, pa.string()),
+    "p_brand": pa.array(sample(p.p_brand.values, N_PART), pa.string()),
+    "p_type": pa.array(sample(p.p_type.values, N_PART), pa.string()),
+    "p_size": pa.array(sample(p.p_size.values, N_PART), pa.int32()),
+    "p_retailprice": pa.array(np.round(900.0 + (pk % 1000) * 0.1, 2),
+                              pa.float64()),
+})
+write("part", part)
+
+# ---- customer / supplier ----
+c = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
+N_CUST = 150_000
+cust = pa.table({
+    "c_custkey": pa.array(np.arange(N_CUST), pa.int64()),
+    "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)], pa.string()),
+    "c_nationkey": pa.array(rng.integers(0, 25, N_CUST), pa.int32()),
+    "c_acctbal": pa.array(np.round(rng.uniform(c.c_acctbal.min(),
+        c.c_acctbal.max(), N_CUST), 2), pa.float64()),
+    "c_mktsegment": pa.array(sample(c.c_mktsegment.values, N_CUST), pa.string()),
+})
+write("customer", cust)
+
+s = pq.read_table(f"{SRC}/supplier.parquet").to_pandas()
+N_SUPP = 10_000
+supp = pa.table({
+    "s_suppkey": pa.array(np.arange(N_SUPP), pa.int64()),
+    "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)], pa.string()),
+    "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP), pa.int32()),
+    "s_acctbal": pa.array(np.round(rng.uniform(s.s_acctbal.min(),
+        s.s_acctbal.max(), N_SUPP), 2), pa.float64()),
+})
+write("supplier", supp)
+
+# ---- orders / lineitem ----
+o = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+N_ORD = 1_500_000
+odate = rng.integers(o.o_orderdate.min().value, o.o_orderdate.max().value,
+                     N_ORD)
+orders = pa.table({
+    "o_orderkey": pa.array(np.arange(N_ORD), pa.int64()),
+    "o_custkey": pa.array(rng.integers(0, N_CUST, N_ORD), pa.int64()),
+    "o_orderstatus": pa.array(sample(o.o_orderstatus.values, N_ORD), pa.string()),
+    "o_totalprice": pa.array(np.round(rng.uniform(o.o_totalprice.min(),
+        o.o_totalprice.max(), N_ORD), 2), pa.float64()),
+    "o_orderdate": pa.array((odate // 1000).astype("int64"),
+                            pa.timestamp("us")),
+    "o_orderpriority": pa.array(sample(o.o_orderpriority.values, N_ORD), pa.string()),
+})
+write("orders", orders)
+
+li = pq.read_table(f"{SRC}/lineitem.parquet",
+                   columns=["l_linenumber", "l_quantity", "l_discount",
+                            "l_tax", "l_returnflag", "l_linestatus"]).to_pandas()
+lsrc = pq.read_table(f"{SRC}/lineitem.parquet", columns=["l_shipdate"]).to_pandas()
+N_LI = 6_000_000
+ship = rng.integers(lsrc.l_shipdate.min().value, lsrc.l_shipdate.max().value, N_LI)
+lineitem = pa.table({
+    "l_orderkey": pa.array(rng.integers(0, N_ORD, N_LI), pa.int64()),
+    "l_partkey": pa.array(rng.integers(0, N_PART, N_LI), pa.int64()),
+    "l_suppkey": pa.array(rng.integers(0, N_SUPP, N_LI), pa.int64()),
+    "l_linenumber": pa.array(sample(li.l_linenumber.values, N_LI), pa.int32()),
+    "l_quantity": pa.array(sample(li.l_quantity.values, N_LI), pa.float64()),
+    "l_extendedprice": pa.array(np.round(rng.uniform(900.0, 100000.0, N_LI), 2),
+                                pa.float64()),
+    "l_discount": pa.array(sample(li.l_discount.values, N_LI), pa.float64()),
+    "l_tax": pa.array(sample(li.l_tax.values, N_LI), pa.float64()),
+    "l_returnflag": pa.array(sample(li.l_returnflag.values, N_LI), pa.string()),
+    "l_linestatus": pa.array(sample(li.l_linestatus.values, N_LI), pa.string()),
+    "l_shipdate": pa.array((ship // 1000).astype("int64"), pa.timestamp("us")),
+})
+write("lineitem", lineitem)
+
+# ---- events: increasing timestamps over the same window, 10x users ----
+ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+N_EV = 1_000_000
+span = ev.ts.max().value - ev.ts.min().value
+ts = np.sort(rng.integers(0, span, N_EV)) + ev.ts.min().value
+events = pa.table({
+    "event_id": pa.array(np.arange(N_EV), pa.int64()),
+    "ts": pa.array((ts // 1000).astype("int64"), pa.timestamp("us")),
+    "user_id": pa.array(rng.integers(0, 15000, N_EV), pa.int64()),
+    "event_type": pa.array(sample(ev.event_type.values, N_EV), pa.string()),
+    "value": pa.array(np.round(rng.uniform(0.0, ev.value.max(), N_EV), 2),
+                      pa.float64()),
+    "props": pa.array([json.dumps({"k": int(k)})
+                       for k in rng.integers(0, 100, N_EV)], pa.string()),
+})
+write("events", events)
+print("done ->", DST)
