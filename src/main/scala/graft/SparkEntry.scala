@@ -2463,15 +2463,15 @@ object SparkEntry {
 
     "rag_hybrid_rrf" -> { (s, dir) =>
       // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with
-      // a term-coverage ranking — the fused list is what a RAG app serves.
-      // ONE persisted inverted index feeds both rankings (1 corpus scan).
+      // a term-coverage ranking — the fused list is what a RAG app
+      // serves. The one-pass form: both rankings come from ONE
+      // index ⋈ query-terms aggregate and all three ranking windows
+      // share the qid exchange (semantics identical to fusing the two
+      // separate top-20 lists; the oracle replays the composed SQL).
       val idx = Retrieval.docTerms(t(s, dir, "documents"), "doc_id", "text")
         .persist()
-      val q = retrievalQueries(s)
-      Retrieval.rrfFuse(Seq(
-        Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 20),
-        Retrieval.coverageTopKIndexed(idx, q, "qid", "qtext", k = 20)
-      ), k = 10)
+      Retrieval.hybridRrfTopK(idx, retrievalQueries(s), "qid", "qtext",
+        kPer = 20, k = 10)
     },
 
     "ann_ivfpq_topk" -> { (s, dir) =>

@@ -97,9 +97,13 @@ object Retrieval {
       .unionByName(fresh)
   }
 
-  /** Full BM25 scores from a prebuilt index: (qid, doc_id, score_micro). */
-  def bm25ScoresIndexed(index: DataFrame, queries: DataFrame, qidCol: String,
-      qtextCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+  /** Per-(qid, term) idf table + corpus stats — the shared front half of
+    * every index-side scoring pass: (qid, term, idf_micro, n_docs,
+    * sum_dl). idf in micro-nats, floored once per term: ln is the lone
+    * libm call, isolated here so downstream per-doc sums are pure
+    * integer arithmetic. */
+  private def qTermIdf(index: DataFrame, queries: DataFrame,
+      qidCol: String, qtextCol: String): DataFrame = {
     // corpus stats from the index: one tiny aggregate, broadcast by the
     // single-row cross join
     val corpus = index.agg(countDistinct(col("doc_id")).as("n_docs"),
@@ -107,24 +111,31 @@ object Retrieval {
     val dfTbl = index.groupBy("term").agg(count(lit(1)).as("df"))
     val qTerms = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(toks(col(qtextCol)))).as("term"))
-    // idf in micro-nats, floored once per term: ln is the lone libm call,
-    // isolated here so the per-doc sum below is pure integer arithmetic
-    val idf = qTerms.join(ScaleHints.maybeBroadcast(dfTbl), Seq("term"))
+    qTerms.join(ScaleHints.maybeBroadcast(dfTbl), Seq("term"))
       .crossJoin(corpus)
       .withColumn("idf_micro", floor(lit(1e6) * log(
         lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
         .cast("long"))
+      .select("qid", "term", "idf_micro", "n_docs", "sum_dl")
+  }
+
+  /** The per-(index row ⋈ query term) BM25 contribution expression. */
+  private def bm25Contrib(k1: Double, b: Double): Column =
+    floor(
+      col("idf_micro").cast("double") *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
+            col("n_docs").cast("double") / col("sum_dl").cast("double"))))
+      .cast("long")
+
+  /** Full BM25 scores from a prebuilt index: (qid, doc_id, score_micro). */
+  def bm25ScoresIndexed(index: DataFrame, queries: DataFrame, qidCol: String,
+      qtextCol: String, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val contrib = index.join(
-        ScaleHints.maybeBroadcast(
-          idf.select("qid", "term", "idf_micro", "n_docs", "sum_dl")),
+        ScaleHints.maybeBroadcast(qTermIdf(index, queries, qidCol, qtextCol)),
         Seq("term"))
-      .withColumn("c_micro", floor(
-        col("idf_micro").cast("double") *
-          (col("tf").cast("double") * lit(k1 + 1.0)) /
-          (col("tf").cast("double") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl").cast("double") *
-              col("n_docs").cast("double") / col("sum_dl").cast("double"))))
-        .cast("long"))
+      .withColumn("c_micro", bm25Contrib(k1, b))
     contrib.groupBy("qid", "doc_id")
       .agg(sum(col("c_micro")).cast("long").as("score_micro"))
   }
@@ -158,6 +169,51 @@ object Retrieval {
       .agg(sum(col("rrf_nano")).cast("long").as("rrf_nano"))
     val w = Window.partitionBy("qid").orderBy(col("rrf_nano").desc, col("doc_id").asc)
     fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "rank", "doc_id", "rrf_nano")
+  }
+
+  /** BM25 + term-coverage hybrid RRF in ONE index pass — semantically
+    * identical to `rrfFuse(Seq(bm25TopKIndexed(...), coverageTopKIndexed
+    * (...)), k)` but structurally collapsed for scale: both rankings
+    * share the same candidate relation (index ⋈ query terms, ≥1 shared
+    * term), so ONE join + ONE aggregate computes both per-(qid, doc)
+    * signals (Σ floored BM25 contributions AND the distinct-hit count),
+    * and the three windows — bm25 rank, coverage rank, fused rank — all
+    * partition by qid, so the whole ranking tail runs on a SINGLE
+    * exchange (Spark chains same-partitioning windows without
+    * re-shuffling). Two index scans and two aggregate chains become one
+    * of each: at corpus scale that halves the dominant cost of hybrid
+    * retrieval, and at bench scale it halves the job count.
+    *
+    * Output: (qid, rank, doc_id, rrf_nano), rank 1..k — byte-identical
+    * to the composed form (the oracle replays the composed SQL). */
+  def hybridRrfTopK(index: DataFrame, queries: DataFrame, qidCol: String,
+      qtextCol: String, kPer: Int, k: Int, k1: Double = 1.2,
+      b: Double = 0.75, kRrf: Int = 60): DataFrame = {
+    val scored = index.join(
+        ScaleHints.maybeBroadcast(qTermIdf(index, queries, qidCol, qtextCol)),
+        Seq("term"))
+      .withColumn("c_micro", bm25Contrib(k1, b))
+      .groupBy("qid", "doc_id", "dl")
+      .agg(sum(col("c_micro")).cast("long").as("score_micro"),
+        count(lit(1)).as("n_hit"))
+    val wB = Window.partitionBy("qid")
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+    val wC = Window.partitionBy("qid")
+      .orderBy(col("n_hit").desc, col("dl").asc, col("doc_id").asc)
+    def rrfOf(rank: Column): Column =
+      when(rank <= kPer,
+        floor(lit(1.0e9) / (lit(kRrf).cast("double") + rank.cast("double")))
+          .cast("long")).otherwise(lit(0L))
+    val fused = scored
+      .withColumn("__rb", row_number().over(wB))
+      .withColumn("__rc", row_number().over(wC))
+      .withColumn("rrf_nano", rrfOf(col("__rb")) + rrfOf(col("__rc")))
+      .filter(col("rrf_nano") > 0)
+    val wF = Window.partitionBy("qid")
+      .orderBy(col("rrf_nano").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(wF))
       .filter(col("rank") <= k)
       .select("qid", "rank", "doc_id", "rrf_nano")
   }

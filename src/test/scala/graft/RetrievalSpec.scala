@@ -56,6 +56,35 @@ class RetrievalSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1, 20L, s20), (2, 10L, s10), (3, 30L, s30)))
   }
 
+  test("hybridRrfTopK equals the composed bm25+coverage rrfFuse exactly") {
+    // deterministic pseudo-random corpus over a tiny vocab so both
+    // rankings have dense, tie-heavy candidate sets
+    def h(x: Long): Long = { var v = x * 2654435761L; v ^= v >>> 13; math.abs(v) }
+    val words = Vector("cat", "dog", "bird", "mat", "sat", "runs", "far")
+    val corpus = (1L to 60L).map { i =>
+      val n = 3 + (h(i) % 8).toInt
+      (i, (0 until n).map(j => words((h(i * 31 + j) % words.size).toInt))
+        .mkString(" "))
+    }.toDF("doc_id", "text")
+    val q = Seq((1L, "cat dog"), (2L, "bird mat runs"), (3L, "far cat"))
+      .toDF("qid", "qtext")
+    val idx = Retrieval.docTerms(corpus, "doc_id", "text").persist()
+    try {
+      val composed = Retrieval.rrfFuse(Seq(
+        Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 5),
+        Retrieval.coverageTopKIndexed(idx, q, "qid", "qtext", k = 5)),
+        k = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val onePass = Retrieval.hybridRrfTopK(idx, q, "qid", "qtext",
+          kPer = 5, k = 4).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(onePass == composed)
+      assert(onePass.nonEmpty)
+    } finally { idx.unpersist(); () }
+  }
+
   test("coverage ranking orders by distinct query terms hit, then dl") {
     val q = Seq((1L, "cat dog")).toDF("qid", "qtext")
     val got = Retrieval.coverageTopK(docs4, "doc_id", "text", q, "qid", "qtext", k = 5)
