@@ -188,6 +188,47 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(cross == exactX, s"missed=${exactX -- cross} extra=${cross -- exactX}")
   }
 
+  test("seeded duplication fuzz: the distinct-string front equals the " +
+      "all-pairs answer INCLUDING strings and within-group pairs") {
+    // many ids per string + blocks: exercises the front's within-group
+    // C(n,2) expansion, the cross-group id normalization, and that
+    // str_i/str_j follow their ids through the (least, greatest) swap
+    val rnd = new scala.util.Random(99L)
+    val base = Vector("pale gold", "pale bold", "dark gold", "mint",
+      "minty", "x", "")
+    val rows = (0L until 120L).map { i =>
+      (i, base(rnd.nextInt(base.length)), s"blk${rnd.nextInt(2)}")
+    }.toDF("id", "name", "blk")
+    val a = rows.select($"id".as("k1"), $"name".as("n1"), $"blk".as("b1"))
+    val b = rows.select($"id".as("k2"), $"name".as("n2"), $"blk".as("b2"))
+    val exact = a.join(b, $"b1" === $"b2" && $"k1" < $"k2" &&
+        levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2", "n1", "n2")
+      .as[(Long, Long, String, String)].collect().toSet
+    val got = FuzzyJoin.selfPairsExact(rows, "id", "name", k = 4,
+        blockCols = Seq("blk"))((x, y) => levenshtein(x, y) <= 4)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(got == exact,
+      s"missed=${(exact -- got).take(5)} extra=${(got -- exact).take(5)}")
+    // sanity: duplicates actually occurred, so within-group pairs exist
+    assert(exact.exists(p => p._3 == p._4))
+
+    // two-table variant with duplicates on both sides, strings checked
+    val odd = rows.filter($"id" % 2 === 1)
+    val even = rows.filter($"id" % 2 === 0)
+    val exactX = odd.select($"id".as("k1"), $"name".as("n1"), $"blk".as("b1"))
+      .join(even.select($"id".as("k2"), $"name".as("n2"), $"blk".as("b2")),
+        $"b1" === $"b2" && levenshtein($"n1", $"n2") <= 4)
+      .select("k1", "k2", "n1", "n2")
+      .as[(Long, Long, String, String)].collect().toSet
+    val crossGot = FuzzyJoin.pairsExact(odd, "id", "name", even, "id",
+        "name", k = 4, blockCols = Seq("blk"))(
+        (x, y) => levenshtein(x, y) <= 4)
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(crossGot == exactX,
+      s"missed=${(exactX -- crossGot).take(5)} extra=${(crossGot -- exactX).take(5)}")
+  }
+
   test("seeded fuzz: every pair within k edits is found by the exact variants") {
     // guards the length-aware substring window (a proof-based pruning):
     // random strings over a small alphabet, random <= 4-edit mutants,
