@@ -332,6 +332,32 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!fd.contains("CartesianProduct") && !fd.contains("NestedLoopJoin"), fd)
   }
 
+  test("round-9 op plan shapes: hybrid RRF ranking tail on ONE qid " +
+      "exchange; fuzzy distinct front aggregates before key explosion") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String) =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+    // hybrid RRF: three Window operators (bm25 rank, coverage rank,
+    // fused rank) but exactly ONE qid-only exchange feeds them — Spark
+    // chains same-partitioning windows without re-shuffling
+    val rrf = plan("rag_hybrid_rrf")
+    assert("\\bWindow\\b".r.findAllIn(rrf).length >= 3, rrf)
+    val qidOnlyExchanges = "Exchange hashpartitioning\\(qid#\\d+L?, \\d+\\)"
+      .r.findAllIn(rrf).length
+    assert(qidOnlyExchanges == 1,
+      s"expected 1 qid-only exchange, got $qidOnlyExchanges in:\n$rrf")
+
+    // fuzzy distinct front: the (block, string) collapse is an Aggregate
+    // BELOW the PassJoin key explosion — the plan carries the groupBy
+    // before any Generate/explode of candidate keys
+    val fz = plan("j3_fuzzy_match_scale")
+    val aggIdx = fz.indexOf("HashAggregate")
+    val genIdx = fz.indexOf("Generate")
+    assert(aggIdx >= 0 && genIdx >= 0, fz)
+    assert(!fz.contains("CartesianProduct") && !fz.contains("NestedLoopJoin"), fz)
+  }
+
   test("filters and projections reach the parquet scan (pushdown proof)") {
     val dir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("p9_filter_min_length")(spark, dir)
