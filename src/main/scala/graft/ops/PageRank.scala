@@ -130,9 +130,16 @@ object PageRank {
     ranks
   }
 
-  /** Symmetrize a directed pair list: u→v plus v→u, distinct. */
-  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+  /** Symmetrize a directed pair list: u→v plus v→u, distinct. The input
+    * is materialized once (eager localCheckpoint) before the union —
+    * its two branches would otherwise each re-evaluate the caller's
+    * pair derivation (a fact⋈dim join in every graph query here) just
+    * to flip the columns; same fix as
+    * [[Components.connectedComponents]]. */
+  def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+  }
 }
