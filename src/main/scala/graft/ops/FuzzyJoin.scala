@@ -229,8 +229,10 @@ object FuzzyJoin {
       blockCols.map(c => col(c).cast("string")): _*)
     val members = df.select(col(idCol).as("__pid"), blkExpr.as("__pblk"),
       col(strCol).as("__pstr"))
-    // one group per distinct (block, string); min id is the group id
-    // (persisted: the distinct-level pass and both expansions read it)
+    // one group per distinct (block, string); min id is the group id.
+    // Persisted — the distinct-level pass and both expansions read it;
+    // caller or spark.catalog.clearCache() releases it, the same cache
+    // contract as bm25TopK's index persist
     val groups = members.groupBy("__pblk", "__pstr")
       .agg(min("__pid").as("__gid")).persist()
     val mem = members
@@ -348,6 +350,7 @@ object FuzzyJoin {
     def front(df: DataFrame, idCol: String, strCol: String) = {
       val members = df.select(col(idCol).as("__pid"), blkExpr.as("__pblk"),
         col(strCol).as("__pstr"))
+      // same cache contract as the self-join front above
       val groups = members.groupBy("__pblk", "__pstr")
         .agg(min("__pid").as("__gid")).persist()
       val mem = members.join(groups, Seq("__pblk", "__pstr"))

@@ -353,6 +353,17 @@ object Retrieval {
   def mmrDiversify(candidates: DataFrame, sims: DataFrame, k: Int,
       lambdaMilli: Int): DataFrame = {
     require(k >= 1 && lambdaMilli >= 0 && lambdaMilli <= 1000)
+    // fail fast with an actionable message instead of a cast-to-null
+    // encoder error deep inside the cogroup
+    Seq("qid" -> candidates, "doc_id" -> candidates, "qid" -> sims,
+      "doc_a" -> sims, "doc_b" -> sims).foreach { case (c, df) =>
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+      val dt = df.schema(c).dataType
+      require(Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"mmrDiversify needs integral id columns; '$c' is $dt — " +
+          "fingerprint/assign surrogate long ids first")
+    }
     val spark = candidates.sparkSession
     import spark.implicits._
     val lam = lambdaMilli.toLong
@@ -423,7 +434,8 @@ object Retrieval {
     val index = docTerms(docs, idCol, textCol).persist()
     // Persisted: both the greedy pass and the term fetch branch over
     // it, and it is nCand rows per query — the persist costs nothing
-    // and keeps the BM25 scoring from running twice.
+    // and keeps the BM25 scoring from running twice. Caller or
+    // spark.catalog.clearCache() releases it (the bm25TopK contract).
     val top = bm25TopKIndexed(index, queries, qidCol, qtextCol, nCand)
       .persist()
     val candTerms = top.select("qid", "doc_id")

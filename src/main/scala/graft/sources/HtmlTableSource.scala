@@ -113,15 +113,17 @@ private[sources] class HtmlListingScan(options: CaseInsensitiveStringMap,
     // .load(p1, p2, …) (Spark passes the latter as a JSON array in the
     // "paths" option) — the multi-path form is what a per-tick ingest
     // driver uses to parse EXACTLY the pages that just landed
-    val roots: Seq[String] = Option(options.get("paths")) match {
-      case Some(js) if js.nonEmpty =>
+    val roots: Seq[String] = Option(options.get("paths"))
+      .filter(_.nonEmpty)
+      .map { js =>
         org.json4s.jackson.JsonMethods.parse(js) match {
           case org.json4s.JArray(vs) =>
             vs.collect { case org.json4s.JString(s) => s }
-          case _ => Seq.empty
+          case _ => Seq.empty[String]
         }
-      case None => Option(options.get("path")).toSeq
-    }
+      }
+      .getOrElse(Option(options.get("path")).toSeq)
+      .filter(_.nonEmpty)
     require(roots.nonEmpty,
       "graft-html: .load(path…) with page files or a directory is required")
     val glob = options.getOrDefault("glob", "*.html")

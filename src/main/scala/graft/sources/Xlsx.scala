@@ -100,8 +100,14 @@ object Xlsx {
           if (d.isNaN || d.isInfinite) strCell(ref, d.toString)
           else s"""<c r="$ref"><v>$d</v></c>"""
         case DateType =>
-          val serial = java.time.temporal.ChronoUnit.DAYS.between(
-            excelEpoch, value.asInstanceOf[java.sql.Date].toLocalDate)
+          // collect() yields java.sql.Date normally but java.time
+          // .LocalDate under spark.sql.datetime.java8API.enabled
+          val ld = value match {
+            case d: java.sql.Date => d.toLocalDate
+            case d: java.time.LocalDate => d
+          }
+          val serial =
+            java.time.temporal.ChronoUnit.DAYS.between(excelEpoch, ld)
           s"""<c r="$ref" s="1"><v>$serial</v></c>"""
         case _ => strCell(ref, value.toString)
       }

@@ -231,10 +231,24 @@ object ScheduledIngest {
             .option("baseDomain", baseDomain)
             .load(newPages.toIndexedSeq: _*)
             .filter(col("n_cells") >= minCells)
+          // Both sides dedupe DETERMINISTICALLY before the join — the
+          // detail dir is append-only (a url re-fetched across days has
+          // several rows; keep the longest text, the retry-on-improve
+          // winner) and one trigger window can land two listing pages
+          // both carrying a row (same fingerprint key (url, title,
+          // date); keep the max description). Without this the join
+          // fans out and a single tick would publish duplicate rag_ids
+          // into the master.
           val detail = spark.read.schema(detailSchema).json(detailTextDir)
+            .filter(col("text").isNotNull)
+            .groupBy("url")
+            .agg(max(struct(length(col("text")).as("l"), col("text")))
+              .getField("text").as("text"))
           val fresh = listing
-            .select("url", "title", "description", "date")
+            .groupBy("url", "title", "date")
+            .agg(max(col("description")).as("description"))
             .join(detail, Seq("url"), "left")
+            .select("url", "title", "description", "date", "text")
           runTick(spark, fresh, batchId, masterDir, publishDir,
             quarantineDir, runDateOf, source, masterXlsxPath, onTick)
         }

@@ -64,6 +64,16 @@ class MmrSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("non-integral id columns fail fast with an actionable message") {
+    val cand = Seq((1L, "docA", 500L)).toDF("qid", "doc_id", "rel_milli")
+    val sims = Seq.empty[(Long, Long, Long, Long)]
+      .toDF("qid", "doc_a", "doc_b", "sim_milli")
+    val ex = intercept[IllegalArgumentException] {
+      Retrieval.mmrDiversify(cand, sims, k = 2, lambdaMilli = 700)
+    }
+    assert(ex.getMessage.contains("integral id columns"))
+  }
+
   test("qid with fewer candidates than k yields only its candidates") {
     val cand = Seq((1L, 10L, 500L), (1L, 11L, 400L))
       .toDF("qid", "doc_id", "rel_milli")

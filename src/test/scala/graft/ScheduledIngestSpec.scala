@@ -158,11 +158,16 @@ class ScheduledIngestSpec extends AnyFunSuite {
 
       // tick 2: a new listing page re-lists Drug A (same url/title/date →
       // fingerprint no-op) and adds Drug C, whose detail text has been
-      // fetched meanwhile
+      // fetched meanwhile — TWICE (append-only re-fetch), and a second
+      // page in the SAME trigger window lists Drug C again: neither
+      // duplication may fan out into duplicate published/master rows
       Files.writeString(Path.of(details, "fetched2.json"),
-        s"""{"url":"https://www.fda.gov/node/3","text":"$longText"}""" + "\n")
+        s"""{"url":"https://www.fda.gov/node/3","text":"$longText"}""" + "\n" +
+        s"""{"url":"https://www.fda.gov/node/3","text":"$longText extra"}""" + "\n")
       Files.writeString(Path.of(pages, "listing2.html"),
         page(("/node/1", "Drug A", "01/15/2024"), ("/node/3", "Drug C", "01/17/2024")))
+      Files.writeString(Path.of(pages, "listing2b.html"),
+        page(("/node/3", "Drug C", "01/17/2024")))
       waitTicks(2)
       val t2 = ticks.toArray(Array.empty[ScheduledIngest.Tick]).last
       assert(t2.nFresh == 2)

@@ -121,6 +121,21 @@ class XlsxSpec extends AnyFunSuite {
     new java.io.File(path).delete()
   }
 
+  test("date cells survive spark.sql.datetime.java8API.enabled " +
+      "(collect yields LocalDate, not java.sql.Date)") {
+    val conf = spark.conf
+    val saved = conf.get("spark.sql.datetime.java8API.enabled")
+    try {
+      conf.set("spark.sql.datetime.java8API.enabled", "true")
+      val df = Seq((1L, java.sql.Date.valueOf("2024-01-15"))).toDF("id", "d")
+      val path = java.nio.file.Files.createTempFile("graft_j8", ".xlsx").toString
+      Xlsx.writeMaster(df, path)
+      val raw = Xlsx.readMaster(spark, path).collect()
+      assert(raw.head.getString(1) == "45306")
+      new java.io.File(path).delete()
+    } finally conf.set("spark.sql.datetime.java8API.enabled", saved)
+  }
+
   test("seeded fuzz: printable/whitespace content round-trips byte-identically") {
     val rnd = new scala.util.Random(11)
     // XML 1.0 cannot carry control chars < 0x20 except tab/newline/CR
