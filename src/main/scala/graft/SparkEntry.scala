@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import scala.jdk.CollectionConverters._
 
-import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel, Validate, PageRank, Layout, UrlOps}
+import graft.ops.{TextOps, Fingerprint, Enrich, Dedup, Vectors, TextAnalysis, TopK, Chunker, TfIdfEmbed, FuzzyJoin, CandidateGen, Components, AsofJoin, RangeJoin, SkewJoin, Profile, Contamination, Sampling, Quantize, Retrieval, Tagging, Funnel, Validate, PageRank, Layout, UrlOps}
 import graft.expr.{sketchFunctions => sf}
 import graft.expr.{functions => gf}
 
@@ -1254,49 +1254,29 @@ object SparkEntry {
     },
 
     "f12_similarity_scale" -> { (s, dir) =>
-      // rows-only (difflib ratio has no SQL form), but EXACT — no recall
-      // contract left in the query set: ratio ≥ θ implies the total
-      // matched chars M ≥ θ(la+lb)/2, M never exceeds LCS, and
-      // lev ≤ la+lb − 2·LCS, so every qualifying pair has
-      // lev ≤ (1−θ)(la+lb) ≤ (1−θ)·2·Lmax — PassJoin candidates at that
-      // k are an exact superset (FuzzyJoinSpec proves equality with
-      // brute-force all-pairs). Lmax is ONE bounded agg row; the cheap
-      // real_quick_ratio length bound 2·min/(la+lb) ≥ θ prunes
-      // candidates ahead of the difflib kernel.
-      val p = t(s, dir, "part")
-      val theta = 0.9
-      val lmax = p.agg(max(length(col("p_name"))).cast("int")).head().getInt(0)
-      // ceil, not toInt: (1-θ) is not an exact double ((1.0-0.9)·2·10 =
-      // 1.9999…), and a floor would shave the radius by 1 exactly at
-      // integer boundaries — voiding the exactness contract. Ceil only
-      // ever widens the candidate superset.
-      val k = math.ceil((1.0 - theta) * 2 * lmax).toInt
-      FuzzyJoin.selfPairsExact(p, "p_partkey", "p_name", k = k,
-          blockCols = Seq("p_brand")) { (a, b) =>
-          (lit(2) * least(length(a), length(b)) >=
-            lit(theta) * (length(a) + length(b))) &&
-            gf.similarity(a, b) >= theta
-        }
+      // rows-only (difflib ratio has no SQL form), but EXACT — the
+      // ratio→edit-distance lemma and the measured-Lmax PassJoin radius
+      // live in CandidateGen.similaritySelfPairs (FuzzyJoinSpec proves
+      // equality with brute-force all-pairs).
+      CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
+          "p_name", theta = 0.9, blockCols = Seq("p_brand"))(gf.similarity)
         .select(col("i").as("k1"), col("j").as("k2"),
           gf.similarity(col("str_i"), col("str_j")).as("sim"))
     },
 
     "f12_similarity_ratcliff" -> { (s, dir) =>
-      // difflib-parity similarity over brand-blocked name pairs
-      val p = t(s, dir, "part")
-      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("name1"),
-        col("p_brand").as("b1"))
-        .repartition(s.sparkContext.defaultParallelism * 2)
-      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("name2"),
-        col("p_brand").as("b2"))
-      // cheap ordering conjunct stays ahead of the expensive similarity:
-      // the length-ratio bound 2·min/(la+lb) < 0.5 can never reach 0.5
-      a.join(b, col("b1") === col("b2") && col("k1") < col("k2") &&
-          lit(2) * least(length(col("name1")), length(col("name2"))) >=
-            lit(0.5) * (length(col("name1")) + length(col("name2"))))
-        .select(col("k1"), col("k2"),
-          gf.similarity(col("name1"), col("name2")).as("sim"))
-        .filter(col("sim") >= 0.5)
+      // difflib-parity similarity over brand-blocked name pairs. Round 9
+      // wrote this as a raw brand-blocked self-join with only the
+      // length-ratio conjunct (which at θ = 0.5 prunes almost nothing);
+      // brand cardinality is fixed, so block occupancy grew linearly
+      // with sf and candidate pairs quadratically — 34× at 10× data.
+      // Same route as f12_similarity_scale now: measured-Lmax PassJoin
+      // radius + distinct-string front, exact by the ratio→lev lemma
+      // (FuzzyJoinSpec pins equality against the brute-force self-join).
+      CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
+          "p_name", theta = 0.5, blockCols = Seq("p_brand"))(gf.similarity)
+        .select(col("i").as("k1"), col("j").as("k2"),
+          gf.similarity(col("str_i"), col("str_j")).as("sim"))
     },
 
     "f9_extract_doi" -> { (s, dir) =>
@@ -2129,15 +2109,19 @@ object SparkEntry {
     "dedup_cross_corpus" -> { (s, dir) =>
       // near-dup DEcontamination (the fuzzy twin of text_contamination):
       // every 50th doc plays the benchmark; emit benchmark↔corpus
-      // near-dup pairs from the same blocked jaccard machinery — the
-      // injected near-dup pairs make some benchmark docs leak
-      val pairs = Dedup.ngramJaccardPairs(t(s, dir, "documents"),
-        "doc_id", "text", "n_chars", threshold = 0.5)
-      pairs.filter((col("i") % 50 === 0) =!= (col("j") % 50 === 0))
-        .select(
-          when(col("i") % 50 === 0, col("i")).otherwise(col("j")).as("bench_id"),
-          when(col("i") % 50 === 0, col("j")).otherwise(col("i")).as("corpus_id"),
-          col("jac"))
+      // near-dup pairs. Decontamination is asymmetric by nature, and
+      // round 9 paid for ignoring that: it computed ALL corpus×corpus
+      // pairs and filtered to the 2% benchmark crossing (21× at 10×
+      // data). Now only the benchmark side is indexed
+      // (Dedup.ngramJaccardAcross) and the corpus probes it — candidates
+      // are linear in true matches; output contract and hash unchanged.
+      val docs = t(s, dir, "documents")
+      Dedup.ngramJaccardAcross(
+          probe = docs.filter(col("doc_id") % 50 =!= 0),
+          build = docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", "n_chars", threshold = 0.5)
+        .select(col("build_id").as("bench_id"),
+          col("probe_id").as("corpus_id"), col("jac"))
     },
 
     "profile_approx" -> { (s, dir) =>

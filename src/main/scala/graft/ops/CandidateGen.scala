@@ -1,0 +1,180 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The ONE candidate-generation layer behind every pair-join operator
+  * (dedup, fuzzy match, decontamination). The repo grew four generators —
+  * length-band blocking, AllPairs/PPJoin prefix filtering, MinHash-LSH
+  * banding, and the distinct-string front — each chosen ad hoc per query;
+  * this facade owns the choice so a new pair query is scale-right by
+  * default instead of quadratic-by-accident (the round-9 sf1 sweep caught
+  * three such plans).
+  *
+  * Contracts:
+  *  - every `*Self`/`*Across` method returns CANDIDATE ids only — an exact
+  *    SUPERSET of the qualifying pairs under its documented predicate; the
+  *    caller always re-verifies with the exact measure, so routing a query
+  *    through a different generator can never change its output, only its
+  *    cost;
+  *  - candidate cardinality must be bounded by something that does not grow
+  *    quadratically with corpus size: prefix-token document frequency here,
+  *    band-key occupancy for LSH, distinct-string vocabulary for the edit
+  *    family ([[FuzzyJoin]]).
+  *
+  * Strategy choice is driven by measured stats, not guesses: [[measure]]
+  * reads duplication ratio + string length in one aggregate, and
+  * [[similaritySelfPairs]] derives its PassJoin radius from the measured
+  * max length (the difflib-ratio→edit-distance lemma, see
+  * SparkEntry `f12_similarity_scale`).
+  */
+object CandidateGen {
+
+  import ScaleHints.{fanout, maybeBroadcast}
+
+  /** Measured corpus stats for strategy choice: one aggregate scan.
+    * `dupFactor` ≳ 2 says a distinct-string front pays for itself
+    * (candidate work divides by dupFactor², see FuzzyJoin.selfPairsExact);
+    * `maxLen` bounds the PassJoin radius for similarity thresholds. */
+  final case class StringStats(rows: Long, approxDistinct: Long, maxLen: Int) {
+    def dupFactor: Double =
+      if (approxDistinct == 0) 1.0 else rows.toDouble / approxDistinct
+  }
+
+  def measure(df: DataFrame, strCol: String): StringStats = {
+    val r = df.agg(count(lit(1)), approx_count_distinct(col(strCol)),
+      coalesce(max(length(col(strCol))), lit(0)).cast("int")).head()
+    StringStats(r.getLong(0), r.getLong(1), r.getInt(2))
+  }
+
+  // ── Jaccard family ────────────────────────────────────────────────────
+
+  /** Rarest-token prefix per document (AllPairs/PPJoin, Bayardo 2007 /
+    * Xiao 2008): under ANY global token order, two sets with Jaccard ≥ t
+    * must share a token among each side's first n − ⌈t·n⌉ + 1 tokens.
+    * The order used is (document frequency asc, token asc) — rarest-first
+    * minimizes candidate fan-out, and the exact verify makes the result
+    * order-independent. `t` is a double here, so the prefix length uses
+    * n − ⌊t·n⌋ + 1: one token LONGER than required exactly when t·n is
+    * integral — ⌈⌉ on an inexact double product could round UP past the
+    * true ceiling and shave the prefix by one, silently voiding the
+    * recall contract; ⌊⌋ only ever widens the candidate superset.
+    *
+    * Input sketch contract: columns (id, len, n, hs) with `hs` the
+    * distinct hashed-shingle array and n = size(hs). Output: (id, len, g)
+    * — one row per prefix token. */
+  private def prefixTokens(sketch: DataFrame, threshold: Double,
+      gdf: DataFrame): DataFrame = {
+    val w = Window.partitionBy("id").orderBy(col("__df").asc, col("g").asc)
+    sketch.select(col("id"), col("len"), col("n"), explode(col("hs")).as("g"))
+      .join(maybeBroadcast(gdf), Seq("g"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        col("n") - floor(lit(threshold) * col("n")).cast("int") + 1)
+      .select("id", "len", "g")
+  }
+
+  private def gramDf(sketches: DataFrame*): DataFrame =
+    sketches.map(_.select(explode(col("hs")).as("g")))
+      .reduce(_ unionAll _)
+      .groupBy("g").agg(count(lit(1)).as("__df"))
+
+  /** Exact candidates for {jaccard ≥ threshold ∧ |len_i − len_j| ≤
+    * maxLenDiff} over ONE corpus: equi-join on (length bucket, prefix
+    * token). The length band alone (the round-9 shape) bounds WHICH pairs
+    * are compared but not HOW MANY — same-bucket occupancy grows linearly
+    * with the corpus, so band-only candidates grow quadratically. The
+    * prefix conjunct caps fan-out by prefix-token document frequency
+    * (rarest-first), which is corpus-growth-stable for non-boilerplate
+    * text — the candidate count tracks TRUE pairs, not bucket sizes.
+    *
+    * Probe side explodes to 3 buckets so |len diff| ≤ maxLenDiff <
+    * bucketWidth stays an equi hash join (no nested-loop range join);
+    * i < j keeps one orientation, distinct() collapses multi-token hits.
+    * Sketch contract as [[prefixTokens]]; returns (i, j). */
+  def bandPrefixSelf(sketch: DataFrame, threshold: Double,
+      bucketWidth: Int, maxLenDiff: Int): DataFrame = {
+    require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
+    val prefix = prefixTokens(sketch, threshold, gramDf(sketch))
+    val bkt = floor(col("len") / bucketWidth).cast("long")
+    val probe = fanout(prefix
+        .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+      .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
+    val build = prefix.withColumn("bkt", bkt)
+      .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
+    probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+      .filter(col("i") < col("j") &&
+        abs(col("len_i") - col("len_j")) <= maxLenDiff)
+      .select("i", "j").distinct()
+  }
+
+  /** Two-corpus (probe × build) variant of [[bandPrefixSelf]] — the
+    * decontamination shape: the build side (a benchmark set, typically a
+    * few % of the corpus) is indexed once, the corpus probes it. Never
+    * materializes corpus×corpus pairs — candidates are linear in true
+    * matches + low-df prefix collisions.
+    *
+    * The prefix lemma needs BOTH prefixes under the SAME global order, so
+    * document frequency is computed over the union of both sides' grams.
+    * Sides are assumed id-disjoint; returns (i = probe id, j = build id),
+    * both orientations' qualifying pairs (no i < j constraint). */
+  def bandPrefixAcross(probeSketch: DataFrame, buildSketch: DataFrame,
+      threshold: Double, bucketWidth: Int, maxLenDiff: Int): DataFrame = {
+    require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
+    val gdf = gramDf(probeSketch, buildSketch)
+    val bkt = floor(col("len") / bucketWidth).cast("long")
+    val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
+        .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+      .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
+    val build = prefixTokens(buildSketch, threshold, gdf)
+      .withColumn("bkt", bkt)
+      .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
+    probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+      .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+      .select("i", "j").distinct()
+  }
+
+  // ── LSH family ───────────────────────────────────────────────────────
+
+  /** Band-bucket self-join candidates from pre-banded MinHash rows
+    * (columns: idCol, band_idx, band_key). Approximate by construction —
+    * recall is the banding curve 1−(1−s^r)^b, the caller's exact verify
+    * keeps precision at 1. Returns (i, j) with i < j, distinct. */
+  def lshBandSelf(banded: DataFrame, idCol: String): DataFrame =
+    fanout(banded).as("a").join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_key") === col("b.band_key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
+      .distinct()
+
+  // ── Edit/similarity family ───────────────────────────────────────────
+
+  /** Self-pairs at difflib ratio ≥ theta, blocked by `blockCols`, with
+    * EXACT recall and no quadratic block scan: ratio ≥ θ implies matched
+    * chars M ≥ θ(la+lb)/2, M ≤ LCS, and lev ≤ la+lb − 2·LCS, so every
+    * qualifying pair has lev ≤ (1−θ)(la+lb) ≤ (1−θ)·2·Lmax — PassJoin
+    * candidates at that radius are an exact superset, and the
+    * distinct-string front inside [[FuzzyJoin.selfPairsExact]] runs the
+    * candidate join at vocabulary granularity (the id-level expansion is
+    * output-driven). Lmax is measured (one bounded agg row), ⌈⌉ because
+    * (1−θ) is inexact in binary and a floor at an integer boundary would
+    * shave the radius and void the contract. The cheap real_quick_ratio
+    * length bound 2·min/(la+lb) ≥ θ prunes ahead of the difflib kernel
+    * (ratio ≤ 2·min/(la+lb) always, so it rejects no true pair).
+    *
+    * Output: (i, j, str_i, str_j) with i < j — feed `sim(str_i, str_j)`
+    * to rebuild the score column. */
+  def similaritySelfPairs(df: DataFrame, idCol: String, strCol: String,
+      theta: Double, blockCols: Seq[String] = Nil)
+      (sim: (Column, Column) => Column): DataFrame = {
+    val lmaxRow = df.agg(coalesce(max(length(col(strCol))), lit(0)).cast("int"))
+      .head()
+    val k = math.ceil((1.0 - theta) * 2 * lmaxRow.getInt(0)).toInt
+    FuzzyJoin.selfPairsExact(df, idCol, strCol, k, blockCols) { (a, b) =>
+      (lit(2) * least(length(a), length(b)) >=
+        lit(theta) * (length(a) + length(b))) && sim(a, b) >= theta
+    }
+  }
+}

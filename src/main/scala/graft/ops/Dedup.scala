@@ -102,13 +102,45 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Exact n-gram-Jaccard near-dup pairs, blocked by a length band so the
-    * pair space is |band|² not |corpus|²: docs within `maxLenDiff` chars
-    * land in the same or adjacent `bucketWidth`-wide buckets, and the probe
-    * side is exploded to 3 buckets so the join stays an equi hash join
-    * (no nested-loop range join). */
+  /** Exact n-gram-Jaccard near-dup pairs, candidates from
+    * [[CandidateGen.bandPrefixSelf]]: length band (docs within `maxLenDiff`
+    * chars share a bucket or an adjacent one) ∧ rarest-token prefix match.
+    * The round-9 band-only shape ([[ngramJaccardPairsBandOnly]]) compared
+    * every same-band pair — bucket occupancy grows linearly with the
+    * corpus, so its candidate count grew quadratically (measured 23× at
+    * 10× data); the prefix conjunct bounds fan-out by prefix-token df and
+    * restores near-linear growth with identical output (the prefix filter
+    * is an exact superset and the jaccard verify is unchanged —
+    * DedupSpec pins band-only == band+prefix).
+    *
+    * The (id, len, hs, n) sketch is localCheckpoint'd once: it feeds gram
+    * df, prefix ranking, and both verify sides — shingling is the
+    * dominant map cost and would otherwise run 4×. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       lenCol: String, threshold: Double, shingleK: Int = 3,
+      bucketWidth: Int = 32, maxLenDiff: Int = 20): DataFrame = {
+    val sketch = df.select(col(idCol).as("id"),
+        col(lenCol).cast("long").as("len"),
+        hashedShingles(col(textCol), shingleK).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .localCheckpoint(true)
+    val cand = CandidateGen.bandPrefixSelf(sketch, threshold, bucketWidth,
+      maxLenDiff)
+    cand
+      .join(sketch.select(col("id").as("i"), col("n").as("n_i"),
+        col("hs").as("hs_i")), Seq("i"))
+      .join(sketch.select(col("id").as("j"), col("n").as("n_j"),
+        col("hs").as("hs_j")), Seq("j"))
+      .select(col("i"), col("j"),
+        hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** The pre-round-10 band-only construction, kept as the reference twin
+    * for DedupSpec's band-vs-prefix equality test (NOT a declared query
+    * path — its candidate count is quadratic in same-band occupancy). */
+  private[graft] def ngramJaccardPairsBandOnly(df: DataFrame, idCol: String,
+      textCol: String, lenCol: String, threshold: Double, shingleK: Int = 3,
       bucketWidth: Int = 32, maxLenDiff: Int = 20): DataFrame = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val t = df.select(col(idCol), col(lenCol),
@@ -125,6 +157,34 @@ object Dedup {
         probe("bkt") === build("bkt") && col("i") < col("j") &&
           abs(col("len_i") - col("len_j")) <= maxLenDiff)
       .select(col("i"), col("j"),
+        hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Asymmetric n-gram-Jaccard pairs between a small `build` set (a
+    * benchmark / blocklist, typically a few % of the corpus) and a large
+    * `probe` corpus — the DEcontamination shape. Same band + prefix
+    * candidate contract as [[ngramJaccardPairs]] but via
+    * [[CandidateGen.bandPrefixAcross]]: only the build side is indexed,
+    * the corpus probes it, and corpus×corpus pairs are never formed —
+    * at 10× data the symmetric route grew 21× while this one tracks true
+    * matches. Sides must be id-disjoint. Output:
+    * (probe_id, build_id, jac ≥ threshold). */
+  def ngramJaccardAcross(probe: DataFrame, build: DataFrame, idCol: String,
+      textCol: String, lenCol: String, threshold: Double, shingleK: Int = 3,
+      bucketWidth: Int = 32, maxLenDiff: Int = 20): DataFrame = {
+    def sk(d: DataFrame) = d.select(col(idCol).as("id"),
+        col(lenCol).cast("long").as("len"),
+        hashedShingles(col(textCol), shingleK).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .localCheckpoint(true)
+    val (ps, bs) = (sk(probe), sk(build))
+    CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth, maxLenDiff)
+      .join(ps.select(col("id").as("i"), col("n").as("n_i"),
+        col("hs").as("hs_i")), Seq("i"))
+      .join(maybeBroadcast(bs.select(col("id").as("j"), col("n").as("n_j"),
+        col("hs").as("hs_j"))), Seq("j"))
+      .select(col("i").as("probe_id"), col("j").as("build_id"),
         hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
       .filter(col("jac") >= threshold)
   }
@@ -290,12 +350,7 @@ object Dedup {
     val banded = base.select(col(idCol),
       posexplode(bandKeyArray(col("sig"), bands, r)).as(Seq("band_idx", "band_key")))
 
-    val cand = fanout(banded).as("a").join(banded.as("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_key") === col("b.band_key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("i"), col(s"b.$idCol").as("j"))
-      .distinct()
+    val cand = CandidateGen.lshBandSelf(banded, idCol)
 
     val shA = base.select(col(idCol).as("i"), col("n").as("n_i"), col("hs").as("hs_i"))
     val shB = base.select(col(idCol).as("j"), col("n").as("n_j"), col("hs").as("hs_j"))

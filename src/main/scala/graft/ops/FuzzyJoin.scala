@@ -230,11 +230,15 @@ object FuzzyJoin {
     val members = df.select(col(idCol).as("__pid"), blkExpr.as("__pblk"),
       col(strCol).as("__pstr"))
     // one group per distinct (block, string); min id is the group id.
-    // Persisted — the distinct-level pass and both expansions read it;
-    // caller or spark.catalog.clearCache() releases it, the same cache
-    // contract as bm25TopK's index persist
+    // Eager localCheckpoint, NOT persist: the distinct-level pass and
+    // both expansions read the materialized blocks, and the storage is
+    // freed by the ContextCleaner when the frame is GC'd — a persist()
+    // here was pinned in the CacheManager with no handle reaching the
+    // caller, so repeated fuzzy joins in a long session leaked cached
+    // groups (round-9 advice; FuzzyJoinSpec asserts the cache stays
+    // empty across a full call now)
     val groups = members.groupBy("__pblk", "__pstr")
-      .agg(min("__pid").as("__gid")).persist()
+      .agg(min("__pid").as("__gid")).localCheckpoint(true)
     val mem = members
       .join(groups, Seq("__pblk", "__pstr"))
       .select(col("__gid"), col("__pid"))
@@ -350,9 +354,9 @@ object FuzzyJoin {
     def front(df: DataFrame, idCol: String, strCol: String) = {
       val members = df.select(col(idCol).as("__pid"), blkExpr.as("__pblk"),
         col(strCol).as("__pstr"))
-      // same cache contract as the self-join front above
+      // same GC-managed materialization contract as the self-join front
       val groups = members.groupBy("__pblk", "__pstr")
-        .agg(min("__pid").as("__gid")).persist()
+        .agg(min("__pid").as("__gid")).localCheckpoint(true)
       val mem = members.join(groups, Seq("__pblk", "__pstr"))
         .select(col("__gid"), col("__pid"))
       (groups.select(col("__gid").as("gid"), col("__pblk").as("gblk"),

@@ -28,6 +28,49 @@ class DedupSpec extends AnyFunSuite {
     assert(exact.nonEmpty)
   }
 
+  test("band+prefix candidates lose no pair: ngramJaccardPairs == the " +
+      "band-only round-9 twin, jac values included") {
+    // round 10 added the rarest-token prefix conjunct inside the length
+    // band (band-only candidates grow quadratically with same-band
+    // occupancy — 23× at 10× data); the prefix filter is an exact
+    // superset under the AllPairs lemma, so the verified output must be
+    // IDENTICAL. Mutant docs widen the pair set beyond the injected dups
+    // (head-edit, tail-edit) so the equality isn't vacuous at jac≈0.99.
+    val mut = docs.filter($"doc_id" % 7 === 0).select(
+      ($"doc_id" + 2000000).as("doc_id"),
+      concat(lit("zq "), expr("substring(text, 4)")).as("text"),
+      $"n_chars")
+    val aug = docs.select("doc_id", "text", "n_chars")
+      .unionByName(mut.withColumn("n_chars", length($"text")))
+    val pfx = Dedup.ngramJaccardPairs(aug, "doc_id", "text", "n_chars", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val band = Dedup.ngramJaccardPairsBandOnly(aug, "doc_id", "text",
+        "n_chars", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(band.nonEmpty && band.exists(_._3 < 0.99))
+    assert(pfx == band, {
+      val miss = band -- pfx; val extra = pfx -- band
+      s"missed=${miss.take(5)} extra=${extra.take(5)} (${pfx.size} vs ${band.size})"
+    })
+  }
+
+  test("asymmetric ngramJaccardAcross == symmetric pairs filtered to the " +
+      "crossing — the dedup_cross_corpus rewrite") {
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val across = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
+        "n_chars", 0.5)
+      .select("build_id", "probe_id", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    val sym = Dedup.ngramJaccardPairsBandOnly(docs, "doc_id", "text",
+        "n_chars", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .collect { case (i, j, jac) if (i % 5 == 0) != (j % 5 == 0) =>
+        if (i % 5 == 0) (i, j, jac) else (j, i, jac) }.toSet
+    assert(sym.nonEmpty)
+    assert(across == sym, s"missed=${sym -- across} extra=${across -- sym}")
+  }
+
   test("normalized dedup groups case/whitespace/punct mutants; raw md5 misses them") {
     val mutants = docs.filter($"doc_id" % 3 === 0)
       .select(($"doc_id" + 1000000).as("doc_id"),

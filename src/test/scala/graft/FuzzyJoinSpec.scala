@@ -107,6 +107,53 @@ class FuzzyJoinSpec extends AnyFunSuite {
     })
   }
 
+  test("θ=0.5 CandidateGen route EQUALS the brute-force brand-blocked " +
+      "self-join — the f12_similarity_ratcliff rewrite loses no pair") {
+    // round 10 moved f12_similarity_ratcliff off its quadratic
+    // brand-blocked self-join (34× at 10× data) onto the same
+    // measured-Lmax PassJoin + distinct-front route as the θ=0.9 query;
+    // this pins the full (ids AND sim values) output equality at the
+    // permissive θ=0.5, where the radius degenerates to k ≈ Lmax and the
+    // distinct-string front is what carries the scaling
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val routed = graft.ops.CandidateGen.similaritySelfPairs(p, "p_partkey",
+        "p_name", theta = 0.5, blockCols = Seq("p_brand"))(
+        graft.expr.functions.similarity)
+      .select($"i", $"j",
+        graft.expr.functions.similarity($"str_i", $"str_j").as("sim"))
+      .as[(Long, Long, Double)].collect().toSet
+    val a = p.select($"p_partkey".as("k1"), $"p_name".as("n1"), $"p_brand".as("b1"))
+    val b = p.select($"p_partkey".as("k2"), $"p_name".as("n2"), $"p_brand".as("b2"))
+    val exact = a.join(b, $"b1" === $"b2" && $"k1" < $"k2")
+      .select($"k1", $"k2",
+        graft.expr.functions.similarity($"n1", $"n2").as("sim"))
+      .filter($"sim" >= 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(routed == exact, {
+      val miss = exact -- routed; val extra = routed -- exact
+      s"missed=${miss.take(5)} extra=${extra.take(5)} (${routed.size} vs ${exact.size})"
+    })
+  }
+
+  test("no cached blocks survive a distinct-front call (round-9 leak advice)") {
+    // the fronts used to persist() their groups frame with no handle
+    // reaching the caller — only a global clearCache() could free it.
+    // They localCheckpoint now (ContextCleaner frees the blocks on GC),
+    // so the CacheManager must stay empty across a full self- and
+    // cross-join call chain driven to completion.
+    spark.catalog.clearCache()
+    val p = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    FuzzyJoin.selfPairsExact(p, "p_partkey", "p_name", k = 2,
+      blockCols = Seq("p_brand"))((x, y) => levenshtein(x, y) <= 2).count()
+    val odd = p.filter($"p_partkey" % 2 === 1)
+    val even = p.filter($"p_partkey" % 2 === 0)
+    FuzzyJoin.pairsExact(odd, "p_partkey", "p_name", even, "p_partkey",
+      "p_name", k = 2)((x, y) => levenshtein(x, y) <= 2).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "distinct-front left entries in the CacheManager")
+  }
+
   test("PassJoin handles char edits that straddle token boundaries") {
     // exactly the miss class of the deletion-neighborhood keys
     val rows = Seq(
