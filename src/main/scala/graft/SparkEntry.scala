@@ -1124,13 +1124,18 @@ object SparkEntry {
     "t8_stream_enrich" -> { (s, dir) =>
       // stream ⋈ static dim (the everyday streaming join): stateless per
       // micro-batch, no watermark, no state store — union equals the
-      // batch join, which is the oracle
-      val name = s"graft_t8_enrich_${streamRuns.incrementAndGet()}"
+      // batch join, which is the oracle. Parquet sink, not memory: the
+      // memory sink collects every enriched row into the driver
+      // single-threaded (it was the whole super-linear term at 10×
+      // data, and a wall at corpus scale); the file sink writes
+      // executor-side and the result reads back as a plain scan.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_t8_enrich_" +
+        s"${ProcessHandle.current().pid()}_${streamRuns.incrementAndGet()}"
       val dim = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
-      val q = graft.streaming.EventsStream.runEnrichNow(s, dir, dim,
-        col("user_id") % 100, col("s_suppkey"), name)
+      val q = graft.streaming.EventsStream.runEnrichToParquet(s, dir, dim,
+        col("user_id") % 100, col("s_suppkey"), out)
       q.awaitTermination()
-      s.table(name).select(col("event_id"), col("user_id"),
+      s.read.parquet(s"$out/data").select(col("event_id"), col("user_id"),
         col("s_nationkey").cast("long").as("nation"))
     },
 

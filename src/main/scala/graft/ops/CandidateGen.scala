@@ -80,33 +80,91 @@ object CandidateGen {
       .reduce(_ unionAll _)
       .groupBy("g").agg(count(lit(1)).as("__df"))
 
+  /** Band-candidate budget for the measured strategy choice below: the
+    * prefix machinery (gram-df aggregate + per-doc rank window + a
+    * distinct over multi-token hits) costs a few fixed shuffles, which
+    * at MB scale outweighs just verifying every in-band pair — measured
+    * 2× on the sf0.1 bench. The crossover is where the verify kernel
+    * over the extra band-only candidates (an O(|hs|) sorted merge each)
+    * stops being cheaper than those fixed stages; 8M pairs ≈ a few
+    * seconds of verify on 32 cores, comfortably past it. Below the
+    * budget band-only is chosen (and is the FASTER exact plan, not a
+    * shortcut — both generators are exact supersets, so the choice can
+    * never change output, only cost). Overridable per call so specs can
+    * force either path (0 ⇒ always prefix, Long.MaxValue ⇒ always band).
+    * Measured bounds on the bench corpora: documents self-join 4.6M at
+    * sf0.1 (band-only, the cheap regime) vs 462M at 10× data (prefix —
+    * the band-only plan there measured 23×). */
+  val defaultBandOnlyMaxCandidates: Long = 8L * 1000 * 1000
+
+  /** Upper bound on band-only candidate pairs: every pair the 3-bucket
+    * probe join can emit lies in (b, b) or (b, b±1), so Σ_b n_b·(n_{b−1}
+    * + n_b + n_{b+1}) / 1 bounds it (each unordered pair counted ≤ 2×,
+    * we keep the over-count — a conservative gate only ever pays the
+    * prefix stages early). One tiny aggregate over the sketch. */
+  private def bandCandidateBound(sketch: DataFrame, bucketWidth: Int): Long = {
+    val occ = sketch.groupBy(floor(col("len") / bucketWidth).cast("long")
+        .as("b")).agg(count(lit(1)).as("n"))
+    val nb = col("n") * coalesce(col("n_prev"), lit(0L)) +
+      col("n") * col("n") + col("n") * coalesce(col("n_next"), lit(0L))
+    val w = Window.orderBy(col("b"))
+    occ.withColumn("n_prev", lag(col("n"), 1).over(w))
+      .withColumn("n_next", lead(col("n"), 1).over(w))
+      .agg(coalesce(sum(nb), lit(0L)).cast("long")).head().getLong(0)
+  }
+
   /** Exact candidates for {jaccard ≥ threshold ∧ |len_i − len_j| ≤
-    * maxLenDiff} over ONE corpus: equi-join on (length bucket, prefix
-    * token). The length band alone (the round-9 shape) bounds WHICH pairs
-    * are compared but not HOW MANY — same-bucket occupancy grows linearly
-    * with the corpus, so band-only candidates grow quadratically. The
-    * prefix conjunct caps fan-out by prefix-token document frequency
-    * (rarest-first), which is corpus-growth-stable for non-boilerplate
-    * text — the candidate count tracks TRUE pairs, not bucket sizes.
+    * maxLenDiff} over ONE corpus, strategy chosen by MEASURED bucket
+    * occupancy:
     *
+    *  - small in-band pair space (≤ [[bandOnlyMaxCandidates]], from
+    *    [[bandCandidateBound]]): plain length-band equi-join — every
+    *    in-band pair is a candidate, cheapest at bench scale;
+    *  - otherwise: (length bucket, prefix token) equi-join. The band
+    *    alone bounds WHICH pairs are compared but not HOW MANY —
+    *    same-bucket occupancy grows linearly with the corpus, so
+    *    band-only candidates grow quadratically (measured 23× at 10×
+    *    data). The rarest-first prefix conjunct (AllPairs lemma, see
+    *    [[prefixTokens]]) caps fan-out by prefix-token document
+    *    frequency, which tracks TRUE pairs, not bucket sizes.
+    *
+    * Both generators are exact supersets of the qualifying pairs, so the
+    * choice affects cost only, never output (DedupSpec pins equality).
     * Probe side explodes to 3 buckets so |len diff| ≤ maxLenDiff <
     * bucketWidth stays an equi hash join (no nested-loop range join);
-    * i < j keeps one orientation, distinct() collapses multi-token hits.
-    * Sketch contract as [[prefixTokens]]; returns (i, j). */
+    * i < j keeps one orientation. Sketch contract as [[prefixTokens]]
+    * (and it should be materialized by the caller — the occupancy gate
+    * and both join sides re-read it); returns (i, j). */
   def bandPrefixSelf(sketch: DataFrame, threshold: Double,
-      bucketWidth: Int, maxLenDiff: Int): DataFrame = {
+      bucketWidth: Int, maxLenDiff: Int,
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): DataFrame = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
-    val prefix = prefixTokens(sketch, threshold, gramDf(sketch))
     val bkt = floor(col("len") / bucketWidth).cast("long")
-    val probe = fanout(prefix
-        .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-      .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
-    val build = prefix.withColumn("bkt", bkt)
-      .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
-    probe.join(maybeBroadcast(build), Seq("bkt", "g"))
-      .filter(col("i") < col("j") &&
-        abs(col("len_i") - col("len_j")) <= maxLenDiff)
-      .select("i", "j").distinct()
+    if (bandCandidateBound(sketch, bucketWidth) <= bandOnlyMax) {
+      // each unordered in-band pair joins from exactly one orientation
+      // (the i<j side probing the other's home bucket), so the output
+      // is already distinct — no dedupe pass
+      val probe = fanout(sketch
+          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+        .select(col("bkt"), col("id").as("i"), col("len").as("len_i"))
+      val build = sketch.withColumn("bkt", bkt)
+        .select(col("bkt"), col("id").as("j"), col("len").as("len_j"))
+      probe.join(maybeBroadcast(build), Seq("bkt"))
+        .filter(col("i") < col("j") &&
+          abs(col("len_i") - col("len_j")) <= maxLenDiff)
+        .select("i", "j")
+    } else {
+      val prefix = prefixTokens(sketch, threshold, gramDf(sketch))
+      val probe = fanout(prefix
+          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
+      val build = prefix.withColumn("bkt", bkt)
+        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
+      probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+        .filter(col("i") < col("j") &&
+          abs(col("len_i") - col("len_j")) <= maxLenDiff)
+        .select("i", "j").distinct()
+    }
   }
 
   /** Two-corpus (probe × build) variant of [[bandPrefixSelf]] — the
@@ -119,20 +177,53 @@ object CandidateGen {
     * document frequency is computed over the union of both sides' grams.
     * Sides are assumed id-disjoint; returns (i = probe id, j = build id),
     * both orientations' qualifying pairs (no i < j constraint). */
+  /** Cross-side band-candidate bound: Σ_b probe_b · (build_{b−1} +
+    * build_b + build_{b+1}) — exactly the rows the 3-bucket cross join
+    * can emit. Same conservative-gate role as [[bandCandidateBound]]. */
+  private def bandCandidateBoundAcross(probeSketch: DataFrame,
+      buildSketch: DataFrame, bucketWidth: Int): Long = {
+    def occ(df: DataFrame, n: String) =
+      df.groupBy(floor(col("len") / bucketWidth).cast("long").as("b"))
+        .agg(count(lit(1)).as(n))
+    val b = occ(buildSketch, "nb")
+    val nearBuild = b.select((col("b") - 1).as("b"), col("nb"))
+      .unionAll(b)
+      .unionAll(b.select((col("b") + 1).as("b"), col("nb")))
+      .groupBy("b").agg(sum("nb").as("nb3"))
+    occ(probeSketch, "np").join(nearBuild, Seq("b"))
+      .agg(coalesce(sum(col("np") * col("nb3")), lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
+
   def bandPrefixAcross(probeSketch: DataFrame, buildSketch: DataFrame,
-      threshold: Double, bucketWidth: Int, maxLenDiff: Int): DataFrame = {
+      threshold: Double, bucketWidth: Int, maxLenDiff: Int,
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): DataFrame = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
-    val gdf = gramDf(probeSketch, buildSketch)
     val bkt = floor(col("len") / bucketWidth).cast("long")
-    val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
-        .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-      .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
-    val build = prefixTokens(buildSketch, threshold, gdf)
-      .withColumn("bkt", bkt)
-      .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
-    probe.join(maybeBroadcast(build), Seq("bkt", "g"))
-      .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
-      .select("i", "j").distinct()
+    if (bandCandidateBoundAcross(probeSketch, buildSketch, bucketWidth)
+        <= bandOnlyMax) {
+      // a probe row's 3 exploded buckets are distinct, so it meets each
+      // build row at most once — output already distinct
+      val probe = fanout(probeSketch
+          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+        .select(col("bkt"), col("id").as("i"), col("len").as("len_i"))
+      val build = buildSketch.withColumn("bkt", bkt)
+        .select(col("bkt"), col("id").as("j"), col("len").as("len_j"))
+      probe.join(maybeBroadcast(build), Seq("bkt"))
+        .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+        .select("i", "j")
+    } else {
+      val gdf = gramDf(probeSketch, buildSketch)
+      val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
+          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
+      val build = prefixTokens(buildSketch, threshold, gdf)
+        .withColumn("bkt", bkt)
+        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
+      probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+        .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+        .select("i", "j").distinct()
+    }
   }
 
   // ── LSH family ───────────────────────────────────────────────────────

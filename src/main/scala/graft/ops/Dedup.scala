@@ -118,14 +118,15 @@ object Dedup {
     * dominant map cost and would otherwise run 4×. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       lenCol: String, threshold: Double, shingleK: Int = 3,
-      bucketWidth: Int = 32, maxLenDiff: Int = 20): DataFrame = {
+      bucketWidth: Int = 32, maxLenDiff: Int = 20,
+      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates): DataFrame = {
     val sketch = df.select(col(idCol).as("id"),
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
       .localCheckpoint(true)
     val cand = CandidateGen.bandPrefixSelf(sketch, threshold, bucketWidth,
-      maxLenDiff)
+      maxLenDiff, bandOnlyMax)
     cand
       .join(sketch.select(col("id").as("i"), col("n").as("n_i"),
         col("hs").as("hs_i")), Seq("i"))
@@ -172,14 +173,16 @@ object Dedup {
     * (probe_id, build_id, jac ≥ threshold). */
   def ngramJaccardAcross(probe: DataFrame, build: DataFrame, idCol: String,
       textCol: String, lenCol: String, threshold: Double, shingleK: Int = 3,
-      bucketWidth: Int = 32, maxLenDiff: Int = 20): DataFrame = {
+      bucketWidth: Int = 32, maxLenDiff: Int = 20,
+      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates): DataFrame = {
     def sk(d: DataFrame) = d.select(col(idCol).as("id"),
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
       .localCheckpoint(true)
     val (ps, bs) = (sk(probe), sk(build))
-    CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth, maxLenDiff)
+    CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth, maxLenDiff,
+      bandOnlyMax)
       .join(ps.select(col("id").as("i"), col("n").as("n_i"),
         col("hs").as("hs_i")), Seq("i"))
       .join(maybeBroadcast(bs.select(col("id").as("j"), col("n").as("n_j"),

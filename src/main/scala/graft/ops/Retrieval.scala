@@ -195,9 +195,18 @@ object Retrieval {
         ScaleHints.maybeBroadcast(qTermIdf(index, queries, qidCol, qtextCol)),
         Seq("term"))
       .withColumn("c_micro", bm25Contrib(k1, b))
-      .groupBy("qid", "doc_id", "dl")
+      // group by (qid, doc_id) ONLY and derive dl inside the aggregate:
+      // grouping by dl too silently relied on dl being functionally
+      // dependent on doc_id — a hand-built or inconsistently merged
+      // index with two dl values for one doc would split that doc into
+      // multiple scored rows and diverge from the composed rrfFuse form
+      // without any error (round-9 advice). max() keeps the composed
+      // byte-identity on consistent indexes and picks a deterministic
+      // representative on broken ones.
+      .groupBy("qid", "doc_id")
       .agg(sum(col("c_micro")).cast("long").as("score_micro"),
-        count(lit(1)).as("n_hit"))
+        count(lit(1)).as("n_hit"),
+        max(col("dl")).as("dl"))
     val wB = Window.partitionBy("qid")
       .orderBy(col("score_micro").desc, col("doc_id").asc)
     val wC = Window.partitionBy("qid")
@@ -228,8 +237,10 @@ object Retrieval {
     val qTerms = queries.select(col(qidCol).as("qid"),
       explode(array_distinct(toks(col(qtextCol)))).as("term"))
     val hits = index.join(ScaleHints.maybeBroadcast(qTerms), Seq("term"))
-      .groupBy("qid", "doc_id", "dl")
-      .agg(count(lit(1)).as("n_hit"))
+      // (qid, doc_id) grouping with dl derived — same robustness note as
+      // hybridRrfTopK: never split a doc on an inconsistent dl
+      .groupBy("qid", "doc_id")
+      .agg(count(lit(1)).as("n_hit"), max(col("dl")).as("dl"))
     val w = Window.partitionBy("qid")
       .orderBy(col("n_hit").desc, col("dl").asc, col("doc_id").asc)
     hits.withColumn("rank", row_number().over(w))

@@ -76,7 +76,15 @@ object Xlsx {
     * float drift), double columns numeric cells, date columns numeric
     * serials (days since [[excelEpoch]]) carrying the built-in date
     * number format (numFmtId 14), everything else inline strings. Null
-    * cells are written as empty strings. */
+    * cells are written as empty strings.
+    *
+    * 15-digit caveat: integral values beyond 2⁵³ round-trip exactly
+    * through THIS reader and through openpyxl (both parse the literal
+    * digits), but Excel itself clamps numeric cells to 15 significant
+    * digits on open and will corrupt such ids if a human re-saves the
+    * workbook. Ids that must survive an Excel edit cycle belong in a
+    * string column (the reference's master keeps its ids as text for
+    * the same reason). */
   def writeMaster(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
     import org.apache.spark.sql.types._
     val cols = df.columns

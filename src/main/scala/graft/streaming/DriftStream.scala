@@ -56,12 +56,18 @@ object DriftStream {
       maxStateRows: Long = 1000000L): DataFrame = {
     import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.functions.sum
-    var master: Option[DataFrame] = None
+    // AtomicReference, not a plain var: foreachBatch runs on the
+    // micro-batch thread and the caller reads the final master on its
+    // own thread after awaitTermination — the atomic publish makes that
+    // hand-off JMM-safe instead of relying on the stream's internal
+    // synchronization (round-9 advice)
+    val master = new java.util.concurrent.atomic.AtomicReference[Option[DataFrame]](None)
     val q: StreamingQuery = stream.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prev = master.get()
         val s = graft.ops.Profile
           .histQuantileSketch(batch, groupCol, metricCol, binWidth)
-        val merged = master.fold(s)(m => m.unionByName(s)
+        val merged = prev.fold(s)(m => m.unionByName(s)
           .groupBy(groupCol, "bin").agg(sum("cnt").as("cnt")))
         val mat = merged.localCheckpoint(true)
         val n = mat.count()
@@ -69,16 +75,22 @@ object DriftStream {
           throw new IllegalStateException(
             s"drift sketch state ($n rows) exceeds maxStateRows=" +
               s"$maxStateRows — raise binWidth or coarsen '$groupCol'")
-        master.foreach(_.queryExecution.optimizedPlan.collect {
+        // free the superseded snapshot's blocks. This pattern-matches the
+        // internal LogicalRDD node a localCheckpoint leaves as the plan
+        // leaf; if a Spark upgrade changes that shape the collect simply
+        // matches nothing and the superseded state LEAKS until the
+        // session ends — a deliberate degradation, never a skipped batch
+        // or a wrong merge
+        prev.foreach(_.queryExecution.optimizedPlan.collect {
           case lr: LogicalRDD => lr.rdd.unpersist(false)
         })
-        master = Some(mat)
+        master.set(Some(mat))
         ()
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    master.getOrElse(
+    master.get().getOrElse(
       // no batches: a correctly-typed empty sketch via the same builder
       graft.ops.Profile.histQuantileSketch(
         spark.createDataFrame(

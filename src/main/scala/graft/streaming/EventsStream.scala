@@ -155,6 +155,28 @@ object EventsStream {
         .start()
     }
 
+  /** Dim-enrichment into a PARQUET sink — the scale shape: the memory
+    * sink above collects every enriched row into the DRIVER (fine for
+    * MB-scale demos, a single-threaded wall at corpus scale — it was the
+    * whole super-linear term in the 10× bench), while the file sink
+    * writes micro-batches executor-side in parallel and commits them via
+    * the sink log. Read the result back with `spark.read.parquet(out)`.
+    * `out` must be fresh per run (the sink log pins batch ids). */
+  def runEnrichToParquet(spark: SparkSession, dir: String, dim: DataFrame,
+      eventKey: org.apache.spark.sql.Column,
+      dimKey: org.apache.spark.sql.Column, out: String,
+      statePartitions: Int = 8): StreamingQuery =
+    withShufflePartitions(spark, statePartitions) {
+      enrichWithDim(readEvents(spark, dir), dim, eventKey, dimKey)
+        .writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+
   /** Session conf is shared state: serialize concurrent runners on the
     * context so interleaved set/restore cannot leave the session pinned
     * at the temporary value. (StreamExecution clones the session inside

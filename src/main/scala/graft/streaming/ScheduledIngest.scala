@@ -212,14 +212,22 @@ object ScheduledIngest {
       minCells: Int = 3,
       masterXlsxPath: Option[String] = None,
       onTick: Tick => Unit = _ => ()): StreamingQuery = {
-    // discovery stream: the text source tracks which page files are new
+    // discovery stream: a file source tracks which page files are new
     // (checkpointed file index); the tick re-reads those files through
-    // the DSv2 source, which owns parsing + pushdown
+    // the DSv2 source, which owns parsing + pushdown. binaryFile with a
+    // path-only projection, NOT a wholetext text source: the text
+    // source materialized every page's full contents just to extract
+    // input_file_name, so each page's bytes were read twice per tick
+    // (round-9 advice) — binaryFile prunes `content` when only `path`
+    // is selected, making discovery a pure listing pass
     val watcher = spark.readStream
+      .format("binaryFile")
+      // streaming file sources demand an explicit schema; this is
+      // binaryFile's one fixed schema (the format rejects any other)
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
       .option("pathGlobFilter", "*.html")
-      .option("wholetext", "true")
-      .text(incomingHtmlDir)
-      .select(input_file_name().as("file"))
+      .load(incomingHtmlDir)
+      .select(col("path").as("file"))
     watcher.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)

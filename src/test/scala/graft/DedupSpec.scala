@@ -42,7 +42,13 @@ class DedupSpec extends AnyFunSuite {
       $"n_chars")
     val aug = docs.select("doc_id", "text", "n_chars")
       .unionByName(mut.withColumn("n_chars", length($"text")))
-    val pfx = Dedup.ngramJaccardPairs(aug, "doc_id", "text", "n_chars", 0.5)
+    // bandOnlyMax = 0 FORCES the prefix generator (the measured gate
+    // would choose band-only on a corpus this small); the default-gate
+    // call additionally pins that the gate itself changes nothing
+    val pfx = Dedup.ngramJaccardPairs(aug, "doc_id", "text", "n_chars", 0.5,
+        bandOnlyMax = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    val gated = Dedup.ngramJaccardPairs(aug, "doc_id", "text", "n_chars", 0.5)
       .as[(Long, Long, Double)].collect().toSet
     val band = Dedup.ngramJaccardPairsBandOnly(aug, "doc_id", "text",
         "n_chars", 0.5)
@@ -52,16 +58,24 @@ class DedupSpec extends AnyFunSuite {
       val miss = band -- pfx; val extra = pfx -- band
       s"missed=${miss.take(5)} extra=${extra.take(5)} (${pfx.size} vs ${band.size})"
     })
+    assert(gated == band)
   }
 
   test("asymmetric ngramJaccardAcross == symmetric pairs filtered to the " +
       "crossing — the dedup_cross_corpus rewrite") {
     val bench = docs.filter($"doc_id" % 5 === 0)
     val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    // forced-prefix path (bandOnlyMax = 0) — the gate would pick
+    // band-only at this size; the gated default is pinned equal below
     val across = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
-        "n_chars", 0.5)
+        "n_chars", 0.5, bandOnlyMax = 0L)
       .select("build_id", "probe_id", "jac")
       .as[(Long, Long, Double)].collect().toSet
+    val acrossGated = Dedup.ngramJaccardAcross(corpus, bench, "doc_id",
+        "text", "n_chars", 0.5)
+      .select("build_id", "probe_id", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(acrossGated == across)
     val sym = Dedup.ngramJaccardPairsBandOnly(docs, "doc_id", "text",
         "n_chars", 0.5)
       .as[(Long, Long, Double)].collect()
