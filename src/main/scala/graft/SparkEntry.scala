@@ -415,20 +415,22 @@ object SparkEntry {
 
     "j3_fuzzy_match_lev" -> { (s, dir) =>
       // fuzzy-join shape with the oracle-checkable levenshtein band
-      // (exact difflib similarity is pinned in SimilaritySpec); blocked on
-      // p_brand so candidate pairs stay ~|block|² not |part|².
-      val p = t(s, dir, "part")
-      // quadratic pair join from a tiny scan: fan the probe side out so the
-      // per-pair distance work parallelizes (single small file = 1 partition)
-      val a = p.select(col("p_partkey").as("k1"), col("p_name").as("name1"),
-        col("p_brand").as("b1"))
-        .repartition(s.sparkContext.defaultParallelism * 2)
-      val b = p.select(col("p_partkey").as("k2"), col("p_name").as("name2"),
-        col("p_brand").as("b2"))
-      a.join(b, col("b1") === col("b2") && col("k1") < col("k2") &&
-          levenshtein(col("name1"), col("name2")) <= 4)
-        .select(col("k1"), col("k2"), col("name1"), col("name2"),
-          levenshtein(col("name1"), col("name2")).as("dist"))
+      // (exact difflib similarity is pinned in SimilaritySpec). PassJoin
+      // (k = 4) + the distinct-string front: the brand-blocked raw
+      // self-join evaluated lev on every in-brand row pair — fixed brand
+      // cardinality means block occupancy grows linearly with the corpus
+      // and evaluated pairs quadratically (measured 33× at 10× data).
+      // The front runs lev at distinct-(brand, name) granularity
+      // (vocabulary-sized); the id-level expansion is output-driven —
+      // the qualifying pair set itself is what grows quadratically here
+      // (1.08M pairs at sf0.1 → 108M at 10×, duplication-heavy names).
+      FuzzyJoin.selfPairsExact(t(s, dir, "part"), "p_partkey", "p_name",
+          k = 4, blockCols = Seq("p_brand")) { (a, b) =>
+          levenshtein(a, b) <= 4
+        }
+        .select(col("i").as("k1"), col("j").as("k2"),
+          col("str_i").as("name1"), col("str_j").as("name2"),
+          levenshtein(col("str_i"), col("str_j")).as("dist"))
     },
 
     "tpch_q3_shaped" -> { (s, dir) =>
