@@ -309,6 +309,33 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 3L)) && brute.nonEmpty) // the exact dup pair
   }
 
+  test("prefixJaccardPairs equals brute force on a low-entropy fuzz corpus") {
+    // the adversarial regime for the length + positional candidate
+    // filters: a 6-token vocabulary makes every trigram high-df, so any
+    // recall bug in the filters (not just fewer candidates) would
+    // surface as a missing pair here
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val texts = (1L to 60L).map { id =>
+      id -> Vector.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }
+    val got = Dedup.prefixJaccardPairs(texts.toDF("doc_id", "text"),
+        "doc_id", "text", 1L, 2L)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val sets = texts.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    }
+    val brute = (for {
+      (i, si) <- sets; (j, sj) <- sets if i < j
+      jac = si.intersect(sj).size.toDouble / si.union(sj).size
+      if jac >= 0.5
+    } yield (i, j)).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty) // the corpus must actually exercise the join
+  }
+
   test("containmentPairs catches a quote that symmetric Jaccard misses") {
     import graft.ops.Dedup
     val long = (('a' to 't').map(_.toString)).mkString(" ") // 18 shingles
