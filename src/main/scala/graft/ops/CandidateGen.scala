@@ -62,8 +62,9 @@ object CandidateGen {
     * recall contract; ⌊⌋ only ever widens the candidate superset.
     *
     * Input sketch contract: columns (id, len, n, hs) with `hs` the
-    * distinct hashed-shingle array and n = size(hs). Output: (id, len, g)
-    * — one row per prefix token. */
+    * distinct hashed-shingle array and n = size(hs). Output:
+    * (id, len, n, g, __r) — one row per prefix token, with the token's
+    * rank for the positional filter below. */
   private def prefixTokens(sketch: DataFrame, threshold: Double,
       gdf: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("__df").asc, col("g").asc)
@@ -72,7 +73,27 @@ object CandidateGen {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <=
         col("n") - floor(lit(threshold) * col("n")).cast("int") + 1)
-      .select("id", "len", "g")
+      .select("id", "len", "n", "g", "__r")
+  }
+
+  /** The AllPairs size-ratio + PPJoin positional candidate filters as one
+    * conjunct over a prefix-token join row (see Dedup.prefixJaccardPairs
+    * for the integer-threshold derivation; here the threshold is a
+    * double, so both comparisons carry an epsilon of slack — slack only
+    * ever ADMITS a boundary candidate, and the caller's exact verify
+    * rejects it):
+    *  - size ratio: jac ≥ t ⇒ t·max(n_i,n_j) ≤ min(n_i,n_j);
+    *  - positional: for the smallest shared prefix token (rank r each
+    *    side) every shared token orders ≥ it, so
+    *    inter ≤ 1 + min(n_i−r_i, n_j−r_j), and jac ≥ t ⟺
+    *    inter·(1+t) ≥ t·(n_i+n_j). The minimal-token row of a true pair
+    *    always passes, and one surviving row keeps the pair. */
+  private def sizePositionalFilter(threshold: Double): Column = {
+    val eps = 1e-7
+    lit(threshold) * col("n_i") <= col("n_j") + eps &&
+      lit(threshold) * col("n_j") <= col("n_i") + eps &&
+      (lit(1) + least(col("n_i") - col("r_i"), col("n_j") - col("r_j"))) *
+        lit(1.0 + threshold) >= lit(threshold) * (col("n_i") + col("n_j")) - eps
   }
 
   private def gramDf(sketches: DataFrame*): DataFrame =
@@ -157,12 +178,15 @@ object CandidateGen {
       val prefix = prefixTokens(sketch, threshold, gramDf(sketch))
       val probe = fanout(prefix
           .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
+        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
+          col("n").as("n_i"), col("__r").as("r_i"))
       val build = prefix.withColumn("bkt", bkt)
-        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
+        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
+          col("n").as("n_j"), col("__r").as("r_j"))
       probe.join(maybeBroadcast(build), Seq("bkt", "g"))
         .filter(col("i") < col("j") &&
-          abs(col("len_i") - col("len_j")) <= maxLenDiff)
+          abs(col("len_i") - col("len_j")) <= maxLenDiff &&
+          sizePositionalFilter(threshold))
         .select("i", "j").distinct()
     }
   }
@@ -216,12 +240,15 @@ object CandidateGen {
       val gdf = gramDf(probeSketch, buildSketch)
       val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
           .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"))
+        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
+          col("n").as("n_i"), col("__r").as("r_i"))
       val build = prefixTokens(buildSketch, threshold, gdf)
         .withColumn("bkt", bkt)
-        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"))
+        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
+          col("n").as("n_j"), col("__r").as("r_j"))
       probe.join(maybeBroadcast(build), Seq("bkt", "g"))
-        .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+        .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
+          sizePositionalFilter(threshold))
         .select("i", "j").distinct()
     }
   }
