@@ -27,6 +27,28 @@ object SparkEntry {
     * session (a name can be reused only after the prior query stops). */
   private val streamRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** A genuinely fresh per-run scratch directory under java.io.tmpdir for
+    * the streaming-sink queries. A pid+counter NAME is not fresh: after
+    * pid recycling a new JVM can land on an old run's directory, and a
+    * streaming sink's commit log in a stale directory either fails on
+    * source mismatch or — same source dir — commits nothing and the
+    * read-back silently returns the PREVIOUS run's files.
+    * Files.createTempDirectory guarantees uniqueness, and the shutdown
+    * hook deletes the tree so repeated Bench/Verify invocations don't
+    * accumulate run outputs on a long-lived host. (The batch round-trip
+    * queries keep deterministic pid paths on purpose — their writers are
+    * overwrite-mode and reruns within one JVM reuse the path.) */
+  private def freshRunDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -1131,8 +1153,7 @@ object SparkEntry {
       // single-threaded (it was the whole super-linear term at 10×
       // data, and a wall at corpus scale); the file sink writes
       // executor-side and the result reads back as a plain scan.
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_t8_enrich_" +
-        s"${ProcessHandle.current().pid()}_${streamRuns.incrementAndGet()}"
+      val out = freshRunDir("graft_t8_enrich_")
       val dim = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
       val q = graft.streaming.EventsStream.runEnrichToParquet(s, dir, dim,
         col("user_id") % 100, col("s_suppkey"), out)
@@ -1147,8 +1168,7 @@ object SparkEntry {
       // MERGE INTO shape over plain parquet). Final snapshot = latest
       // event per user by (ts, event_id) — arrival-order-independent,
       // so the batch argmax is the oracle.
-      val root = s"${System.getProperty("java.io.tmpdir")}/graft_t9_upsert_" +
-        s"${ProcessHandle.current().pid()}_${streamRuns.incrementAndGet()}"
+      val root = freshRunDir("graft_t9_upsert_")
       val run = graft.streaming.UpsertStream.runUpsertNow(s, dir, root)
       run.query.awaitTermination()
       run.snapshot().select(col("user_id"), col("ts").as("last_ts"),

@@ -33,10 +33,12 @@ object CandidateGen {
 
   import ScaleHints.{fanout, maybeBroadcast}
 
-  /** Measured corpus stats for strategy choice: one aggregate scan.
-    * `dupFactor` ≳ 2 says a distinct-string front pays for itself
-    * (candidate work divides by dupFactor², see FuzzyJoin.selfPairsExact);
-    * `maxLen` bounds the PassJoin radius for similarity thresholds. */
+  /** Measured corpus stats, one aggregate scan. `maxLen` bounds the
+    * PassJoin radius in [[similaritySelfPairs]]; `dupFactor` is
+    * diagnostic — it quantifies how much the distinct-string front
+    * inside FuzzyJoin.selfPairsExact divides the candidate work
+    * (by dupFactor², and the front is ~free when it is 1, so the front
+    * is applied unconditionally rather than gated on it). */
   final case class StringStats(rows: Long, approxDistinct: Long, maxLen: Int) {
     def dupFactor: Double =
       if (approxDistinct == 0) 1.0 else rows.toDouble / approxDistinct
@@ -253,6 +255,41 @@ object CandidateGen {
     }
   }
 
+  /** Unbanded exact prefix-filter candidates at jaccard ≥ tNum/tDen —
+    * the RATIONAL-threshold route (Dedup.prefixJaccardPairs and friends;
+    * the banded [[bandPrefixSelf]]/[[bandPrefixAcross]] carry a double
+    * threshold because their callers do). Pure integer arithmetic: the
+    * prefix keeps n − ⌈tNum·n/tDen⌉ + 1 rarest-first tokens, and the
+    * candidate join applies the same AllPairs size-ratio and PPJoin
+    * positional filters as [[sizePositionalFilter]] in exact integer
+    * form (tNum·max(n_i,n_j) ≤ tDen·min(n_i,n_j);
+    * (1 + min(n_i−r_i, n_j−r_j))·(tDen+tNum) ≥ tNum·(n_i+n_j) — see the
+    * recall proof on Dedup.prefixJaccardPairs). Sketch contract:
+    * (id, n, hs) with hs the distinct hashed-token array, n = size(hs),
+    * n > 0; the caller should materialize it (both join sides and the
+    * df aggregate re-read it). Returns (i, j), i < j, distinct. */
+  def prefixSelf(sketch: DataFrame, tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "need 0 < tNum/tDen <= 1")
+    val grams = sketch.select(col("id"), col("n"), explode(col("hs")).as("g"))
+    val gdf = grams.groupBy("g").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("id").orderBy(col("__df").asc, col("g").asc)
+    val prefix = grams.join(maybeBroadcast(gdf), Seq("g"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <=
+        col("n") - expr(s"(${tNum}L * n + ${tDen}L - 1L) div ${tDen}L") + 1)
+      .select("g", "id", "n", "__r")
+    prefix.select(col("g"), col("id").as("i"),
+        col("n").as("n_i"), col("__r").as("r_i"))
+      .join(prefix.select(col("g"), col("id").as("j"),
+        col("n").as("n_j"), col("__r").as("r_j")), Seq("g"))
+      .filter(col("i") < col("j") &&
+        lit(tNum) * col("n_i") <= lit(tDen) * col("n_j") &&
+        lit(tNum) * col("n_j") <= lit(tDen) * col("n_i") &&
+        (lit(1) + least(col("n_i") - col("r_i"), col("n_j") - col("r_j"))) *
+          lit(tDen + tNum) >= lit(tNum) * (col("n_i") + col("n_j")))
+      .select("i", "j").distinct()
+  }
+
   // ── LSH family ───────────────────────────────────────────────────────
 
   /** Band-bucket self-join candidates from pre-banded MinHash rows
@@ -287,9 +324,7 @@ object CandidateGen {
   def similaritySelfPairs(df: DataFrame, idCol: String, strCol: String,
       theta: Double, blockCols: Seq[String] = Nil)
       (sim: (Column, Column) => Column): DataFrame = {
-    val lmaxRow = df.agg(coalesce(max(length(col(strCol))), lit(0)).cast("int"))
-      .head()
-    val k = math.ceil((1.0 - theta) * 2 * lmaxRow.getInt(0)).toInt
+    val k = math.ceil((1.0 - theta) * 2 * measure(df, strCol).maxLen).toInt
     FuzzyJoin.selfPairsExact(df, idCol, strCol, k, blockCols) { (a, b) =>
       (lit(2) * least(length(a), length(b)) >=
         lit(theta) * (length(a) + length(b))) && sim(a, b) >= theta

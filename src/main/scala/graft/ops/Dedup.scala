@@ -120,10 +120,16 @@ object Dedup {
       lenCol: String, threshold: Double, shingleK: Int = 3,
       bucketWidth: Int = 32, maxLenDiff: Int = 20,
       bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates): DataFrame = {
+    // n > 0: a text shorter than shingleK tokens has NO shingles — its
+    // jaccard against anything (NaN = 0/0 for two empty sets, and Spark
+    // SQL orders NaN above every number, so `NaN >= t` would PASS) is
+    // undefined, and the prefix generator would drop it while the
+    // band-only one kept it, letting the occupancy gate change output
     val sketch = df.select(col(idCol).as("id"),
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
       .localCheckpoint(true)
     val cand = CandidateGen.bandPrefixSelf(sketch, threshold, bucketWidth,
       maxLenDiff, bandOnlyMax)
@@ -147,6 +153,7 @@ object Dedup {
     val t = df.select(col(idCol), col(lenCol),
       hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0) // mirror ngramJaccardPairs: no NaN-jac pairs
     val bkt = floor(col(lenCol) / bucketWidth).cast("long")
     val probe = fanout(t.withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
       .select(col("bkt"), col(idCol).as("i"), col(lenCol).as("len_i"),
@@ -179,6 +186,7 @@ object Dedup {
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0) // see ngramJaccardPairs: no NaN-jac pairs
       .localCheckpoint(true)
     val (ps, bs) = (sk(probe), sk(build))
     CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth, maxLenDiff,
@@ -209,10 +217,11 @@ object Dedup {
     * difference. Threshold is a rational (tNum/tDen): prefix length and
     * the verify compare are pure integer arithmetic.
     *
-    * Shape: shingle once (checkpointed), df join (size-gated broadcast),
-    * one per-doc window for ranks (partitions are shingle-set-sized),
-    * prefix self-join on the token (fan-out bounded by prefix df),
-    * sorted-merge intersect kernel for the verify.
+    * Shape: shingle once (checkpointed), then candidates from
+    * [[CandidateGen.prefixSelf]] (df join with size-gated broadcast, one
+    * per-doc window for ranks, prefix self-join on the token with
+    * fan-out bounded by prefix df), sorted-merge intersect kernel for
+    * the verify.
     *
     * Two further EXACT candidate filters ride the self-join (both from
     * the AllPairs/PPJoin papers; each keeps a strict superset of the
@@ -243,25 +252,8 @@ object Dedup {
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
       .localCheckpoint(true)
-    val grams = base.select(col("id"), col("n"), explode(col("hs")).as("g"))
-    val gdf = grams.groupBy("g").agg(count(lit(1)).as("__df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("__df").asc, col("g").asc)
-    val prefix = grams.join(maybeBroadcast(gdf), Seq("g"))
-      .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <=
-        col("n") - expr(s"(${tNum}L * n + ${tDen}L - 1L) div ${tDen}L") + 1)
-      .select("g", "id", "n", "__r")
-    val cands = prefix.select(col("g"), col("id").as("i"),
-        col("n").as("n_i"), col("__r").as("r_i"))
-      .join(prefix.select(col("g"), col("id").as("j"),
-        col("n").as("n_j"), col("__r").as("r_j")), Seq("g"))
-      .filter(col("i") < col("j") &&
-        lit(tNum) * col("n_i") <= lit(tDen) * col("n_j") &&
-        lit(tNum) * col("n_j") <= lit(tDen) * col("n_i") &&
-        (lit(1) + least(col("n_i") - col("r_i"), col("n_j") - col("r_j"))) *
-          lit(tDen + tNum) >= lit(tNum) * (col("n_i") + col("n_j")))
-      .select("i", "j").distinct()
+    val cands = CandidateGen.prefixSelf(base.select("id", "n", "hs"),
+      tNum, tDen)
     cands
       .join(base.select(col("id").as("i"), col("hs").as("hs_i"),
         col("n").as("n_i")), Seq("i"))

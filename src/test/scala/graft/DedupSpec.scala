@@ -61,6 +61,31 @@ class DedupSpec extends AnyFunSuite {
     assert(gated == band)
   }
 
+  test("shingle-less docs (< k tokens) pair with nothing on every route") {
+    // two one-word docs have empty shingle sets; 0/0 jaccard is NaN and
+    // Spark orders NaN ABOVE every number, so an unguarded band-only
+    // join would emit the pair (jac >= t passes on NaN) while the
+    // prefix route dropped it — the occupancy gate must never change
+    // output, so both routes exclude empty sketches up front
+    val aug = docs.select("doc_id", "text", "n_chars").unionByName(
+      Seq((9000001L, "stub", 4L), (9000002L, "stub", 4L))
+        .toDF("doc_id", "text", "n_chars"))
+    for (pairs <- Seq(
+        Dedup.ngramJaccardPairs(aug, "doc_id", "text", "n_chars", 0.5,
+          bandOnlyMax = Long.MaxValue),           // forced band-only
+        Dedup.ngramJaccardPairs(aug, "doc_id", "text", "n_chars", 0.5,
+          bandOnlyMax = 0L),                      // forced prefix
+        Dedup.ngramJaccardPairsBandOnly(aug, "doc_id", "text", "n_chars",
+          0.5))) {
+      val hit = pairs.filter($"i" >= 9000000L || $"j" >= 9000000L)
+      assert(hit.count() == 0L)
+    }
+    val across = Dedup.ngramJaccardAcross(
+      aug.filter($"doc_id" =!= 9000002L), aug.filter($"doc_id" === 9000002L),
+      "doc_id", "text", "n_chars", 0.5)
+    assert(across.count() == 0L)
+  }
+
   test("asymmetric ngramJaccardAcross == symmetric pairs filtered to the " +
       "crossing — the dedup_cross_corpus rewrite") {
     val bench = docs.filter($"doc_id" % 5 === 0)

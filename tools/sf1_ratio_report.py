@@ -72,9 +72,12 @@ def main():
     if missing:
         sys.exit(f"query sets differ between runs: {missing}")
 
-    ratios = {q: round(q1[q] / q01[q], 2) if q01[q] > 0 else None
-              for q in sorted(q1)}
-    over = {q: r for q, r in ratios.items() if r is not None and r > RATIO_LIMIT}
+    # a 0.0 sf0.1 entry is a sub-millisecond rounding artifact, not a
+    # free pass on the contract: floor the denominator at 50 ms so a
+    # query that is ~free at sf0.1 but expensive at sf1 still produces
+    # a finite, gated ratio instead of None slipping past `over`
+    ratios = {q: round(q1[q] / max(q01[q], 0.05), 2) for q in sorted(q1)}
+    over = {q: r for q, r in ratios.items() if r > RATIO_LIMIT}
     unexplained = sorted(set(over) - set(EXPLANATIONS_OVER_15X))
     if unexplained:
         for q in unexplained:
@@ -94,7 +97,7 @@ def main():
         "total_sec_sf01": round(sum(q01.values()), 3),
         "queries": {q: q1[q] for q in sorted(q1)},
         "ratios": ratios,
-        "max_ratio": max(r for r in ratios.values() if r is not None),
+        "max_ratio": max(ratios.values(), default=None),
         "ratio_limit": RATIO_LIMIT,
         "explanations_over_15x": {
             q: {"ratio": over[q], "explanation": EXPLANATIONS_OVER_15X[q]}
