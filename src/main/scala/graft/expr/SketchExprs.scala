@@ -38,6 +38,40 @@ object SketchRuntime {
   private val deflateBuf =
     ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](32 * 1024))
 
+  // MessageDigest carries internal buffers — one per thread, reset per row
+  private val md5s = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** 12-bit md5-prefix buckets of every whitespace unigram and adjacent
+    * bigram of the SPACE-trimmed text, in one JVM pass. Bit-exact with
+    * the SQL formulation the DSIR oracle replays —
+    * `substring(md5(tok), 1, 3)` over
+    * `concat(toks, zip_with(toks[:-1], toks[1:], (a,b) -> a || ' ' || b))`
+    * with `toks = split(trim(text), '\\s+')` — under the int↔3-hex-char
+    * bijection (first 12 bits of the digest = first 3 hex chars):
+    * UTF8String.trim() strips 0x20 only, exactly like Spark's `trim`,
+    * and Pattern.split(s, -1) keeps the leading "" token Spark's `split`
+    * keeps (so "" and "\ta" bucket identically to the SQL form). The HOF
+    * spelling interprets its lambdas per element (CodegenFallback) and
+    * was the dominant term of the DSIR queries at 10× bench data. */
+  def md5NgramBuckets(t: UTF8String): GenericArrayData = {
+    val toks = wsPattern.split(t.trim().toString, -1)
+    val md = md5s.get()
+    def bkt(s: String): Int = {
+      md.reset()
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)
+    }
+    val n = toks.length
+    val out = new Array[Int](math.max(2 * n - 1, 0))
+    var i = 0
+    while (i < n) { out(i) = bkt(toks(i)); i += 1 }
+    i = 0
+    while (i < n - 1) { out(n + i) = bkt(toks(i) + " " + toks(i + 1)); i += 1 }
+    new GenericArrayData(out)
+  }
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
   def deflateLen(t: UTF8String): Long = {
     val in = t.getBytes
     val d = deflaters.get()
@@ -75,6 +109,18 @@ case class HashedShinglesExpr(child: Expression, shingleK: Int = 3)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
       t => s"graft.expr.SketchRuntime.hashedShingles($t, $shingleK)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `md5_ngram_buckets(text)` → array<int> of 12-bit md5-prefix buckets
+  * over unigrams + adjacent bigrams (the DSIR feature stream — see
+  * [[SketchRuntime.md5NgramBuckets]] for the exact-parity contract). */
+case class Md5NgramBucketsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.md5NgramBuckets(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.md5NgramBuckets($t)")
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
@@ -121,4 +167,5 @@ object sketchFunctions {
   def hashed_shingles(c: Column, shingleK: Int = 3): Column =
     toCol(HashedShinglesExpr(toExpr(c), shingleK))
   def rolling_fingerprint(c: Column): Column = toCol(RollingFingerprintExpr(toExpr(c)))
+  def md5_ngram_buckets(c: Column): Column = toCol(Md5NgramBucketsExpr(toExpr(c)))
 }

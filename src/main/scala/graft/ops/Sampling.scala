@@ -274,14 +274,20 @@ object Sampling {
     * weight is an exact integer sum with no float-accumulation-order in
     * the compare surface.
     *
-    * Scale shape: one explode + one hash-shuffle groupBy for bucket
-    * stats (≤4096 rows), totals ride a broadcast cross join (no driver
-    * collect), the ratio table broadcasts back onto the token stream,
-    * one per-doc sum. Linear in corpus tokens. The narrow
-    * (id, is_target, bucket) projection is persisted across the stats
-    * and scoring passes — ~12 bytes/token instead of re-tokenizing the
-    * corpus; it stays cached until the session clears it (Verify/Bench
-    * clear per query; library callers manage the session cache).
+    * Scale shape: one codegen JVM kernel per doc emits the feature
+    * buckets ([[graft.expr.SketchRuntime.md5NgramBuckets]] — the former
+    * `zip_with` spelling is CodegenFallback and its interpreted
+    * per-element lambdas were the dominant term at 10× bench data), one
+    * explode, one hash-shuffle groupBy for bucket stats (≤4096 rows),
+    * totals ride a broadcast cross join (no driver collect), the ratio
+    * table broadcasts back onto the token stream, one per-doc sum.
+    * Linear in corpus tokens, zero extra shuffles. The feature stream is
+    * NOT persisted: the kernel re-tokenizes for the scoring pass, which
+    * measures cheaper than building + reading a 2·tokens-row cache (the
+    * fanout exchange under both consumers is reused, so the doc scan
+    * itself is shared). Buckets are the md5 hex prefix as an INT (12
+    * bits = 3 hex chars, a bijection) — the oracle's string form groups
+    * identically.
     *
     * Output: (id, w_milli) — one row per input row with NON-NULL text
     * (null text explodes to no feature rows, so the doc gets no weight —
@@ -290,18 +296,11 @@ object Sampling {
   def dsirWeights(df: DataFrame, keyCol: Column, textCol: Column,
       isTarget: Column): DataFrame = {
     val nBuckets = 4096 // 16^3: 3 hex chars of md5
-    val toks = split(trim(textCol), "\\s+")
-    val ex = df
-      .select(keyCol.as("id"), isTarget.as("is_t"), toks.as("__t"))
-      .select(col("id"), col("is_t"), concat(col("__t"),
-        zip_with(
-          slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
-          slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
-          (a, b) => concat(a, lit(" "), b))).as("__f"))
-      .select(col("id"), col("is_t"), explode(col("__f")).as("tok"))
-      .withColumn("bkt", substring(md5(col("tok")), 1, 3))
-      .select("id", "is_t", "bkt")
-      .persist()
+    val ex = ScaleHints.fanout(
+        df.select(keyCol.as("id"), isTarget.as("is_t"), textCol.as("__txt")))
+      .select(col("id"), col("is_t"),
+        explode(graft.expr.sketchFunctions.md5_ngram_buckets(col("__txt")))
+          .as("bkt"))
     val stats = ex.groupBy("bkt").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))

@@ -111,6 +111,35 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("md5NgramBuckets kernel == the SQL zip_with formulation it replaced") {
+    // the kernel must bucket bit-identically to the HOF spelling the
+    // oracle replays: trim is SPACE-only (tabs/newlines survive into
+    // split, producing the leading "" token), bigrams join on one space,
+    // int bucket = first 3 md5 hex chars. Edge rows target exactly those
+    // seams; the sf0.001 corpus covers real text.
+    val edges = Seq("", " ", "  a  b ", "\ta b", "a\nb", "one",
+      "a b c d", "é 中文 emoji😀 x").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (df <- Seq(edges, docs.select("doc_id", "text"))) {
+      val toks = split(trim(col("text")), "\\s+")
+      val sql = df.select(col("doc_id"), explode(concat(toks,
+          zip_with(
+            slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+            slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+            (a, b) => concat(a, lit(" "), b)))).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 3), 16, 10).cast("int").as("bkt"))
+      val kernel = df.select(col("doc_id"),
+        explode(graft.expr.sketchFunctions.md5_ngram_buckets(col("text")))
+          .as("bkt"))
+      val l = sql.groupBy("doc_id", "bkt").count()
+        .as[(Long, Int, Long)].collect().toSet
+      val r = kernel.groupBy("doc_id", "bkt").count()
+        .as[(Long, Int, Long)].collect().toSet
+      assert(l == r)
+    }
+  }
+
   test("dsirWeights: target-like docs outrank dissimilar docs; resample keeps exactly k") {
     // two disjoint vocabularies: target docs speak "alpha", the rest
     // "omega"; a raw doc written in alpha-speak must outweigh every
