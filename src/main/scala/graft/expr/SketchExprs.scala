@@ -72,6 +72,32 @@ object SketchRuntime {
   }
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  /** Distinct k-token shingles under the SQL-oracle tokenization: split
+    * on the literal single space KEEPING empty tokens (DuckDB
+    * `string_split(text, ' ')` / Spark `split(text, " ")` semantics —
+    * "a  b" yields ["a","","b"] and the shingle "a  b"), full windows
+    * only (< k tokens → empty array), first-occurrence-distinct. This is
+    * the oracle-parity twin of [[graft.ops.Sketches.tokenShingles]]
+    * (which \s+-tokenizes); it replaces the flatten/transform HOF
+    * spelling whose interpreted lambdas dominated the shingle-explode
+    * queries at 10× bench data. */
+  def tokenShinglesSpaceSplit(t: UTF8String, k: Int): GenericArrayData = {
+    val w = t.toString.split(" ", -1)
+    if (w.length < k) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new java.util.LinkedHashSet[UTF8String]()
+      var i = 0
+      while (i + k <= w.length) {
+        val sb = new java.lang.StringBuilder(w(i))
+        var j = 1
+        while (j < k) { sb.append(' ').append(w(i + j)); j += 1 }
+        out.add(UTF8String.fromString(sb.toString))
+        i += 1
+      }
+      new GenericArrayData(out.toArray())
+    }
+  }
+
   def deflateLen(t: UTF8String): Long = {
     val in = t.getBytes
     val d = deflaters.get()
@@ -124,6 +150,20 @@ case class Md5NgramBucketsExpr(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `token_shingles(text, k)` → array<string> of distinct k-token
+  * shingles, space-split with empties kept (see
+  * [[SketchRuntime.tokenShinglesSpaceSplit]] for the parity contract). */
+case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.tokenShinglesSpaceSplit(t.asInstanceOf[UTF8String], shingleK)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expr.SketchRuntime.tokenShinglesSpaceSplit($t, $shingleK)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `simhash64(text)` → bigint. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -168,4 +208,6 @@ object sketchFunctions {
     toCol(HashedShinglesExpr(toExpr(c), shingleK))
   def rolling_fingerprint(c: Column): Column = toCol(RollingFingerprintExpr(toExpr(c)))
   def md5_ngram_buckets(c: Column): Column = toCol(Md5NgramBucketsExpr(toExpr(c)))
+  def token_shingles(c: Column, shingleK: Int = 3): Column =
+    toCol(TokenShinglesExpr(toExpr(c), shingleK))
 }

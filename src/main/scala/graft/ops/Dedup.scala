@@ -35,20 +35,15 @@ object Dedup {
   // equi-join on the band/bucket keys, no injected shuffle).
   import ScaleHints.{fanout, maybeBroadcast}
 
-  /** Distinct k-token shingles as a column op (mirrors
-    * [[Sketches.tokenShingles]]; kept columnar for oracle parity). */
-  def tokenShingles(text: Column, k: Int): Column = {
-    // the split array is bound as a LAMBDA ARGUMENT (via the one-element
-    // array wrap) so the inner per-element lambda references a variable:
-    // HOF lambdas are interpreted and re-evaluate non-argument subtrees,
-    // so inlining split() directly would re-split the text per shingle
-    val w0 = split(text, " ")
-    flatten(transform(array(w0), w =>
-      when(size(w) >= k,
-        array_distinct(transform(sequence(lit(0), size(w) - k),
-          i => concat_ws(" ", slice(w, i + lit(1), lit(k))))))
-        .otherwise(array().cast("array<string>"))))
-  }
+  /** Distinct k-token shingles with the SQL-oracle's space-split
+    * tokenization (empties kept), as a codegen JVM kernel
+    * ([[graft.expr.SketchRuntime.tokenShinglesSpaceSplit]]). The former
+    * flatten/transform HOF spelling is CodegenFallback — its interpreted
+    * per-shingle lambdas dominated every shingle-explode consumer
+    * (corpus_overlap, containment, contamination) at 10× bench data;
+    * DedupSpec pins kernel == HOF on edge strings and a real corpus. */
+  def tokenShingles(text: Column, k: Int): Column =
+    graft.expr.sketchFunctions.token_shingles(text, k)
 
   /** Set Jaccard of two (already-distinct) arrays. */
   def jaccard(a: Column, b: Column): Column =

@@ -61,6 +61,27 @@ class DedupSpec extends AnyFunSuite {
     assert(gated == band)
   }
 
+  test("tokenShingles kernel == the flatten/transform HOF it replaced") {
+    // same tokenization seams the oracle relies on: literal-space split
+    // KEEPS empty tokens ("a  b" shingles as "a <empty> b"), < k tokens
+    // yields no shingles, duplicates collapse first-occurrence
+    val edges = Seq("", " ", "a b", "a b c", "a  b c", " a b c ",
+      "x y x y x y", "a\tb c d", "é 中 文 emoji😀").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (df <- Seq(edges, docs.select("doc_id", "text"))) {
+      val w0 = split(col("text"), " ")
+      val hof = df.select(col("doc_id"), flatten(transform(array(w0), w =>
+        when(size(w) >= 3,
+          array_distinct(transform(sequence(lit(0), size(w) - 3),
+            i => concat_ws(" ", slice(w, i + lit(1), lit(3))))))
+          .otherwise(array().cast("array<string>")))).as("sh"))
+      val kernel = df.select(col("doc_id"),
+        Dedup.tokenShingles(col("text"), 3).as("sh"))
+      assert(hof.as[(Long, Seq[String])].collect().toMap ==
+        kernel.as[(Long, Seq[String])].collect().toMap)
+    }
+  }
+
   test("shingle-less docs (< k tokens) pair with nothing on every route") {
     // two one-word docs have empty shingle sets; 0/0 jaccard is NaN and
     // Spark orders NaN ABOVE every number, so an unguarded band-only
