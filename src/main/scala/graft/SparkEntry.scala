@@ -1598,8 +1598,13 @@ object SparkEntry {
       // quality signal (heavily-mirrored docs get down-weighted)
       val pairs = Dedup.prefixJaccardPairs(t(s, dir, "documents"),
         "doc_id", "text", tNum = 1L, tDen = 2L, shingleK = 3)
-      pairs.select(col("i").as("doc_id"), col("jac_milli"))
-        .unionByName(pairs.select(col("j").as("doc_id"), col("jac_milli")))
+      // one explode instead of unionByName of two projections: the union
+      // duplicates the whole pair-join subtree in the plan, so the
+      // expensive candidate+verify stages ran twice
+      pairs.select(explode(array(
+          struct(col("i").as("doc_id"), col("jac_milli")),
+          struct(col("j").as("doc_id"), col("jac_milli")))).as("e"))
+        .select(col("e.doc_id").as("doc_id"), col("e.jac_milli").as("jac_milli"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_neighbors"),
           max("jac_milli").as("max_jac_milli"))

@@ -249,11 +249,15 @@ object Dedup {
       .localCheckpoint(true)
     val cands = CandidateGen.prefixSelf(base.select("id", "n", "hs"),
       tNum, tDen)
+    // the candidate list is orders of magnitude larger than the per-doc
+    // sketch table, so the verify sides ride size-gated broadcasts: at
+    // bench scale that removes two candidate-sized shuffle exchanges, at
+    // corpus scale the gate drops the hint and these are plain hash joins
     cands
-      .join(base.select(col("id").as("i"), col("hs").as("hs_i"),
-        col("n").as("n_i")), Seq("i"))
-      .join(base.select(col("id").as("j"), col("hs").as("hs_j"),
-        col("n").as("n_j")), Seq("j"))
+      .join(maybeBroadcast(base.select(col("id").as("i"), col("hs").as("hs_i"),
+        col("n").as("n_i"))), Seq("i"))
+      .join(maybeBroadcast(base.select(col("id").as("j"), col("hs").as("hs_j"),
+        col("n").as("n_j"))), Seq("j"))
       .withColumn("inter", sorted_intersect_count(col("hs_i"), col("hs_j")))
       .withColumn("uni", col("n_i") + col("n_j") - col("inter"))
       .filter(col("inter") * tDen >= lit(tNum) * col("uni"))
