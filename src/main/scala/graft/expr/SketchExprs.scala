@@ -72,6 +72,70 @@ object SketchRuntime {
   }
   private val wsPattern = java.util.regex.Pattern.compile("\\s+")
 
+  // space-only trim, mirroring Spark's `trim` (UTF8String.trim strips
+  // 0x20 and nothing else — Java String.trim would also strip \t/\n)
+  private def spaceTrim(s: String): String = {
+    var lo = 0; var hi = s.length
+    while (lo < hi && s.charAt(lo) == ' ') lo += 1
+    while (hi > lo && s.charAt(hi - 1) == ' ') hi -= 1
+    s.substring(lo, hi)
+  }
+
+  /** Sliding token-window chunks: chunk i covers tokens
+    * [i·stride, i·stride+size), i = 0 … ⌈n/stride⌉−1, joined by single
+    * spaces — the one-pass twin of the `transform(sequence(...),
+    * i -> concat_ws(" ", slice(toks, i·stride+1, size)))` HOF spelling
+    * (CodegenFallback, re-slices the token array per chunk interpreted).
+    * Tokenization matches `split(trim(text), "\\s+")`: space-only trim,
+    * leading "" token kept for "\t..."-shaped input, n ≥ 1 always (""
+    * yields the single chunk ""). */
+  def chunkWindows(t: UTF8String, size: Int, stride: Int): GenericArrayData = {
+    val toks = wsPattern.split(t.trim().toString, -1)
+    val n = toks.length
+    val nChunks = (n + stride - 1) / stride
+    val out = new Array[Any](math.max(nChunks, 1))
+    var i = 0
+    while (i < out.length) {
+      val from = i * stride
+      val to = math.min(from + size, n)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < to) {
+        if (j > from) sb.append(' ')
+        sb.append(toks(j)); j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val paraPattern = java.util.regex.Pattern.compile("\n{2,}")
+
+  /** Paragraph→chunk assignment by cumulative token budget: split on
+    * blank lines, space-trim, drop empties; paragraph p lands in chunk
+    * ⌊tokens_before_p / maxTokens⌋. One JVM pass replacing the
+    * interpreted transform/filter/aggregate/zip_with cumsum spelling.
+    * Returns array<struct<chunk_idx:int, para:string>> in paragraph
+    * order. */
+  def paragraphChunks(t: UTF8String, maxTokens: Int): GenericArrayData = {
+    val paras = paraPattern.split(t.toString, -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](paras.length)
+    var off = 0L
+    var i = 0
+    while (i < paras.length) {
+      val p = spaceTrim(paras(i))
+      if (p.nonEmpty) {
+        val nToks = wsPattern.split(p, -1).length
+        out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any]((off / maxTokens).toInt, UTF8String.fromString(p)))
+        off += nToks
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Distinct k-token shingles under the SQL-oracle tokenization: split
     * on the literal single space KEEPING empty tokens (DuckDB
     * `string_split(text, ' ')` / Spark `split(text, " ")` semantics —
@@ -164,6 +228,35 @@ case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `chunk_windows(text, size, stride)` → array<string> of sliding
+  * token-window chunks (see [[SketchRuntime.chunkWindows]]). */
+case class ChunkWindowsExpr(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.chunkWindows(t.asInstanceOf[UTF8String], size, stride)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expr.SketchRuntime.chunkWindows($t, $size, $stride)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `paragraph_chunks(text, maxTokens)` →
+  * array<struct<chunk_idx:int, para:string>>
+  * (see [[SketchRuntime.paragraphChunks]]). */
+case class ParagraphChunksExpr(child: Expression, maxTokens: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("para", StringType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.paragraphChunks(t.asInstanceOf[UTF8String], maxTokens)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      t => s"graft.expr.SketchRuntime.paragraphChunks($t, $maxTokens)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `simhash64(text)` → bigint. */
 case class SimHash64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -210,4 +303,8 @@ object sketchFunctions {
   def md5_ngram_buckets(c: Column): Column = toCol(Md5NgramBucketsExpr(toExpr(c)))
   def token_shingles(c: Column, shingleK: Int = 3): Column =
     toCol(TokenShinglesExpr(toExpr(c), shingleK))
+  def chunk_windows(c: Column, size: Int, stride: Int): Column =
+    toCol(ChunkWindowsExpr(toExpr(c), size, stride))
+  def paragraph_chunks(c: Column, maxTokens: Int): Column =
+    toCol(ParagraphChunksExpr(toExpr(c), maxTokens))
 }

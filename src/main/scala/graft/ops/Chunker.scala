@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   *
   * Sliding token windows: chunk i covers tokens [i·stride, i·stride+size),
   * i = 0 … ceil(n/stride)−1 — overlapping when stride < size, trailing
-  * chunks shorter. Pure columnar generator (sequence → transform →
-  * posexplode): the explode is Spark's native UDTF shape, the chunk count
-  * per document is bounded, and nothing leaves whole-stage codegen until
-  * the generate.
+  * chunks shorter. The chunk arrays come from one-pass codegen JVM
+  * kernels ([[graft.expr.SketchRuntime.chunkWindows]] /
+  * [[graft.expr.SketchRuntime.paragraphChunks]]) feeding Spark's native
+  * posexplode — the former HOF spellings (transform/sequence/aggregate/
+  * zip_with) are CodegenFallback and their interpreted lambdas dominated
+  * both chunking queries at 10× bench data; ChunkerSpec pins kernel ==
+  * HOF on edge strings and a real corpus.
   */
 object Chunker {
 
@@ -21,17 +24,11 @@ object Chunker {
       stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       "need 0 < stride <= size (stride < size ⇒ overlap)")
-    val toks = split(trim(col(textCol)), "\\s+")
-    val n = size_(toks)
-    val nChunks = ceil(n.cast("double") / stride).cast("int")
-    val chunks = transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
-      i => concat_ws(" ", slice(toks, (i * stride + 1).cast("int"), lit(size))))
-    df.withColumn("__chunks", when(n > 0, chunks).otherwise(array().cast("array<string>")))
+    df.withColumn("__chunks",
+        graft.expr.sketchFunctions.chunk_windows(col(textCol), size, stride))
       .select(col("*"), posexplode(col("__chunks")).as(Seq("chunk_idx", "chunk_text")))
       .drop("__chunks")
   }
-
-  private def size_(c: Column): Column = size(c)
 
   /** Paragraph-aware chunking: split on blank lines, then pack whole
     * paragraphs into chunks by CUMULATIVE TOKEN BUDGET — paragraph p goes
@@ -48,17 +45,8 @@ object Chunker {
   def chunkByParagraphs(df: DataFrame, textCol: String,
       maxTokens: Int): DataFrame = {
     require(maxTokens > 0, "maxTokens must be positive")
-    val paras = filter(
-      transform(split(col(textCol), "\\n{2,}"), p => trim(p)),
-      p => length(p) > 0)
-    val counts = transform(paras, p => size(split(p, "\\s+")))
-    // exclusive running sum of token counts per paragraph
-    val offsets = slice(
-      aggregate(counts, array(lit(0)),
-        (acc, x) => concat(acc, array(element_at(acc, -1) + x))),
-      lit(1), size(counts))
-    val assigned = zip_with(paras, offsets,
-      (p, off) => struct(floor(off / maxTokens).cast("int").as("chunk_idx"), p.as("para")))
+    val assigned =
+      graft.expr.sketchFunctions.paragraph_chunks(col(textCol), maxTokens)
     val origCols = df.columns.toIndexedSeq
     df.withColumn("__assigned", assigned)
       .select(col("*"), posexplode(col("__assigned")).as(Seq("__pos", "__a")))

@@ -46,6 +46,56 @@ class ChunkEmbedSpec extends AnyFunSuite {
     assert(got.forall(c => !c._2.split("\n\n").exists(_.isEmpty)))
   }
 
+  test("chunk kernels == the HOF spellings they replaced") {
+    // edge seams: space-only trim (tabs/newlines reach split, giving a
+    // leading "" token), "" chunks as one empty chunk, null drops the
+    // row, blank-line splits keep \n-singles inside paragraphs
+    val edges = Seq("", " ", "one", "a b", "\ta b c", "a\nb\n\nc",
+      " p1 one two \n\n\n\n p2 three ", "a\n\nb\n\nc\n\nd",
+      (1 to 150).map(i => s"w$i").mkString(" ")).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    for (df <- Seq(edges, docs)) {
+      // token windows vs the former transform(sequence(...)) spelling
+      val toks = split(trim(col("text")), "\\s+")
+      val n = size(toks)
+      val nChunks = ceil(n.cast("double") / 48).cast("int")
+      val hofChunks = transform(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+        i => concat_ws(" ", slice(toks, (i * 48 + 1).cast("int"), lit(64))))
+      val hofT = df.withColumn("__c",
+          when(n > 0, hofChunks).otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), posexplode(col("__c")).as(Seq("ci", "ct")))
+        .as[(Long, Int, String)].collect().toSet
+      val kerT = Chunker.chunkByTokens(df, "text", size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+        .as[(Long, Int, String)].collect().toSet
+      assert(hofT == kerT)
+
+      // paragraph assignment vs the former aggregate/zip_with cumsum
+      val paras = filter(
+        transform(split(col("text"), "\\n{2,}"), p => trim(p)),
+        p => length(p) > 0)
+      val counts = transform(paras, p => size(split(p, "\\s+")))
+      val offsets = slice(
+        aggregate(counts, array(lit(0)),
+          (acc, x) => concat(acc, array(element_at(acc, -1) + x))),
+        lit(1), size(counts))
+      val hofAssigned = zip_with(paras, offsets, (p, off) =>
+        struct(floor(off / 8).cast("int").as("chunk_idx"), p.as("para")))
+      val hofP = df.select(col("doc_id"),
+          posexplode(hofAssigned).as(Seq("pos", "a")))
+        .select(col("doc_id"), col("pos"), col("a.chunk_idx"), col("a.para"))
+        .as[(Long, Int, Int, String)].collect().toSet
+      val kerP = df.select(col("doc_id"), posexplode(
+          graft.expr.sketchFunctions.paragraph_chunks(col("text"), 8))
+          .as(Seq("pos", "a")))
+        .select(col("doc_id"), col("pos"), col("a.chunk_idx"), col("a.para"))
+        .as[(Long, Int, Int, String)].collect().toSet
+      assert(hofP == kerP)
+    }
+  }
+
   test("tf-idf embeddings: fixed dim, unit norm, identical docs coincide") {
     val df = Seq((1L, "spark engine fast"), (2L, "spark engine fast"),
       (3L, "completely different words here")).toDF("doc_id", "text")
