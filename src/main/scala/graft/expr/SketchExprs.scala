@@ -110,6 +110,29 @@ object SketchRuntime {
     new GenericArrayData(out)
   }
 
+  /** ALL full-window n-grams (stride 1, NOT distinct, order kept) of the
+    * `split(trim(text), "\\s+")` token stream, joined by single spaces —
+    * the shared gram generator for the repetition / PMI / bigram-LM /
+    * span-coverage ops, replacing their per-site
+    * `transform(sequence(...), i -> concat_ws(...))` spellings
+    * (CodegenFallback, interpreted per gram). < n tokens → empty. */
+  def slidingGrams(t: UTF8String, n: Int): GenericArrayData = {
+    val toks = wsPattern.split(t.trim().toString, -1)
+    if (toks.length < n) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](toks.length - n + 1)
+      var i = 0
+      while (i < out.length) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        out(i) = UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
   private val paraPattern = java.util.regex.Pattern.compile("\n{2,}")
 
   /** Paragraph→chunk assignment by cumulative token budget: split on
@@ -228,6 +251,18 @@ case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `sliding_grams(text, n)` → array<string> of ALL full-window n-grams
+  * (see [[SketchRuntime.slidingGrams]]). */
+case class SlidingGramsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.slidingGrams(t.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.slidingGrams($t, $n)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `chunk_windows(text, size, stride)` → array<string> of sliding
   * token-window chunks (see [[SketchRuntime.chunkWindows]]). */
 case class ChunkWindowsExpr(child: Expression, size: Int, stride: Int)
@@ -303,6 +338,8 @@ object sketchFunctions {
   def md5_ngram_buckets(c: Column): Column = toCol(Md5NgramBucketsExpr(toExpr(c)))
   def token_shingles(c: Column, shingleK: Int = 3): Column =
     toCol(TokenShinglesExpr(toExpr(c), shingleK))
+  def sliding_grams(c: Column, n: Int): Column =
+    toCol(SlidingGramsExpr(toExpr(c), n))
   def chunk_windows(c: Column, size: Int, stride: Int): Column =
     toCol(ChunkWindowsExpr(toExpr(c), size, stride))
   def paragraph_chunks(c: Column, maxTokens: Int): Column =

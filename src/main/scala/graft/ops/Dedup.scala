@@ -558,13 +558,15 @@ object Dedup {
     require(w > 0, "span width must be positive")
     val toks = df.select(col(idCol), split(trim(col(textCol)), "\\s+").as("__w"))
       .select(col(idCol), col("__w"), size(col("__w")).as("dl"))
-    val grams = toks
-      .select(col(idCol), col("dl"), posexplode(
-        when(col("dl") >= w,
-          transform(sequence(lit(1), col("dl") - (w - 1)),
-            i => md5(concat_ws(" ", slice(col("__w"), i, lit(w))))))
-        .otherwise(array().cast("array<string>"))).as(Seq("__p0", "gram")))
-      .select(col(idCol), col("dl"), (col("__p0") + 1).as("pos"), col("gram"))
+    // grams from the codegen sliding-window kernel; md5 moves AFTER the
+    // explode, where it stays codegen (the former transform(sequence(...))
+    // spelling interpreted md5+slice+concat per gram)
+    val grams = df
+      .select(col(idCol), posexplode(
+          graft.expr.sketchFunctions.sliding_grams(col(textCol), w))
+        .as(Seq("__p0", "__gs")))
+      .select(col(idCol), (col("__p0") + 1).as("pos"),
+        md5(col("__gs")).as("gram"))
     // corpus-wide duplicate test: total occurrences of the gram (same-doc
     // repeats count — a doc repeating its own span is duplication too).
     // groupBy, not count-over-window: the partial count combines map-side
@@ -574,7 +576,7 @@ object Dedup {
       .filter(col("__c") > 1)
       .select("gram")
     val dupPos = grams.join(maybeBroadcast(dupGrams), Seq("gram"), "left_semi")
-      .select(col(idCol), col("dl"), col("pos"))
+      .select(col(idCol), col("pos"))
     // islands: a new island starts when pos exceeds every prior span end
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val prevMax = max(col("pos") + (w - 1)).over(
@@ -585,10 +587,9 @@ object Dedup {
       .withColumn("__isl", sum(col("__new")).over(
         byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col(idCol), col("__isl"))
-      .agg(any_value(col("dl")).as("dl"),
-        (max(col("pos")) + (w - 1) - min(col("pos")) + 1).as("__len"))
+      .agg((max(col("pos")) + (w - 1) - min(col("pos")) + 1).as("__len"))
       .groupBy(col(idCol))
-      .agg(any_value(col("dl")).as("dl"), sum(col("__len")).as("covered"))
+      .agg(sum(col("__len")).as("covered"))
     toks.select(col(idCol), col("dl"))
       .join(islands.select(col(idCol), col("covered")), Seq(idCol), "left")
       .withColumn("covered", coalesce(col("covered"), lit(0L)))
@@ -623,15 +624,12 @@ object Dedup {
   private def tokenBlocks(df: DataFrame, idCol: String, textCol: String,
       blockTokens: Int): DataFrame = {
     require(blockTokens > 0, "blockTokens must be positive")
-    val toksCol = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol), toksCol.as("__w"))
-      .select(col(idCol), when(size(col("__w")) > 0,
-        transform(sequence(lit(0),
-            greatest(ceil(size(col("__w")).cast("double") / blockTokens)
-              .cast("int") - 1, lit(0))),
-          i => concat_ws(" ", slice(col("__w"), i * blockTokens + 1, lit(blockTokens)))))
-        .otherwise(array().cast("array<string>")).as("__blocks"))
-      .select(col(idCol), posexplode(col("__blocks")).as(Seq("block_idx", "block")))
+    // non-overlapping blocks ARE token windows at stride == size — reuse
+    // the codegen chunk kernel (the former transform(sequence(...))
+    // spelling interpreted slice+concat per block)
+    df.select(col(idCol), posexplode(graft.expr.sketchFunctions
+        .chunk_windows(col(textCol), blockTokens, blockTokens))
+      .as(Seq("block_idx", "block")))
   }
 
   /** Reassemble documents from blocks marked with a boolean `__keep`:

@@ -118,13 +118,10 @@ object TextAnalysis {
     * the winnowing family. Docs under 3 tokens score 0 of 0 grams. */
   def noveltyScore(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = split(col(textCol), " ")
-    val sh = when(size(toks) >= 3,
-        array_distinct(transform(sequence(lit(0), size(toks) - 3),
-          i => concat_ws(" ", element_at(toks, i + 1),
-            element_at(toks, i + 2), element_at(toks, i + 3)))))
-      .otherwise(array().cast("array<string>"))
-    val grams = df.select(col(idCol), explode(sh).as("__g"))
+    // distinct space-split trigrams — exactly the TokenShinglesExpr
+    // kernel contract (empties kept, first-occurrence-distinct)
+    val grams = df.select(col(idCol), explode(
+      graft.expr.sketchFunctions.token_shingles(col(textCol), 3)).as("__g"))
     val dfreq = grams.groupBy("__g").agg(count(lit(1)).as("__df"))
     val perDoc = grams.join(dfreq, Seq("__g"))
       .groupBy(col(idCol))
@@ -153,16 +150,12 @@ object TextAnalysis {
     * interpreted HOF calls. */
   def repetitionStats(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int = 2): org.apache.spark.sql.DataFrame = {
-    // materialize the token array as an attribute FIRST: higher-order
-    // lambdas are interpreted and re-evaluate non-argument subtrees per
-    // element, so an inlined split() would run O(tokens) times per row
-    val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
-    val w = col("__w")
-    val grams = when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(w, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    toks.select(col(idCol), explode(grams).as("gram"))
+    // grams from the one-pass codegen kernel (SlidingGramsExpr) — the
+    // former transform(sequence(...)) spelling interpreted its lambdas
+    // per gram (CodegenFallback)
+    df.select(col(idCol),
+        explode(graft.expr.sketchFunctions.sliding_grams(col(textCol), n))
+          .as("gram"))
       .groupBy(col(idCol), col("gram")).agg(count(lit(1)).as("cnt"))
       .groupBy(col(idCol)).agg(
         sum("cnt").as("n_grams"),
@@ -280,15 +273,14 @@ object TextAnalysis {
     * pmi = ln c_xy − ln c_x − ln c_y + 2·ln N_uni − ln N_bi. */
   def bigramPmi(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
-    // token array materialized as an attribute first (interpreted-HOF rule)
+    // bigrams from the codegen kernel; tokens contain no spaces, so the
+    // "w1 w2" gram splits back exactly on its single separator
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
-    val w = col("__w")
-    val bi = toks.select(explode(when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1), i =>
-          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val uni = toks.select(explode(w).as("tk"))
+    val bi = df.select(explode(
+        graft.expr.sketchFunctions.sliding_grams(col(textCol), 2)).as("g"))
+      .select(substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val uni = toks.select(explode(col("__w")).as("tk"))
       .groupBy("tk").agg(count(lit(1)).as("c"))
     val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
     val totals = uni.agg(sum("c").as("n_uni"))
@@ -378,13 +370,13 @@ object TextAnalysis {
       textCol: String): org.apache.spark.sql.DataFrame = {
     import ScaleHints.maybeBroadcast
     val toks = df.select(col(idCol), tokens(col(textCol)).as("__w"))
-    val w = col("__w")
-    val occ = toks.select(col(idCol), explode(when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1), i =>
-          struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
-      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
-      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val uni = toks.select(explode(w).as("tk"))
+    // bigrams from the codegen kernel (tokens contain no spaces, so the
+    // gram splits back exactly on its single separator)
+    val occ = df.select(col(idCol), explode(
+        graft.expr.sketchFunctions.sliding_grams(col(textCol), 2)).as("g"))
+      .select(col(idCol), substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"))
+    val uni = toks.select(explode(col("__w")).as("tk"))
       .groupBy("tk").agg(count(lit(1)).as("c1"))
     val vocab = uni.agg(count(lit(1)).as("v"))
     val stats = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))

@@ -82,6 +82,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding_grams kernel == the transform(sequence(...)) spelling") {
+    val edges = Seq("", " ", "one", "a b", "a b c d", "\ta b c", "x x x x")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for ((df, n) <- Seq((edges, 2), (edges, 3), (edges, 20),
+        (docs.select("doc_id", "text"), 2))) {
+      val toks = split(trim(col("text")), "\\s+")
+      val hof = df.select(col("doc_id"), posexplode(when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+            concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("p", "g")))
+        .as[(Long, Int, String)].collect().toSet
+      val ker = df.select(col("doc_id"), posexplode(
+          graft.expr.sketchFunctions.sliding_grams(col("text"), n))
+          .as(Seq("p", "g")))
+        .as[(Long, Int, String)].collect().toSet
+      assert(hof == ker, s"n=$n")
+    }
+  }
+
   test("shingle-less docs (< k tokens) pair with nothing on every route") {
     // two one-word docs have empty shingle sets; 0/0 jaccard is NaN and
     // Spark orders NaN ABOVE every number, so an unguarded band-only
