@@ -110,6 +110,23 @@ object SketchRuntime {
     new GenericArrayData(out)
   }
 
+  /** Per-doc DISTINCT winnowed run hashes ([[Sketches.winnowedRuns]]'s
+    * `_3` column deduped inside the kernel): the winnow-overlap pair
+    * join only consumes (id, h) distinct, so deduping per doc here
+    * removes both the Scala-UDF row conversion and the corpus-wide
+    * DISTINCT shuffle that the struct-array UDF spelling paid. */
+  def winnowedHashSet(t: UTF8String): GenericArrayData = {
+    val runs = Sketches.winnowedRuns(t.toString)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < runs.length) { seen.add(runs(i)._3); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** ALL full-window n-grams (stride 1, NOT distinct, order kept) of the
     * `split(trim(text), "\\s+")` token stream, joined by single spaces —
     * the shared gram generator for the repetition / PMI / bigram-LM /
@@ -251,6 +268,17 @@ case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `winnowed_hash_set(text)` → array<bigint> of per-doc distinct
+  * winnowed run hashes (see [[SketchRuntime.winnowedHashSet]]). */
+case class WinnowedHashSetExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.winnowedHashSet(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.winnowedHashSet($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `sliding_grams(text, n)` → array<string> of ALL full-window n-grams
   * (see [[SketchRuntime.slidingGrams]]). */
 case class SlidingGramsExpr(child: Expression, n: Int)
@@ -338,6 +366,8 @@ object sketchFunctions {
   def md5_ngram_buckets(c: Column): Column = toCol(Md5NgramBucketsExpr(toExpr(c)))
   def token_shingles(c: Column, shingleK: Int = 3): Column =
     toCol(TokenShinglesExpr(toExpr(c), shingleK))
+  def winnowed_hash_set(c: Column): Column =
+    toCol(WinnowedHashSetExpr(toExpr(c)))
   def sliding_grams(c: Column, n: Int): Column =
     toCol(SlidingGramsExpr(toExpr(c), n))
   def chunk_windows(c: Column, size: Int, stride: Int): Column =

@@ -329,10 +329,14 @@ object Dedup {
     * the pair aggregate moves ids only. */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       minShared: Long = 3L, maxDf: Int = 50): DataFrame = {
-    val runsUdf = udf((txt: String) => Sketches.winnowedRuns(txt))
+    // per-doc distinct hashes come straight from the codegen kernel —
+    // no Scala-UDF row conversion, and (id, h) is distinct by
+    // construction so the corpus-wide DISTINCT shuffle disappears
+    // coalesce mirrors the former UDF's null handling (winnowedRuns
+    // treats null as "", which still fingerprints one empty run)
     val fp = df.select(col(idCol).as("id"),
-        explode(runsUdf(col(textCol))).as("r"))
-      .select(col("id"), col("r._3").as("h")).distinct()
+        explode(graft.expr.sketchFunctions.winnowed_hash_set(
+          coalesce(col(textCol), lit("")))).as("h"))
       .localCheckpoint(true)
     val keep = fp.groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)
