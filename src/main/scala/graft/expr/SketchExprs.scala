@@ -110,6 +110,25 @@ object SketchRuntime {
     new GenericArrayData(out)
   }
 
+  /** The d CMS bucket indices of one item in one JVM pass: bucket_i =
+    * (16-bit big-endian slice i of md5(item)) mod w — bit-exact with the
+    * SQL spelling `conv(substring(md5(item), 1+4i, 4), 16, 10) % w` the
+    * sketch oracle replays (4 hex chars = 2 digest bytes), without
+    * materializing the 32-char hex string or running d string
+    * conversions per occurrence. */
+  def cmsBuckets(item: UTF8String, w: Int, d: Int): GenericArrayData = {
+    val md = md5s.get()
+    md.reset()
+    val dig = md.digest(item.getBytes)
+    val out = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      out(i) = (((dig(2 * i) & 0xff) << 8) | (dig(2 * i + 1) & 0xff)) % w
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-doc DISTINCT winnowed run hashes ([[Sketches.winnowedRuns]]'s
     * `_3` column deduped inside the kernel): the winnow-overlap pair
     * join only consumes (id, h) distinct, so deduping per doc here
@@ -268,6 +287,18 @@ case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `cms_buckets(item, w, d)` → array<bigint> of the item's d count-min
+  * bucket indices (see [[SketchRuntime.cmsBuckets]]). */
+case class CmsBucketsExpr(child: Expression, w: Int, d: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.cmsBuckets(t.asInstanceOf[UTF8String], w, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.cmsBuckets($t, $w, $d)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `winnowed_hash_set(text)` → array<bigint> of per-doc distinct
   * winnowed run hashes (see [[SketchRuntime.winnowedHashSet]]). */
 case class WinnowedHashSetExpr(child: Expression) extends UnaryExpression {
@@ -366,6 +397,8 @@ object sketchFunctions {
   def md5_ngram_buckets(c: Column): Column = toCol(Md5NgramBucketsExpr(toExpr(c)))
   def token_shingles(c: Column, shingleK: Int = 3): Column =
     toCol(TokenShinglesExpr(toExpr(c), shingleK))
+  def cms_buckets(c: Column, w: Int, d: Int): Column =
+    toCol(CmsBucketsExpr(toExpr(c), w, d))
   def winnowed_hash_set(c: Column): Column =
     toCol(WinnowedHashSetExpr(toExpr(c)))
   def sliding_grams(c: Column, n: Int): Column =

@@ -177,21 +177,15 @@ object Profile {
     (w, d)
   }
 
-  /** The d bucket indices of one item from its ALREADY-computed md5
-    * hex: row i's bucket is hex digits [1+4i, 4+4i), mod w — ONE md5
-    * per item, d independent 16-bit slices (md5 bits are
-    * pairwise-uncorrelated far beyond what a sketch bound needs), and
-    * every engine with an md5() can replay the addressing exactly —
-    * the property that makes the sketch oracle-checkable, unlike an
-    * opaque serialized sketch blob. Callers on a hot path must project
-    * `md5(item)` once and pass the hash column: codegen's
-    * common-subexpression elimination does not reach inside a
-    * Generate's explode input, so inlining `md5(item)` d times was
-    * measured at 2× the whole counter-build cost at sf0.1. */
-  private def cmsBucketsFromHex(hexHash: Column, w: Int, d: Int): Column =
-    array((0 until d).map(i =>
-      conv(substring(hexHash, 1 + 4 * i, 4), 16, 10)
-        .cast("long") % w): _*)
+  // Bucket addressing: item i's bucket in row r is md5 hex digits
+  // [1+4r, 4+4r) mod w — d independent 16-bit slices of ONE md5 (md5
+  // bits are pairwise-uncorrelated far beyond what a sketch bound
+  // needs), and every engine with an md5() can replay the addressing
+  // exactly — the property that makes the sketch oracle-checkable,
+  // unlike an opaque serialized sketch blob. The addressing lives in
+  // graft.expr.SketchRuntime.cmsBuckets (one JVM pass per occurrence);
+  // the SQL spelling `conv(substring(md5(item), 1+4r, 4), 16, 10) % w`
+  // is its bit-exact oracle twin.
 
   /** The count-min COUNTER TABLE of a token stream: (i, bucket, cnt),
     * at most d·w rows regardless of corpus size. This IS the sketch —
@@ -205,9 +199,11 @@ object Profile {
       eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
     val (w, d) = cmsDims(eps, confidence)
     occurrences
-      // project the hash ONCE per occurrence — see cmsBucketsFromHex
-      .select(md5(col(tokCol)).as("__h"))
-      .select(posexplode(cmsBucketsFromHex(col("__h"), w, d))
+      // one JVM kernel per occurrence (md5 + d 16-bit slices) — the hex
+      // spelling materialized the 32-char hash string and ran d string
+      // conversions per token; CmsBucketsExpr is its bit-exact twin
+      .select(posexplode(
+          graft.expr.sketchFunctions.cms_buckets(col(tokCol), w, d))
         .as(Seq("i", "bucket")))
       .groupBy("i", "bucket").agg(count(lit(1)).as("cnt"))
   }
@@ -267,8 +263,8 @@ object Profile {
       .groupBy("tok").agg(count(lit(1)).as("__sample_n"))
       .filter(col("__sample_n") >= minSampleCount)
     cand
-      .select(col("tok"), md5(col("tok")).as("__h"))
-      .select(col("tok"), posexplode(cmsBucketsFromHex(col("__h"), w, d))
+      .select(col("tok"), posexplode(
+          graft.expr.sketchFunctions.cms_buckets(col("tok"), w, d))
         .as(Seq("i", "bucket")))
       // counters is HARD-bounded at d·w ≤ 8·65536 rows (~12 MB) no
       // matter the corpus — always broadcastable, so the candidate side
