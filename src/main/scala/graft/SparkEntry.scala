@@ -2549,9 +2549,11 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
       val cand = docs.select(col("doc_id"))
         .crossJoin(broadcast(q.select("qid")))
-        .withColumn("__h", expr(
-          "CAST(conv(substr(md5(concat(CAST(qid AS STRING), '_', " +
-            "CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+        // one codegen kernel per (qid, doc_id); the oracle replays the
+        // equivalent conv(substr(md5(...), 1, 15), 16, 10) in SQL
+        .withColumn("__h", graft.expr.sketchFunctions.md5_prefix60(
+          concat(col("qid").cast("string"), lit("_"),
+            col("doc_id").cast("string"))))
         .filter(col("__h") % 10000 < 800)
         .join(avoid, Seq("qid", "doc_id"), "left_anti")
       val w = Window.partitionBy("qid").orderBy(col("__h").asc, col("doc_id").asc)

@@ -110,6 +110,21 @@ object SketchRuntime {
     new GenericArrayData(out)
   }
 
+  /** First 15 md5 hex digits of the key as a 60-bit non-negative long —
+    * the [[graft.ops.Sampling.hashBucket]] value before its `% mod`,
+    * bit-exact with `conv(substring(md5(k), 1, 15), 16, 10)` (7 full
+    * digest bytes then the high nibble of byte 7) without materializing
+    * the hex string or parsing it back. */
+  def md5Prefix60(t: UTF8String): Long = {
+    val md = md5s.get()
+    md.reset()
+    val d = md.digest(t.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
   /** The d CMS bucket indices of one item in one JVM pass: bucket_i =
     * (16-bit big-endian slice i of md5(item)) mod w — bit-exact with the
     * SQL spelling `conv(substring(md5(item), 1+4i, 4), 16, 10) % w` the
@@ -287,6 +302,17 @@ case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `md5_prefix60(key)` → bigint: first 15 md5 hex digits as a 60-bit
+  * value (see [[SketchRuntime.md5Prefix60]]). */
+case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(t: Any): Any =
+    SketchRuntime.md5Prefix60(t.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.md5Prefix60($t)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `cms_buckets(item, w, d)` → array<bigint> of the item's d count-min
   * bucket indices (see [[SketchRuntime.cmsBuckets]]). */
 case class CmsBucketsExpr(child: Expression, w: Int, d: Int)
@@ -397,6 +423,7 @@ object sketchFunctions {
   def md5_ngram_buckets(c: Column): Column = toCol(Md5NgramBucketsExpr(toExpr(c)))
   def token_shingles(c: Column, shingleK: Int = 3): Column =
     toCol(TokenShinglesExpr(toExpr(c), shingleK))
+  def md5_prefix60(c: Column): Column = toCol(Md5Prefix60Expr(toExpr(c)))
   def cms_buckets(c: Column, w: Int, d: Int): Column =
     toCol(CmsBucketsExpr(toExpr(c), w, d))
   def winnowed_hash_set(c: Column): Column =

@@ -24,9 +24,12 @@ object Sampling {
     * 15 hex digits = 60 bits, so the parse never overflows a long and
     * the low-mod remainder is unbiased for any practical `mod`.
     * Cross-engine: DuckDB computes the identical value as
-    * `CAST(('0x' || substr(md5(k),1,15)) AS UBIGINT) % mod`. */
+    * `CAST(('0x' || substr(md5(k),1,15)) AS UBIGINT) % mod`; the Spark
+    * side computes it in one codegen kernel (Md5Prefix60Expr — the
+    * conv(substring(...)) spelling materialized and re-parsed the hex
+    * string per row). */
   def hashBucket(key: Column, mod: Int): Column =
-    conv(substring(md5(key), 1, 15), 16, 10).cast("long") % mod
+    graft.expr.sketchFunctions.md5_prefix60(key) % mod
 
   /** Per-stratum deterministic Bernoulli sample: keep a row iff its hash
     * bucket (out of 10000) falls under the stratum's per-myriad rate.
