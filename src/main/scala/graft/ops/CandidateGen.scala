@@ -185,11 +185,16 @@ object CandidateGen {
       val build = prefix.withColumn("bkt", bkt)
         .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
           col("n").as("n_j"), col("__r").as("r_j"))
+      // NOT deduped: a pair appears once per qualifying shared prefix
+      // token (rarely more than a couple). The caller's verify is a
+      // broadcast join + codegen kernel, so deduping the small verified
+      // output is far cheaper than a candidate-sized DISTINCT shuffle
+      // here — callers dedupe after their verify (see Dedup.*Pairs).
       probe.join(maybeBroadcast(build), Seq("bkt", "g"))
         .filter(col("i") < col("j") &&
           abs(col("len_i") - col("len_j")) <= maxLenDiff &&
           sizePositionalFilter(threshold))
-        .select("i", "j").distinct()
+        .select("i", "j")
     }
   }
 
@@ -248,10 +253,12 @@ object CandidateGen {
         .withColumn("bkt", bkt)
         .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
           col("n").as("n_j"), col("__r").as("r_j"))
+      // not deduped — same caller-dedupes-after-verify contract as
+      // [[bandPrefixSelf]]'s prefix branch
       probe.join(maybeBroadcast(build), Seq("bkt", "g"))
         .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
           sizePositionalFilter(threshold))
-        .select("i", "j").distinct()
+        .select("i", "j")
     }
   }
 
@@ -267,7 +274,11 @@ object CandidateGen {
     * recall proof on Dedup.prefixJaccardPairs). Sketch contract:
     * (id, n, hs) with hs the distinct hashed-token array, n = size(hs),
     * n > 0; the caller should materialize it (both join sides and the
-    * df aggregate re-read it). Returns (i, j), i < j, distinct. */
+    * df aggregate re-read it). Returns (i, j), i < j — NOT deduped (a
+    * pair appears once per qualifying shared prefix token; measured at
+    * 10× bench data, a candidate-sized DISTINCT shuffle here cost more
+    * than verifying the ~3% duplicate rows twice, so callers dedupe
+    * AFTER their verify). */
   def prefixSelf(sketch: DataFrame, tNum: Long, tDen: Long): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "need 0 < tNum/tDen <= 1")
     val grams = sketch.select(col("id"), col("n"), explode(col("hs")).as("g"))
@@ -280,14 +291,14 @@ object CandidateGen {
       .select("g", "id", "n", "__r")
     prefix.select(col("g"), col("id").as("i"),
         col("n").as("n_i"), col("__r").as("r_i"))
-      .join(prefix.select(col("g"), col("id").as("j"),
-        col("n").as("n_j"), col("__r").as("r_j")), Seq("g"))
+      .join(maybeBroadcast(prefix.select(col("g"), col("id").as("j"),
+        col("n").as("n_j"), col("__r").as("r_j"))), Seq("g"))
       .filter(col("i") < col("j") &&
         lit(tNum) * col("n_i") <= lit(tDen) * col("n_j") &&
         lit(tNum) * col("n_j") <= lit(tDen) * col("n_i") &&
         (lit(1) + least(col("n_i") - col("r_i"), col("n_j") - col("r_j"))) *
           lit(tDen + tNum) >= lit(tNum) * (col("n_i") + col("n_j")))
-      .select("i", "j").distinct()
+      .select("i", "j")
   }
 
   // ── LSH family ───────────────────────────────────────────────────────

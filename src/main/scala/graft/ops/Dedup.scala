@@ -136,6 +136,10 @@ object Dedup {
       .select(col("i"), col("j"),
         hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
       .filter(col("jac") >= threshold)
+      // the prefix candidate branch emits a pair once per qualifying
+      // shared prefix token — dedupe the (small) verified output, not
+      // the candidate stream
+      .distinct()
   }
 
   /** The pre-round-10 band-only construction, kept as the reference twin
@@ -193,6 +197,7 @@ object Dedup {
       .select(col("i").as("probe_id"), col("j").as("build_id"),
         hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
       .filter(col("jac") >= threshold)
+      .distinct() // see ngramJaccardPairs: candidates may repeat per token
   }
 
   /** Exact set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
@@ -262,6 +267,9 @@ object Dedup {
       .withColumn("uni", col("n_i") + col("n_j") - col("inter"))
       .filter(col("inter") * tDen >= lit(tNum) * col("uni"))
       .select(col("i"), col("j"), expr("inter * 1000L div uni").as("jac_milli"))
+      // prefixSelf emits a pair once per qualifying shared prefix token;
+      // deduping the verified output replaces a candidate-sized shuffle
+      .distinct()
   }
 
   /** Asymmetric containment pairs (overlap coefficient over informative
