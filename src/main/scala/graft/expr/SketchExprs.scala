@@ -1,7 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge.{toCol, toExpr}
@@ -115,10 +115,12 @@ object SketchRuntime {
     * bit-exact with `conv(substring(md5(k), 1, 15), 16, 10)` (7 full
     * digest bytes then the high nibble of byte 7) without materializing
     * the hex string or parsing it back. */
-  def md5Prefix60(t: UTF8String): Long = {
+  def md5Prefix60(t: UTF8String): Long = md5Prefix60Bytes(t.getBytes)
+
+  def md5Prefix60Bytes(b: Array[Byte]): Long = {
     val md = md5s.get()
     md.reset()
-    val d = md.digest(t.getBytes)
+    val d = md.digest(b)
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
@@ -249,9 +251,20 @@ object SketchRuntime {
   }
 }
 
+/** Plan-time string-input check shared by the text kernels (with
+  * split()-style implicit atomic→string casts, so e.g. an int column
+  * tokenizes exactly as the HOF spellings these kernels replaced did) —
+  * without it a non-string child passed analysis and then crashed
+  * inside codegen mid-job. */
+private[expr] trait StringInputKernel extends ImplicitCastInputTypes {
+  self: Expression =>
+  // inferred result type: AbstractDataType is private[sql]
+  override def inputTypes = Seq(StringType)
+}
+
 /** `minhash_signature(text)` → array<bigint> of length `numHashes`. */
 case class MinHashSignatureExpr(child: Expression, shingleK: Int = 3,
-    numHashes: Int = 64) extends UnaryExpression {
+    numHashes: Int = 64) extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.minhash(t.asInstanceOf[UTF8String], shingleK, numHashes)
@@ -266,7 +279,7 @@ case class MinHashSignatureExpr(child: Expression, shingleK: Int = 3,
   * `array_sort(transform(shingles, xxhash64))` interprets its lambdas
   * per element and destabilized the pair-join stages). */
 case class HashedShinglesExpr(child: Expression, shingleK: Int = 3)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.hashedShingles(t.asInstanceOf[UTF8String], shingleK)
@@ -279,7 +292,7 @@ case class HashedShinglesExpr(child: Expression, shingleK: Int = 3)
 /** `md5_ngram_buckets(text)` → array<int> of 12-bit md5-prefix buckets
   * over unigrams + adjacent bigrams (the DSIR feature stream — see
   * [[SketchRuntime.md5NgramBuckets]] for the exact-parity contract). */
-case class Md5NgramBucketsExpr(child: Expression) extends UnaryExpression {
+case class Md5NgramBucketsExpr(child: Expression) extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.md5NgramBuckets(t.asInstanceOf[UTF8String])
@@ -292,7 +305,7 @@ case class Md5NgramBucketsExpr(child: Expression) extends UnaryExpression {
   * shingles, space-split with empties kept (see
   * [[SketchRuntime.tokenShinglesSpaceSplit]] for the parity contract). */
 case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.tokenShinglesSpaceSplit(t.asInstanceOf[UTF8String], shingleK)
@@ -303,20 +316,33 @@ case class TokenShinglesExpr(child: Expression, shingleK: Int = 3)
 }
 
 /** `md5_prefix60(key)` → bigint: first 15 md5 hex digits as a 60-bit
-  * value (see [[SketchRuntime.md5Prefix60]]). */
-case class Md5Prefix60Expr(child: Expression) extends UnaryExpression {
+  * value (see [[SketchRuntime.md5Prefix60]]). Accepts the same key
+  * domain as Spark's own `md5`: string (UTF-8 bytes hashed) or binary
+  * (raw bytes) — anything else is a plan-time AnalysisException, never
+  * a mid-job codegen crash. */
+case class Md5Prefix60Expr(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes =
+    org.apache.spark.sql.graftbridge.ColumnBridge.stringOrBinaryInput
   override def dataType: DataType = LongType
-  override protected def nullSafeEval(t: Any): Any =
-    SketchRuntime.md5Prefix60(t.asInstanceOf[UTF8String])
+  override protected def nullSafeEval(t: Any): Any = t match {
+    case s: UTF8String => SketchRuntime.md5Prefix60(s)
+    case b: Array[Byte] => SketchRuntime.md5Prefix60Bytes(b)
+  }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, t => s"graft.expr.SketchRuntime.md5Prefix60($t)")
+    child.dataType match {
+      case BinaryType => defineCodeGen(ctx, ev,
+        t => s"graft.expr.SketchRuntime.md5Prefix60Bytes($t)")
+      case _ => defineCodeGen(ctx, ev,
+        t => s"graft.expr.SketchRuntime.md5Prefix60($t)")
+    }
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
 /** `cms_buckets(item, w, d)` → array<bigint> of the item's d count-min
   * bucket indices (see [[SketchRuntime.cmsBuckets]]). */
 case class CmsBucketsExpr(child: Expression, w: Int, d: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.cmsBuckets(t.asInstanceOf[UTF8String], w, d)
@@ -327,7 +353,7 @@ case class CmsBucketsExpr(child: Expression, w: Int, d: Int)
 
 /** `winnowed_hash_set(text)` → array<bigint> of per-doc distinct
   * winnowed run hashes (see [[SketchRuntime.winnowedHashSet]]). */
-case class WinnowedHashSetExpr(child: Expression) extends UnaryExpression {
+case class WinnowedHashSetExpr(child: Expression) extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.winnowedHashSet(t.asInstanceOf[UTF8String])
@@ -339,7 +365,7 @@ case class WinnowedHashSetExpr(child: Expression) extends UnaryExpression {
 /** `sliding_grams(text, n)` → array<string> of ALL full-window n-grams
   * (see [[SketchRuntime.slidingGrams]]). */
 case class SlidingGramsExpr(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.slidingGrams(t.asInstanceOf[UTF8String], n)
@@ -351,7 +377,7 @@ case class SlidingGramsExpr(child: Expression, n: Int)
 /** `chunk_windows(text, size, stride)` → array<string> of sliding
   * token-window chunks (see [[SketchRuntime.chunkWindows]]). */
 case class ChunkWindowsExpr(child: Expression, size: Int, stride: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.chunkWindows(t.asInstanceOf[UTF8String], size, stride)
@@ -365,7 +391,7 @@ case class ChunkWindowsExpr(child: Expression, size: Int, stride: Int)
   * array<struct<chunk_idx:int, para:string>>
   * (see [[SketchRuntime.paragraphChunks]]). */
 case class ParagraphChunksExpr(child: Expression, maxTokens: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("chunk_idx", IntegerType, nullable = false),
     StructField("para", StringType, nullable = false))), containsNull = false)
@@ -378,7 +404,7 @@ case class ParagraphChunksExpr(child: Expression, maxTokens: Int)
 }
 
 /** `simhash64(text)` → bigint. */
-case class SimHash64Expr(child: Expression) extends UnaryExpression {
+case class SimHash64Expr(child: Expression) extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.simhash(t.asInstanceOf[UTF8String])
@@ -388,7 +414,7 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
 }
 
 /** `rolling_fingerprint(text)` → bigint (winnowing-style doc fingerprint). */
-case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
+case class RollingFingerprintExpr(child: Expression) extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.rollingFp(t.asInstanceOf[UTF8String])
@@ -403,7 +429,7 @@ case class RollingFingerprintExpr(child: Expression) extends UnaryExpression {
   * it as a repetition gate): machine-generated or template text deflates
   * far below prose. A per-row JVM kernel beats any SQL formulation —
   * there is none — and stays inside whole-stage codegen. */
-case class DeflateLenExpr(child: Expression) extends UnaryExpression {
+case class DeflateLenExpr(child: Expression) extends UnaryExpression with StringInputKernel {
   override def dataType: DataType = LongType
   override protected def nullSafeEval(t: Any): Any =
     SketchRuntime.deflateLen(t.asInstanceOf[UTF8String])

@@ -120,6 +120,19 @@ object CandidateGen {
     * the band-only plan there measured 23×). */
   val defaultBandOnlyMaxCandidates: Long = 8L * 1000 * 1000
 
+  /** Candidate (i, j) pairs plus whether the generating join can emit
+    * the same pair more than once: the prefix branch emits one row per
+    * qualifying shared prefix token, the band-only branch is distinct by
+    * construction. Callers dedupe their VERIFIED output exactly when
+    * `mayRepeat` — an unconditional distinct would pay a wasted shuffle
+    * of the verified pair set in the (common at bench scale) band-only
+    * regime. */
+  final case class CandidatePairs(pairs: DataFrame, mayRepeat: Boolean) {
+    /** The caller's post-verify dedupe, applied only when needed. */
+    def dedupeVerified(verified: DataFrame): DataFrame =
+      if (mayRepeat) verified.distinct() else verified
+  }
+
   /** Upper bound on band-only candidate pairs: every pair the 3-bucket
     * probe join can emit lies in (b, b) or (b, b±1), so Σ_b n_b·(n_{b−1}
     * + n_b + n_{b+1}) / 1 bounds it (each unordered pair counted ≤ 2×,
@@ -160,7 +173,7 @@ object CandidateGen {
     * and both join sides re-read it); returns (i, j). */
   def bandPrefixSelf(sketch: DataFrame, threshold: Double,
       bucketWidth: Int, maxLenDiff: Int,
-      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): DataFrame = {
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): CandidatePairs = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val bkt = floor(col("len") / bucketWidth).cast("long")
     if (bandCandidateBound(sketch, bucketWidth) <= bandOnlyMax) {
@@ -172,10 +185,10 @@ object CandidateGen {
         .select(col("bkt"), col("id").as("i"), col("len").as("len_i"))
       val build = sketch.withColumn("bkt", bkt)
         .select(col("bkt"), col("id").as("j"), col("len").as("len_j"))
-      probe.join(maybeBroadcast(build), Seq("bkt"))
+      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt"))
         .filter(col("i") < col("j") &&
           abs(col("len_i") - col("len_j")) <= maxLenDiff)
-        .select("i", "j")
+        .select("i", "j"), mayRepeat = false)
     } else {
       val prefix = prefixTokens(sketch, threshold, gramDf(sketch))
       val probe = fanout(prefix
@@ -189,12 +202,12 @@ object CandidateGen {
       // token (rarely more than a couple). The caller's verify is a
       // broadcast join + codegen kernel, so deduping the small verified
       // output is far cheaper than a candidate-sized DISTINCT shuffle
-      // here — callers dedupe after their verify (see Dedup.*Pairs).
-      probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+      // here — mayRepeat tells the caller to dedupe after its verify.
+      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
         .filter(col("i") < col("j") &&
           abs(col("len_i") - col("len_j")) <= maxLenDiff &&
           sizePositionalFilter(threshold))
-        .select("i", "j")
+        .select("i", "j"), mayRepeat = true)
     }
   }
 
@@ -228,7 +241,7 @@ object CandidateGen {
 
   def bandPrefixAcross(probeSketch: DataFrame, buildSketch: DataFrame,
       threshold: Double, bucketWidth: Int, maxLenDiff: Int,
-      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): DataFrame = {
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): CandidatePairs = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val bkt = floor(col("len") / bucketWidth).cast("long")
     if (bandCandidateBoundAcross(probeSketch, buildSketch, bucketWidth)
@@ -240,9 +253,9 @@ object CandidateGen {
         .select(col("bkt"), col("id").as("i"), col("len").as("len_i"))
       val build = buildSketch.withColumn("bkt", bkt)
         .select(col("bkt"), col("id").as("j"), col("len").as("len_j"))
-      probe.join(maybeBroadcast(build), Seq("bkt"))
+      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt"))
         .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
-        .select("i", "j")
+        .select("i", "j"), mayRepeat = false)
     } else {
       val gdf = gramDf(probeSketch, buildSketch)
       val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
@@ -255,10 +268,10 @@ object CandidateGen {
           col("n").as("n_j"), col("__r").as("r_j"))
       // not deduped — same caller-dedupes-after-verify contract as
       // [[bandPrefixSelf]]'s prefix branch
-      probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
         .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
           sizePositionalFilter(threshold))
-        .select("i", "j")
+        .select("i", "j"), mayRepeat = true)
     }
   }
 

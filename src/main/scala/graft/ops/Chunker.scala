@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * [[graft.expr.SketchRuntime.paragraphChunks]]) feeding Spark's native
   * posexplode — the former HOF spellings (transform/sequence/aggregate/
   * zip_with) are CodegenFallback and their interpreted lambdas dominated
-  * both chunking queries at 10× bench data; ChunkerSpec pins kernel ==
-  * HOF on edge strings and a real corpus.
+  * both chunking queries at 10× bench data; ChunkEmbedSpec pins
+  * kernel == HOF on edge strings and a real corpus.
   */
 object Chunker {
 

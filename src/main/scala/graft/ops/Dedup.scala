@@ -128,18 +128,18 @@ object Dedup {
       .localCheckpoint(true)
     val cand = CandidateGen.bandPrefixSelf(sketch, threshold, bucketWidth,
       maxLenDiff, bandOnlyMax)
-    cand
+    // the prefix candidate branch emits a pair once per qualifying
+    // shared prefix token — dedupe the (small) verified output, not the
+    // candidate stream, and only when that branch was taken (band-only
+    // candidates are distinct by construction)
+    cand.dedupeVerified(cand.pairs
       .join(sketch.select(col("id").as("i"), col("n").as("n_i"),
         col("hs").as("hs_i")), Seq("i"))
       .join(sketch.select(col("id").as("j"), col("n").as("n_j"),
         col("hs").as("hs_j")), Seq("j"))
       .select(col("i"), col("j"),
         hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
-      .filter(col("jac") >= threshold)
-      // the prefix candidate branch emits a pair once per qualifying
-      // shared prefix token — dedupe the (small) verified output, not
-      // the candidate stream
-      .distinct()
+      .filter(col("jac") >= threshold))
   }
 
   /** The pre-round-10 band-only construction, kept as the reference twin
@@ -188,16 +188,17 @@ object Dedup {
       .filter(col("n") > 0) // see ngramJaccardPairs: no NaN-jac pairs
       .localCheckpoint(true)
     val (ps, bs) = (sk(probe), sk(build))
-    CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth, maxLenDiff,
-      bandOnlyMax)
+    val cand = CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth,
+      maxLenDiff, bandOnlyMax)
+    // see ngramJaccardPairs: prefix candidates may repeat per token
+    cand.dedupeVerified(cand.pairs
       .join(ps.select(col("id").as("i"), col("n").as("n_i"),
         col("hs").as("hs_i")), Seq("i"))
       .join(maybeBroadcast(bs.select(col("id").as("j"), col("n").as("n_j"),
         col("hs").as("hs_j"))), Seq("j"))
       .select(col("i").as("probe_id"), col("j").as("build_id"),
         hashedJaccard(col("hs_i"), col("n_i"), col("hs_j"), col("n_j")).as("jac"))
-      .filter(col("jac") >= threshold)
-      .distinct() // see ngramJaccardPairs: candidates may repeat per token
+      .filter(col("jac") >= threshold))
   }
 
   /** Exact set-similarity join by PREFIX FILTERING (the AllPairs/PPJoin
@@ -336,15 +337,23 @@ object Dedup {
     * is checkpointed once and feeds the df cap and both join sides, and
     * the pair aggregate moves ids only. */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
-      minShared: Long = 3L, maxDf: Int = 50): DataFrame = {
+      minShared: Long = 3L, maxDf: Int = 50,
+      assumeUniqueIds: Boolean = true): DataFrame = {
     // per-doc distinct hashes come straight from the codegen kernel —
     // no Scala-UDF row conversion, and (id, h) is distinct by
-    // construction so the corpus-wide DISTINCT shuffle disappears
+    // construction PROVIDED ids are unique (the declared query paths
+    // feed fingerprint-deduped docs), so the corpus-wide DISTINCT
+    // shuffle disappears. A caller whose input may repeat an id must
+    // pass assumeUniqueIds = false — duplicate (id, h) rows would
+    // inflate fingerprint document frequencies (hashes crossing the
+    // maxDf cap get dropped) and double-count n_shared; the explicit
+    // distinct restores the pre-kernel corpus-wide dedup exactly.
     // coalesce mirrors the former UDF's null handling (winnowedRuns
     // treats null as "", which still fingerprints one empty run)
-    val fp = df.select(col(idCol).as("id"),
+    val fp0 = df.select(col(idCol).as("id"),
         explode(graft.expr.sketchFunctions.winnowed_hash_set(
           coalesce(col(textCol), lit("")))).as("h"))
+    val fp = (if (assumeUniqueIds) fp0 else fp0.distinct())
       .localCheckpoint(true)
     val keep = fp.groupBy("h").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf)

@@ -199,9 +199,16 @@ object Profile {
       eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
     val (w, d) = cmsDims(eps, confidence)
     occurrences
+      // NULL items contribute no counters: lookups hash a concrete item,
+      // so a NULL-keyed counter row could never be consulted — the old
+      // hex spelling emitted d dead (i, NULL)-bucket rows for them; the
+      // explicit filter makes the divergence deliberate instead of an
+      // accident of the kernel's null-propagation
+      .filter(col(tokCol).isNotNull)
       // one JVM kernel per occurrence (md5 + d 16-bit slices) — the hex
       // spelling materialized the 32-char hash string and ran d string
-      // conversions per token; CmsBucketsExpr is its bit-exact twin
+      // conversions per token; CmsBucketsExpr is its bit-exact twin on
+      // every non-null item
       .select(posexplode(
           graft.expr.sketchFunctions.cms_buckets(col(tokCol), w, d))
         .as(Seq("i", "bucket")))

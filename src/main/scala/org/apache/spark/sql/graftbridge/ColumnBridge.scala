@@ -11,4 +11,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def toExpr(c: Column): Expression = ExpressionUtils.expression(c)
   def toCol(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** The string-or-binary input contract Spark's own `md5` declares —
+    * `TypeCollection` and `AbstractDataType` are `private[sql]`, so the
+    * `Seq` is built here (inferred types keep the private names out of
+    * caller signatures). */
+  val stringOrBinaryInput = Seq(org.apache.spark.sql.types.TypeCollection(
+    org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.BinaryType))
 }
