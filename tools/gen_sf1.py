@@ -1,24 +1,29 @@
 #!/usr/bin/env python3
-"""Generate a 10x (sf1-scale) analog of /root/testdata/sf0.1 into
-/tmp/graft_sf1, for the sf1 spot-bench (BENCH_r{N}_sf1.json).
+"""Generate an N-times-sf0.1 analog of /root/testdata/sf0.1 for the
+scale spot-benches: `gen_sf1.py [scale] [dst]` defaults to scale 10 into
+/tmp/graft_sf1 (BENCH_r{N}_sf1.json); `gen_sf1.py 100 /tmp/graft_sf10`
+builds the 100x point (BENCH_r{N}_sf10 spot-bench).
 
-The driver only ships sf{0.001,0.01,0.1}; scale-curve validation needs a
-10x data point. This generator reproduces each table's OBSERVABLE
-generating process at 10x the row count (same vocabularies, marginals,
-key-space ratios, seed-fixed), rather than replicating sf0.1 rows 10x --
-replication would multiply duplicate-cluster sizes and turn every
-pair-join family superlinear by construction, poisoning exactly the
-scale curves the bench exists to measure.
+The driver only ships sf{0.001,0.01,0.1}; scale-curve validation needs
+larger data points. This generator reproduces each table's OBSERVABLE
+generating process at scale-times the row count (same vocabularies,
+marginals, key-space ratios, seed-fixed), rather than replicating sf0.1
+rows -- replication would multiply duplicate-cluster sizes and turn
+every pair-join family superlinear by construction, poisoning exactly
+the scale curves the bench exists to measure.
 """
 import collections
 import json
 import os
+import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/graft_sf1"
+SCALE = int(sys.argv[1]) if len(sys.argv) > 1 else 10  # x sf0.1 rows
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf1"
+M = SCALE / 10.0  # row counts below are written for the 10x point
 rng = np.random.default_rng(4242)
 os.makedirs(DST, exist_ok=True)
 
@@ -50,7 +55,7 @@ counter = collections.Counter(t for ts in tok_lists for t in ts)
 vocab = np.array(list(counter.keys()))
 tok_p = np.array(list(counter.values()), dtype=float)
 tok_p /= tok_p.sum()
-N_DOC = 50_000
+N_DOC = int(50_000 * M)
 lens = sample(tok_lists.str.len().values, N_DOC)
 flat = rng.choice(vocab, size=int(lens.sum()), p=tok_p)
 texts, off = [], 0
@@ -70,7 +75,7 @@ write("documents", docs)
 # L2-normalized like the source vectors ----
 e = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
 V = np.vstack(e.embedding.values)
-N_EMB = 20_000
+N_EMB = int(20_000 * M)
 labels = sample(e.label.values, N_EMB).astype(np.int32)
 dim = V.shape[1]
 vecs = np.empty((N_EMB, dim), dtype=np.float32)
@@ -90,7 +95,7 @@ write("embeddings", emb)
 # ---- part: two-word names from the empirical word distributions ----
 p = pq.read_table(f"{SRC}/part.parquet").to_pandas()
 w = p.p_name.str.split(" ")
-N_PART = 200_000
+N_PART = int(200_000 * M)
 pk = np.arange(N_PART)
 names = np.char.add(np.char.add(
     sample(w.str[0].values, N_PART).astype(str), " "),
@@ -108,7 +113,7 @@ write("part", part)
 
 # ---- customer / supplier ----
 c = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
-N_CUST = 150_000
+N_CUST = int(150_000 * M)
 cust = pa.table({
     "c_custkey": pa.array(np.arange(N_CUST), pa.int64()),
     "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)], pa.string()),
@@ -120,7 +125,7 @@ cust = pa.table({
 write("customer", cust)
 
 s = pq.read_table(f"{SRC}/supplier.parquet").to_pandas()
-N_SUPP = 10_000
+N_SUPP = int(10_000 * M)
 supp = pa.table({
     "s_suppkey": pa.array(np.arange(N_SUPP), pa.int64()),
     "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)], pa.string()),
@@ -132,7 +137,7 @@ write("supplier", supp)
 
 # ---- orders / lineitem ----
 o = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
-N_ORD = 1_500_000
+N_ORD = int(1_500_000 * M)
 odate = rng.integers(o.o_orderdate.min().value, o.o_orderdate.max().value,
                      N_ORD)
 orders = pa.table({
@@ -151,7 +156,7 @@ li = pq.read_table(f"{SRC}/lineitem.parquet",
                    columns=["l_linenumber", "l_quantity", "l_discount",
                             "l_tax", "l_returnflag", "l_linestatus"]).to_pandas()
 lsrc = pq.read_table(f"{SRC}/lineitem.parquet", columns=["l_shipdate"]).to_pandas()
-N_LI = 6_000_000
+N_LI = int(6_000_000 * M)
 ship = rng.integers(lsrc.l_shipdate.min().value, lsrc.l_shipdate.max().value, N_LI)
 lineitem = pa.table({
     "l_orderkey": pa.array(rng.integers(0, N_ORD, N_LI), pa.int64()),
@@ -171,13 +176,13 @@ write("lineitem", lineitem)
 
 # ---- events: increasing timestamps over the same window, 10x users ----
 ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
-N_EV = 1_000_000
+N_EV = int(1_000_000 * M)
 span = ev.ts.max().value - ev.ts.min().value
 ts = np.sort(rng.integers(0, span, N_EV)) + ev.ts.min().value
 events = pa.table({
     "event_id": pa.array(np.arange(N_EV), pa.int64()),
     "ts": pa.array((ts // 1000).astype("int64"), pa.timestamp("us")),
-    "user_id": pa.array(rng.integers(0, 15000, N_EV), pa.int64()),
+    "user_id": pa.array(rng.integers(0, int(15000 * M), N_EV), pa.int64()),
     "event_type": pa.array(sample(ev.event_type.values, N_EV), pa.string()),
     "value": pa.array(np.round(rng.uniform(0.0, ev.value.max(), N_EV), 2),
                       pa.float64()),
