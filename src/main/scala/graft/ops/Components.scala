@@ -41,8 +41,12 @@ object Components {
     // expensive upstream pair join (blocked Jaccard, cosine) would run
     // twice just to flip its columns — measured ~2x the dominant cost of
     // every near-dup clustering query at sf0.1
+    // PageRank's storage discipline: e0 is TRANSIENT (read once per
+    // union branch, dead once sym materializes) → serialized + released
+    // below; sym is the HOT per-round table → deserialized
     val e0 = edges.select(col(iCol).as("a"), col(jCol).as("b"))
-      .localCheckpoint(true)
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sym = e0
       .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
@@ -51,6 +55,10 @@ object Components {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // the eager checkpoint above scanned every sym partition, so sym is
+    // fully cached (MEMORY_AND_DISK — eviction spills, never recomputes)
+    // and the raw edge blocks are dead weight for the rest of the loop
+    e0.unpersist()
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -115,6 +123,8 @@ object Components {
       srcCol: String = "src", dstCol: String = "dst",
       broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // e IS the hot per-round vote-join table here (no degree
+    // annotation step) → deserialized, PageRank's hot-table rule
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint(true)
     val seed = seeds.select(col(nodeCol).cast("long").as("node"),

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** PageRank over an edge list (Brin & Page 1998), integer-quantized so
   * the result is bit-reproducible across engines and replayable as plain
@@ -38,6 +39,13 @@ import org.apache.spark.sql.functions._
   */
 object PageRank {
 
+  /** Node-count gate for the big-graph storage discipline (see
+    * [[pageRank]]): below it the committed small-graph plan runs with
+    * zero extra jobs; above it transients are released and the hot
+    * per-round table is stored serialized. 500k nodes ⇒ edge tables in
+    * the tens of millions, where row-object GC pressure dominates. */
+  val bigGraphNodes: Long = 500000L
+
   /** (node, rank) after `iters` rounds over directed `edges`; rank in
     * `scale`-units. Node set = nodes with at least one out-edge (every
     * node, for a symmetrized graph).
@@ -59,12 +67,26 @@ object PageRank {
     // instead of re-running the caller's joins/distinct three times
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val nNodes = deg.count()
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val nNodes = deg0.count()
     val hint: DataFrame => DataFrame =
       if (nNodes <= broadcastMaxNodes) broadcast else identity
-    // degree-annotated edges: built once, reused every iteration
-    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true)
+    // Storage discipline, gated on MEASURED size (learned at 100x bench
+    // data, where eagerly-cached deserialized edge-sized copies pinned
+    // for the whole loop filled the protected storage floor, starved
+    // execution memory and thrashed GC on hundreds of millions of row
+    // objects). Big graphs: checkpoint nodes-sized deg so the raw edge
+    // blocks can be RELEASED before the loop, and store the hot
+    // edgesDeg SERIALIZED (one byte[] per block, not 2 objects per
+    // row — at this size GC relief beats the per-round deserialize
+    // cost). Small graphs keep the zero-extra-jobs deserialized plan:
+    // the same discipline applied unconditionally measured +20-25% per
+    // query at sf0.1, all of it the fixed costs.
+    val big = nNodes > bigGraphNodes
+    val deg = if (big) deg0.localCheckpoint(true) else deg0
+    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true,
+      if (big) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK)
+    if (big) e.unpersist() // everything downstream reads deg / edgesDeg
 
     val base = scale - scale * dampNum / dampDen // (1−d)·scale, exact
     val ranks0 = deg.select(col("src").as("node"), lit(scale).as("rank"))
@@ -85,13 +107,18 @@ object PageRank {
       scale: Long = 1000000L,
       broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
+    // same size-gated storage discipline as [[pageRank]]
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint(true)
-    val deg = e.groupBy("src").agg(count(lit(1)).as("__deg"))
-    val nNodes = deg.count()
+    val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
+    val nNodes = deg0.count()
     val hint: DataFrame => DataFrame =
       if (nNodes <= broadcastMaxNodes) broadcast else identity
-    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true)
+    val big = nNodes > bigGraphNodes
+    val deg = if (big) deg0.localCheckpoint(true) else deg0
+    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true,
+      if (big) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK)
+    if (big) e.unpersist()
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().withColumn("__seed", lit(1))
     val base = scale - scale * dampNum / dampDen
