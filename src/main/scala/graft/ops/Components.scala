@@ -47,18 +47,32 @@ object Components {
     val e0 = edges.select(col(iCol).as("a"), col(jCol).as("b"))
       .localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val sym = e0
+    // cluster-safe gate (same contract as PageRank): checkpoint dir
+    // configured AND the graph above the big-graph threshold → every
+    // loop-lived table is a RELIABLE checkpoint (executor death
+    // re-materializes instead of killing the fixed point). Gated on the
+    // EDGE count — already materialized, so the count is a cheap cached
+    // scan, and edges ≥ nodes makes it a conservative early trigger.
+    // The count only runs when a checkpoint dir exists (zero extra jobs
+    // on the single-host bench path).
+    val reliable = ScaleHints.reliableConfigured(e0) &&
+      e0.count() > PageRank.bigGraphNodes(e0.sparkSession)
+    val sym0 = e0
       .unionByName(e0.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .persist()
+    // reliable mode must NOT leave sym as a plain persist: its lineage
+    // reads e0, whose blocks are released below — an executor death
+    // would need exactly that recompute. The reliable cut materializes
+    // sym to the checkpoint FS first.
+    val sym = if (reliable) sym0.checkpoint() else sym0.persist()
 
-    var labels = sym.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
+    var labels = ScaleHints.cut(sym.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node")), reliable)
     // the eager checkpoint above scanned every sym partition, so sym is
     // fully cached (MEMORY_AND_DISK — eviction spills, never recomputes)
     // and the raw edge blocks are dead weight for the rest of the loop
-    e0.unpersist()
+    // (released via the checkpoint RDD — Dataset.unpersist would no-op)
+    ScaleHints.releaseCheckpoint(e0)
     var it = 0
     var changed = 1L
     while (changed > 0 && it < maxIter) {
@@ -79,12 +93,12 @@ object Components {
           Seq("label"), "left_outer")
         .select(col("node"), col("old_label"),
           least(col("label"), coalesce(col("jump"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = jumped.filter(col("label") < col("old_label")).count()
-      labels = jumped.select(col("node"), col("label"))
+      val cut = ScaleHints.cut(jumped, reliable)
+      changed = cut.filter(col("label") < col("old_label")).count()
+      labels = cut.select(col("node"), col("label"))
       it += 1
     }
-    sym.unpersist()
+    if (!reliable) sym.unpersist() // checkpoint files are FS-managed
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge after $maxIter rounds " +

@@ -338,16 +338,17 @@ object Dedup {
     * the pair aggregate moves ids only. */
   def winnowOverlapPairs(df: DataFrame, idCol: String, textCol: String,
       minShared: Long = 3L, maxDf: Int = 50,
-      assumeUniqueIds: Boolean = true): DataFrame = {
+      assumeUniqueIds: Boolean = false): DataFrame = {
     // per-doc distinct hashes come straight from the codegen kernel —
     // no Scala-UDF row conversion, and (id, h) is distinct by
-    // construction PROVIDED ids are unique (the declared query paths
-    // feed fingerprint-deduped docs), so the corpus-wide DISTINCT
-    // shuffle disappears. A caller whose input may repeat an id must
-    // pass assumeUniqueIds = false — duplicate (id, h) rows would
-    // inflate fingerprint document frequencies (hashes crossing the
-    // maxDf cap get dropped) and double-count n_shared; the explicit
-    // distinct restores the pre-kernel corpus-wide dedup exactly.
+    // construction PROVIDED ids are unique, so the corpus-wide DISTINCT
+    // shuffle disappears. That is an OPT-IN fast path: the default
+    // keeps the explicit distinct, because a library caller with
+    // repeated ids would otherwise silently get inflated fingerprint
+    // document frequencies (hashes wrongly crossing the maxDf cap) and
+    // double-counted n_shared. Call sites that guarantee uniqueness
+    // (the declared queries feed fingerprint-deduped docs) pass
+    // assumeUniqueIds = true to skip the shuffle.
     // coalesce mirrors the former UDF's null handling (winnowedRuns
     // treats null as "", which still fingerprints one empty run)
     val fp0 = df.select(col(idCol).as("id"),
@@ -517,11 +518,36 @@ object Dedup {
     * is a bounded equi-join on (table, bucket): no all-pairs anywhere,
     * shuffle keyed by 2^nPlanes buckets per table.
     *
+    * Bucket-capacity discipline (the 100× lesson): at FIXED nPlanes the
+    * per-table bucket space is constant, so same-bucket occupancy grows
+    * linearly with the corpus and candidate pairs grow QUADRATICALLY
+    * (measured at 100× bench data: ~625M candidates vs ~9M true pairs —
+    * candidate growth, not output growth, dominated the step). The
+    * effective plane count therefore scales with the MEASURED corpus
+    * size: planes = max(nPlanes, ⌈log₂(n / targetBucketOccupancy)⌉)
+    * (capped at `maxPlanes`), which pins mean occupancy ≤
+    * targetBucketOccupancy and makes expected candidates ≈
+    * nTables · n · occupancy / 2 — linear in n. One count(1) scan pays
+    * for the measurement. The trade is recall at the margin: per-table
+    * collision probability for angle θ is (1 − θ/π)^planes, so each
+    * added plane multiplies it by (1 − θ/π) — fine for true near-dups
+    * (cos ≥ 0.9 ⇒ factor ≈ 0.9), increasingly lossy toward the
+    * threshold; a deployment holding recall fixed while n grows must
+    * scale nTables alongside (recall = 1 − (1 − p)^nTables). Below the
+    * gate (n ≤ targetBucketOccupancy · 2^nPlanes, all driver-shipped
+    * SFs) the plane count — and the output — is exactly the fixed-plane
+    * construction the oracle replays.
+    *
     * `exhaustive = true` is the exact O(n²) baseline — the oracle shape
-    * for tests and small corpora, a scale-killer beyond that. */
+    * for tests and small corpora, a scale-killer beyond that (its
+    * OUTPUT alone is Θ(n²) on clustered corpora: qualifying pairs
+    * measure a constant ~5e-4 of all pairs on the bench embeddings at
+    * threshold 0.4). The bounded-batch exact form that scales is
+    * [[embeddingNearDupsAgainst]]. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, exhaustive: Boolean = false, dim: Int = 64,
-      nPlanes: Int = 8, nTables: Int = 8, seed: Long = 42L): DataFrame = {
+      nPlanes: Int = 8, nTables: Int = 8, seed: Long = 42L,
+      targetBucketOccupancy: Long = 64L, maxPlanes: Int = 20): DataFrame = {
     val withNorm = df.select(col(idCol), col(vecCol),
       Vectors.norm(col(vecCol)).as("nrm"))
     if (exhaustive) {
@@ -533,9 +559,16 @@ object Dedup {
         .filter(col("cos") >= threshold)
         .select(col("i"), col("j"))
     } else {
+      // measured-size plane scaling (see the scaladoc): one cheap
+      // count(1) job; the first nPlanes planes of each table are the
+      // fixed-plane construction's, extras refine the same signature
+      val n = df.count()
+      val effPlanes = math.max(nPlanes, math.min(maxPlanes,
+        math.ceil(math.log(math.max(1.0,
+          n.toDouble / targetBucketOccupancy)) / math.log(2.0)).toInt))
       val tableBuckets = array((0 until nTables).map { t =>
         Vectors.hyperplaneBuckets(col(vecCol),
-          Vectors.hyperplanes(nPlanes, dim, seed + t))
+          Vectors.hyperplanes(effPlanes, dim, seed + t))
       }: _*)
       val banded = withNorm.select(col(idCol), col(vecCol), col("nrm"),
         posexplode(tableBuckets).as(Seq("tbl", "bkt")))
@@ -554,6 +587,36 @@ object Dedup {
         .select(col("i"), col("j"))
         .distinct() // a pair may collide in several tables
     }
+  }
+
+  /** EXACT cosine near-dups of a bounded PROBE batch against the corpus
+    * — the incremental-ingest shape ("which existing documents does
+    * today's batch near-duplicate?") and the scale-safe exact twin of
+    * `embeddingNearDups(exhaustive = true)`: the full-corpus exhaustive
+    * form is Θ(n²) in OUTPUT alone on clustered corpora, while this is
+    * one linear corpus scan with |probe| codegen'd dot products per row
+    * — the probe batch is broadcast (its size is an ingest-batch
+    * constant, not a function of corpus size), the corpus is never
+    * shuffled. Returns (i = probe id, j = corpus id), i ≠ j, both
+    * orientations when both ends are probes — a directed "query →
+    * match" relation like the ann_* outputs.
+    *
+    * CALLER CONTRACT: `probe` must be bounded by construction (a batch,
+    * a sample, an id cap) — a corpus-sized probe makes this the
+    * exhaustive join. Restricted to probe×corpus with `i < j`,
+    * the output equals the exhaustive baseline's restriction
+    * (DedupSpec pins the equality). */
+  def embeddingNearDupsAgainst(probe: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val p = broadcast(probe.select(col(idCol).as("i"),
+      col(vecCol).as("v_i"), Vectors.norm(col(vecCol)).as("n_i")))
+    val c = fanout(corpus.select(col(idCol).as("j"),
+      col(vecCol).as("v_j"), Vectors.norm(col(vecCol)).as("n_j")))
+    c.join(p, col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        (dot_product(col("v_i"), col("v_j")) / (col("n_i") * col("n_j"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("i"), col("j"))
   }
 
   /** Duplicated-span COVERAGE (Lee et al. 2021, "Deduplicating Training

@@ -43,8 +43,14 @@ object PageRank {
     * [[pageRank]]): below it the committed small-graph plan runs with
     * zero extra jobs; above it transients are released and the hot
     * per-round table is stored serialized. 500k nodes ⇒ edge tables in
-    * the tens of millions, where row-object GC pressure dominates. */
-  val bigGraphNodes: Long = 500000L
+    * the tens of millions, where row-object GC pressure dominates.
+    * Overridable per session via `spark.graft.bigGraphNodes` (how the
+    * specs exercise the big path on toy graphs). */
+  val bigGraphNodesDefault: Long = 500000L
+
+  def bigGraphNodes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.bigGraphNodes").map(_.toLong)
+      .getOrElse(bigGraphNodesDefault)
 
   /** (node, rank) after `iters` rounds over directed `edges`; rank in
     * `scale`-units. Node set = nodes with at least one out-edge (every
@@ -54,8 +60,29 @@ object PageRank {
     * most `broadcastMaxNodes`, the per-iteration ranks⋈edges join is a
     * BROADCAST join — the big edge table is never shuffled, only the
     * contribution sums move (with map-side partial aggregation). Past
-    * that size the join falls back to the shuffle path, which is the
-    * correct billion-node shape (ranks and edges both hash on src). */
+    * that size the join falls back to a SHUFFLE_HASH join keyed on src
+    * — the correct billion-node shape (only the nodes-sized ranks
+    * shuffle per round; a sort-merge join would re-sort the edge side
+    * every round).
+    *
+    * Partition-once discipline: the hot edge table is repartitioned
+    * ONCE, at setup, on the key the per-round pipeline needs — `dst` in
+    * the broadcast regime (the broadcast join preserves the streamed
+    * side's partitioning, so the per-round contribution aggregate needs
+    * NO exchange: a 5-iteration run moves the edge table through zero
+    * per-round shuffles), `src` past it (the per-round ranks⋈edges join
+    * reuses the stored partitioning; only ranks shuffles). The
+    * checkpoint preserves the partitioning, so the one setup shuffle
+    * is reused by every round — at 100× bench data the per-round
+    * edge-sized aggregate exchange was the dominant sf10 term.
+    *
+    * Cluster safety: with a checkpoint directory configured
+    * (`sc.setCheckpointDir`) and the graph above the
+    * [[bigGraphNodes]] gate, every loop-lived cut (deg, edgesDeg, the
+    * per-round ranks) is a RELIABLE checkpoint instead of a
+    * localCheckpoint — executor death mid-loop re-materializes from
+    * the checkpoint FS instead of killing the job
+    * ([[ScaleHints.cut]]). */
   def pageRank(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", iters: Int = 5,
       dampNum: Long = 85L, dampDen: Long = 100L,
@@ -69,8 +96,9 @@ object PageRank {
       col(dstCol).cast("long").as("dst")).localCheckpoint(true)
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val nNodes = deg0.count()
+    val bcast = nNodes <= broadcastMaxNodes
     val hint: DataFrame => DataFrame =
-      if (nNodes <= broadcastMaxNodes) broadcast else identity
+      if (bcast) broadcast else (df => df.hint("shuffle_hash"))
     // Storage discipline, gated on MEASURED size (learned at 100x bench
     // data, where eagerly-cached deserialized edge-sized copies pinned
     // for the whole loop filled the protected storage floor, starved
@@ -82,15 +110,25 @@ object PageRank {
     // cost). Small graphs keep the zero-extra-jobs deserialized plan:
     // the same discipline applied unconditionally measured +20-25% per
     // query at sf0.1, all of it the fixed costs.
-    val big = nNodes > bigGraphNodes
-    val deg = if (big) deg0.localCheckpoint(true) else deg0
-    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true,
+    val big = nNodes > bigGraphNodes(e.sparkSession)
+    val reliable = big && ScaleHints.reliableConfigured(e)
+    val deg = if (big) ScaleHints.cut(deg0, reliable) else deg0
+    // partition-once: dst in the broadcast regime (per-round aggregate
+    // reuses it — no per-round edge shuffle at all), src past it (the
+    // per-round shuffle-hash join reuses it). See the scaladoc.
+    val edgesDeg = ScaleHints.cut(
+      e.join(hint(deg), Seq("src"))
+        .repartition(col(if (bcast) "dst" else "src")),
+      reliable,
       if (big) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK)
-    if (big) e.unpersist() // everything downstream reads deg / edgesDeg
+    // everything downstream reads deg / edgesDeg; release the raw edge
+    // blocks for real (Dataset.unpersist is a no-op on a localCheckpoint)
+    if (big) ScaleHints.releaseCheckpoint(e)
 
     val base = scale - scale * dampNum / dampDen // (1−d)·scale, exact
     val ranks0 = deg.select(col("src").as("node"), lit(scale).as("rank"))
-    iterate(edgesDeg, ranks0, lit(base), hint, iters, dampNum, dampDen)
+    iterate(edgesDeg, ranks0, lit(base), hint, iters, dampNum, dampDen,
+      reliable = reliable, cutEvery = if (big) 3 else 2)
   }
 
   /** Personalized PageRank (Jeh & Widom 2003 / Haveliwala 2002):
@@ -112,13 +150,18 @@ object PageRank {
       col(dstCol).cast("long").as("dst")).localCheckpoint(true)
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val nNodes = deg0.count()
+    val bcast = nNodes <= broadcastMaxNodes
     val hint: DataFrame => DataFrame =
-      if (nNodes <= broadcastMaxNodes) broadcast else identity
-    val big = nNodes > bigGraphNodes
-    val deg = if (big) deg0.localCheckpoint(true) else deg0
-    val edgesDeg = e.join(hint(deg), Seq("src")).localCheckpoint(true,
+      if (bcast) broadcast else (df => df.hint("shuffle_hash"))
+    val big = nNodes > bigGraphNodes(e.sparkSession)
+    val reliable = big && ScaleHints.reliableConfigured(e)
+    val deg = if (big) ScaleHints.cut(deg0, reliable) else deg0
+    val edgesDeg = ScaleHints.cut(
+      e.join(hint(deg), Seq("src"))
+        .repartition(col(if (bcast) "dst" else "src")),
+      reliable,
       if (big) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK)
-    if (big) e.unpersist()
+    if (big) ScaleHints.releaseCheckpoint(e)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().withColumn("__seed", lit(1))
     val base = scale - scale * dampNum / dampDen
@@ -132,19 +175,24 @@ object PageRank {
         (col("rank") + when(col("__seed").isNotNull, lit(base))
           .otherwise(lit(0L))).as("rank"))
     iterate(edgesDeg, ranks0, lit(0L), hint, iters, dampNum, dampDen,
-      postStep = withSeedBase)
+      postStep = withSeedBase, reliable = reliable,
+      cutEvery = if (big) 3 else 2)
   }
 
   private def iterate(edgesDeg: DataFrame, ranks0: DataFrame,
       baseCol: org.apache.spark.sql.Column, hint: DataFrame => DataFrame,
       iters: Int, dampNum: Long, dampDen: Long,
-      postStep: DataFrame => DataFrame = identity): DataFrame = {
-    // lineage is cut every SECOND round, not every round: each eager
-    // localCheckpoint is a full job (schedule + materialize + store), and
-    // a two-round plan is still constant-size — this halves the job count
-    // of the fixed-point loop while keeping the plan from deepening
-    // across arbitrary iteration counts (the GraphX/Pregel hygiene).
-    var ranks = ranks0.localCheckpoint(true)
+      postStep: DataFrame => DataFrame = identity,
+      reliable: Boolean = false, cutEvery: Int = 2): DataFrame = {
+    // lineage is cut every `cutEvery`-th round, not every round: each
+    // eager cut is a full job (schedule + materialize + store), and a
+    // 2–3-round plan is still constant-size — this divides the job
+    // count of the fixed-point loop while keeping the plan from
+    // deepening across arbitrary iteration counts (the GraphX/Pregel
+    // hygiene). Big graphs stretch to every 3rd round (the cut jobs
+    // are a larger share of a big loop's wall-clock); reliable mode
+    // makes each cut a checkpoint-FS write ([[ScaleHints.cut]]).
+    var ranks = ScaleHints.cut(ranks0, reliable)
     for (it <- 1 to iters) {
       val contribs = edgesDeg
         .join(hint(ranks.withColumnRenamed("node", "src")), Seq("src"))
@@ -152,7 +200,8 @@ object PageRank {
       ranks = postStep(contribs.groupBy(col("dst").as("node"))
           .agg((baseCol + expr(s"(sum(__c) * ${dampNum}L) div ${dampDen}L"))
             .as("rank")))
-      if (it % 2 == 0 && it < iters) ranks = ranks.localCheckpoint(true)
+      if (it % cutEvery == 0 && it < iters)
+        ranks = ScaleHints.cut(ranks, reliable)
     }
     ranks
   }

@@ -194,7 +194,16 @@ object Profile {
     * parquet, incrementable by adding a delta's counters. One map pass
     * over occurrences (d rows each) into a partial-aggregated shuffle
     * whose key space is bounded by d·w — the full token stream is never
-    * shuffled BY TOKEN. */
+    * shuffled BY TOKEN.
+    *
+    * NULL-item contract: NULL items contribute NO counters (see the
+    * filter below), while the documented hex oracle twin
+    * `conv(substring(md5(item), 1+4i, 4), 16, 10) % w` emits d
+    * (i, NULL)-bucket rows for each NULL — an oracle replay over a
+    * stream containing NULLs must therefore add `WHERE item IS NOT
+    * NULL` to stay bit-exact. The declared corpora satisfy the
+    * precondition structurally (tokens come from splitting non-null
+    * text, and their oracle SQL already drops empty tokens). */
   def cmsCounters(occurrences: DataFrame, tokCol: String,
       eps: Double = 1e-4, confidence: Double = 0.99): DataFrame = {
     val (w, d) = cmsDims(eps, confidence)

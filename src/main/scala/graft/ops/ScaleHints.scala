@@ -78,4 +78,49 @@ private[graft] object ScaleHints {
       }
     }
   }
+
+  /** Lineage cut for iterative fixed-point loops, with a cluster-safe
+    * escape hatch. `localCheckpoint` blocks live in executor storage —
+    * on a real cluster an executor death mid-loop loses them and, the
+    * lineage being cut, the JOB dies (at 100 TB that is a guaranteed
+    * restart of a multi-hour run). When the session has a checkpoint
+    * directory configured (`sc.setCheckpointDir` — the operator's
+    * config gate) and the caller's size gate says the loop is big
+    * enough to care, the cut is a RELIABLE `Dataset.checkpoint`:
+    * blocks re-materialize from the checkpoint files on executor loss.
+    * Below the gate — or on a session with no checkpoint dir, like the
+    * single-host bench — the zero-infra localCheckpoint path is
+    * unchanged. Reliable cuts cost a write of the frame to the
+    * checkpoint FS per cut; callers should cut the nodes-sized tables,
+    * not edge-sized ones, wherever the loop allows. */
+  def cut(df: DataFrame, reliable: Boolean,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
+    if (reliable) df.checkpoint()
+    else df.localCheckpoint(true, level)
+
+  /** The config half of the reliable-cut gate (see [[cut]]). */
+  def reliableConfigured(df: DataFrame): Boolean =
+    df.sparkSession.sparkContext.getCheckpointDir.isDefined
+
+  /** Eagerly free the RDD blocks behind a localCheckpointed frame.
+    *
+    * `Dataset.unpersist` is a NO-OP here: it only uncaches via the SQL
+    * cache manager, which never holds checkpoint blocks — so a
+    * "release the transient edge copy before the loop" call that uses
+    * it silently leaks the blocks until GC. This matches the LogicalRDD
+    * leaf the checkpoint leaves as the plan root and unpersists the
+    * underlying RDD directly (same pattern as DriftStream's superseded-
+    * state release). If a Spark upgrade changes the leaf shape the
+    * collect matches nothing and the blocks leak until the session's
+    * ContextCleaner gets them — a deliberate degradation, never a wrong
+    * result. CALLER CONTRACT: the frame must be dead — a released
+    * localCheckpoint has no lineage to recompute from, so any later
+    * read of it fails. */
+  def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.optimizedPlan.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

@@ -84,8 +84,15 @@ object Xlsx {
     * digits on open and will corrupt such ids if a human re-saves the
     * workbook. Ids that must survive an Excel edit cycle belong in a
     * string column (the reference's master keeps its ids as text for
-    * the same reason). */
-  def writeMaster(df: DataFrame, path: String, maxRows: Int = 1000000): Unit = {
+    * the same reason) — or set `excelSafeBigInts = true`, which writes
+    * any integral with |v| > 2⁵³ as an inline STRING cell instead: an
+    * Excel open/re-save cycle then cannot clamp it, and the typed
+    * [[readMaster]] overload still recovers the long (string → long
+    * cast parses the literal digits). Off by default because it changes
+    * the cell TYPE a downstream pandas/openpyxl consumer sees for those
+    * values (object dtype instead of numeric). */
+  def writeMaster(df: DataFrame, path: String, maxRows: Int = 1000000,
+      excelSafeBigInts: Boolean = false): Unit = {
     import org.apache.spark.sql.types._
     val cols = df.columns
     val fields = df.schema.fields
@@ -102,7 +109,14 @@ object Xlsx {
       if (value == null) strCell(ref, "")
       else dt match {
         case ByteType | ShortType | IntegerType | LongType =>
-          s"""<c r="$ref"><v>${value.asInstanceOf[Number].longValue}</v></c>"""
+          val l = value.asInstanceOf[Number].longValue
+          // |v| > 2^53: exact through this reader/openpyxl, but an Excel
+          // re-save clamps to 15 significant digits — the flag routes
+          // such values through an inline string cell, which Excel
+          // preserves verbatim (see the writeMaster scaladoc)
+          if (excelSafeBigInts && (l > (1L << 53) || l < -(1L << 53)))
+            strCell(ref, l.toString) // no math.abs: abs(Long.MinValue) < 0
+          else s"""<c r="$ref"><v>$l</v></c>"""
         case FloatType | DoubleType =>
           val d = value.asInstanceOf[Number].doubleValue
           if (d.isNaN || d.isInfinite) strCell(ref, d.toString)

@@ -54,7 +54,6 @@ object DriftStream {
   def runSketchNow(spark: SparkSession, stream: DataFrame,
       groupCol: String, metricCol: String, binWidth: Long,
       maxStateRows: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.execution.LogicalRDD
     import org.apache.spark.sql.functions.sum
     // AtomicReference, not a plain var: foreachBatch runs on the
     // micro-batch thread and the caller reads the final master on its
@@ -75,15 +74,10 @@ object DriftStream {
           throw new IllegalStateException(
             s"drift sketch state ($n rows) exceeds maxStateRows=" +
               s"$maxStateRows — raise binWidth or coarsen '$groupCol'")
-        // free the superseded snapshot's blocks. This pattern-matches the
-        // internal LogicalRDD node a localCheckpoint leaves as the plan
-        // leaf; if a Spark upgrade changes that shape the collect simply
-        // matches nothing and the superseded state LEAKS until the
-        // session ends — a deliberate degradation, never a skipped batch
-        // or a wrong merge
-        prev.foreach(_.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRDD => lr.rdd.unpersist(false)
-        })
+        // free the superseded snapshot's blocks (the shared
+        // checkpoint-RDD release — see ScaleHints.releaseCheckpoint for
+        // the degrade-to-leak contract on a Spark upgrade)
+        prev.foreach(graft.ops.ScaleHints.releaseCheckpoint)
         master.set(Some(mat))
         ()
       }

@@ -276,6 +276,52 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
+  test("embedding LSH occupancy gate: scaled planes refine the fixed-plane " +
+      "buckets — output stays a verified subset, near-dup recall holds") {
+    // same twin corpus as above; forcing targetBucketOccupancy = 1 makes
+    // effPlanes = ceil(log2(40)) = ... > 8 impossible here (40 rows), so
+    // use occupancy target 1 with nPlanes 2: eff = max(2, log2(40)) = 6
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val rows = (0 until 20).flatMap { i =>
+      val base = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val twin = base.map(x => x + 0.01f * rnd.nextGaussian().toFloat)
+      Seq((i.toLong * 2, base), (i.toLong * 2 + 1, twin))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    def lsh(occ: Long) = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+        0.95, dim = dim, nPlanes = 2, targetBucketOccupancy = occ)
+      .as[(Long, Long)].collect().toSet
+    val fixed = lsh(1000L)  // gate idle: 2 planes per table
+    val scaled = lsh(1L)    // gate active: ceil(log2(40)) = 6 planes
+    // extra planes only REFINE buckets (plane i is bit i, and the first
+    // nPlanes planes are the fixed construction's — same seed stream),
+    // so scaled candidates ⊆ fixed candidates and, post-verify,
+    // scaled output ⊆ fixed output
+    assert(scaled.subsetOf(fixed), s"scaled=$scaled fixed=$fixed")
+    // at cos ≈ 0.999 a twin pair escapes 8 tables × 6 planes with
+    // probability ~1e-9 — recall on true near-dups survives the gate
+    val twins = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
+    assert(twins.subsetOf(scaled))
+  }
+
+  test("embeddingNearDupsAgainst == exhaustive baseline on the probe slice") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val against = Dedup.embeddingNearDupsAgainst(
+        e.filter($"vec_id" < 64), e, "vec_id", "embedding", 0.4)
+      .as[(Long, Long)].collect().toSet
+    val exhaustive = Dedup.embeddingNearDups(e, "vec_id", "embedding", 0.4,
+        exhaustive = true).as[(Long, Long)].collect().toSet
+    // exhaustive emits i < j once; Against emits both orientations for
+    // probe-side ends — restricted to i < j they must agree exactly
+    assert(against.filter { case (i, j) => i < j } ==
+      exhaustive.filter { case (i, _) => i < 64 })
+    // and every (i > j) row is the mirror of a qualifying pair
+    assert(against.filter { case (i, j) => i > j }
+      .forall { case (i, j) => exhaustive.contains((j, i)) })
+    assert(against.nonEmpty)
+  }
+
   test("semanticDedup: groups within cells, one survivor by lowest centroid cosine") {
     // same twin construction as the LSH test: 20 bases + cos≈0.999 twins.
     // k-means (seeded) puts a twin pair in one cell except on an exact

@@ -100,4 +100,45 @@ class PageRankSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("reliable-checkpoint gate: big graph + checkpoint dir → cluster-safe " +
+      "cuts, identical ranks/components") {
+    val sc = spark.sparkContext
+    val pairs = (1L to 200L).map(i => (i % 23, (i * 7 + 3) % 23))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val edges = PageRank.symmetrize(pairs, "a", "b")
+    val baseline = PageRank.pageRank(edges, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val compBase = graft.ops.Components
+      .connectedComponents(pairs.toDF("i", "j"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ckptDir = java.nio.file.Files
+      .createTempDirectory("graft_reliable_ckpt").toString
+    try {
+      // config gate: checkpoint dir + a floor-level big-graph threshold
+      // makes this toy graph take the reliable path end to end
+      sc.setCheckpointDir(ckptDir)
+      spark.conf.set("spark.graft.bigGraphNodes", "1")
+      val reliable = PageRank.pageRank(edges, iters = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable == baseline)
+      val compReliable = graft.ops.Components
+        .connectedComponents(pairs.toDF("i", "j"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(compReliable == compBase)
+      // the reliable path actually wrote checkpoint files (the property
+      // that survives executor death on a real cluster)
+      def fileCount(d: java.io.File): Int =
+        if (d.isDirectory) d.listFiles().map(fileCount).sum else 1
+      assert(fileCount(new java.io.File(ckptDir)) > 0,
+        s"no checkpoint files under $ckptDir — reliable path not taken")
+    } finally {
+      spark.conf.unset("spark.graft.bigGraphNodes")
+      // SparkContext has no public un-set for the checkpoint dir; point
+      // it at a throwaway location so later suites' (local) checkpoints
+      // are unaffected, and delete this test's files
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
+    }
+  }
 }

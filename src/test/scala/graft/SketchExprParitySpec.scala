@@ -89,9 +89,9 @@ class SketchExprParitySpec extends AnyFunSuite {
       (2L, "other " + quoted + " tail two"),
       (3L, "unrelated content about shuffle partitions entirely"))
       .toDF("doc_id", "text")
-    // duplicate every row: with the default assumeUniqueIds the (id, h)
-    // stream doubles (df doubles, n_shared doubles); the explicit
-    // distinct restores the corpus-wide dedup the pre-kernel spelling had
+    // duplicate every row: under assumeUniqueIds = true the (id, h)
+    // stream doubles (df doubles, n_shared doubles); the default's
+    // explicit distinct restores the corpus-wide dedup exactly
     val dup = base.unionAll(base)
     def run(df: org.apache.spark.sql.DataFrame, unique: Boolean) =
       Dedup.winnowOverlapPairs(df, "doc_id", "text", minShared = 3L,

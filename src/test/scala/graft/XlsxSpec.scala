@@ -121,6 +121,48 @@ class XlsxSpec extends AnyFunSuite {
     new java.io.File(path).delete()
   }
 
+  test("excelSafeBigInts: |v| > 2^53 integrals write as string cells and " +
+      "still recover as longs through the typed read") {
+    import org.apache.spark.sql.types._
+    val big = 9007199254740993L      // 2^53 + 1: Excel would clamp it
+    val edge = 9007199254740992L     // exactly 2^53: still float-exact
+    val rows = Seq((big, "a"), (-big, "b"), (edge, "c"), (7L, "d"),
+      (Long.MinValue, "e"))
+    val df = rows.toDF("id", "name")
+    val path = java.nio.file.Files.createTempFile("graft_big", ".xlsx").toString
+    Xlsx.writeMaster(df, path, excelSafeBigInts = true)
+
+    // the raw sheet XML shows the protection: big ids are inline-string
+    // cells (Excel preserves those verbatim on a re-save), small/edge
+    // ones stay numeric
+    val zf = new java.util.zip.ZipFile(path)
+    val sheetXml = try {
+      val e = zf.getEntry("xl/worksheets/sheet1.xml")
+      new String(zf.getInputStream(e).readAllBytes(), "UTF-8")
+    } finally zf.close()
+    assert(sheetXml.contains(s"<t xml:space=\"preserve\">$big</t>"))
+    assert(sheetXml.contains(s"<t xml:space=\"preserve\">-$big</t>"))
+    assert(sheetXml.contains(s"<t xml:space=\"preserve\">${Long.MinValue}</t>"))
+    assert(sheetXml.contains(s"<v>$edge</v>"))
+    assert(sheetXml.contains("<v>7</v>"))
+
+    // typed read recovers every long exactly regardless of cell form
+    val back = Xlsx.readMaster(spark, path, StructType(Seq(
+        StructField("id", LongType), StructField("name", StringType))))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back == rows.toSet)
+
+    // default (flag off) keeps the openpyxl-identical numeric cells
+    Xlsx.writeMaster(df, path)
+    val zf2 = new java.util.zip.ZipFile(path)
+    val sheetXml2 = try {
+      val e = zf2.getEntry("xl/worksheets/sheet1.xml")
+      new String(zf2.getInputStream(e).readAllBytes(), "UTF-8")
+    } finally zf2.close()
+    assert(sheetXml2.contains(s"<v>$big</v>"))
+    new java.io.File(path).delete()
+  }
+
   test("date cells survive spark.sql.datetime.java8API.enabled " +
       "(collect yields LocalDate, not java.sql.Date)") {
     val conf = spark.conf
