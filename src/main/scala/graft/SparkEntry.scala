@@ -3193,7 +3193,18 @@ object SparkEntry {
   private lazy val lshPlaneSql: String = planeCaseSql(4, 64, 42L)
 
   /** The 8 seed-shifted tables of [[Dedup.embeddingNearDups]]'s default
-    * LSH path, as a UNION ALL of per-table bucket selects. */
+    * LSH path, as a UNION ALL of per-table bucket selects.
+    *
+    * VALIDITY DOMAIN: this replays the FIXED 8-plane × 8-table
+    * construction, which is the engine's output exactly when the
+    * occupancy gate is idle — n ≤ targetBucketOccupancy·2^nPlanes =
+    * 16,384 embeddings at the defaults. Every driver-shipped SF sits
+    * far below it (500 rows at the sf0.01 verify SF, 2,000 at sf0.1).
+    * Above the gate the engine grows planes (and tables, holding
+    * recall — see the embeddingNearDups scaladoc) from the MEASURED
+    * corpus size, which a static SQL string cannot replay; the
+    * above-gate behavior is spec-verified instead (DedupSpec: precision
+    * vs the exhaustive baseline, twin recall, below-gate invariance). */
   private lazy val embLshBandedSql: String =
     (0 until 8).map { t =>
       s"SELECT vec_id, embedding, $t AS tbl, ${planeCaseSql(8, 64, 42L + t)} AS bkt FROM embeddings"

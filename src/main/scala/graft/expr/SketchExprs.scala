@@ -22,6 +22,11 @@ object SketchRuntime {
     new GenericArrayData(
       Sketches.minHashSignature(t.toString, shingleK, coeffs(numHashes)))
 
+  def minhashFromHashes(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+      numHashes: Int): GenericArrayData =
+    new GenericArrayData(
+      Sketches.minHashFromHashes(arr.toLongArray(), coeffs(numHashes)))
+
   def simhash(t: UTF8String): Long = Sketches.simHash64(t.toString)
 
   def hashedShingles(t: UTF8String, k: Int): GenericArrayData =
@@ -274,6 +279,26 @@ case class MinHashSignatureExpr(child: Expression, shingleK: Int = 3,
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `minhash_from_hashes(hs)` → array<bigint> signature over an ALREADY
+  * shingle-hashed set (the (id, len, n, hs) sketch the Jaccard
+  * candidate layer carries) — bit-identical to
+  * [[MinHashSignatureExpr]] on the originating text, because `hs`
+  * elements ARE the fnv1a64 shingle hashes minHashSignature permutes
+  * (pinned in SketchesSpec). Lets CandidateGen's occupancy degrade
+  * band a sketch without re-shingling the corpus. */
+case class MinHashFromHashesExpr(child: Expression, numHashes: Int = 64)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any): Any =
+    SketchRuntime.minhashFromHashes(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.expr.SketchRuntime.minhashFromHashes($a, $numHashes)")
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `hashed_shingles(text, k)` → sorted array<bigint> of distinct
   * k-token-shingle hashes (single JVM pass; the HOF formulation
   * `array_sort(transform(shingles, xxhash64))` interprets its lambdas
@@ -442,6 +467,8 @@ object sketchFunctions {
   def deflate_len(c: Column): Column = toCol(DeflateLenExpr(toExpr(c)))
   def minhash_signature(c: Column, shingleK: Int = 3, numHashes: Int = 64): Column =
     toCol(MinHashSignatureExpr(toExpr(c), shingleK, numHashes))
+  def minhash_from_hashes(c: Column, numHashes: Int = 64): Column =
+    toCol(MinHashFromHashesExpr(toExpr(c), numHashes))
   def simhash64(c: Column): Column = toCol(SimHash64Expr(toExpr(c)))
   def hashed_shingles(c: Column, shingleK: Int = 3): Column =
     toCol(HashedShinglesExpr(toExpr(c), shingleK))

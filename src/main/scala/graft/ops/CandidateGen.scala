@@ -126,11 +126,114 @@ object CandidateGen {
     * construction. Callers dedupe their VERIFIED output exactly when
     * `mayRepeat` — an unconditional distinct would pay a wasted shuffle
     * of the verified pair set in the (common at bench scale) band-only
-    * regime. */
-  final case class CandidatePairs(pairs: DataFrame, mayRepeat: Boolean) {
+    * regime.
+    *
+    * `exact = false` marks the occupancy-triggered MinHash-LSH degrade
+    * (see [[bandPrefixSelf]]): candidates are then the banding
+    * approximation, not a proven superset — precision stays 1 (the
+    * caller's exact verify is unchanged) but recall is the banding
+    * curve. `measuredBound` carries the pre-run candidate bound that
+    * triggered the decision, for logs/artifacts. */
+  final case class CandidatePairs(pairs: DataFrame, mayRepeat: Boolean,
+      exact: Boolean = true, measuredBound: Long = -1L) {
     /** The caller's post-verify dedupe, applied only when needed. */
     def dedupeVerified(verified: DataFrame): DataFrame =
       if (mayRepeat) verified.distinct() else verified
+  }
+
+  /** Budget for the PREFIX branch's own candidate bound — the
+    * second-stage gate behind [[defaultBandOnlyMaxCandidates]]. On a
+    * low-entropy corpus (tiny vocabulary → every gram high-df) even the
+    * rarest-first prefix conjunct is intrinsically quadratic: the bound
+    * below counts the rows the (bucket, prefix-token) join WILL emit,
+    * and past this budget the join is not a plan problem but a DATA
+    * property — no exact prefix-filter plan can emit fewer rows than
+    * its candidate count. The degrade swaps the generator for
+    * MinHash-LSH banding over the SAME sketch (identical banding to
+    * [[graft.ops.Dedup.minHashNearDups]], 64 hashes × 16 bands):
+    * candidates become linear in n (band-key occupancy bounded), the
+    * caller's exact verify is unchanged — precision stays 1, recall
+    * becomes the banding curve 1−(1−s⁴)¹⁶ (≥ 0.9998 at s = 0.8, 0.64
+    * at s = 0.5). The output is no longer a proven-exact pair set, so
+    * the switch is surfaced via [[CandidatePairs.exact]] and gated FAR
+    * above every driver-shipped SF (sf0.1 documents measure 4.6M
+    * band-only / fewer prefix candidates; the budget is 2×10⁹ —
+    * ~2,000 s of verify kernel on 32 cores if paid, i.e. the gate
+    * triggers only where the exact path would not finish at all). */
+  val defaultPrefixMaxCandidates: Long = 2L * 1000 * 1000 * 1000
+
+  /** Rows the (bucket, prefix-token) self-join will emit, measured
+    * BEFORE launching it: per (token g, bucket b) occupancy n_gb, the
+    * probe side's 3-bucket explode meets build rows in b−1/b/b+1, so
+    * Σ_{g,b} n_gb·(n_{g,b−1} + n_gb + n_{g,b+1}) counts emitted rows
+    * exactly (each unordered pair ≤ 2×, before the i<j / length /
+    * positional conjuncts — a conservative overcount only ever pays
+    * the degrade early on corpora already past the budget's order of
+    * magnitude). One aggregate + one per-token window over the
+    * (materialized) prefix table. */
+  private def prefixCandidateBound(prefix: DataFrame, bucketWidth: Int): Long = {
+    val occ = prefix.groupBy(col("g"),
+        floor(col("len") / bucketWidth).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("g").orderBy(col("b"))
+    occ
+      .withColumn("n_prev", when(lag(col("b"), 1).over(w) === col("b") - 1,
+        lag(col("n"), 1).over(w)).otherwise(lit(0L)))
+      .withColumn("n_next", when(lead(col("b"), 1).over(w) === col("b") + 1,
+        lead(col("n"), 1).over(w)).otherwise(lit(0L)))
+      .agg(coalesce(sum(col("n") * (col("n_prev") + col("n") + col("n_next"))),
+        lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
+
+  /** The cross-side twin of [[prefixCandidateBound]]: Σ_{g,b}
+    * probe_gb · (build_{g,b−1} + build_gb + build_{g,b+1}). */
+  private def prefixCandidateBoundAcross(probePrefix: DataFrame,
+      buildPrefix: DataFrame, bucketWidth: Int): Long = {
+    def occ(df: DataFrame, n: String) = df.groupBy(col("g"),
+        floor(col("len") / bucketWidth).cast("long").as("b"))
+      .agg(count(lit(1)).as(n))
+    val b = occ(buildPrefix, "nb")
+    val nearBuild = b.select(col("g"), (col("b") - 1).as("b"), col("nb"))
+      .unionAll(b)
+      .unionAll(b.select(col("g"), (col("b") + 1).as("b"), col("nb")))
+      .groupBy("g", "b").agg(sum("nb").as("nb3"))
+    occ(probePrefix, "np").join(nearBuild, Seq("g", "b"))
+      .agg(coalesce(sum(col("np") * col("nb3")), lit(0L)).cast("long"))
+      .head().getLong(0)
+  }
+
+  /** MinHash-LSH degrade candidates over a Jaccard sketch (id, len, n,
+    * hs): signatures straight from the hashed shingle sets (the codegen
+    * [[graft.expr.sketchFunctions.minhash_from_hashes]] kernel —
+    * bit-identical to re-sketching the text), banded exactly like
+    * [[graft.ops.Dedup.minHashNearDups]]. Returns distinct (i, j),
+    * i < j. */
+  private def lshDegradeSelf(sketch: DataFrame,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    val banded = sketch.select(col("id"),
+      posexplode(Dedup.bandKeyArray(
+        graft.expr.sketchFunctions.minhash_from_hashes(col("hs"), numHashes),
+        bands, r)).as(Seq("band_idx", "band_key")))
+    lshBandSelf(banded, "id")
+  }
+
+  /** Cross-corpus twin of [[lshDegradeSelf]]: probe bands meet build
+    * bands on (band_idx, band_key) — the
+    * [[graft.ops.Dedup.minHashDedupeAgainst]] shape. Distinct
+    * (i = probe id, j = build id). */
+  private def lshDegradeAcross(probeSketch: DataFrame, buildSketch: DataFrame,
+      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    def bandsOf(df: DataFrame, idName: String) = df.select(col("id").as(idName),
+      posexplode(Dedup.bandKeyArray(
+        graft.expr.sketchFunctions.minhash_from_hashes(col("hs"), numHashes),
+        bands, r)).as(Seq("band_idx", "band_key")))
+    fanout(bandsOf(probeSketch, "i"))
+      .join(maybeBroadcast(bandsOf(buildSketch, "j")), Seq("band_idx", "band_key"))
+      .select("i", "j")
+      .distinct()
   }
 
   /** Upper bound on band-only candidate pairs: every pair the 3-bucket
@@ -166,6 +269,13 @@ object CandidateGen {
     *
     * Both generators are exact supersets of the qualifying pairs, so the
     * choice affects cost only, never output (DedupSpec pins equality).
+    * A SECOND measured gate guards the prefix branch itself: when the
+    * (bucket, prefix-token) join's own emitted-row count — measured
+    * before launching it ([[prefixCandidateBound]]) — exceeds
+    * `prefixMax`, exact candidates are a property of the DATA (tiny
+    * vocabulary ⇒ hot grams) and the generator degrades to MinHash-LSH
+    * banding over the same sketch ([[defaultPrefixMaxCandidates]] for
+    * the recall contract; `CandidatePairs.exact = false`).
     * Probe side explodes to 3 buckets so |len diff| ≤ maxLenDiff <
     * bucketWidth stays an equi hash join (no nested-loop range join);
     * i < j keeps one orientation. Sketch contract as [[prefixTokens]]
@@ -173,7 +283,8 @@ object CandidateGen {
     * and both join sides re-read it); returns (i, j). */
   def bandPrefixSelf(sketch: DataFrame, threshold: Double,
       bucketWidth: Int, maxLenDiff: Int,
-      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): CandidatePairs = {
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates,
+      prefixMax: Long = defaultPrefixMaxCandidates): CandidatePairs = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val bkt = floor(col("len") / bucketWidth).cast("long")
     if (bandCandidateBound(sketch, bucketWidth) <= bandOnlyMax) {
@@ -190,24 +301,48 @@ object CandidateGen {
           abs(col("len_i") - col("len_j")) <= maxLenDiff)
         .select("i", "j"), mayRepeat = false)
     } else {
+      // prefix table materialized ONCE: the candidate bound below and
+      // BOTH sides of the candidate join read it (lazily it would run
+      // the gram-df join + rank window three times)
       val prefix = prefixTokens(sketch, threshold, gramDf(sketch))
-      val probe = fanout(prefix
-          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
-          col("n").as("n_i"), col("__r").as("r_i"))
-      val build = prefix.withColumn("bkt", bkt)
-        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
-          col("n").as("n_j"), col("__r").as("r_j"))
-      // NOT deduped: a pair appears once per qualifying shared prefix
-      // token (rarely more than a couple). The caller's verify is a
-      // broadcast join + codegen kernel, so deduping the small verified
-      // output is far cheaper than a candidate-sized DISTINCT shuffle
-      // here — mayRepeat tells the caller to dedupe after its verify.
-      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
-        .filter(col("i") < col("j") &&
-          abs(col("len_i") - col("len_j")) <= maxLenDiff &&
-          sizePositionalFilter(threshold))
-        .select("i", "j"), mayRepeat = true)
+        .localCheckpoint(true)
+      val bound = prefixCandidateBound(prefix, bucketWidth)
+      if (bound > prefixMax) {
+        // occupancy degrade (see defaultPrefixMaxCandidates): the
+        // measured join size says exact prefix candidates are a data
+        // property, not a plan defect — switch to MinHash-LSH banding
+        // over the same sketch, exact=false surfaces the recall trade.
+        // The band join's |len diff| conjunct moves into the candidate
+        // tail (the banded pair set is small) so the caller's declared
+        // predicate {jac ≥ t ∧ lenDiff ≤ maxLenDiff} is unchanged.
+        val lsh = lshDegradeSelf(sketch)
+          .join(maybeBroadcast(sketch.select(col("id").as("i"),
+            col("len").as("len_i"))), Seq("i"))
+          .join(maybeBroadcast(sketch.select(col("id").as("j"),
+            col("len").as("len_j"))), Seq("j"))
+          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+          .select("i", "j")
+        CandidatePairs(lsh, mayRepeat = false,
+          exact = false, measuredBound = bound)
+      } else {
+        val probe = fanout(prefix
+            .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+          .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
+            col("n").as("n_i"), col("__r").as("r_i"))
+        val build = prefix.withColumn("bkt", bkt)
+          .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
+            col("n").as("n_j"), col("__r").as("r_j"))
+        // NOT deduped: a pair appears once per qualifying shared prefix
+        // token (rarely more than a couple). The caller's verify is a
+        // broadcast join + codegen kernel, so deduping the small verified
+        // output is far cheaper than a candidate-sized DISTINCT shuffle
+        // here — mayRepeat tells the caller to dedupe after its verify.
+        CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+          .filter(col("i") < col("j") &&
+            abs(col("len_i") - col("len_j")) <= maxLenDiff &&
+            sizePositionalFilter(threshold))
+          .select("i", "j"), mayRepeat = true, measuredBound = bound)
+      }
     }
   }
 
@@ -241,7 +376,8 @@ object CandidateGen {
 
   def bandPrefixAcross(probeSketch: DataFrame, buildSketch: DataFrame,
       threshold: Double, bucketWidth: Int, maxLenDiff: Int,
-      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): CandidatePairs = {
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates,
+      prefixMax: Long = defaultPrefixMaxCandidates): CandidatePairs = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val bkt = floor(col("len") / bucketWidth).cast("long")
     if (bandCandidateBoundAcross(probeSketch, buildSketch, bucketWidth)
@@ -258,20 +394,40 @@ object CandidateGen {
         .select("i", "j"), mayRepeat = false)
     } else {
       val gdf = gramDf(probeSketch, buildSketch)
-      val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
-          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
-          col("n").as("n_i"), col("__r").as("r_i"))
-      val build = prefixTokens(buildSketch, threshold, gdf)
-        .withColumn("bkt", bkt)
-        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
-          col("n").as("n_j"), col("__r").as("r_j"))
-      // not deduped — same caller-dedupes-after-verify contract as
-      // [[bandPrefixSelf]]'s prefix branch
-      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
-        .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
-          sizePositionalFilter(threshold))
-        .select("i", "j"), mayRepeat = true)
+      // both prefix tables materialized once — bound + join read them
+      val probePrefix = prefixTokens(probeSketch, threshold, gdf)
+        .localCheckpoint(true)
+      val buildPrefix = prefixTokens(buildSketch, threshold, gdf)
+        .localCheckpoint(true)
+      val bound = prefixCandidateBoundAcross(probePrefix, buildPrefix,
+        bucketWidth)
+      if (bound > prefixMax) {
+        // same occupancy degrade as bandPrefixSelf, cross-corpus shape
+        // (len conjunct preserved on the banded tail, as above)
+        val lsh = lshDegradeAcross(probeSketch, buildSketch)
+          .join(maybeBroadcast(probeSketch.select(col("id").as("i"),
+            col("len").as("len_i"))), Seq("i"))
+          .join(maybeBroadcast(buildSketch.select(col("id").as("j"),
+            col("len").as("len_j"))), Seq("j"))
+          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+          .select("i", "j")
+        CandidatePairs(lsh, mayRepeat = false,
+          exact = false, measuredBound = bound)
+      } else {
+        val probe = fanout(probePrefix
+            .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+          .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
+            col("n").as("n_i"), col("__r").as("r_i"))
+        val build = buildPrefix.withColumn("bkt", bkt)
+          .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
+            col("n").as("n_j"), col("__r").as("r_j"))
+        // not deduped — same caller-dedupes-after-verify contract as
+        // [[bandPrefixSelf]]'s prefix branch
+        CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
+            sizePositionalFilter(threshold))
+          .select("i", "j"), mayRepeat = true, measuredBound = bound)
+      }
     }
   }
 

@@ -63,14 +63,15 @@ object Components {
     // reliable mode must NOT leave sym as a plain persist: its lineage
     // reads e0, whose blocks are released below — an executor death
     // would need exactly that recompute. The reliable cut materializes
-    // sym to the checkpoint FS first.
-    val sym = if (reliable) sym0.checkpoint() else sym0.persist()
+    // sym to the checkpoint FS first (ScaleHints.cut persists around
+    // the checkpoint so the union+distinct runs once, not twice).
+    val sym = if (reliable) ScaleHints.cut(sym0, reliable = true)
+      else sym0.persist()
 
     var labels = ScaleHints.cut(sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")), reliable)
-    // the eager checkpoint above scanned every sym partition, so sym is
-    // fully cached (MEMORY_AND_DISK — eviction spills, never recomputes)
-    // and the raw edge blocks are dead weight for the rest of the loop
+    // sym is materialized either way (checkpoint FS or cache), so the
+    // raw edge blocks are dead weight for the rest of the loop
     // (released via the checkpoint RDD — Dataset.unpersist would no-op)
     ScaleHints.releaseCheckpoint(e0)
     var it = 0

@@ -108,13 +108,23 @@ object Dedup {
     * is an exact superset and the jaccard verify is unchanged —
     * DedupSpec pins band-only == band+prefix).
     *
+    * On corpora where even the prefix candidates are intrinsically
+    * quadratic (low-entropy text: tiny vocabulary ⇒ every gram high-df),
+    * the generator measures its own join size BEFORE launching it and
+    * past `prefixMax` degrades to MinHash-LSH candidates with the SAME
+    * exact jaccard verify — precision 1, recall the 16×4 banding curve
+    * (see [[CandidateGen.defaultPrefixMaxCandidates]]; DedupSpec pins
+    * forced-degrade output == exact on a high-jaccard corpus). The
+    * budget sits orders of magnitude above every driver-shipped SF.
+    *
     * The (id, len, hs, n) sketch is localCheckpoint'd once: it feeds gram
     * df, prefix ranking, and both verify sides — shingling is the
     * dominant map cost and would otherwise run 4×. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       lenCol: String, threshold: Double, shingleK: Int = 3,
       bucketWidth: Int = 32, maxLenDiff: Int = 20,
-      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates): DataFrame = {
+      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates,
+      prefixMax: Long = CandidateGen.defaultPrefixMaxCandidates): DataFrame = {
     // n > 0: a text shorter than shingleK tokens has NO shingles — its
     // jaccard against anything (NaN = 0/0 for two empty sets, and Spark
     // SQL orders NaN above every number, so `NaN >= t` would PASS) is
@@ -127,7 +137,7 @@ object Dedup {
       .filter(col("n") > 0)
       .localCheckpoint(true)
     val cand = CandidateGen.bandPrefixSelf(sketch, threshold, bucketWidth,
-      maxLenDiff, bandOnlyMax)
+      maxLenDiff, bandOnlyMax, prefixMax)
     // the prefix candidate branch emits a pair once per qualifying
     // shared prefix token — dedupe the (small) verified output, not the
     // candidate stream, and only when that branch was taken (band-only
@@ -180,7 +190,8 @@ object Dedup {
   def ngramJaccardAcross(probe: DataFrame, build: DataFrame, idCol: String,
       textCol: String, lenCol: String, threshold: Double, shingleK: Int = 3,
       bucketWidth: Int = 32, maxLenDiff: Int = 20,
-      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates): DataFrame = {
+      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates,
+      prefixMax: Long = CandidateGen.defaultPrefixMaxCandidates): DataFrame = {
     def sk(d: DataFrame) = d.select(col(idCol).as("id"),
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
@@ -189,7 +200,7 @@ object Dedup {
       .localCheckpoint(true)
     val (ps, bs) = (sk(probe), sk(build))
     val cand = CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth,
-      maxLenDiff, bandOnlyMax)
+      maxLenDiff, bandOnlyMax, prefixMax)
     // see ngramJaccardPairs: prefix candidates may repeat per token
     cand.dedupeVerified(cand.pairs
       .join(ps.select(col("id").as("i"), col("n").as("n_i"),
@@ -405,9 +416,10 @@ object Dedup {
   }
 
   /** One (band_idx, band_key) per band from a minhash signature; key =
-    * hash of the band's r-row slice (shared by the self-join and the
-    * incremental-index paths so both bucket identically). */
-  private def bandKeyArray(sig: Column, bands: Int, r: Int): Column =
+    * hash of the band's r-row slice (shared by the self-join, the
+    * incremental-index path, and CandidateGen's occupancy degrade so
+    * all three bucket identically). */
+  private[graft] def bandKeyArray(sig: Column, bands: Int, r: Int): Column =
     array((0 until bands).map(i => hash(slice(sig, i * r + 1, r), lit(i))): _*)
 
   /** Persisted MinHash-LSH corpus index: ONE sketch row per document
@@ -528,15 +540,27 @@ object Dedup {
     * (capped at `maxPlanes`), which pins mean occupancy ≤
     * targetBucketOccupancy and makes expected candidates ≈
     * nTables · n · occupancy / 2 — linear in n. One count(1) scan pays
-    * for the measurement. The trade is recall at the margin: per-table
-    * collision probability for angle θ is (1 − θ/π)^planes, so each
-    * added plane multiplies it by (1 − θ/π) — fine for true near-dups
-    * (cos ≥ 0.9 ⇒ factor ≈ 0.9), increasingly lossy toward the
-    * threshold; a deployment holding recall fixed while n grows must
-    * scale nTables alongside (recall = 1 − (1 − p)^nTables). Below the
-    * gate (n ≤ targetBucketOccupancy · 2^nPlanes, all driver-shipped
-    * SFs) the plane count — and the output — is exactly the fixed-plane
-    * construction the oracle replays.
+    * for the measurement (skipped when the caller passes `knownCount` —
+    * the CandidateGen.measure pattern for loops that already know n).
+    *
+    * Recall is HELD, not silently spent, as planes grow: per-table
+    * collision probability for angle θ is p = (1 − θ/π)^planes, so each
+    * added plane multiplies p by (1 − θ/π) and a fixed table count
+    * would lose recall as the corpus grows. The table count therefore
+    * scales with the plane count — effTables = ⌈ln(1−R)/ln(1−p_eff)⌉
+    * where R is the fixed-plane construction's recall at the anchor
+    * cosine max(threshold, 0.9) (the "true near-dup" operating point:
+    * at the 8×8 default and cos 0.9, R ≈ 0.94), clamped to
+    * [nTables, maxTables]. Expected candidates stay linear in n
+    * (occupancy is pinned; tables multiply the constant, bounded by
+    * maxTables = 8× the default). Recall at the anchor is then ≥ R at
+    * every plane count until the maxTables clamp binds (≈ effPlanes 17
+    * at the defaults — corpus ≈ 8M rows — beyond which recall degrades
+    * gracefully; deployments needing more headroom raise maxTables or
+    * pre-partition the corpus). Below the gate
+    * (n ≤ targetBucketOccupancy · 2^nPlanes, all driver-shipped SFs)
+    * effPlanes = nPlanes forces effTables = nTables — the output is
+    * exactly the fixed-plane construction the oracle replays.
     *
     * `exhaustive = true` is the exact O(n²) baseline — the oracle shape
     * for tests and small corpora, a scale-killer beyond that (its
@@ -547,7 +571,8 @@ object Dedup {
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, exhaustive: Boolean = false, dim: Int = 64,
       nPlanes: Int = 8, nTables: Int = 8, seed: Long = 42L,
-      targetBucketOccupancy: Long = 64L, maxPlanes: Int = 20): DataFrame = {
+      targetBucketOccupancy: Long = 64L, maxPlanes: Int = 20,
+      maxTables: Int = 64, knownCount: Option[Long] = None): DataFrame = {
     val withNorm = df.select(col(idCol), col(vecCol),
       Vectors.norm(col(vecCol)).as("nrm"))
     if (exhaustive) {
@@ -560,13 +585,25 @@ object Dedup {
         .select(col("i"), col("j"))
     } else {
       // measured-size plane scaling (see the scaladoc): one cheap
-      // count(1) job; the first nPlanes planes of each table are the
-      // fixed-plane construction's, extras refine the same signature
-      val n = df.count()
+      // count(1) job, skipped when the caller already knows n; the
+      // first nPlanes planes of each table are the fixed-plane
+      // construction's, extras refine the same signature
+      val n = knownCount.getOrElse(df.count())
       val effPlanes = math.max(nPlanes, math.min(maxPlanes,
         math.ceil(math.log(math.max(1.0,
           n.toDouble / targetBucketOccupancy)) / math.log(2.0)).toInt))
-      val tableBuckets = array((0 until nTables).map { t =>
+      // recall-holding table scaling (scaladoc): fixed-plane recall R at
+      // the anchor cosine is the target the grown plane count must keep
+      val effTables = if (effPlanes == nPlanes) nTables else {
+        val anchor = math.max(threshold, 0.9)
+        val f = 1.0 - math.acos(anchor) / math.Pi // per-plane survival
+        val pFix = math.pow(f, nPlanes)
+        val pEff = math.pow(f, effPlanes)
+        val recall = 1.0 - math.pow(1.0 - pFix, nTables)
+        math.min(maxTables, math.max(nTables,
+          math.ceil(math.log(1.0 - recall) / math.log(1.0 - pEff)).toInt))
+      }
+      val tableBuckets = array((0 until effTables).map { t =>
         Vectors.hyperplaneBuckets(col(vecCol),
           Vectors.hyperplanes(effPlanes, dim, seed + t))
       }: _*)

@@ -71,10 +71,20 @@ object PageRank {
     * side's partitioning, so the per-round contribution aggregate needs
     * NO exchange: a 5-iteration run moves the edge table through zero
     * per-round shuffles), `src` past it (the per-round ranks⋈edges join
-    * reuses the stored partitioning; only ranks shuffles). The
-    * checkpoint preserves the partitioning, so the one setup shuffle
-    * is reused by every round — at 100× bench data the per-round
-    * edge-sized aggregate exchange was the dominant sf10 term.
+    * reuses the stored partitioning; only ranks shuffles). The table is
+    * PERSISTED, not checkpointed: a localCheckpoint/checkpoint erases
+    * the partitioning metadata (the LogicalRDD it leaves captures
+    * UnknownPartitioning under AQE — measured: the per-round plan
+    * re-exchanged the aggregate), while an InMemoryRelation keeps the
+    * Repartition node visible to EnsureRequirements, so the one setup
+    * shuffle is reused by every round (PageRankSpec asserts the final
+    * iteration's plan has zero shuffle exchanges). At 100× bench data
+    * the per-round aggregate exchange was the dominant sf10 term.
+    * CALLER CONTRACT (cache): the persisted edge table cannot be
+    * released from inside the returned lazy plan — after materializing
+    * the result, call `spark.catalog.clearCache()` (what Bench/Verify
+    * do) to free it, the same contract as
+    * [[Dedup.minHashNearDups]]'s sketch cache.
     *
     * Cluster safety: with a checkpoint directory configured
     * (`sc.setCheckpointDir`) and the graph above the
@@ -113,14 +123,21 @@ object PageRank {
     val big = nNodes > bigGraphNodes(e.sparkSession)
     val reliable = big && ScaleHints.reliableConfigured(e)
     val deg = if (big) ScaleHints.cut(deg0, reliable) else deg0
-    // partition-once: dst in the broadcast regime (per-round aggregate
-    // reuses it — no per-round edge shuffle at all), src past it (the
-    // per-round shuffle-hash join reuses it). See the scaladoc.
-    val edgesDeg = ScaleHints.cut(
-      e.join(hint(deg), Seq("src"))
-        .repartition(col(if (bcast) "dst" else "src")),
-      reliable,
-      if (big) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK)
+    // partition-once (see the scaladoc): dst in the broadcast regime
+    // (per-round aggregate reuses it — no per-round edge shuffle at
+    // all), src past it (the per-round shuffle-hash join reuses it).
+    // PERSIST, not cut — the Repartition node must stay visible or the
+    // partitioning dies with the checkpoint. Reliable mode re-cuts the
+    // raw edges to the checkpoint FS first, so the persisted frame's
+    // recompute lineage survives executor death (persisted blocks
+    // themselves spill to local disk, the same risk class as the
+    // localCheckpoint blocks they replace).
+    val eSrc = if (reliable) ScaleHints.cut(e, reliable = true) else e
+    val edgesDeg = eSrc.join(hint(deg), Seq("src"))
+      .repartition(col(if (bcast) "dst" else "src"))
+      .persist(if (big) StorageLevel.MEMORY_AND_DISK_SER
+        else StorageLevel.MEMORY_AND_DISK)
+    edgesDeg.count() // materialize before the raw edge blocks go away
     // everything downstream reads deg / edgesDeg; release the raw edge
     // blocks for real (Dataset.unpersist is a no-op on a localCheckpoint)
     if (big) ScaleHints.releaseCheckpoint(e)
@@ -156,11 +173,13 @@ object PageRank {
     val big = nNodes > bigGraphNodes(e.sparkSession)
     val reliable = big && ScaleHints.reliableConfigured(e)
     val deg = if (big) ScaleHints.cut(deg0, reliable) else deg0
-    val edgesDeg = ScaleHints.cut(
-      e.join(hint(deg), Seq("src"))
-        .repartition(col(if (bcast) "dst" else "src")),
-      reliable,
-      if (big) StorageLevel.MEMORY_AND_DISK_SER else StorageLevel.MEMORY_AND_DISK)
+    // same persist-not-cut partition-once discipline as [[pageRank]]
+    val eSrc = if (reliable) ScaleHints.cut(e, reliable = true) else e
+    val edgesDeg = eSrc.join(hint(deg), Seq("src"))
+      .repartition(col(if (bcast) "dst" else "src"))
+      .persist(if (big) StorageLevel.MEMORY_AND_DISK_SER
+        else StorageLevel.MEMORY_AND_DISK)
+    edgesDeg.count()
     if (big) ScaleHints.releaseCheckpoint(e)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().withColumn("__seed", lit(1))

@@ -92,12 +92,25 @@ private[graft] object ScaleHints {
     * single-host bench — the zero-infra localCheckpoint path is
     * unchanged. Reliable cuts cost a write of the frame to the
     * checkpoint FS per cut; callers should cut the nodes-sized tables,
-    * not edge-sized ones, wherever the loop allows. */
+    * not edge-sized ones, wherever the loop allows.
+    *
+    * The reliable path persists the frame BEFORE `checkpoint()` and
+    * unpersists after: an eager `Dataset.checkpoint` runs TWO jobs over
+    * the lineage (the materializing count, then the checkpoint-file
+    * write — `RDD.checkpoint` recomputes unless the blocks are cached),
+    * so without the persist every reliable cut in a PageRank/Components
+    * loop would compute its frame twice — on exactly the 100 TB cluster
+    * path the feature exists for. Serialized storage: the blocks live
+    * only between the two jobs of one cut. */
   def cut(df: DataFrame, reliable: Boolean,
       level: org.apache.spark.storage.StorageLevel =
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame =
-    if (reliable) df.checkpoint()
-    else df.localCheckpoint(true, level)
+    if (reliable) {
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val out = df.checkpoint()
+      df.unpersist(false)
+      out
+    } else df.localCheckpoint(true, level)
 
   /** The config half of the reliable-cut gate (see [[cut]]). */
   def reliableConfigured(df: DataFrame): Boolean =
@@ -108,17 +121,21 @@ private[graft] object ScaleHints {
     * `Dataset.unpersist` is a NO-OP here: it only uncaches via the SQL
     * cache manager, which never holds checkpoint blocks — so a
     * "release the transient edge copy before the loop" call that uses
-    * it silently leaks the blocks until GC. This matches the LogicalRDD
-    * leaf the checkpoint leaves as the plan root and unpersists the
-    * underlying RDD directly (same pattern as DriftStream's superseded-
-    * state release). If a Spark upgrade changes the leaf shape the
-    * collect matches nothing and the blocks leak until the session's
+    * it silently leaks the blocks until GC. This matches ONLY the plan
+    * ROOT — the LogicalRDD leaf a checkpoint leaves as the entire plan —
+    * and unpersists its RDD directly (same pattern as DriftStream's
+    * superseded-state release). Root-only on purpose: a whole-plan
+    * traversal would also release LogicalRDD leaves of OTHER, still-live
+    * checkpointed inputs when a caller passes a frame derived from
+    * several of them, and a released localCheckpoint has no lineage to
+    * recompute from — later reads of those frames would fail. If a
+    * Spark upgrade changes the root shape (or a caller passes a derived
+    * frame), the match misses and the blocks leak until the session's
     * ContextCleaner gets them — a deliberate degradation, never a wrong
-    * result. CALLER CONTRACT: the frame must be dead — a released
-    * localCheckpoint has no lineage to recompute from, so any later
-    * read of it fails. */
+    * result. CALLER CONTRACT: pass the checkpointed frame ITSELF, and
+    * the frame must be dead — any later read of it fails. */
   def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.optimizedPlan.foreach {
+    df.queryExecution.optimizedPlan match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
       case _ => ()

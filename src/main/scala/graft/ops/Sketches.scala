@@ -109,6 +109,29 @@ object Sketches {
     sig
   }
 
+  /** MinHash signature straight from an already-hashed shingle set (the
+    * `hs` arrays of the Jaccard sketch tables, elements = fnv1a64 of the
+    * shingle): identical output to [[minHashSignature]] on the
+    * originating text — same floorMod-to-universe reduction, same
+    * permutations — without re-shingling. Empty set → all-p sentinel. */
+  def minHashFromHashes(hashes: Array[Long], coeffs: Array[(Long, Long)]): Array[Long] = {
+    val n = coeffs.length
+    val sig = Array.fill(n)(MinHashP)
+    var si = 0
+    while (si < hashes.length) {
+      val h = java.lang.Math.floorMod(hashes(si), MinHashP)
+      var j = 0
+      while (j < n) {
+        val (a, b) = coeffs(j)
+        val v = (a * h + b) % MinHashP
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      si += 1
+    }
+    sig
+  }
+
   /** 64-bit SimHash over whitespace tokens (multiset semantics: repeated
     * tokens weigh repeatedly). Empty text → 0. */
   def simHash64(text: String): Long = {

@@ -126,6 +126,42 @@ class DedupSpec extends AnyFunSuite {
     assert(across.count() == 0L)
   }
 
+  test("occupancy degrade (forced): MinHash-LSH candidates + unchanged " +
+      "exact verify == the exact path on a high-jaccard corpus") {
+    // prefixMax = 0 with bandOnlyMax = 0 forces the second-stage gate:
+    // band-only is skipped, the measured prefix bound (> 0) exceeds the
+    // budget, and candidates come from 16×4 MinHash banding over the
+    // same sketch. Every qualifying pair on this corpus sits at
+    // jac ≥ ~0.9, where banding recall is structurally 1 (miss prob
+    // ≤ 1e-7 per pair), so the degraded output must EQUAL the exact
+    // one — precision is 1 by the unchanged verify on any corpus.
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", "n_chars", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val degraded = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        "n_chars", 0.5, bandOnlyMax = 0L, prefixMax = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(degraded == exact,
+      s"missed=${exact -- degraded} extra=${degraded -- exact}")
+  }
+
+  test("occupancy degrade (forced, cross-corpus): ngramJaccardAcross " +
+      "LSH candidates == its exact output") {
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    val exact = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
+        "n_chars", 0.5)
+      .select("probe_id", "build_id", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    val degraded = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
+        "n_chars", 0.5, bandOnlyMax = 0L, prefixMax = 0L)
+      .select("probe_id", "build_id", "jac")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(degraded == exact,
+      s"missed=${exact -- degraded} extra=${degraded -- exact}")
+  }
+
   test("asymmetric ngramJaccardAcross == symmetric pairs filtered to the " +
       "crossing — the dedup_cross_corpus rewrite") {
     val bench = docs.filter($"doc_id" % 5 === 0)
@@ -276,11 +312,13 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.subsetOf(exact))
   }
 
-  test("embedding LSH occupancy gate: scaled planes refine the fixed-plane " +
-      "buckets — output stays a verified subset, near-dup recall holds") {
+  test("embedding LSH occupancy gate: scaled planes + recall-holding " +
+      "tables — precision stays 1 (exact verify), near-dup recall holds") {
     // same twin corpus as above; forcing targetBucketOccupancy = 1 makes
     // effPlanes = ceil(log2(40)) = ... > 8 impossible here (40 rows), so
-    // use occupancy target 1 with nPlanes 2: eff = max(2, log2(40)) = 6
+    // use occupancy target 1 with nPlanes 2: eff = max(2, log2(40)) = 6,
+    // and the recall-holding rule grows the table count alongside
+    // (18 tables at these params — seed-shifted like the first 8)
     val rnd = new scala.util.Random(11)
     val dim = 16
     val rows = (0 until 20).flatMap { i =>
@@ -292,17 +330,23 @@ class DedupSpec extends AnyFunSuite {
     def lsh(occ: Long) = Dedup.embeddingNearDups(df, "vec_id", "embedding",
         0.95, dim = dim, nPlanes = 2, targetBucketOccupancy = occ)
       .as[(Long, Long)].collect().toSet
-    val fixed = lsh(1000L)  // gate idle: 2 planes per table
-    val scaled = lsh(1L)    // gate active: ceil(log2(40)) = 6 planes
-    // extra planes only REFINE buckets (plane i is bit i, and the first
-    // nPlanes planes are the fixed construction's — same seed stream),
-    // so scaled candidates ⊆ fixed candidates and, post-verify,
-    // scaled output ⊆ fixed output
-    assert(scaled.subsetOf(fixed), s"scaled=$scaled fixed=$fixed")
-    // at cos ≈ 0.999 a twin pair escapes 8 tables × 6 planes with
-    // probability ~1e-9 — recall on true near-dups survives the gate
+    val fixed = lsh(1000L)  // gate idle: 2 planes × 8 tables
+    val scaled = lsh(1L)    // gate active: 6 planes × 18 tables
+    // precision 1 by construction (exact cosine verify): everything
+    // either path emits is a truly qualifying pair of the exhaustive
+    // baseline — extra tables can only FIND more, never invent
+    val exhaustive = Dedup.embeddingNearDups(df, "vec_id", "embedding",
+        0.95, exhaustive = true, dim = dim)
+      .as[(Long, Long)].collect().toSet
+    assert(scaled.subsetOf(exhaustive), s"scaled=$scaled exact=$exhaustive")
+    assert(fixed.subsetOf(exhaustive))
+    // at cos ≈ 0.999 a twin pair escapes 18 tables × 6 planes with
+    // probability ~1e-12 — recall on true near-dups survives the gate
     val twins = (0 until 20).map(i => (i.toLong * 2, i.toLong * 2 + 1)).toSet
     assert(twins.subsetOf(scaled))
+    // and the gate-idle path IS the fixed-plane construction the SQL
+    // oracle replays — the gate cannot perturb below-threshold corpora
+    assert(twins.subsetOf(fixed))
   }
 
   test("embeddingNearDupsAgainst == exhaustive baseline on the probe slice") {

@@ -101,6 +101,43 @@ class PageRankSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
+  test("partition-once (broadcast regime): the per-round contribution " +
+      "aggregate reuses edgesDeg's dst partitioning — NO shuffle exchange " +
+      "in the final iteration's plan") {
+    // the entire point of the setup repartition(dst): the broadcast
+    // ranks⋈edges join preserves the streamed side's hash(dst)
+    // partitioning through the localCheckpoint, so groupBy(dst) needs
+    // no exchange — a 5-iteration run moves the edge table through
+    // ZERO per-round shuffles. If this ever breaks (Spark stops
+    // propagating LogicalRDD partitioning, say), the repartition is
+    // pure overhead and must be gated on `big` instead.
+    def h(x: Long): Long = { var v = x * 2654435761L; v ^= v >>> 13; math.abs(v) }
+    val pairs = (1L to 300L).map(i => (h(i) % 37, h(i * 5 + 1) % 37))
+      .filter(p => p._1 != p._2).toDF("a", "b")
+    val edges = PageRank.symmetrize(pairs, "a", "b")
+    val pr = PageRank.pageRank(edges, iters = 3)
+    pr.collect() // force execution so AQE finalizes the plan
+    // count shuffle exchanges OUTSIDE the edgesDeg cache: descend
+    // through AQE wrappers and query stages, stop at the cache scan —
+    // the one-time REPARTITION_BY_COL lives inside the InMemoryRelation
+    // and is exactly the shuffle the discipline is allowed to pay once
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case s: ShuffleQueryStageExec => 1 + shuffles(s.plan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case _: InMemoryTableScanExec => 0
+      case other => other.children.map(shuffles).sum
+    }
+    val n = shuffles(pr.queryExecution.executedPlan)
+    assert(pr.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(n == 0,
+      s"per-round aggregate re-shuffled ($n exchanges) — dst partitioning " +
+        s"did not survive:\n${pr.queryExecution.executedPlan}")
+  }
+
   test("reliable-checkpoint gate: big graph + checkpoint dir → cluster-safe " +
       "cuts, identical ranks/components") {
     val sc = spark.sparkContext
@@ -135,9 +172,17 @@ class PageRankSpec extends AnyFunSuite {
         s"no checkpoint files under $ckptDir — reliable path not taken")
     } finally {
       spark.conf.unset("spark.graft.bigGraphNodes")
-      // SparkContext has no public un-set for the checkpoint dir; point
-      // it at a throwaway location so later suites' (local) checkpoints
-      // are unaffected, and delete this test's files
+      // SparkContext has no public un-set for the checkpoint dir, and
+      // leaving it pointed at the deleted path would send any later
+      // big-gated reliable cut in this JVM into a missing directory —
+      // re-point it at a fresh temp dir that outlives the suite. (Later
+      // suites still see reliableConfigured == true, but the restored
+      // bigGraphNodes gate keeps the reliable path closed on toy data;
+      // this suite must not run concurrently with other graph suites
+      // while bigGraphNodes is lowered — ScalaTest runs suites in one
+      // JVM sequentially here.)
+      sc.setCheckpointDir(java.nio.file.Files
+        .createTempDirectory("graft_ckpt_rest").toString)
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckptDir))
     }
   }

@@ -27,6 +27,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.minHashSignature("", 3, coeffs).forall(_ == Sketches.MinHashP))
   }
 
+  test("minHashFromHashes == minHashSignature on the originating text " +
+      "(the CandidateGen degrade banding contract)") {
+    val coeffs = Sketches.minHashCoeffs(64)
+    for (t <- Seq("x y z w v", "a b c", "one two three four five six",
+        "  padded   tokens  here ", "")) {
+      val viaText = Sketches.minHashSignature(t, 3, coeffs)
+      val viaHashes = Sketches.minHashFromHashes(
+        Sketches.hashedShingleSet(t, 3), coeffs)
+      assert(viaText.sameElements(viaHashes), s"diverged on '$t'")
+    }
+  }
+
   test("simhash: identical → equal; near-dup → low hamming; disjoint → high") {
     val a = (1 to 80).map(i => s"t$i").mkString(" ")
     val b = a.replace("t40", "q40")
