@@ -1281,10 +1281,14 @@ object SparkEntry {
     },
 
     "f12_similarity_scale" -> { (s, dir) =>
-      // rows-only (difflib ratio has no SQL form), but EXACT — the
-      // ratio→edit-distance lemma and the measured-Lmax PassJoin radius
-      // live in CandidateGen.similaritySelfPairs (FuzzyJoinSpec proves
-      // equality with brute-force all-pairs).
+      // ORACLE-CHECKED since round 12 via the exported block trace
+      // (writeOracleAux f12_blocks): difflib ratio has no direct SQL
+      // form, but the block decomposition ships as data and DuckDB
+      // re-verifies every block against the raw strings + recomputes
+      // sim — see the oracleSql comment. The candidate layer is EXACT:
+      // ratio→edit-distance lemma + measured-Lmax PassJoin radius in
+      // CandidateGen.similaritySelfPairs (FuzzyJoinSpec proves equality
+      // with brute-force all-pairs).
       CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
           "p_name", theta = 0.9, blockCols = Seq("p_brand"))(gf.similarity)
         .select(col("i").as("k1"), col("j").as("k2"),
@@ -3053,6 +3057,26 @@ object SparkEntry {
       .select(col("doc_id"),
         graft.expr.sketchFunctions.deflate_len(col("text")).as("deflate_bytes"))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/deflate_len")
+    // f12_similarity_scale replay trace: the SAME PassJoin candidate set
+    // the declared query verifies (quick-ratio length bound only — a
+    // strict superset of the qualifying pairs), each with its difflib
+    // matching blocks from the golden-pinned Similarity.matchingBlocks.
+    // The oracle re-verifies every block IN SQL against the raw strings
+    // (substr equality, ordering, non-overlap) and recomputes
+    // sim = 2·Σlen/(la+lb) — the block decomposition is the exported
+    // artifact, the decision chain is replayed, same split as the IVF
+    // oracles above (a lying trace fails the substr checks and the
+    // driver's hash compare goes red).
+    val f12Blocks = udf((a: String, b: String) =>
+      graft.ops.Similarity.matchingBlocks(a, b).grouped(3)
+        .map(x => (x(0), x(1), x(2))).toSeq)
+    CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
+        "p_name", theta = 0.9, blockCols = Seq("p_brand"))((_, _) => lit(1.0))
+      .select(col("i").as("k1"), col("j").as("k2"),
+        explode(f12Blocks(col("str_i"), col("str_j"))).as("blk"))
+      .select(col("k1"), col("k2"), col("blk._1").as("pa"),
+        col("blk._2").as("pb"), col("blk._3").as("len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/f12_blocks")
     val bpeModel = graft.ops.Bpe.fit(t(s, dir, "documents"), "text", nMerges = 32)
     t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -3068,6 +3092,7 @@ object SparkEntry {
   private def auxAssigned = s"read_parquet('$oracleAuxDir/ivf_assigned/*.parquet')"
   private def auxCodebook = s"read_parquet('$oracleAuxDir/pq_codebook/*.parquet')"
   private def auxPcaRotation = s"read_parquet('$oracleAuxDir/pca_rotation/*.parquet')"
+  private def auxF12Blocks = s"read_parquet('$oracleAuxDir/f12_blocks/*.parquet')"
   private def auxSimhash = s"read_parquet('$oracleAuxDir/simhash/*.parquet')"
   private def auxGramHashes = s"read_parquet('$oracleAuxDir/gram_hashes/*.parquet')"
   private def auxQcFeatures = s"read_parquet('$oracleAuxDir/qc_features/*.parquet')"
@@ -4847,6 +4872,36 @@ object SparkEntry {
          SELECT node AS id, cell, g AS "group", centroid_cos_milli,
            (row_number() OVER (PARTITION BY g ORDER BY centroid_cos_milli, node) = 1) AS keep
          FROM scored""",
+
+    // the exported-artifact replay pattern (as dedup_semantic/ann_*):
+    // the trace rows are the PassJoin candidate superset with their
+    // difflib block decompositions (writeOracleAux); the oracle verifies
+    // every block against the raw strings — a common substring at the
+    // claimed positions (substr equality), ordered and non-overlapping
+    // on both sides — and recomputes sim = 2·Σlen/(la+lb) itself, so an
+    // invalid or inflated trace drops the pair and the hash goes red.
+    // The difflib-parity of the decomposition layer is golden-pinned
+    // block by block in SimilaritySpec (72 CPython cases + invariants).
+    "f12_similarity_scale" ->
+      s"""WITH ord AS (
+           SELECT k1, k2, pa, pb, len,
+             coalesce(pa >= lag(pa + len) OVER w AND pb >= lag(pb + len) OVER w,
+               TRUE) AS ord_ok
+           FROM $auxF12Blocks
+           WINDOW w AS (PARTITION BY k1, k2 ORDER BY pa)),
+         chk AS (
+           SELECT o.k1, o.k2, sum(o.len) AS m,
+             bool_and(o.ord_ok) AS ord_ok,
+             bool_and(substr(a.p_name, o.pa + 1, o.len) =
+                      substr(b.p_name, o.pb + 1, o.len)) AS sub_ok,
+             any_value(len(a.p_name)) AS la, any_value(len(b.p_name)) AS lb
+           FROM ord o
+           JOIN part a ON a.p_partkey = o.k1
+           JOIN part b ON b.p_partkey = o.k2
+           GROUP BY o.k1, o.k2)
+         SELECT k1, k2, 2.0 * m / (la + lb) AS sim
+         FROM chk
+         WHERE ord_ok AND sub_ok AND 2.0 * m / (la + lb) >= 0.9""",
 
     "embed_pca" -> {
       val comps = (1 to 8).map { c =>

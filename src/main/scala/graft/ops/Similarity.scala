@@ -194,4 +194,117 @@ object Similarity {
     sc.cur = cur
     2.0 * matches / (la + lb)
   }
+
+  /** `difflib.SequenceMatcher(None, a, b).get_matching_blocks()` minus
+    * the terminal (la, lb, 0) sentinel, flattened as
+    * (posA, posB, size)* triples sorted by posA — the REPLAY TRACE the
+    * f12 oracle verifies in SQL: each triple must be a real common
+    * substring at the claimed positions, triples must be ordered and
+    * non-overlapping on both sides, and 2·Σsize/(la+lb) must equal
+    * [[ratio]] (golden-pinned against CPython block by block, and
+    * fuzz-pinned sum == ratio numerator in SimilaritySpec).
+    *
+    * Gate-tooling path, not the pair-join hot kernel: plain
+    * allocations, same algorithm — the b2j index with the autojunk
+    * rule, the junk-aware longest-match search with difflib's
+    * tie-breaks and extension order, recursive block accumulation, and
+    * difflib's second pass merging blocks adjacent on both sides. */
+  def matchingBlocks(a: String, b: String): Array[Int] = {
+    if (a == null || b == null) return Array.empty
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return Array.empty
+
+    // b2j: ascending positions per char; autojunk drops popular chars
+    // from the index but keeps them flagged for the extension steps
+    val count = new java.util.HashMap[Character, Integer]()
+    var j = 0
+    while (j < lb) {
+      count.merge(b.charAt(j), 1, (x, y) => x + y); j += 1
+    }
+    val junk = new java.util.HashSet[Character]()
+    if (lb >= 200) {
+      val ntest = lb / 100 + 1
+      count.forEach((c, n) => if (n > ntest) { junk.add(c); () })
+    }
+    val b2j = new java.util.HashMap[Character, java.util.ArrayList[Integer]]()
+    j = 0
+    while (j < lb) {
+      val c = b.charAt(j)
+      if (!junk.contains(c))
+        b2j.computeIfAbsent(c, _ => new java.util.ArrayList[Integer]()).add(j)
+      j += 1
+    }
+
+    var prev = new Array[Int](lb + 1)
+    var cur = new Array[Int](lb + 1)
+    var rI = 0; var rJ = 0; var rK = 0
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): Unit = {
+      var besti = alo; var bestj = blo; var bestsize = 0
+      java.util.Arrays.fill(prev, 0, lb + 1, 0)
+      var i = alo
+      while (i < ahi) {
+        java.util.Arrays.fill(cur, 0, lb + 1, 0)
+        val ps = b2j.get(a.charAt(i))
+        if (ps != null) {
+          var p = 0
+          var stop = false
+          while (p < ps.size() && !stop) {
+            val jj = ps.get(p).intValue()
+            if (jj >= bhi) stop = true
+            else if (jj >= blo) {
+              val k = (if (jj > 0) prev(jj - 1) else 0) + 1
+              cur(jj) = k
+              if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
+            }
+            p += 1
+          }
+        }
+        val t = prev; prev = cur; cur = t
+        i += 1
+      }
+      while (besti > alo && bestj > blo && !junk.contains(b.charAt(bestj - 1)) &&
+        a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+        !junk.contains(b.charAt(bestj + bestsize)) &&
+        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
+      while (besti > alo && bestj > blo && junk.contains(b.charAt(bestj - 1)) &&
+        a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+        besti -= 1; bestj -= 1; bestsize += 1
+      }
+      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
+        junk.contains(b.charAt(bestj + bestsize)) &&
+        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        bestsize += 1
+      }
+      rI = besti; rJ = bestj; rK = bestsize
+    }
+
+    val raw = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    val stack = scala.collection.mutable.ArrayBuffer((0, la, 0, lb))
+    while (stack.nonEmpty) {
+      val (alo, ahi, blo, bhi) = stack.remove(stack.length - 1)
+      longestMatch(alo, ahi, blo, bhi)
+      if (rK > 0) {
+        raw += ((rI, rJ, rK))
+        if (alo < rI && blo < rJ) stack += ((alo, rI, blo, rJ))
+        if (rI + rK < ahi && rJ + rK < bhi) stack += ((rI + rK, ahi, rJ + rK, bhi))
+      }
+    }
+    // difflib's second pass: merge blocks adjacent on BOTH sides
+    val sorted = raw.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    for (blk <- sorted) {
+      if (merged.nonEmpty && merged.last._1 + merged.last._3 == blk._1 &&
+          merged.last._2 + merged.last._3 == blk._2) {
+        val l = merged.remove(merged.length - 1)
+        merged += ((l._1, l._2, l._3 + blk._3))
+      } else merged += blk
+    }
+    merged.flatMap(t => Seq(t._1, t._2, t._3)).toArray
+  }
 }

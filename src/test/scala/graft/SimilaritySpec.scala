@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.json4s._
 import graft.ops.Similarity
 
 /** difflib `SequenceMatcher.ratio()` parity — fixtures precomputed by
@@ -18,6 +19,48 @@ class SimilaritySpec extends AnyFunSuite {
       val got = Similarity.ratio(a, b)
       assert(math.abs(got - expected) < 1e-12,
         s"ratio('$a','$b') expected $expected got $got")
+    }
+  }
+
+  // ── matchingBlocks: the f12 oracle's replay-trace layer ─────────────
+  // CPython get_matching_blocks() parity, block by block (positions AND
+  // sizes), over the ratio pair list + 60 p_name-shaped fuzz pairs
+  Goldens.load("matching_blocks").zipWithIndex.foreach { case (g, i) =>
+    test(s"matching blocks golden #$i") {
+      val a = Goldens.str(g("a"))
+      val b = Goldens.str(g("b"))
+      val expected = (g("blocks"): @unchecked) match {
+        case JArray(bs) => bs.flatMap { case JArray(t) =>
+          t.map { case JInt(n) => n.toInt
+                  case other => sys.error(s"not int: $other") } }
+      }
+      val got = Similarity.matchingBlocks(a, b).toList
+      assert(got == expected, s"blocks('$a','$b')")
+    }
+  }
+
+  test("matchingBlocks invariants on 500 fuzz pairs: valid ordered " +
+      "non-overlapping common substrings whose total reproduces ratio()") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefg "
+    def mk(n: Int) = (0 until n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (_ <- 0 until 500) {
+      val a = mk(rnd.nextInt(40))
+      val b = if (rnd.nextBoolean()) mk(rnd.nextInt(40))
+        else a.patch(rnd.nextInt(math.max(1, a.length)), mk(3), rnd.nextInt(4))
+      val blocks = Similarity.matchingBlocks(a, b).grouped(3).map(_.toList).toSeq
+      var lastA = 0; var lastB = 0; var m = 0
+      for (List(pa, pb, len) <- blocks) {
+        assert(len > 0 && pa >= lastA && pb >= lastB,
+          s"order/overlap violated on ('$a','$b')")
+        assert(a.substring(pa, pa + len) == b.substring(pb, pb + len),
+          s"not a common substring on ('$a','$b')")
+        lastA = pa + len; lastB = pb + len; m += len
+      }
+      val expected = if (a.length + b.length == 0) 1.0
+        else 2.0 * m / (a.length + b.length)
+      assert(Similarity.ratio(a, b) == expected,
+        s"ratio != 2·Σblocks/(la+lb) on ('$a','$b')")
     }
   }
 

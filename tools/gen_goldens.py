@@ -83,6 +83,38 @@ pairs = [
 sims = [{"a": a, "b": b, "ratio": SequenceMatcher(None, a, b).ratio()} for a, b in pairs]
 json.dump(sims, open(f"{OUT}/similarity.json", "w"), ensure_ascii=False, indent=1)
 
+# ── matching-blocks fixtures (the f12 oracle's replay trace layer):
+# get_matching_blocks() minus the terminal sentinel, over the ratio
+# pair list plus seeded word-salad fuzz shaped like p_name values ─────
+import random as _random
+_rng = _random.Random(1207)
+_words = ["azure", "blanched", "burnished", "chartreuse", "cornflower",
+          "dark", "deep", "dim", "drab", "firebrick", "floral", "forest",
+          "frosted", "ghost", "goldenrod", "honeydew", "hot", "indian"]
+fuzz_pairs = []
+for _ in range(60):
+    n = _rng.randint(2, 6)
+    base = [_rng.choice(_words) for _ in range(n)]
+    mut = list(base)
+    op = _rng.randrange(3)
+    if op == 0 and len(mut) > 2:
+        mut.pop(_rng.randrange(len(mut)))
+    elif op == 1:
+        mut[_rng.randrange(len(mut))] = _rng.choice(_words)
+    else:
+        i = _rng.randrange(len(mut))
+        w = mut[i]
+        mut[i] = w[:max(1, len(w) // 2)] + w[len(w) // 2:][::-1]
+    fuzz_pairs.append((" ".join(base), " ".join(mut)))
+blocks = [
+    {"a": a, "b": b,
+     "blocks": [[m.a, m.b, m.size]
+                for m in SequenceMatcher(None, a, b).get_matching_blocks()
+                if m.size > 0]}
+    for a, b in pairs + fuzz_pairs]
+json.dump(blocks, open(f"{OUT}/matching_blocks.json", "w"),
+          ensure_ascii=False, indent=1)
+
 # ── extract_doi fixtures ────────────────────────────────────────────────
 doi_cases = [
     "Title page\ndoi: 10.1234/abc.def-12\nAuthors...",
