@@ -65,25 +65,36 @@ object PageRank {
     * shuffle per round; a sort-merge join would re-sort the edge side
     * every round).
     *
-    * Partition-once discipline: the hot edge table is repartitioned
-    * ONCE, at setup, on the key the per-round pipeline needs — `dst` in
-    * the broadcast regime (the broadcast join preserves the streamed
-    * side's partitioning, so the per-round contribution aggregate needs
-    * NO exchange: a 5-iteration run moves the edge table through zero
-    * per-round shuffles), `src` past it (the per-round ranks⋈edges join
-    * reuses the stored partitioning; only ranks shuffles). The table is
-    * PERSISTED, not checkpointed: a localCheckpoint/checkpoint erases
-    * the partitioning metadata (the LogicalRDD it leaves captures
-    * UnknownPartitioning under AQE — measured: the per-round plan
-    * re-exchanged the aggregate), while an InMemoryRelation keeps the
-    * Repartition node visible to EnsureRequirements, so the one setup
-    * shuffle is reused by every round (PageRankSpec asserts the final
-    * iteration's plan has zero shuffle exchanges). At 100× bench data
-    * the per-round aggregate exchange was the dominant sf10 term.
-    * CALLER CONTRACT (cache): the persisted edge table cannot be
-    * released from inside the returned lazy plan — after materializing
-    * the result, call `spark.catalog.clearCache()` (what Bench/Verify
-    * do) to free it, the same contract as
+    * Partition-once discipline, gated on the SAME [[bigGraphNodes]]
+    * measurement as the storage discipline: above the gate the hot edge
+    * table is repartitioned ONCE, at setup, on the key the per-round
+    * pipeline needs — `dst` in the broadcast regime (the broadcast join
+    * preserves the streamed side's partitioning, so the per-round
+    * contribution aggregate needs NO exchange: a 5-iteration run moves
+    * the edge table through zero per-round shuffles), `src` past it
+    * (the per-round ranks⋈edges join reuses the stored partitioning;
+    * only ranks shuffles). The table is PERSISTED, not checkpointed: a
+    * localCheckpoint/checkpoint erases the partitioning metadata (the
+    * LogicalRDD it leaves captures UnknownPartitioning under AQE —
+    * measured: the per-round plan re-exchanged the aggregate), while an
+    * InMemoryRelation keeps the Repartition node visible to
+    * EnsureRequirements, so the one setup shuffle is reused by every
+    * round (PageRankSpec asserts the final iteration's plan has zero
+    * shuffle exchanges).
+    *
+    * WHY gated: the per-round aggregate's exchange input is map-side
+    * combined, so it moves ≈ min(edges, partitions·nodes) rows — on a
+    * small graph that is far below edge scale and the setup shuffle +
+    * cache costs MORE than five combined exchanges (measured at 10×
+    * bench data: the unconditional r11 form ran graph_pagerank
+    * 11.9 → 29.0 s). On a big graph partitions·nodes reaches edge
+    * scale and the elision is the dominant win (the r10 sf10 term).
+    * Below the gate the r10 shape stands: no repartition, eager
+    * localCheckpoint, per-round combined exchanges.
+    * CALLER CONTRACT (cache, big graphs only): the persisted edge
+    * table cannot be released from inside the returned lazy plan —
+    * after materializing the result, call `spark.catalog.clearCache()`
+    * (what Bench/Verify do) to free it, the same contract as
     * [[Dedup.minHashNearDups]]'s sketch cache.
     *
     * Cluster safety: with a checkpoint directory configured
@@ -123,21 +134,27 @@ object PageRank {
     val big = nNodes > bigGraphNodes(e.sparkSession)
     val reliable = big && ScaleHints.reliableConfigured(e)
     val deg = if (big) ScaleHints.cut(deg0, reliable) else deg0
-    // partition-once (see the scaladoc): dst in the broadcast regime
-    // (per-round aggregate reuses it — no per-round edge shuffle at
-    // all), src past it (the per-round shuffle-hash join reuses it).
-    // PERSIST, not cut — the Repartition node must stay visible or the
-    // partitioning dies with the checkpoint. Reliable mode re-cuts the
-    // raw edges to the checkpoint FS first, so the persisted frame's
-    // recompute lineage survives executor death (persisted blocks
-    // themselves spill to local disk, the same risk class as the
-    // localCheckpoint blocks they replace).
-    val eSrc = if (reliable) ScaleHints.cut(e, reliable = true) else e
-    val edgesDeg = eSrc.join(hint(deg), Seq("src"))
-      .repartition(col(if (bcast) "dst" else "src"))
-      .persist(if (big) StorageLevel.MEMORY_AND_DISK_SER
-        else StorageLevel.MEMORY_AND_DISK)
-    edgesDeg.count() // materialize before the raw edge blocks go away
+    // partition-once above the gate (see the scaladoc): dst in the
+    // broadcast regime (per-round aggregate reuses it — no per-round
+    // edge shuffle at all), src past it (the per-round shuffle-hash
+    // join reuses it). PERSIST, not cut — the Repartition node must
+    // stay visible or the partitioning dies with the checkpoint.
+    // Reliable mode re-cuts the raw edges to the checkpoint FS first,
+    // so the persisted frame's recompute lineage survives executor
+    // death (persisted blocks themselves spill to local disk, the same
+    // risk class as the localCheckpoint blocks they replace). Below
+    // the gate: the r10 shape — no repartition, eager localCheckpoint,
+    // the per-round combined exchange is cheaper than the setup
+    // shuffle it would remove.
+    val edgesDeg = if (big) {
+      val eSrc = if (reliable) ScaleHints.cut(e, reliable = true) else e
+      val ed = eSrc.join(hint(deg), Seq("src"))
+        .repartition(col(if (bcast) "dst" else "src"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      ed.count() // materialize before the raw edge blocks go away
+      ed
+    } else e.join(hint(deg), Seq("src"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     // everything downstream reads deg / edgesDeg; release the raw edge
     // blocks for real (Dataset.unpersist is a no-op on a localCheckpoint)
     if (big) ScaleHints.releaseCheckpoint(e)
@@ -173,13 +190,16 @@ object PageRank {
     val big = nNodes > bigGraphNodes(e.sparkSession)
     val reliable = big && ScaleHints.reliableConfigured(e)
     val deg = if (big) ScaleHints.cut(deg0, reliable) else deg0
-    // same persist-not-cut partition-once discipline as [[pageRank]]
-    val eSrc = if (reliable) ScaleHints.cut(e, reliable = true) else e
-    val edgesDeg = eSrc.join(hint(deg), Seq("src"))
-      .repartition(col(if (bcast) "dst" else "src"))
-      .persist(if (big) StorageLevel.MEMORY_AND_DISK_SER
-        else StorageLevel.MEMORY_AND_DISK)
-    edgesDeg.count()
+    // same gated partition-once discipline as [[pageRank]]
+    val edgesDeg = if (big) {
+      val eSrc = if (reliable) ScaleHints.cut(e, reliable = true) else e
+      val ed = eSrc.join(hint(deg), Seq("src"))
+        .repartition(col(if (bcast) "dst" else "src"))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      ed.count()
+      ed
+    } else e.join(hint(deg), Seq("src"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
     if (big) ScaleHints.releaseCheckpoint(e)
     val seedSet = seeds.select(col(seedCol).cast("long").as("node"))
       .distinct().withColumn("__seed", lit(1))

@@ -101,21 +101,25 @@ class PageRankSpec extends AnyFunSuite {
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
 
-  test("partition-once (broadcast regime): the per-round contribution " +
-      "aggregate reuses edgesDeg's dst partitioning — NO shuffle exchange " +
-      "in the final iteration's plan") {
-    // the entire point of the setup repartition(dst): the broadcast
-    // ranks⋈edges join preserves the streamed side's hash(dst)
-    // partitioning through the localCheckpoint, so groupBy(dst) needs
-    // no exchange — a 5-iteration run moves the edge table through
-    // ZERO per-round shuffles. If this ever breaks (Spark stops
-    // propagating LogicalRDD partitioning, say), the repartition is
-    // pure overhead and must be gated on `big` instead.
+  test("partition-once (broadcast regime, big-gated): the per-round " +
+      "contribution aggregate reuses edgesDeg's dst partitioning — NO " +
+      "shuffle exchange in the final iteration's plan") {
+    // the entire point of the big-graph setup repartition(dst): the
+    // broadcast ranks⋈edges join preserves the streamed (persisted)
+    // side's hash(dst) partitioning, so groupBy(dst) needs no exchange
+    // — a 5-iteration run moves the edge table through ZERO per-round
+    // shuffles. If this ever breaks (Spark stops propagating cached
+    // partitioning, say), the repartition is pure overhead and the
+    // discipline must be reworked. Gate forced open: the discipline is
+    // measured NEGATIVE at small scale (BASELINE.md r12) and only runs
+    // above bigGraphNodes.
     def h(x: Long): Long = { var v = x * 2654435761L; v ^= v >>> 13; math.abs(v) }
     val pairs = (1L to 300L).map(i => (h(i) % 37, h(i * 5 + 1) % 37))
       .filter(p => p._1 != p._2).toDF("a", "b")
     val edges = PageRank.symmetrize(pairs, "a", "b")
-    val pr = PageRank.pageRank(edges, iters = 3)
+    spark.conf.set("spark.graft.bigGraphNodes", "1")
+    val pr = try PageRank.pageRank(edges, iters = 3)
+      finally spark.conf.unset("spark.graft.bigGraphNodes")
     pr.collect() // force execution so AQE finalizes the plan
     // count shuffle exchanges OUTSIDE the edgesDeg cache: descend
     // through AQE wrappers and query stages, stop at the cache scan —
@@ -136,6 +140,7 @@ class PageRankSpec extends AnyFunSuite {
     assert(n == 0,
       s"per-round aggregate re-shuffled ($n exchanges) — dst partitioning " +
         s"did not survive:\n${pr.queryExecution.executedPlan}")
+    spark.catalog.clearCache() // release the big-path edgesDeg cache
   }
 
   test("reliable-checkpoint gate: big graph + checkpoint dir → cluster-safe " +
