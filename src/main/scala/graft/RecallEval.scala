@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-off measurement main for the scale artifacts: recall of the
+  * occupancy-gated hyperplane-LSH near-dup path vs the exhaustive
+  * cosine baseline on a given embeddings table — the number the sf10
+  * spot artifact reports next to `dedup_embedding_lsh`'s step (the
+  * plane/table scaling holds recall ANALYTICALLY at the anchor cosine;
+  * this measures it on the actual corpus). Usage:
+  *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.RecallEval <sfDir> [threshold]"
+  * Optional third arg scaleTables=true|false compares the
+  * recall-holding table growth against the fixed-table (linear-work)
+  * alternative — the two sides of the documented ρ-exponent trade.
+  * Prints one JSON line {n, threshold, exact_pairs, lsh_pairs, recall}.
+  * The exhaustive leg is O(n²) — run only at spot-bench scales; the
+  * recall join stays distributed (no driver collect of the pair sets). */
+object RecallEval {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val threshold = if (args.length > 1) args(1).toDouble else 0.4
+    val scaleTables = if (args.length > 2) args(2).toBoolean else true
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = e.count()
+    val t0 = System.nanoTime()
+    val lsh = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      threshold, knownCount = Some(n), scaleTables = scaleTables).persist()
+    val nLsh = lsh.count()
+    val lshSec = (System.nanoTime() - t0) / 1e9
+    val exact = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      threshold, exhaustive = true).persist()
+    val nExact = exact.count()
+    val hits = exact.join(lsh, Seq("i", "j"), "left_semi").count()
+    val recall = if (nExact == 0) 1.0 else hits.toDouble / nExact
+    // stratified: recall on the NEAR-DUP band (cos ≥ 0.9 — the pairs a
+    // dedup pass exists to catch; the full-threshold number is dominated
+    // by the far tail, where LSH recall is by design near zero)
+    val exact09 = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
+      math.max(threshold, 0.9), exhaustive = true).persist()
+    val nExact09 = exact09.count()
+    val hits09 = exact09.join(lsh, Seq("i", "j"), "left_semi").count()
+    val recall09 = if (nExact09 == 0) 1.0 else hits09.toDouble / nExact09
+    println(f"""{"n":$n,"threshold":$threshold,"scale_tables":$scaleTables,"lsh_sec":$lshSec%.1f,"exact_pairs":$nExact,"lsh_pairs":$nLsh,"recall":$recall%.4f,"exact_pairs_cos09":$nExact09,"recall_cos09":$recall09%.4f}""")
+    spark.stop()
+  }
+}

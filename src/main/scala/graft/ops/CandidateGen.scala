@@ -186,23 +186,6 @@ object CandidateGen {
       .head().getLong(0)
   }
 
-  /** The cross-side twin of [[prefixCandidateBound]]: Σ_{g,b}
-    * probe_gb · (build_{g,b−1} + build_gb + build_{g,b+1}). */
-  private def prefixCandidateBoundAcross(probePrefix: DataFrame,
-      buildPrefix: DataFrame, bucketWidth: Int): Long = {
-    def occ(df: DataFrame, n: String) = df.groupBy(col("g"),
-        floor(col("len") / bucketWidth).cast("long").as("b"))
-      .agg(count(lit(1)).as(n))
-    val b = occ(buildPrefix, "nb")
-    val nearBuild = b.select(col("g"), (col("b") - 1).as("b"), col("nb"))
-      .unionAll(b)
-      .unionAll(b.select(col("g"), (col("b") + 1).as("b"), col("nb")))
-      .groupBy("g", "b").agg(sum("nb").as("nb3"))
-    occ(probePrefix, "np").join(nearBuild, Seq("g", "b"))
-      .agg(coalesce(sum(col("np") * col("nb3")), lit(0L)).cast("long"))
-      .head().getLong(0)
-  }
-
   /** MinHash-LSH degrade candidates over a Jaccard sketch (id, len, n,
     * hs): signatures straight from the hashed shingle sets (the codegen
     * [[graft.expr.sketchFunctions.minhash_from_hashes]] kernel —
@@ -217,23 +200,6 @@ object CandidateGen {
         graft.expr.sketchFunctions.minhash_from_hashes(col("hs"), numHashes),
         bands, r)).as(Seq("band_idx", "band_key")))
     lshBandSelf(banded, "id")
-  }
-
-  /** Cross-corpus twin of [[lshDegradeSelf]]: probe bands meet build
-    * bands on (band_idx, band_key) — the
-    * [[graft.ops.Dedup.minHashDedupeAgainst]] shape. Distinct
-    * (i = probe id, j = build id). */
-  private def lshDegradeAcross(probeSketch: DataFrame, buildSketch: DataFrame,
-      numHashes: Int = 64, bands: Int = 16): DataFrame = {
-    val r = numHashes / bands
-    def bandsOf(df: DataFrame, idName: String) = df.select(col("id").as(idName),
-      posexplode(Dedup.bandKeyArray(
-        graft.expr.sketchFunctions.minhash_from_hashes(col("hs"), numHashes),
-        bands, r)).as(Seq("band_idx", "band_key")))
-    fanout(bandsOf(probeSketch, "i"))
-      .join(maybeBroadcast(bandsOf(buildSketch, "j")), Seq("band_idx", "band_key"))
-      .select("i", "j")
-      .distinct()
   }
 
   /** Upper bound on band-only candidate pairs: every pair the 3-bucket
@@ -374,10 +340,22 @@ object CandidateGen {
       .head().getLong(0)
   }
 
+  /** NO occupancy degrade here, deliberately (round 12, measured): the
+    * across shape's candidate count is BUILD-side-bounded — the build
+    * corpus is a benchmark/blocklist, a bounded input by the operator's
+    * contract, so candidates ≤ probe-prefix rows × the build side's
+    * worst per-(token, bucket) occupancy, linear in the probe corpus
+    * for a fixed build set. Bolting the self-join's measured guard on
+    * anyway was measured at 100× bench data to DOUBLE the query (58 →
+    * 140 s: the guard's prefix materialization + bound aggregate cost
+    * more than the exact join they were guarding) while the guard
+    * never fired (measured bound 50M, budget 2×10⁹). A caller whose
+    * build side scales WITH the corpus has left the operator's
+    * contract and should use the self-family route, which carries the
+    * degrade. */
   def bandPrefixAcross(probeSketch: DataFrame, buildSketch: DataFrame,
       threshold: Double, bucketWidth: Int, maxLenDiff: Int,
-      bandOnlyMax: Long = defaultBandOnlyMaxCandidates,
-      prefixMax: Long = defaultPrefixMaxCandidates): CandidatePairs = {
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): CandidatePairs = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val bkt = floor(col("len") / bucketWidth).cast("long")
     if (bandCandidateBoundAcross(probeSketch, buildSketch, bucketWidth)
@@ -394,40 +372,20 @@ object CandidateGen {
         .select("i", "j"), mayRepeat = false)
     } else {
       val gdf = gramDf(probeSketch, buildSketch)
-      // both prefix tables materialized once — bound + join read them
-      val probePrefix = prefixTokens(probeSketch, threshold, gdf)
-        .localCheckpoint(true)
-      val buildPrefix = prefixTokens(buildSketch, threshold, gdf)
-        .localCheckpoint(true)
-      val bound = prefixCandidateBoundAcross(probePrefix, buildPrefix,
-        bucketWidth)
-      if (bound > prefixMax) {
-        // same occupancy degrade as bandPrefixSelf, cross-corpus shape
-        // (len conjunct preserved on the banded tail, as above)
-        val lsh = lshDegradeAcross(probeSketch, buildSketch)
-          .join(maybeBroadcast(probeSketch.select(col("id").as("i"),
-            col("len").as("len_i"))), Seq("i"))
-          .join(maybeBroadcast(buildSketch.select(col("id").as("j"),
-            col("len").as("len_j"))), Seq("j"))
-          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
-          .select("i", "j")
-        CandidatePairs(lsh, mayRepeat = false,
-          exact = false, measuredBound = bound)
-      } else {
-        val probe = fanout(probePrefix
-            .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-          .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
-            col("n").as("n_i"), col("__r").as("r_i"))
-        val build = buildPrefix.withColumn("bkt", bkt)
-          .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
-            col("n").as("n_j"), col("__r").as("r_j"))
-        // not deduped — same caller-dedupes-after-verify contract as
-        // [[bandPrefixSelf]]'s prefix branch
-        CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
-          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
-            sizePositionalFilter(threshold))
-          .select("i", "j"), mayRepeat = true, measuredBound = bound)
-      }
+      val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
+          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
+          col("n").as("n_i"), col("__r").as("r_i"))
+      val build = prefixTokens(buildSketch, threshold, gdf)
+        .withColumn("bkt", bkt)
+        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
+          col("n").as("n_j"), col("__r").as("r_j"))
+      // not deduped — same caller-dedupes-after-verify contract as
+      // [[bandPrefixSelf]]'s prefix branch
+      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+        .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
+          sizePositionalFilter(threshold))
+        .select("i", "j"), mayRepeat = true)
     }
   }
 

@@ -190,8 +190,7 @@ object Dedup {
   def ngramJaccardAcross(probe: DataFrame, build: DataFrame, idCol: String,
       textCol: String, lenCol: String, threshold: Double, shingleK: Int = 3,
       bucketWidth: Int = 32, maxLenDiff: Int = 20,
-      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates,
-      prefixMax: Long = CandidateGen.defaultPrefixMaxCandidates): DataFrame = {
+      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates): DataFrame = {
     def sk(d: DataFrame) = d.select(col(idCol).as("id"),
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
@@ -200,7 +199,7 @@ object Dedup {
       .localCheckpoint(true)
     val (ps, bs) = (sk(probe), sk(build))
     val cand = CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth,
-      maxLenDiff, bandOnlyMax, prefixMax)
+      maxLenDiff, bandOnlyMax)
     // see ngramJaccardPairs: prefix candidates may repeat per token
     cand.dedupeVerified(cand.pairs
       .join(ps.select(col("id").as("i"), col("n").as("n_i"),
@@ -551,16 +550,24 @@ object Dedup {
     * where R is the fixed-plane construction's recall at the anchor
     * cosine max(threshold, 0.9) (the "true near-dup" operating point:
     * at the 8×8 default and cos 0.9, R ≈ 0.94), clamped to
-    * [nTables, maxTables]. Expected candidates stay linear in n
-    * (occupancy is pinned; tables multiply the constant, bounded by
-    * maxTables = 8× the default). Recall at the anchor is then ≥ R at
-    * every plane count until the maxTables clamp binds (≈ effPlanes 17
-    * at the defaults — corpus ≈ 8M rows — beyond which recall degrades
-    * gracefully; deployments needing more headroom raise maxTables or
-    * pre-partition the corpus). Below the gate
-    * (n ≤ targetBucketOccupancy · 2^nPlanes, all driver-shipped SFs)
-    * effPlanes = nPlanes forces effTables = nTables — the output is
-    * exactly the fixed-plane construction the oracle replays.
+    * [nTables, maxTables]. THE PRICE IS EXPLICIT AND SUB-QUADRATIC:
+    * tables grow like (1/f)^(effPlanes − nPlanes), i.e. T ∝
+    * n^(log₂(1/f)) — the classic LSH ρ-exponent — so total candidate
+    * work is Θ(n^1.22) at the anchor (measured: the sf1→sf10 step on
+    * the bench embeddings is ~16× where fixed tables would step ~10×).
+    * `scaleTables = false` pins effTables = nTables instead: work goes
+    * LINEAR in n, and recall at the anchor decays by (1 − θ/π) per
+    * added plane — the silent-at-scale trade the r11 advisory flagged;
+    * choose it when throughput dominates and the operating pairs sit
+    * far above the threshold (measure with [[graft.RecallEval]]).
+    * Recall at the anchor is held ≥ R at every plane count until the
+    * maxTables clamp binds (≈ effPlanes 17 at the defaults — corpus
+    * ≈ 8M rows — beyond which recall degrades gracefully; deployments
+    * needing more headroom raise maxTables or pre-partition the
+    * corpus). Below the gate (n ≤ targetBucketOccupancy · 2^nPlanes,
+    * all driver-shipped SFs) effPlanes = nPlanes forces effTables =
+    * nTables — the output is exactly the fixed-plane construction the
+    * oracle replays, whatever the flags.
     *
     * `exhaustive = true` is the exact O(n²) baseline — the oracle shape
     * for tests and small corpora, a scale-killer beyond that (its
@@ -572,7 +579,8 @@ object Dedup {
       threshold: Double, exhaustive: Boolean = false, dim: Int = 64,
       nPlanes: Int = 8, nTables: Int = 8, seed: Long = 42L,
       targetBucketOccupancy: Long = 64L, maxPlanes: Int = 20,
-      maxTables: Int = 64, knownCount: Option[Long] = None): DataFrame = {
+      maxTables: Int = 64, knownCount: Option[Long] = None,
+      scaleTables: Boolean = true): DataFrame = {
     val withNorm = df.select(col(idCol), col(vecCol),
       Vectors.norm(col(vecCol)).as("nrm"))
     if (exhaustive) {
@@ -594,7 +602,7 @@ object Dedup {
           n.toDouble / targetBucketOccupancy)) / math.log(2.0)).toInt))
       // recall-holding table scaling (scaladoc): fixed-plane recall R at
       // the anchor cosine is the target the grown plane count must keep
-      val effTables = if (effPlanes == nPlanes) nTables else {
+      val effTables = if (effPlanes == nPlanes || !scaleTables) nTables else {
         val anchor = math.max(threshold, 0.9)
         val f = 1.0 - math.acos(anchor) / math.Pi // per-plane survival
         val pFix = math.pow(f, nPlanes)

@@ -145,23 +145,6 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${exact -- degraded} extra=${degraded -- exact}")
   }
 
-  test("occupancy degrade (forced, cross-corpus): ngramJaccardAcross " +
-      "LSH candidates == its exact output") {
-    val bench = docs.filter($"doc_id" % 5 === 0)
-    val corpus = docs.filter($"doc_id" % 5 =!= 0)
-    val exact = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
-        "n_chars", 0.5)
-      .select("probe_id", "build_id", "jac")
-      .as[(Long, Long, Double)].collect().toSet
-    val degraded = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
-        "n_chars", 0.5, bandOnlyMax = 0L, prefixMax = 0L)
-      .select("probe_id", "build_id", "jac")
-      .as[(Long, Long, Double)].collect().toSet
-    assert(exact.nonEmpty)
-    assert(degraded == exact,
-      s"missed=${exact -- degraded} extra=${degraded -- exact}")
-  }
-
   test("asymmetric ngramJaccardAcross == symmetric pairs filtered to the " +
       "crossing — the dedup_cross_corpus rewrite") {
     val bench = docs.filter($"doc_id" % 5 === 0)

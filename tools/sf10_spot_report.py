@@ -14,9 +14,14 @@ nonzero — an unexplained super-linear step cannot produce an artifact.
 The spot list deliberately EXCLUDES queries whose OUTPUT is quadratic by
 data construction (f12_similarity_ratcliff, j3_fuzzy_match_* — qualifying
 pairs over brand-blocked 2-word names grow ~100x per decade; the sf1
-artifact carries their explanations) and dedup_embedding_cosine (the
-documented exhaustive O(n^2) oracle baseline whose scale path is
-dedup_embedding_lsh, which IS spotted).
+artifact carries their explanations). Round-12 changes: the r10
+exclusions are retired — dedup_embedding_cosine is IN the list (the
+declared query is the bounded-probe exact scan since r11, linear by
+construction), and dedup_ngram_jaccard is IN the list (the r12
+occupancy degrade measures the prefix join's own candidate bound before
+launching it and swaps to MinHash-LSH candidates + the same exact
+verify when the corpus is data-intrinsically quadratic — the r10 run
+spilled to death here; see CandidateGen.defaultPrefixMaxCandidates).
 
 Usage:
   python3 tools/sf10_spot_report.py <sf01.json> <sf1.json> <sf10.json> <out.json>
@@ -37,26 +42,15 @@ EXPLANATIONS_OVER_LIMIT = {
 # must be a property of the DATA that lower-bounds ANY exact plan, and
 # the engine's declared alternative for such corpora must be IN the spot
 # list with a passing step.
-EXCLUDED_AT_SF10 = {
-    "dedup_ngram_jaccard": {
-        "measured": {"sf0.1_sec": 1.89, "sf1_sec": 9.08,
-                     "sf10": "failed: spill exhausted the single host's "
-                             "~74 GB free disk after 974 s"},
-        "explanation": (
-            "data-intrinsic quadratic on the synthetic corpus, not a plan "
-            "defect: the generator's 31-token vocabulary caps the distinct "
-            "trigram space at ~30k (DuckDB-measured 27.2k/29.5k/29.8k at "
-            "sf0.1/sf1/sf10), so median trigram df grows exactly linearly "
-            "(9 -> 95 -> 957) and EVERY exact set-similarity join is "
-            "Omega(n^2/30k) candidates here — the length-band pair bound "
-            "measures 4.6M -> 462M -> 46.2G (exactly 100x per decade). On "
-            "real text distinct shingles grow with the corpus and the "
-            "AllPairs/PPJoin prefix filter stays df-bounded. The engine's "
-            "declared scale route for low-entropy corpora is MinHash-LSH: "
-            "dedup_minhash_lsh (same threshold, same verify) IS in the "
-            "spot list and steps 7.9x."),
-    },
-}
+# Empty since round 12: the r10 entry (dedup_ngram_jaccard — exact
+# prefix candidates data-intrinsically quadratic on the 31-token-
+# vocabulary corpus, 46.2G band-pair bound at sf10, spilled to death
+# after 974 s) is retired by the occupancy degrade: the generator now
+# measures the prefix join's emitted-row bound BEFORE launching it and
+# past CandidateGen.defaultPrefixMaxCandidates swaps to MinHash-LSH
+# candidates with the unchanged exact verify, so the query completes
+# and sits in the spot list proper.
+EXCLUDED_AT_SF10 = {}
 
 
 def load(path):
