@@ -185,7 +185,11 @@ object Dedup {
     * [[CandidateGen.bandPrefixAcross]]: only the build side is indexed,
     * the corpus probes it, and corpus×corpus pairs are never formed —
     * at 10× data the symmetric route grew 21× while this one tracks true
-    * matches. Sides must be id-disjoint. Output:
+    * matches. No occupancy degrade on this path, deliberately —
+    * candidates are build-side-bounded by the contract (see the
+    * bandPrefixAcross scaladoc for the 100× measurement); a build side
+    * that scales with the corpus belongs on the self-family route.
+    * Sides must be id-disjoint. Output:
     * (probe_id, build_id, jac ≥ threshold). */
   def ngramJaccardAcross(probe: DataFrame, build: DataFrame, idCol: String,
       textCol: String, lenCol: String, threshold: Double, shingleK: Int = 3,
