@@ -1288,26 +1288,39 @@ object SparkEntry {
       // sim — see the oracleSql comment. The candidate layer is EXACT:
       // ratio→edit-distance lemma + measured-Lmax PassJoin radius in
       // CandidateGen.similaritySelfPairs (FuzzyJoinSpec proves equality
-      // with brute-force all-pairs).
+      // with brute-force all-pairs). The declared sim is ORIENTATION-
+      // CANONICAL — ratio(min(sa,sb), max(sa,sb)): difflib's ratio is
+      // weakly order-sensitive (measured: 2 of 19,902 θ=0.5 pairs flip
+      // by orientation), and the distinct-string front evaluates one
+      // decision per distinct pair, so the well-defined declared
+      // relation is the symmetric one; the lemma and quick-ratio bound
+      // are orientation-free, so exactness is untouched.
       CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
-          "p_name", theta = 0.9, blockCols = Seq("p_brand"))(gf.similarity)
+          "p_name", theta = 0.9, blockCols = Seq("p_brand"))(
+          (a, b) => gf.similarity(least(a, b), greatest(a, b)))
         .select(col("i").as("k1"), col("j").as("k2"),
-          gf.similarity(col("str_i"), col("str_j")).as("sim"))
+          gf.similarity(least(col("str_i"), col("str_j")),
+            greatest(col("str_i"), col("str_j"))).as("sim"))
     },
 
     "f12_similarity_ratcliff" -> { (s, dir) =>
-      // difflib-parity similarity over brand-blocked name pairs. Round 9
-      // wrote this as a raw brand-blocked self-join with only the
-      // length-ratio conjunct (which at θ = 0.5 prunes almost nothing);
-      // brand cardinality is fixed, so block occupancy grew linearly
-      // with sf and candidate pairs quadratically — 34× at 10× data.
-      // Same route as f12_similarity_scale now: measured-Lmax PassJoin
-      // radius + distinct-string front, exact by the ratio→lev lemma
+      // ORACLE-CHECKED since round 12 via its own exported block trace
+      // at θ = 0.5 (writeOracleAux f12_blocks_ratcliff — the same
+      // DuckDB replay as f12_similarity_scale). Round 9 wrote this as a
+      // raw brand-blocked self-join with only the length-ratio conjunct
+      // (which at θ = 0.5 prunes almost nothing); brand cardinality is
+      // fixed, so block occupancy grew linearly with sf and candidate
+      // pairs quadratically — 34× at 10× data. Same route as
+      // f12_similarity_scale now: measured-Lmax PassJoin radius +
+      // distinct-string front, exact by the ratio→lev lemma
       // (FuzzyJoinSpec pins equality against the brute-force self-join).
+      // Orientation-canonical sim, as f12_similarity_scale.
       CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
-          "p_name", theta = 0.5, blockCols = Seq("p_brand"))(gf.similarity)
+          "p_name", theta = 0.5, blockCols = Seq("p_brand"))(
+          (a, b) => gf.similarity(least(a, b), greatest(a, b)))
         .select(col("i").as("k1"), col("j").as("k2"),
-          gf.similarity(col("str_i"), col("str_j")).as("sim"))
+          gf.similarity(least(col("str_i"), col("str_j")),
+            greatest(col("str_i"), col("str_j"))).as("sim"))
     },
 
     "f9_extract_doi" -> { (s, dir) =>
@@ -3070,13 +3083,19 @@ object SparkEntry {
     val f12Blocks = udf((a: String, b: String) =>
       graft.ops.Similarity.matchingBlocks(a, b).grouped(3)
         .map(x => (x(0), x(1), x(2))).toSeq)
-    CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
-        "p_name", theta = 0.9, blockCols = Seq("p_brand"))((_, _) => lit(1.0))
-      .select(col("i").as("k1"), col("j").as("k2"),
-        explode(f12Blocks(col("str_i"), col("str_j"))).as("blk"))
-      .select(col("k1"), col("k2"), col("blk._1").as("pa"),
-        col("blk._2").as("pb"), col("blk._3").as("len"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/f12_blocks")
+    def f12Trace(theta: Double, out: String): Unit =
+      CandidateGen.similaritySelfPairs(t(s, dir, "part"), "p_partkey",
+          "p_name", theta = theta, blockCols = Seq("p_brand"))((_, _) => lit(1.0))
+        .select(col("i").as("k1"), col("j").as("k2"),
+          // canonical orientation, matching the declared queries' sim:
+          // blocks decompose (min(sa,sb), max(sa,sb))
+          explode(f12Blocks(least(col("str_i"), col("str_j")),
+            greatest(col("str_i"), col("str_j")))).as("blk"))
+        .select(col("k1"), col("k2"), col("blk._1").as("pa"),
+          col("blk._2").as("pb"), col("blk._3").as("len"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/$out")
+    f12Trace(0.9, "f12_blocks")           // f12_similarity_scale
+    f12Trace(0.5, "f12_blocks_ratcliff")  // f12_similarity_ratcliff
     val bpeModel = graft.ops.Bpe.fit(t(s, dir, "documents"), "text", nMerges = 32)
     t(s, dir, "documents")
       .select(explode(split(trim(col("text")), "\\s+")).as("term"))
@@ -3093,6 +3112,33 @@ object SparkEntry {
   private def auxCodebook = s"read_parquet('$oracleAuxDir/pq_codebook/*.parquet')"
   private def auxPcaRotation = s"read_parquet('$oracleAuxDir/pca_rotation/*.parquet')"
   private def auxF12Blocks = s"read_parquet('$oracleAuxDir/f12_blocks/*.parquet')"
+  private def auxF12BlocksRatcliff =
+    s"read_parquet('$oracleAuxDir/f12_blocks_ratcliff/*.parquet')"
+
+  /** The shared f12 block-trace replay (see the f12_similarity_scale
+    * oracle comment): verify each exported block as a positioned common
+    * substring, check ordering/non-overlap, recompute sim, threshold. */
+  private def f12TraceSql(aux: String, theta: Double): String =
+    s"""WITH ord AS (
+           SELECT k1, k2, pa, pb, len,
+             coalesce(pa >= lag(pa + len) OVER w AND pb >= lag(pb + len) OVER w,
+               TRUE) AS ord_ok
+           FROM $aux
+           WINDOW w AS (PARTITION BY k1, k2 ORDER BY pa)),
+         chk AS (
+           SELECT o.k1, o.k2, sum(o.len) AS m,
+             bool_and(o.ord_ok) AS ord_ok,
+             bool_and(substr(least(a.p_name, b.p_name), o.pa + 1, o.len) =
+                      substr(greatest(a.p_name, b.p_name), o.pb + 1, o.len))
+               AS sub_ok,
+             any_value(len(a.p_name)) AS la, any_value(len(b.p_name)) AS lb
+           FROM ord o
+           JOIN part a ON a.p_partkey = o.k1
+           JOIN part b ON b.p_partkey = o.k2
+           GROUP BY o.k1, o.k2)
+         SELECT k1, k2, 2.0 * m / (la + lb) AS sim
+         FROM chk
+         WHERE ord_ok AND sub_ok AND 2.0 * m / (la + lb) >= $theta"""
   private def auxSimhash = s"read_parquet('$oracleAuxDir/simhash/*.parquet')"
   private def auxGramHashes = s"read_parquet('$oracleAuxDir/gram_hashes/*.parquet')"
   private def auxQcFeatures = s"read_parquet('$oracleAuxDir/qc_features/*.parquet')"
@@ -4882,26 +4928,9 @@ object SparkEntry {
     // invalid or inflated trace drops the pair and the hash goes red.
     // The difflib-parity of the decomposition layer is golden-pinned
     // block by block in SimilaritySpec (72 CPython cases + invariants).
-    "f12_similarity_scale" ->
-      s"""WITH ord AS (
-           SELECT k1, k2, pa, pb, len,
-             coalesce(pa >= lag(pa + len) OVER w AND pb >= lag(pb + len) OVER w,
-               TRUE) AS ord_ok
-           FROM $auxF12Blocks
-           WINDOW w AS (PARTITION BY k1, k2 ORDER BY pa)),
-         chk AS (
-           SELECT o.k1, o.k2, sum(o.len) AS m,
-             bool_and(o.ord_ok) AS ord_ok,
-             bool_and(substr(a.p_name, o.pa + 1, o.len) =
-                      substr(b.p_name, o.pb + 1, o.len)) AS sub_ok,
-             any_value(len(a.p_name)) AS la, any_value(len(b.p_name)) AS lb
-           FROM ord o
-           JOIN part a ON a.p_partkey = o.k1
-           JOIN part b ON b.p_partkey = o.k2
-           GROUP BY o.k1, o.k2)
-         SELECT k1, k2, 2.0 * m / (la + lb) AS sim
-         FROM chk
-         WHERE ord_ok AND sub_ok AND 2.0 * m / (la + lb) >= 0.9""",
+    "f12_similarity_scale" -> f12TraceSql(auxF12Blocks, 0.9),
+    // same replay at θ = 0.5 over its own exported trace
+    "f12_similarity_ratcliff" -> f12TraceSql(auxF12BlocksRatcliff, 0.5),
 
     "embed_pca" -> {
       val comps = (1 to 8).map { c =>
