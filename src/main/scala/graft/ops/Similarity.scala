@@ -7,11 +7,13 @@ package graft.ops
   * `SequenceMatcher(None, a, b).ratio() >= 0.90`
   * (pdf_extraction/pubmed_enrichment.py:291-293), so this reproduces
   * difflib exactly: the b2j index, the *autojunk* rule (elements occurring
-  * in more than 1% of `b` are excluded from matching when |b| >= 200), the
-  * longest-matching-block search with its junk-aware extension steps, and
-  * the recursive block accumulation. Tie-breaking is preserved by scanning
-  * i ascending and, within each i, the b-positions ascending — the same
-  * order difflib's dict/list walk produces.
+  * in more than 1% of `b` are dropped from the b2j index when |b| >= 200 —
+  * but, because `isjunk=None` leaves CPython's `bjunk` set empty, they are
+  * NOT junk to the match-extension loops, which pass through them freely),
+  * the longest-matching-block search, and the recursive block accumulation.
+  * Tie-breaking is preserved by scanning i ascending and, within each i,
+  * the b-positions ascending — the same order difflib's dict/list walk
+  * produces.
   *
   * ZERO-ALLOCATION steady state: this runs tens of millions of times per
   * pair-join stage across 32 executor threads, and the host's allocation
@@ -146,22 +148,17 @@ object Similarity {
         val t = prev; prev = cur; cur = t
         i += 1
       }
-      // extension: non-junk both sides, then junk both sides (difflib order)
-      while (besti > alo && bestj > blo && !sc.junk(b.charAt(bestj - 1)) &&
+      // extension: with isjunk=None (the reference's only call shape,
+      // pubmed_enrichment.py:291) CPython's bjunk set is EMPTY — autojunk
+      // 'popular' chars are removed from the b2j index only, and the
+      // extension loops pass freely through them. The junk-gated second
+      // pass of difflib's find_longest_match never fires, so extensions
+      // reduce to plain char equality.
+      while (besti > alo && bestj > blo &&
         a.charAt(besti - 1) == b.charAt(bestj - 1)) {
         besti -= 1; bestj -= 1; bestsize += 1
       }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        !sc.junk(b.charAt(bestj + bestsize)) &&
-        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
-        bestsize += 1
-      }
-      while (besti > alo && bestj > blo && sc.junk(b.charAt(bestj - 1)) &&
-        a.charAt(besti - 1) == b.charAt(bestj - 1)) {
-        besti -= 1; bestj -= 1; bestsize += 1
-      }
-      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        sc.junk(b.charAt(bestj + bestsize)) &&
         a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
         bestsize += 1
       }
@@ -206,9 +203,10 @@ object Similarity {
     *
     * Gate-tooling path, not the pair-join hot kernel: plain
     * allocations, same algorithm — the b2j index with the autojunk
-    * rule, the junk-aware longest-match search with difflib's
-    * tie-breaks and extension order, recursive block accumulation, and
-    * difflib's second pass merging blocks adjacent on both sides. */
+    * rule (index-only; `isjunk=None` ⇒ extensions ignore it), the
+    * longest-match search with difflib's tie-breaks and extension
+    * order, recursive block accumulation, and difflib's second pass
+    * merging blocks adjacent on both sides. */
   def matchingBlocks(a: String, b: String): Array[Int] = {
     if (a == null || b == null) return Array.empty
     val la = a.length
@@ -263,21 +261,13 @@ object Similarity {
         val t = prev; prev = cur; cur = t
         i += 1
       }
-      while (besti > alo && bestj > blo && !junk.contains(b.charAt(bestj - 1)) &&
+      // isjunk=None → CPython bjunk is empty: extensions ignore autojunk
+      // (popular chars are only absent from b2j; see ratio() above)
+      while (besti > alo && bestj > blo &&
         a.charAt(besti - 1) == b.charAt(bestj - 1)) {
         besti -= 1; bestj -= 1; bestsize += 1
       }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        !junk.contains(b.charAt(bestj + bestsize)) &&
-        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
-        bestsize += 1
-      }
-      while (besti > alo && bestj > blo && junk.contains(b.charAt(bestj - 1)) &&
-        a.charAt(besti - 1) == b.charAt(bestj - 1)) {
-        besti -= 1; bestj -= 1; bestsize += 1
-      }
-      while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        junk.contains(b.charAt(bestj + bestsize)) &&
         a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
         bestsize += 1
       }

@@ -4,9 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ops.{CleanCorpus, Similarity}
 
 /** Fuzz parity vs CPython (tools/gen_fuzz_goldens.py): 250 random
-  * rule-mix documents through the reference clean_corpus, 360 random
-  * string pairs (incl. the autojunk regime and near-identical long pairs)
-  * through difflib. Byte-exact / 1e-12 agreement required. */
+  * rule-mix documents through the reference clean_corpus, 420 random
+  * string pairs through difflib — incl. the autojunk regime in BOTH the
+  * homogeneous-alphabet shape and the mixed popular/rare shape where
+  * match extensions must pass through chars dropped from b2j (CPython's
+  * bjunk is empty under isjunk=None), plus near-identical long pairs.
+  * Byte-exact / 1e-12 agreement required. */
 class FuzzGoldenSpec extends AnyFunSuite {
 
   test("clean_corpus matches the reference on 250 fuzz documents") {
@@ -23,7 +26,7 @@ class FuzzGoldenSpec extends AnyFunSuite {
     assert(checked == 250)
   }
 
-  test("similarity matches difflib on 360 fuzz pairs") {
+  test("similarity matches difflib on 420 fuzz pairs") {
     val goldens = Goldens.load("similarity_fuzz")
     var checked = 0
     goldens.foreach { g =>
@@ -35,6 +38,6 @@ class FuzzGoldenSpec extends AnyFunSuite {
         s"a='$a' b='$b' expected=$expected got=$got")
       checked += 1
     }
-    assert(checked == 360)
+    assert(checked == 420)
   }
 }

@@ -65,6 +65,31 @@ for _ in range(20):
     for _ in range(rnd.randint(1, 4)):
         lst[rnd.randrange(len(lst))] = rnd.choice(ALPH)
     pairs.append((a, "".join(lst)))
+# MIXED popular/rare autojunk regime (|b| >= 200): most chars popular
+# (dropped from b2j) with rare sprinkles kept in the index — the regime
+# where match extensions must pass THROUGH popular chars (CPython's
+# bjunk is empty under isjunk=None). Homogeneous alphabets can't catch
+# a junk-gated extension bug; these can.
+def mixed(n):
+    out = []
+    for _ in range(n):
+        r = rnd.random()
+        if r < 0.45: out.append("a")
+        elif r < 0.90: out.append("b")
+        else: out.append(rnd.choice("XYZQW"))
+    return "".join(out)
+for _ in range(40):
+    a = mixed(rnd.randint(150, 280))
+    b = mixed(rnd.randint(200, 280))
+    pairs.append((a, b))
+# near-identical mixed long pairs: extensions cross popular<->rare
+# boundaries repeatedly around the few edits
+for _ in range(20):
+    a = mixed(rnd.randint(200, 300))
+    lst = list(a)
+    for _ in range(rnd.randint(1, 5)):
+        lst[rnd.randrange(len(lst))] = rnd.choice("abXYZ")
+    pairs.append((a, "".join(lst)))
 sims = [{"a": a, "b": b, "ratio": SequenceMatcher(None, a, b).ratio()} for a, b in pairs]
 json.dump(sims, open(f"{OUT}/similarity_fuzz.json", "w"), ensure_ascii=False)
 print("clean_corpus_fuzz:", len(cases), "similarity_fuzz:", len(sims))

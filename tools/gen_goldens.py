@@ -77,6 +77,16 @@ pairs = [
     ("alpha beta gamma", "gamma beta alpha"),
     ("a" * 250 + "xyz", "a" * 250 + "xzy"),      # autojunk territory
     ("ab" * 150, "ba" * 150),
+    # mixed popular/rare autojunk: extensions must pass THROUGH the
+    # popular 'a'/' ' chars (bjunk is empty under isjunk=None) while
+    # b2j only indexes the rare ones
+    ("a" * 120 + "XQW" + "a" * 120, "a" * 118 + "XQW" + "a" * 122),
+    (("ab " * 80) + "rare token " + ("ab " * 20),
+     ("ab " * 78) + "rare token " + ("ab " * 22)),
+    # >=200-char title-shaped pair (the reference's verify path routinely
+    # normalizes titles this long: pubmed_enrichment.py:291)
+    ("efficacy and safety of examplinib plus chemotherapy versus chemotherapy alone in previously untreated advanced nonsquamous non small cell lung cancer a randomized double blind placebo controlled phase 3 trial",
+     "efficacy and safety of examplinib plus chemotherapy vs chemotherapy alone in previously untreated advanced nonsquamous non-small-cell lung cancer: a randomised double blind placebo controlled phase 3 trial"),
     ("Study of pembrolizumab plus chemotherapy", "Study of pembrolizumab plus chemotherapy."),
     ("kitten", "sitting"), ("abcdefghij", "jihgfedcba"),
 ]
@@ -106,6 +116,27 @@ for _ in range(60):
         w = mut[i]
         mut[i] = w[:max(1, len(w) // 2)] + w[len(w) // 2:][::-1]
     fuzz_pairs.append((" ".join(base), " ".join(mut)))
+# autojunk-regime block fuzz: |b| >= 200, mostly-popular chars with rare
+# sprinkles, so the block search must extend through chars absent from
+# b2j (CPython bjunk empty under isjunk=None). 40 structured pairs.
+def _mixed(n):
+    out = []
+    for _ in range(n):
+        r = _rng.random()
+        if r < 0.44: out.append("a")
+        elif r < 0.88: out.append(" ")
+        else: out.append(_rng.choice("wxyzqv"))
+    return "".join(out)
+for _ in range(25):
+    a = _mixed(_rng.randint(150, 300))
+    b = _mixed(_rng.randint(200, 300))
+    fuzz_pairs.append((a, b))
+for _ in range(15):
+    a = _mixed(_rng.randint(200, 320))
+    lst = list(a)
+    for _ in range(_rng.randint(1, 5)):
+        lst[_rng.randrange(len(lst))] = _rng.choice("a wxyz")
+    fuzz_pairs.append((a, "".join(lst)))
 blocks = [
     {"a": a, "b": b,
      "blocks": [[m.a, m.b, m.size]
@@ -113,6 +144,87 @@ blocks = [
                 if m.size > 0]}
     for a, b in pairs + fuzz_pairs]
 json.dump(blocks, open(f"{OUT}/matching_blocks.json", "w"),
+          ensure_ascii=False, indent=1)
+
+# ── autojunk-divergence goldens ─────────────────────────────────────────
+# Adversarial search for pairs where a junk-gated extension (the r12 bug:
+# treating autojunk 'popular' chars as junk in find_longest_match's
+# extension loops) produces different blocks than CPython. The recursion
+# usually recovers the same totals, so iid fuzz rarely catches it (~3.5%);
+# this section searches 4000 structured long-edit pairs against a
+# simulation of the buggy kernel and keeps the first 25 divergent ones as
+# explicit goldens (ratio + blocks straight from CPython difflib).
+def _buggy_blocks(a, b):
+    la, lb = len(a), len(b)
+    from collections import Counter
+    cnt = Counter(b)
+    junk = set()
+    if lb >= 200:
+        ntest = lb // 100 + 1
+        junk = {c for c, n in cnt.items() if n > ntest}
+    b2j = {}
+    for j2, c in enumerate(b):
+        if c not in junk:
+            b2j.setdefault(c, []).append(j2)
+    def lm(alo, ahi, blo, bhi):
+        besti, bestj, bestsize = alo, blo, 0
+        j2len = {}
+        for i in range(alo, ahi):
+            newj2len = {}
+            for j3 in b2j.get(a[i], []):
+                if j3 < blo: continue
+                if j3 >= bhi: break
+                k = newj2len[j3] = j2len.get(j3 - 1, 0) + 1
+                if k > bestsize:
+                    besti, bestj, bestsize = i - k + 1, j3 - k + 1, k
+            j2len = newj2len
+        while besti > alo and bestj > blo and b[bestj-1] not in junk and a[besti-1] == b[bestj-1]:
+            besti, bestj, bestsize = besti - 1, bestj - 1, bestsize + 1
+        while besti+bestsize < ahi and bestj+bestsize < bhi and b[bestj+bestsize] not in junk and a[besti+bestsize] == b[bestj+bestsize]:
+            bestsize += 1
+        while besti > alo and bestj > blo and b[bestj-1] in junk and a[besti-1] == b[bestj-1]:
+            besti, bestj, bestsize = besti - 1, bestj - 1, bestsize + 1
+        while besti+bestsize < ahi and bestj+bestsize < bhi and b[bestj+bestsize] in junk and a[besti+bestsize] == b[bestj+bestsize]:
+            bestsize += 1
+        return besti, bestj, bestsize
+    raw = []
+    stack = [(0, la, 0, lb)]
+    while stack:
+        alo, ahi, blo, bhi = stack.pop()
+        i, j4, k = lm(alo, ahi, blo, bhi)
+        if k:
+            raw.append((i, j4, k))
+            if alo < i and blo < j4: stack.append((alo, i, blo, j4))
+            if i + k < ahi and j4 + k < bhi: stack.append((i + k, ahi, j4 + k, bhi))
+    return sorted(raw)
+
+_srch = _random.Random(99)
+divergent = []
+for _trial in range(4000):
+    n = _srch.randint(200, 300)
+    a = ''.join('ab'[_srch.random() < 0.5] if _srch.random() < 0.92
+                else _srch.choice('XYZQWV') for _ in range(n))
+    lst = list(a)
+    for _ in range(_srch.randint(3, 15)):
+        op = _srch.randrange(3)
+        i = _srch.randrange(len(lst))
+        if op == 0: lst[i] = _srch.choice('abXYZ')
+        elif op == 1 and len(lst) > 200: lst.pop(i)
+        else: lst.insert(i, _srch.choice('abXYZ'))
+    b = ''.join(lst)
+    true_blocks = sorted((m.a, m.b, m.size)
+                         for m in SequenceMatcher(None, a, b).get_matching_blocks()
+                         if m.size > 0)
+    if _buggy_blocks(a, b) != true_blocks:
+        sm = SequenceMatcher(None, a, b)
+        divergent.append({
+            "a": a, "b": b, "ratio": sm.ratio(),
+            "blocks": [[m.a, m.b, m.size]
+                       for m in sm.get_matching_blocks() if m.size > 0]})
+        if len(divergent) >= 25:
+            break
+assert len(divergent) == 25, f"search found only {len(divergent)}"
+json.dump(divergent, open(f"{OUT}/similarity_divergent.json", "w"),
           ensure_ascii=False, indent=1)
 
 # ── extract_doi fixtures ────────────────────────────────────────────────
