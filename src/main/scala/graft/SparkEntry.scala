@@ -1238,10 +1238,15 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
     },
 
-    // ── Non-SQL-expressible ops: rows-only driver check + ScalaTest ─────
     "f1_clean_corpus" -> { (s, dir) =>
-      // full stateful clean (custom codegen'd expression); regex layers are
-      // oracle-checked via f5/f6, semantics via CleanCorpusSpec goldens
+      // ORACLE-CHECKED since round 13 via the exported decision trace
+      // (writeOracleAux clean_trace): the stateful per-line clean has no
+      // direct SQL form, but its per-line decisions ship as data and
+      // DuckDB re-proves every one against the raw lines and rebuilds
+      // content — see f1TraceSql. clean() is assembled from the SAME
+      // decisions() kernel the trace exports (no drift possible);
+      // CPython parity of that kernel is golden-pinned (CleanCorpusSpec
+      // + 250-doc fuzz).
       t(s, dir, "documents").select(col("doc_id"),
         gf.clean_corpus(col("text")).as("content"))
     },
@@ -3105,6 +3110,31 @@ object SparkEntry {
       .select(col("term"), concat_ws(" ", col("__p")).as("pieces_str"),
         size(col("__p")).as("n_pieces"))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/bpe_word_pieces")
+    // f1_clean_corpus decision trace: one row per PHYSICAL input line per
+    // document with CleanCorpus.decisions' per-line code (K kept / R
+    // rescued-kept / B blank-kept / E blank-dropped / P boilerplate /
+    // H header / C cutoff / T after-cutoff). clean() itself is assembled
+    // FROM this same kernel (decide → assemble, CleanCorpus.scala), so
+    // the declared query and this trace cannot drift. The oracle replays
+    // the whole decision chain in DuckDB — the cutoff/boilerplate/header/
+    // dosage regex layers and the 15-line (+nested ':'-window) lookahead
+    // recomputed INDEPENDENTLY from the raw lines, the prev-kept-line
+    // state refolded from the trace's own prior decisions — then rebuilds
+    // content (filter → join → normalize) and hash-compares. A lying
+    // trace fails the per-line predicate re-checks or the line-coverage
+    // counts and the doc drops out → red.
+    val f1Trace = udf((text: String) => {
+      val lines =
+        if (text == null || text.isEmpty) Array("")
+        else text.split("\n", -1)
+      graft.ops.CleanCorpus.decisions(lines).zipWithIndex
+        .map { case (c, i) => (i + 1, c.toString) }.toSeq
+    })
+    t(s, dir, "documents")
+      .select(col("doc_id"), explode(f1Trace(col("text"))).as("d"))
+      .select(col("doc_id"), col("d._1").as("line_idx"),
+        col("d._2").as("decision"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/clean_trace")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
@@ -3139,6 +3169,151 @@ object SparkEntry {
          SELECT k1, k2, 2.0 * m / (la + lb) AS sim
          FROM chk
          WHERE ord_ok AND sub_ok AND 2.0 * m / (la + lb) >= $theta"""
+  private def auxCleanTrace = s"read_parquet('$oracleAuxDir/clean_trace/*.parquet')"
+
+  /** The f1_clean_corpus trace replay (see the writeOracleAux comment).
+    *
+    * Python-strip charset (pyStrip parity): 09-0D, 1C-1F, 20, 85, A0,
+    * 1680, 2000-200A, 2028, 2029, 202F, 205F, 3000. Regexes mirror the
+    * JVM kernel's semantics exactly: Java's default (non-UNICODE_CLASS)
+    * \s and \d are ASCII, so the replay uses [ \t\x0B\f\r] and RE2's
+    * ASCII \d; case-insensitivity is ASCII-letter-only in these patterns
+    * on both engines. Lines contain no \n, so Java vs RE2 '.' agree.
+    */
+  private def f1TraceSql: String = {
+    val ws = "chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(28)||chr(29)||" +
+      "chr(30)||chr(31)||chr(32)||chr(133)||chr(160)||chr(5760)||chr(8192)||" +
+      "chr(8193)||chr(8194)||chr(8195)||chr(8196)||chr(8197)||chr(8198)||" +
+      "chr(8199)||chr(8200)||chr(8201)||chr(8202)||chr(8232)||chr(8233)||" +
+      "chr(8239)||chr(8287)||chr(12288)"
+    // json_split_and_clean.py:37-59 — re.search, so the framing .* drop
+    val cut = "(This review.*used.*Assessment Aid|" +
+      "This review was conducted.*Assessment Aid|" +
+      "This review used.*Real-Time Oncology Review|This review used.*RTOR|" +
+      "This review was conducted under Project Orbis|" +
+      "The application was granted.*priority review|" +
+      "The application was granted.*breakthrough|" +
+      "The application was granted.*orphan|granted.*priority review|" +
+      "granted.*breakthrough designation|granted.*orphan drug designation|" +
+      "received.*orphan drug designation|received.*breakthrough designation|" +
+      "received.*priority review)"
+    // json_split_and_clean.py:64-93 — re.match, so ^-anchored alternation
+    val boiler = "^(Follow the Oncology Center of Excellence|Follow us on X|" +
+      "Healthcare professionals should report all serious adverse events|" +
+      "Full prescribing information for[ \\t\\x0B\\f\\r]|" +
+      "View full prescribing information for[ \\t\\x0B\\f\\r]|" +
+      "See full prescribing information for[ \\t\\x0B\\f\\r]|" +
+      "For assistance with single-patient INDs for investigational oncology products|" +
+      "FDA expedited programs are described in the Guidance|" +
+      "A description of FDA expedited programs is in the Guidance|" +
+      "For information on the COVID-19 pandemic|" +
+      "FDA: Coronavirus Disease 2019 \\(COVID-19\\)|" +
+      "CDC: Coronavirus \\(COVID-19\\))"
+    // json_split_and_clean.py:123-131
+    val dos = "(\\d+[ \\t\\x0B\\f\\r]*(kg|mg|g|mcg)|less than.*\\d|" +
+      "greater than.*\\d|\\d+[ \\t\\x0B\\f\\r]*(or|and)[ \\t\\x0B\\f\\r]*" +
+      "(greater|less)|orally.*twice.*daily|orally.*once.*daily|mg.*orally)"
+    s"""WITH raw AS (
+           SELECT d.doc_id, g.i AS li, trim(d.parts[g.i], $ws) AS s
+           FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts
+                 FROM documents) d,
+                LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) g),
+         flag AS (
+           SELECT doc_id, li, s,
+             s = '' AS blank,
+             s <> '' AND regexp_matches(s, '$cut', 'i') AS cutm,
+             s <> '' AND regexp_matches(s, '$boiler', 'i') AS boiler,
+             s IN ('Efficacy and Safety', 'Recommended Dosage',
+                   'Expedited Programs') AS hdr,
+             s <> '' AND regexp_matches(s, '$dos', 'i') AS dos,
+             s LIKE '%:' AS colon_end
+           FROM raw),
+         fw AS (
+           -- 15-line dosage lookahead + nested ':'-window, recomputed
+           -- from the raw lines only (json_split_and_clean.py:149-190)
+           SELECT f.doc_id, f.li,
+             EXISTS (SELECT 1 FROM flag l
+                     WHERE l.doc_id = f.doc_id
+                       AND l.li BETWEEN f.li + 1 AND f.li + 15
+                       AND NOT l.blank AND l.dos)
+             OR EXISTS (SELECT 1 FROM flag l JOIN flag n
+                          ON n.doc_id = l.doc_id
+                         AND n.li BETWEEN l.li + 1 AND l.li + 15
+                        WHERE l.doc_id = f.doc_id
+                          AND l.li BETWEEN f.li + 1 AND f.li + 15
+                          AND NOT l.blank AND l.colon_end
+                          AND NOT n.blank AND n.dos) AS fu
+           FROM flag f WHERE f.cutm),
+         j AS (
+           SELECT f.*, t.decision, coalesce(w.fu, FALSE) AS fu,
+             CASE WHEN t.decision IN ('K', 'R', 'B')
+                  THEN (CASE WHEN t.decision = 'B' THEN '' ELSE f.s END)
+             END AS aval
+           FROM flag f
+           LEFT JOIN $auxCleanTrace t
+             ON t.doc_id = f.doc_id AND t.line_idx = f.li
+           LEFT JOIN fw w ON w.doc_id = f.doc_id AND w.li = f.li),
+         w2 AS (
+           -- 'previous kept line ends with :' refolded from the trace
+           SELECT *,
+             coalesce(last_value(aval IGNORE NULLS) OVER
+               (PARTITION BY doc_id ORDER BY li
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), '')
+               LIKE '%:' AS pcolon
+           FROM j),
+         cidx AS (
+           SELECT doc_id, min(CASE WHEN decision = 'C' THEN li END) AS ci
+           FROM w2 GROUP BY doc_id),
+         ver AS (
+           -- every declared decision re-proved from raw-line predicates,
+           -- the recomputed lookahead, and the refolded prev-kept state
+           SELECT w2.doc_id,
+             bool_and(CASE w2.decision
+               WHEN 'K' THEN NOT blank AND NOT cutm AND NOT boiler
+                 AND NOT hdr AND (c.ci IS NULL OR li < c.ci)
+               WHEN 'R' THEN NOT blank AND cutm AND (fu OR pcolon)
+                 AND NOT boiler AND NOT hdr AND (c.ci IS NULL OR li < c.ci)
+               WHEN 'B' THEN blank AND pcolon AND (c.ci IS NULL OR li < c.ci)
+               WHEN 'E' THEN blank AND NOT pcolon AND (c.ci IS NULL OR li < c.ci)
+               WHEN 'P' THEN NOT blank AND (NOT cutm OR fu OR pcolon)
+                 AND boiler AND (c.ci IS NULL OR li < c.ci)
+               WHEN 'H' THEN NOT blank AND (NOT cutm OR fu OR pcolon)
+                 AND NOT boiler AND hdr AND (c.ci IS NULL OR li < c.ci)
+               WHEN 'C' THEN NOT blank AND cutm AND NOT fu AND NOT pcolon
+                 AND li = c.ci
+               WHEN 'T' THEN c.ci IS NOT NULL AND li > c.ci
+               ELSE FALSE END) AS dec_ok,
+             count(*) AS n_raw
+           FROM w2 JOIN cidx c USING (doc_id) GROUP BY w2.doc_id),
+         tcnt AS (
+           SELECT doc_id, count(*) AS n_tr,
+             count(DISTINCT line_idx) AS n_trd
+           FROM $auxCleanTrace GROUP BY doc_id),
+         okdoc AS (
+           SELECT v.doc_id FROM ver v JOIN tcnt t USING (doc_id)
+           WHERE v.dec_ok AND t.n_tr = v.n_raw AND t.n_trd = v.n_raw),
+         body AS (
+           SELECT doc_id,
+             string_agg(CASE WHEN decision = 'B' THEN '' ELSE s END,
+               chr(10) ORDER BY li) AS c
+           FROM w2 WHERE decision IN ('K', 'R', 'B') GROUP BY doc_id)
+       SELECT d.doc_id,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               replace(replace(replace(replace(replace(replace(replace(
+                 coalesce(b.c, ''),
+                 chr(8211), '-'), chr(8212), '-'), chr(8722), '-'),
+                 chr(8216), ''''), chr(8217), ''''),
+                 chr(8220), '"'), chr(8221), '"'),
+               ' +', ' ', 'g'),
+             '\\n{3,}', chr(10) || chr(10), 'g'),
+           $ws) AS content
+       FROM documents d
+       JOIN okdoc USING (doc_id)
+       LEFT JOIN body b ON b.doc_id = d.doc_id"""
+  }
+
   private def auxSimhash = s"read_parquet('$oracleAuxDir/simhash/*.parquet')"
   private def auxGramHashes = s"read_parquet('$oracleAuxDir/gram_hashes/*.parquet')"
   private def auxQcFeatures = s"read_parquet('$oracleAuxDir/qc_features/*.parquet')"
@@ -4931,6 +5106,15 @@ object SparkEntry {
     "f12_similarity_scale" -> f12TraceSql(auxF12Blocks, 0.9),
     // same replay at θ = 0.5 over its own exported trace
     "f12_similarity_ratcliff" -> f12TraceSql(auxF12BlocksRatcliff, 0.5),
+
+    // the decision-trace replay for the stateful line cleaner (see
+    // f1TraceSql + the writeOracleAux comment): per-line keep/drop/
+    // cutoff/rescue decisions ship as data, DuckDB re-proves each one
+    // against the raw lines (regex layers + the 15-line dosage lookahead
+    // recomputed independently; prev-kept state refolded from the
+    // trace's prior decisions — an inductive chain, so one wrong
+    // decision anywhere fails its own re-check) and rebuilds content.
+    "f1_clean_corpus" -> f1TraceSql,
 
     "embed_pca" -> {
       val comps = (1 to 8).map { c =>

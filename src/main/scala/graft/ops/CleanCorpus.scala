@@ -126,54 +126,108 @@ object CleanCorpus {
     false
   }
 
-  def clean(text: String): String = {
-    if (text == null || text.isEmpty) return ""
-    val lines = text.split("\n", -1)
-    val kept = new ArrayBuffer[String](lines.length)
-
+  /** Per-line decision codes — THE ORACLE TRACE for `f1_clean_corpus`.
+    *
+    * `clean()` is assembled FROM this kernel (decide → assemble), and the
+    * trace writer in SparkEntry.writeOracleAux exports exactly this
+    * array, so the declared query and the exported trace cannot drift:
+    * there is one decision path.
+    *
+    *  - 'K' kept (appended stripped)
+    *  - 'R' rescued cutoff line, kept (the reference quirk: its
+    *        `continue` targets the pattern loop, so the line falls
+    *        through the remaining filters and is appended)
+    *  - 'B' blank appended (previous appended line ended with ':')
+    *  - 'E' blank dropped
+    *  - 'P' boilerplate drop (start-anchored remove pattern)
+    *  - 'H' repeated-header drop (exact standalone line)
+    *  - 'C' cutoff — this line truncates the document
+    *  - 'T' tail — after the cutoff, never examined
+    *
+    * Every decision is re-verifiable from the raw lines + the PRIOR
+    * decisions: the cutoff/boilerplate/dosage regex layers are stateless
+    * per line, the 15-line (+nested ':'-window) dosage lookahead is a
+    * pure EXISTS over raw line ranges, and the "previous kept line ends
+    * with ':'" state is a fold over the earlier appended decisions — the
+    * DuckDB oracle replays all three and rebuilds the content
+    * (json_split_and_clean.py:104-217 semantics, quirks preserved).
+    */
+  def decisions(lines: Array[String]): Array[Char] = {
+    val out = new Array[Char](lines.length)
+    var lastAppended: String = null // value of the last appended line
     var idx = 0
     var truncated = false
-    while (idx < lines.length && !truncated) {
-      val stripped = pyStrip(lines(idx))
-      if (stripped.isEmpty) {
-        // blank kept only right after a ':'-terminated kept line (:113-118)
-        if (kept.nonEmpty && kept.last.endsWith(":")) kept += ""
-      } else {
-        var isCutoff = false
-        var p = 0
-        while (p < cutoffPatterns.length && !isCutoff) {
-          if (cutoffPatterns(p).matcher(stripped).find()) {
-            val prevSuggestsList = kept.nonEmpty && kept.last.endsWith(":")
-            var followup = false
-            // direct 15-line lookahead for dosage info (:152-168)
-            var la = idx + 1
-            val laEnd = math.min(idx + ExtendedLookahead + 1, lines.length)
-            while (la < laEnd && !followup) {
-              val look = pyStrip(lines(la))
-              if (look.nonEmpty) {
-                if (isDosage(look)) followup = true
-                // a later ':' line opens a further 15-line window (:170-183)
-                else if (look.endsWith(":") &&
-                  dosageAhead(lines, la + 1, la + ExtendedLookahead + 1))
-                  followup = true
+    while (idx < lines.length) {
+      if (truncated) out(idx) = 'T'
+      else {
+        val stripped = pyStrip(lines(idx))
+        if (stripped.isEmpty) {
+          // blank kept only right after a ':'-terminated kept line (:113-118)
+          if (lastAppended != null && lastAppended.endsWith(":")) {
+            out(idx) = 'B'; lastAppended = ""
+          } else out(idx) = 'E'
+        } else {
+          var isCutoff = false
+          var rescued = false
+          var p = 0
+          while (p < cutoffPatterns.length && !isCutoff && !rescued) {
+            if (cutoffPatterns(p).matcher(stripped).find()) {
+              val prevSuggestsList =
+                lastAppended != null && lastAppended.endsWith(":")
+              var followup = false
+              // direct 15-line lookahead for dosage info (:152-168)
+              var la = idx + 1
+              val laEnd = math.min(idx + ExtendedLookahead + 1, lines.length)
+              while (la < laEnd && !followup) {
+                val look = pyStrip(lines(la))
+                if (look.nonEmpty) {
+                  if (isDosage(look)) followup = true
+                  // a later ':' line opens a further 15-line window (:170-183)
+                  else if (look.endsWith(":") &&
+                    dosageAhead(lines, la + 1, la + ExtendedLookahead + 1))
+                    followup = true
+                }
+                la += 1
               }
-              la += 1
+              // the rescue condition is pattern-independent, so the
+              // reference's per-pattern re-check (p += 1, match again,
+              // rescue again) collapses to: rescued once ⇒ rescued for
+              // all remaining patterns — the line falls through
+              if (followup || prevSuggestsList) rescued = true
+              else isCutoff = true
+            } else p += 1
+          }
+          if (isCutoff) { out(idx) = 'C'; truncated = true }
+          else {
+            val boilerplate =
+              removePatterns.exists(_.matcher(stripped).lookingAt())
+            if (boilerplate) out(idx) = 'P'
+            else if (headersToRemove.contains(stripped)) out(idx) = 'H'
+            else {
+              out(idx) = if (rescued) 'R' else 'K'
+              lastAppended = stripped
             }
-            if (followup || prevSuggestsList) {
-              // rescued: try remaining cutoff patterns; line falls through
-              // and is kept (reference quirk, see scaladoc)
-              p += 1
-            } else isCutoff = true
-          } else p += 1
-        }
-        if (isCutoff) truncated = true
-        else {
-          val boilerplate = removePatterns.exists(_.matcher(stripped).lookingAt())
-          if (!boilerplate && !headersToRemove.contains(stripped))
-            kept += stripped
+          }
         }
       }
       idx += 1
+    }
+    out
+  }
+
+  def clean(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    val lines = text.split("\n", -1)
+    val d = decisions(lines)
+    val kept = new ArrayBuffer[String](lines.length)
+    var i = 0
+    while (i < lines.length) {
+      d(i) match {
+        case 'K' | 'R' => kept += pyStrip(lines(i))
+        case 'B'       => kept += ""
+        case _         => ()
+      }
+      i += 1
     }
 
     // post-pass (:222-241)
