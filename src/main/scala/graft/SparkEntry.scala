@@ -2844,8 +2844,12 @@ object SparkEntry {
     },
 
     "text_bpe_fit" -> { (s, dir) =>
-      // rows-only: tokenizer TRAINING driver-visible (encode already is,
-      // via text_bpe_pieces). One distributed word-count shuffle feeds a
+      // ORACLE-CHECKED since round 13 via the exported per-iteration
+      // state trace (writeOracleAux bpe_fit_states): DuckDB re-derives
+      // every merge itself — state 0 proved equal to the corpus
+      // dictionary, merge t recomputed as the argmax over state t's
+      // pair counts, state t+1 proved equal to the rewrite — see
+      // bpeFitSql. One distributed word-count shuffle feeds a
       // driver-side merge loop over the maxVocab-BOUNDED dictionary —
       // the classic BPE split: corpus pass scales out, merge learning is
       // O(vocab·merges) on bounded state. Ties break lexicographically,
@@ -3135,6 +3139,20 @@ object SparkEntry {
       .select(col("doc_id"), col("d._1").as("line_idx"),
         col("d._2").as("decision"))
       .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/clean_trace")
+    // text_bpe_fit state trace: the per-iteration vocab symbol tables
+    // from the SAME fit loop the query runs (Bpe.fitWithStates — fit()
+    // delegates to it, no drift). The oracle re-derives every merge
+    // itself: state 0 is proved equal to the corpus dictionary, each
+    // merge is recomputed as the pair-count argmax over state t, and
+    // state t+1 is proved equal to the left-to-right non-overlapping
+    // rewrite of state t under that recomputed merge — the trace is
+    // verified intermediate state, not trusted output.
+    val bpeFitStates = graft.ops.Bpe
+      .fitWithStates(t(s, dir, "documents"), "text", nMerges = 50)._2
+    bpeFitStates.zipWithIndex
+      .flatMap { case (st, i) => st.map { case (w, sy, c) => (i, w, sy, c) } }
+      .toDF("step", "word", "syms", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$oracleAuxDir/bpe_fit_states")
   }
 
   private def auxCentroids = s"read_parquet('$oracleAuxDir/ivf_centroids/*.parquet')"
@@ -3313,6 +3331,78 @@ object SparkEntry {
        JOIN okdoc USING (doc_id)
        LEFT JOIN body b ON b.doc_id = d.doc_id"""
   }
+
+  private def auxBpeFitStates =
+    s"read_parquet('$oracleAuxDir/bpe_fit_states/*.parquet')"
+
+  /** The text_bpe_fit state-trace replay (see the writeOracleAux
+    * comment). The merges the oracle emits are its OWN argmax
+    * computations over the (fully verified) exported states: state 0 is
+    * set-compared against the corpus dictionary (tokenize + count +
+    * code-point symbol split all in SQL), each state transition is
+    * re-proved with a list_reduce rewrite implementing the left-to-right
+    * non-overlapping merge (greedy pairing ≡ reduce, since a merged
+    * piece a||b can never equal the left symbol a), and any failed
+    * check empties the result → red. Byte-order VARCHAR comparison in
+    * the argmax ORDER BY matches Bpe.utf8Compare. */
+  private def bpeFitSql(nMerges: Int): String =
+    s"""WITH st AS (
+           SELECT step, word, syms, string_split(syms, ' ') AS s, c
+           FROM $auxBpeFitStates),
+         dict AS (
+           SELECT w AS word, count(*) AS c FROM (
+             SELECT unnest(regexp_split_to_array(text,
+               '[ \\t\\x0B\\f\\r\\n]+')) AS w FROM documents)
+           WHERE w <> '' GROUP BY w
+           ORDER BY c DESC, w LIMIT 100000),
+         d0 AS (
+           SELECT word, c,
+             array_to_string(
+               list_append(regexp_split_to_array(word, ''), '</w>'),
+               ' ') AS syms0
+           FROM dict),
+         s0ok AS (
+           SELECT NOT EXISTS (
+             SELECT 1 FROM d0
+             FULL JOIN (SELECT word, syms, c FROM st WHERE step = 0) z
+               ON z.word = d0.word
+             WHERE z.word IS NULL OR d0.word IS NULL
+                OR z.syms <> d0.syms0 OR z.c <> d0.c) AS ok),
+         pairs AS (
+           SELECT step, s[g.j] AS a, s[g.j + 1] AS b, sum(c) AS n
+           FROM st,
+             LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS j) g
+           GROUP BY step, a, b),
+         am AS (
+           SELECT step, a, b FROM (
+             SELECT step, a, b,
+               row_number() OVER (PARTITION BY step
+                 ORDER BY n DESC, a, b) AS rn
+             FROM pairs) WHERE rn = 1),
+         rew AS (
+           SELECT t.step, t.word, t.c,
+             list_reduce(t.s, (acc, x) ->
+               CASE WHEN (acc = m.a OR ends_with(acc, ' ' || m.a))
+                         AND x = m.b
+                    THEN substr(acc, 1, len(acc) - len(m.a)) || m.a || m.b
+                    ELSE acc || ' ' || x END) AS r
+           FROM st t JOIN am m USING (step)
+           WHERE t.step < ${nMerges - 1}),
+         chain AS (
+           SELECT bool_and(n.word IS NOT NULL AND n.syms = r.r
+                           AND n.c = r.c) AS ok
+           FROM rew r
+           LEFT JOIN st n ON n.step = r.step + 1 AND n.word = r.word),
+         cnt AS (SELECT step, count(*) AS n FROM st GROUP BY step),
+         allok AS (
+           SELECT (SELECT ok FROM s0ok)
+             AND (SELECT ok FROM chain)
+             AND (SELECT count(*) = $nMerges AND min(step) = 0
+                    AND max(step) = ${nMerges - 1} FROM cnt)
+             AND (SELECT bool_and(n = (SELECT count(*) FROM dict))
+                  FROM cnt) AS ok)
+       SELECT CAST(step AS BIGINT) AS "rank", a AS "left", b AS "right"
+       FROM am WHERE (SELECT ok FROM allok)"""
 
   private def auxSimhash = s"read_parquet('$oracleAuxDir/simhash/*.parquet')"
   private def auxGramHashes = s"read_parquet('$oracleAuxDir/gram_hashes/*.parquet')"
@@ -5115,6 +5205,11 @@ object SparkEntry {
     // trace's prior decisions — an inductive chain, so one wrong
     // decision anywhere fails its own re-check) and rebuilds content.
     "f1_clean_corpus" -> f1TraceSql,
+
+    // the state-trace replay for BPE merge learning (see bpeFitSql):
+    // the oracle's merges are its own per-step pair-count argmaxes over
+    // the verified state chain — fully independently derived.
+    "text_bpe_fit" -> bpeFitSql(50),
 
     "embed_pca" -> {
       val comps = (1 to 8).map { c =>

@@ -70,7 +70,23 @@ object Bpe {
     * `maxVocab` bounds the dictionary rows collected to the driver
     * (most-frequent-first, then lexicographic — deterministic cut). */
   def fit(df: DataFrame, textCol: String, nMerges: Int,
-      maxVocab: Int = 100000): BpeModel = {
+      maxVocab: Int = 100000): BpeModel =
+    fitWithStates(df, textCol, nMerges, maxVocab)._1
+
+  /** [[fit]] plus the per-iteration vocab states — state t is the symbol
+    * table BEFORE merge t, one `(word, space-joined symbols, count)` row
+    * per dictionary word. This is the `text_bpe_fit` oracle trace:
+    * SparkEntry.writeOracleAux exports it and DuckDB RE-DERIVES every
+    * merge itself as the argmax over state t's pair counts (count DESC,
+    * then byte-order a, b — the same collation as [[utf8Compare]]) and
+    * re-proves state t+1 == rewrite(state t, merge t) plus state 0 ==
+    * the corpus dictionary, so the merges the oracle compares against
+    * are computed independently; the trace supplies only intermediate
+    * state, every row of which is verified. [[fit]] delegates here —
+    * one loop, no drift. Symbols never contain whitespace (words come
+    * from whitespace tokenization), so the space join is unambiguous. */
+  def fitWithStates(df: DataFrame, textCol: String, nMerges: Int,
+      maxVocab: Int = 100000): (BpeModel, Vector[Vector[(String, String, Long)]]) = {
     val dict: Array[(String, Long)] = df
       .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
@@ -80,15 +96,16 @@ object Bpe {
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
     // word → symbol sequence (chars + </w>), weighted by frequency
-    var vocab: Vector[(Vector[String], Long)] = dict.toVector.map {
-      case (w, c) => (symbolsOf(w), c)
+    var vocab: Vector[(String, Vector[String], Long)] = dict.toVector.map {
+      case (w, c) => (w, symbolsOf(w), c)
     }
     val merges = List.newBuilder[(String, String)]
+    val states = Vector.newBuilder[Vector[(String, String, Long)]]
     var i = 0
     var exhausted = false
     while (i < nMerges && !exhausted) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
+      vocab.foreach { case (_, syms, c) =>
         var j = 0
         while (j < syms.length - 1) {
           val p = (syms(j), syms(j + 1))
@@ -98,6 +115,7 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
+        states += vocab.map { case (w, syms, c) => (w, syms.mkString(" "), c) }
         // argmax count, ties broken lexicographically in UTF-8 BYTE order
         // (= code-point order) — the same collation Spark SQL's string
         // ORDER BY uses in [[fitDistributed]], so the two fits agree on
@@ -113,7 +131,7 @@ object Bpe {
         }
         merges += best
         val joined = best._1 + best._2
-        vocab = vocab.map { case (syms, c) =>
+        vocab = vocab.map { case (w, syms, c) =>
           val out = Vector.newBuilder[String]
           var j = 0
           while (j < syms.length) {
@@ -121,12 +139,12 @@ object Bpe {
               out += joined; j += 2
             } else { out += syms(j); j += 1 }
           }
-          (out.result(), c)
+          (w, out.result(), c)
         }
         i += 1
       }
     }
-    BpeModel(merges.result())
+    (BpeModel(merges.result()), states.result())
   }
 
   /** Distributed-pair-count fit: byte-identical merges to [[fit]], with
