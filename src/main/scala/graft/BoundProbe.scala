@@ -42,7 +42,12 @@ object BoundProbe {
     val ps = timed("sketch corpus")(sk(docs.filter(col("doc_id") % 50 =!= 0)))
     val cand = timed("across candidate gen (incl bound)")(
       graft.ops.CandidateGen.bandPrefixAcross(ps, bs, 0.5, 32, 20))
-    println(s"[probe] across: exact=${cand.exact} bound=${cand.measuredBound} " +
+    // bandPrefixAcross carries NO measured gate (build-side-bounded by
+    // design, CandidateGen.scala across scaladoc) — print that honestly
+    // instead of the always--1 field (r12 advisory)
+    println(s"[probe] across: exact=${cand.exact} " +
+      s"bound=${if (cand.measuredBound < 0) "n/a (across path carries no measured gate)"
+        else cand.measuredBound.toString} " +
       s"mayRepeat=${cand.mayRepeat}")
     val nCand = timed("across candidate count")(cand.pairs.count())
     println(s"[probe] across candidates: $nCand")

@@ -138,6 +138,16 @@ object Dedup {
       .localCheckpoint(true)
     val cand = CandidateGen.bandPrefixSelf(sketch, threshold, bucketWidth,
       maxLenDiff, bandOnlyMax, prefixMax)
+    // surface the occupancy degrade: past this point precision is still 1
+    // (the exact verify below is unchanged) but recall silently drops to
+    // the MinHash-LSH banding curve — production callers above the budget
+    // must be able to tell approximate output from exact (r12 advisory)
+    if (!cand.exact)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"ngramJaccardPairs: occupancy degrade fired — exact prefix " +
+          s"candidates measured at ${cand.measuredBound} rows (budget " +
+          s"$prefixMax); emitting MinHash-LSH candidates instead " +
+          s"(precision 1, recall = banding curve)")
     // the prefix candidate branch emits a pair once per qualifying
     // shared prefix token — dedupe the (small) verified output, not the
     // candidate stream, and only when that branch was taken (band-only
@@ -565,13 +575,21 @@ object Dedup {
     * choose it when throughput dominates and the operating pairs sit
     * far above the threshold (measure with [[graft.RecallEval]]).
     * Recall at the anchor is held ≥ R at every plane count until the
-    * maxTables clamp binds (≈ effPlanes 17 at the defaults — corpus
-    * ≈ 8M rows — beyond which recall degrades gracefully; deployments
-    * needing more headroom raise maxTables or pre-partition the
-    * corpus). Below the gate (n ≤ targetBucketOccupancy · 2^nPlanes,
-    * all driver-shipped SFs) effPlanes = nPlanes forces effTables =
-    * nTables — the output is exactly the fixed-plane construction the
-    * oracle replays, whatever the flags.
+    * maxTables clamp binds — which at the DEFAULTS it never does: the
+    * required table count is 37 at effPlanes 17 and 60 at the maxPlanes
+    * cap of 20, both ≤ maxTables = 64 (DedupSpec pins the whole curve;
+    * with a tighter maxTables = 32 the clamp first binds at effPlanes
+    * 17 ≈ 8M rows). The silent edge at the defaults is therefore
+    * `maxPlanes` itself: past n ≈ occupancy · 2^maxPlanes ≈ 67M rows
+    * plane growth stops, bucket occupancy resumes growing linearly and
+    * candidates quadratically — deployments beyond that raise
+    * maxPlanes/maxTables together or pre-partition the corpus. Either
+    * binding is SURFACED: [[lshEffParams]] reports it and
+    * embeddingNearDups logs a warning. Below the gate (n ≤
+    * targetBucketOccupancy · 2^nPlanes, all driver-shipped SFs)
+    * effPlanes = nPlanes forces effTables = nTables — the output is
+    * exactly the fixed-plane construction the oracle replays, whatever
+    * the flags.
     *
     * `exhaustive = true` is the exact O(n²) baseline — the oracle shape
     * for tests and small corpora, a scale-killer beyond that (its
@@ -579,6 +597,35 @@ object Dedup {
     * measure a constant ~5e-4 of all pairs on the bench embeddings at
     * threshold 0.4). The bounded-batch exact form that scales is
     * [[embeddingNearDupsAgainst]]. */
+  /** The measured-size LSH parameter derivation of [[embeddingNearDups]]
+    * — (effPlanes, effTables, clampBinds) — factored out so the
+    * maxTables clamp's degrade curve is spec-pinned (DedupSpec): planes
+    * grow with log₂(n/occupancy), tables grow to hold the fixed-plane
+    * anchor recall R (the ρ-exponent cost), and `clampBinds` reports the
+    * regime where maxTables is no longer enough to hold R — from there
+    * recall decays with further growth and [[embeddingNearDups]] logs a
+    * warning (the surfaced signal the scaladoc promises). */
+  private[graft] def lshEffParams(n: Long, threshold: Double, nPlanes: Int,
+      nTables: Int, targetBucketOccupancy: Long, maxPlanes: Int,
+      maxTables: Int, scaleTables: Boolean): (Int, Int, Boolean) = {
+    val effPlanes = math.max(nPlanes, math.min(maxPlanes,
+      math.ceil(math.log(math.max(1.0,
+        n.toDouble / targetBucketOccupancy)) / math.log(2.0)).toInt))
+    // recall-holding table scaling (scaladoc): fixed-plane recall R at
+    // the anchor cosine is the target the grown plane count must keep
+    if (effPlanes == nPlanes || !scaleTables) (effPlanes, nTables, false)
+    else {
+      val anchor = math.max(threshold, 0.9)
+      val f = 1.0 - math.acos(anchor) / math.Pi // per-plane survival
+      val pFix = math.pow(f, nPlanes)
+      val pEff = math.pow(f, effPlanes)
+      val recall = 1.0 - math.pow(1.0 - pFix, nTables)
+      val need = math.ceil(math.log(1.0 - recall) / math.log(1.0 - pEff))
+      val effTables = math.min(maxTables, math.max(nTables, need.toInt))
+      (effPlanes, effTables, need > maxTables)
+    }
+  }
+
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, exhaustive: Boolean = false, dim: Int = 64,
       nPlanes: Int = 8, nTables: Int = 8, seed: Long = 42L,
@@ -601,20 +648,27 @@ object Dedup {
       // first nPlanes planes of each table are the fixed-plane
       // construction's, extras refine the same signature
       val n = knownCount.getOrElse(df.count())
-      val effPlanes = math.max(nPlanes, math.min(maxPlanes,
-        math.ceil(math.log(math.max(1.0,
-          n.toDouble / targetBucketOccupancy)) / math.log(2.0)).toInt))
-      // recall-holding table scaling (scaladoc): fixed-plane recall R at
-      // the anchor cosine is the target the grown plane count must keep
-      val effTables = if (effPlanes == nPlanes || !scaleTables) nTables else {
-        val anchor = math.max(threshold, 0.9)
-        val f = 1.0 - math.acos(anchor) / math.Pi // per-plane survival
-        val pFix = math.pow(f, nPlanes)
-        val pEff = math.pow(f, effPlanes)
-        val recall = 1.0 - math.pow(1.0 - pFix, nTables)
-        math.min(maxTables, math.max(nTables,
-          math.ceil(math.log(1.0 - recall) / math.log(1.0 - pEff)).toInt))
-      }
+      val (effPlanes, effTables, clampBinds) = lshEffParams(n, threshold,
+        nPlanes, nTables, targetBucketOccupancy, maxPlanes, maxTables,
+        scaleTables)
+      // surface BOTH clamp regimes the way BoundProbe surfaces the
+      // candidate gates (r12 verdict #6): maxTables binding breaks the
+      // recall hold; maxPlanes binding keeps recall but ends the
+      // linear-candidates property (occupancy resumes growing)
+      if (clampBinds)
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"embeddingNearDups: maxTables clamp binds (n=$n, " +
+            s"effPlanes=$effPlanes needs more than maxTables=$maxTables " +
+            s"tables to hold anchor recall) — recall at the anchor cosine " +
+            s"now DEGRADES with further growth; raise maxTables or " +
+            s"pre-partition the corpus")
+      if (effPlanes == maxPlanes &&
+          n > targetBucketOccupancy * (1L << maxPlanes))
+        org.slf4j.LoggerFactory.getLogger(getClass)
+          .warn(s"embeddingNearDups: maxPlanes cap binds (n=$n > " +
+            s"occupancy·2^$maxPlanes) — bucket occupancy now grows " +
+            s"linearly and candidate pairs quadratically with further " +
+            s"growth; raise maxPlanes (and maxTables) or pre-partition")
       val tableBuckets = array((0 until effTables).map { t =>
         Vectors.hyperplaneBuckets(col(vecCol),
           Vectors.hyperplanes(effPlanes, dim, seed + t))

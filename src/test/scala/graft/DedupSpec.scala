@@ -546,4 +546,55 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("NestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("lshEffParams: the table-scaling curve holds anchor recall over " +
+      "the whole default range (the maxTables clamp never binds before " +
+      "the maxPlanes cap); a tighter maxTables binds at effPlanes 17 " +
+      "and is reported; scaleTables=false never clamps") {
+    // defaults of embeddingNearDups: threshold 0.4 → anchor 0.9,
+    // nPlanes=8, nTables=8, occupancy=64, maxPlanes=20, maxTables=64
+    def p(n: Long, maxTables: Int = 64, scale: Boolean = true) =
+      Dedup.lshEffParams(n, 0.4, 8, 8, 64L, 20, maxTables, scale)
+    val f = 1.0 - math.acos(0.9) / math.Pi
+    val rFix = 1.0 - math.pow(1.0 - math.pow(f, 8), 8)
+
+    // below the gate: the fixed-plane construction, no scaling, no clamp
+    assert(p(64L << 8) == ((8, 8, false)))
+    assert(p(1000L) == ((8, 8, false)))
+
+    // growth regime at the DEFAULTS: planes track log2(n/occupancy),
+    // tables grow monotonically, anchor recall stays >= the fixed-plane
+    // R at EVERY step, and the maxTables clamp never binds — the curve
+    // runs out of planes (maxPlanes=20, n ≈ 67M) before tables (need
+    // is 60 <= 64 there), so maxPlanes is the real silent edge
+    var lastTables = 8
+    for (exp <- 9 to 20) {
+      val n = 64L << exp
+      val (pl, tb, clamp) = p(n)
+      assert(pl == exp, s"effPlanes at n=$n")
+      assert(tb >= lastTables, s"table growth not monotone at n=$n")
+      assert(!clamp, s"maxTables clamp bound at n=$n with defaults")
+      val recall = 1.0 - math.pow(1.0 - math.pow(f, pl), tb.toDouble)
+      assert(recall >= rFix - 1e-9,
+        s"anchor recall $recall < fixed-plane R=$rFix at planes=$pl")
+      lastTables = tb
+    }
+    assert(p(64L << 20)._2 == 60)        // need at the maxPlanes cap
+    // past the cap planes stop at 20: recall still held, but occupancy
+    // (n / 2^20 buckets) resumes growing — the logged maxPlanes regime
+    assert(p((64L << 20) * 10)._1 == 20)
+
+    // a tighter maxTables=32 first binds at effPlanes 17 (need 37 > 32):
+    // the flag reports it and recall now decays with further growth
+    assert(p(64L << 16, maxTables = 32) == ((16, 32, false)))
+    val (pl17, tb17, c17) = p(64L << 17, maxTables = 32)
+    assert(pl17 == 17 && tb17 == 32 && c17)
+    val r17 = 1.0 - math.pow(1.0 - math.pow(f, 17), 32.0)
+    val r18 = 1.0 - math.pow(1.0 - math.pow(f, 18), 32.0)
+    assert(r17 < rFix && r18 < r17, "clamped recall must decay")
+
+    // scaleTables=false: tables pinned, never clamped — the documented
+    // linear-cost / decaying-recall alternative
+    assert(p(64L << 17, scale = false) == ((17, 8, false)))
+  }
+
 }

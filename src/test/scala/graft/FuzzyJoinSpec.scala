@@ -326,4 +326,29 @@ class FuzzyJoinSpec extends AnyFunSuite {
       s"missed=${(exactX -- cross).take(8)} extra=${(cross -- exactX).take(8)}")
   }
 
+  test("f12 trace candidate set is a superset of the declared output, " +
+      "both thetas, sf0.01 — the trace writer cannot silently drop a " +
+      "qualifying pair the declared query emits") {
+    // The f12 oracle replays the block trace writeOracleAux exports via
+    // a SECOND similaritySelfPairs run with a constant-true verify. If
+    // that run's candidate layer ever diverged from the declared query's
+    // (different theta plumbing, say), a qualifying pair could vanish
+    // from BOTH sides and the hash would stay green — so pin here that
+    // the constant-true candidate set contains every declared pair.
+    val dir = "/root/testdata/sf0.01"
+    for ((qname, theta) <- Seq(("f12_similarity_scale", 0.9),
+                               ("f12_similarity_ratcliff", 0.5))) {
+      val trace = graft.ops.CandidateGen.similaritySelfPairs(
+          spark.read.parquet(s"$dir/part.parquet"), "p_partkey", "p_name",
+          theta = theta, blockCols = Seq("p_brand"))((_, _) => lit(1.0))
+        .select("i", "j").as[(Long, Long)].collect().toSet
+      val declared = SparkEntry.queries(qname)(spark, dir)
+        .select("k1", "k2").as[(Long, Long)].collect().toSet
+      assert(declared.nonEmpty, s"$qname produced no pairs at sf0.01")
+      assert(declared.subsetOf(trace),
+        s"$qname: ${(declared -- trace).size} declared pairs missing " +
+          s"from the trace candidate set, e.g. ${(declared -- trace).take(5)}")
+    }
+  }
+
 }
