@@ -5,6 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main — driver contract: one JSON line
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
   *
+  * Noise protocol (since r13): the reported record is the per-query
+  * MEDIAN of `SPARK_GRAFT_SWEEPS` (default 3) full sweeps — one load
+  * burst can no longer set the round's number, while a real regression
+  * (slow in 2 of 3 sweeps) stays visible. All raw sweeps ship in
+  * bench_full.json; `sweep_totals` carries their totals inline. Set
+  * SPARK_GRAFT_SWEEPS=1 for quick local profiling (that mode keeps the
+  * old bounded expensive-tail retry with per-query MIN).
+  *
   * Session tuning mirrors what a cluster deployment would set per-job:
   * shuffle partitions ≈ cores (not 200), AQE on (runtime coalescing +
   * skew-join), small maxPartitionBytes so a handful of small parquet
@@ -101,7 +109,7 @@ object Bench {
     }
     val queriesToRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    val firstPass = queriesToRun.map { case (name, fn) =>
+    def runSweep(): Seq[(String, Double)] = queriesToRun.map { case (name, fn) =>
       sinceProbe += 1
       if (sinceProbe >= 20) {
         sinceProbe = 0
@@ -116,35 +124,61 @@ object Bench {
       timed(name, fn)
     }
 
-    // Targeted noise retry: a transient burst inflates whichever queries
-    // it overlapped; re-running the expensive tail once and keeping the
-    // per-query MIN removes one-off inflation while never hiding a real
-    // regression (a genuinely slow plan is slow both times). Bounded:
-    // only queries over 2.5 s, at most 12 of them.
-    val retryNames = firstPass.filter(_._2 > 2.5).sortBy(-_._2).take(12)
-      .filterNot { case (n, _) => failed.contains(n) }
-      .map(_._1).toSet
+    // Noise-robust protocol (r12 verdict #4): the last three rounds each
+    // spent their evidence budget relitigating host noise — five
+    // same-day engine-identical sf0.1 sweeps spanned 185.9–235.8 s, a
+    // ±13% band bigger than any real per-round movement. The round's
+    // record is therefore the per-query MEDIAN of `SPARK_GRAFT_SWEEPS`
+    // (default 3) full sweeps in one JVM; all raw sweeps ship in
+    // bench_full.json so nothing is hidden. Median (not min) keeps a
+    // real regression visible — a genuinely slow plan is slow in 2 of 3
+    // sweeps — while one load burst can no longer set the record.
+    val sweeps = math.max(1,
+      sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt)
+    val firstPass = runSweep()
+    val failedFirst = failed.toSet
+    val allSweeps = scala.collection.mutable.ArrayBuffer(firstPass)
+    if (sweeps > 1) {
+      for (_ <- 2 to sweeps) allSweeps += runSweep()
+      // the verdict stays sweep-1's: later sweeps de-noise timings only
+      failed.clear(); failed ++= failedFirst
+    }
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results = if (retryNames.isEmpty) firstPass else {
-      val failedBefore = failed.toSet
-      val second = queriesToRun
-        .filter { case (n, _) => retryNames(n) }
-        .map { case (n, fn) => timed(n, fn) }.toMap
-      // a query that was green on the first pass must not be reported
-      // failed because only its RETRY crashed — the retry exists to
-      // de-noise timings, never to change the pass/fail verdict (and a
-      // fast crash would otherwise also win the min)
-      val failedOnRetry = failed.toSet -- failedBefore
-      failed.clear(); failed ++= failedBefore
-      firstPass.map { case (n, t1) =>
-        second.get(n) match {
-          case Some(t2) if t2 < t1 && !failedOnRetry(n) =>
-            retried += (n -> t1); n -> t2
-          case _ => n -> t1
+    val results: Seq[(String, Double)] = if (sweeps > 1) {
+      val byName = allSweeps.flatten.groupBy(_._1)
+      firstPass.map { case (n, _) =>
+        val ts = byName(n).map(_._2).sorted
+        n -> ts(ts.length / 2)
+      }
+    } else {
+      // single-sweep mode (local profiling): the pre-r13 targeted noise
+      // retry — re-run the expensive tail once, keep the per-query MIN.
+      // Bounded: only queries over 2.5 s, at most 12 of them.
+      val retryNames = firstPass.filter(_._2 > 2.5).sortBy(-_._2).take(12)
+        .filterNot { case (n, _) => failed.contains(n) }
+        .map(_._1).toSet
+      if (retryNames.isEmpty) firstPass else {
+        val failedBefore = failed.toSet
+        val second = queriesToRun
+          .filter { case (n, _) => retryNames(n) }
+          .map { case (n, fn) => timed(n, fn) }.toMap
+        // a query that was green on the first pass must not be reported
+        // failed because only its RETRY crashed — the retry exists to
+        // de-noise timings, never to change the pass/fail verdict (and a
+        // fast crash would otherwise also win the min)
+        val failedOnRetry = failed.toSet -- failedBefore
+        failed.clear(); failed ++= failedBefore
+        firstPass.map { case (n, t1) =>
+          second.get(n) match {
+            case Some(t2) if t2 < t1 && !failedOnRetry(n) =>
+              retried += (n -> t1); n -> t2
+            case _ => n -> t1
+          }
         }
       }
     }
     val total = results.map(_._2).sum
+    val sweepTotals = allSweeps.map(_.map(_._2).sum).toSeq
 
     val controlPost = controlSec()
     // quiet-host envelope for this scan at sf0.1 on local[32] is ~0.1-0.3s
@@ -174,10 +208,16 @@ object Bench {
     val retryJson = retried
       .map { case (n, t1) => "\"" + n + "\":" + fmt(t1) }
       .mkString("{", ",", "}")
-    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"control_mid_sec":$midJson,"retried_firstpass":$retryJson,"load_suspect":$loadSuspect"""
+    val sweepTotalsJson = sweepTotals.map(fmt).mkString("[", ",", "]")
+    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"control_mid_sec":$midJson,"retried_firstpass":$retryJson,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"load_suspect":$loadSuspect"""
     val fullJson = {
       val qs = results.map(entry).mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$controlJson,"sf":"$sfDir"}"""
+      // every raw sweep ships alongside the median record — the
+      // protocol's evidence layer, nothing summarized away
+      val raw = allSweeps.zipWithIndex.map { case (sw, i) =>
+        "\"sweep_" + (i + 1) + "\":" + sw.map(entry).mkString("{", ",", "}")
+      }.mkString(",")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$controlJson,"sf":"$sfDir",$raw}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),
@@ -191,7 +231,7 @@ object Bench {
     // evidence varies in size, so it eats into this budget rather than
     // risking the 2000-char tail cut
     val budget = math.max(400,
-      1500 - midJson.length - retryJson.length)
+      1500 - midJson.length - retryJson.length - sweepTotalsJson.length)
     val byCost = results.sortBy(-_._2)
     val keep = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     var used = 2 // braces
