@@ -67,7 +67,7 @@ object CandidateGen {
     * distinct hashed-shingle array and n = size(hs). Output:
     * (id, len, n, g, __r) — one row per prefix token, with the token's
     * rank for the positional filter below. */
-  private def prefixTokens(sketch: DataFrame, threshold: Double,
+  private[graft] def prefixTokens(sketch: DataFrame, threshold: Double,
       gdf: DataFrame): DataFrame = {
     val w = Window.partitionBy("id").orderBy(col("__df").asc, col("g").asc)
     sketch.select(col("id"), col("len"), col("n"), explode(col("hs")).as("g"))
@@ -98,7 +98,7 @@ object CandidateGen {
         lit(1.0 + threshold) >= lit(threshold) * (col("n_i") + col("n_j")) - eps
   }
 
-  private def gramDf(sketches: DataFrame*): DataFrame =
+  private[graft] def gramDf(sketches: DataFrame*): DataFrame =
     sketches.map(_.select(explode(col("hs")).as("g")))
       .reduce(_ unionAll _)
       .groupBy("g").agg(count(lit(1)).as("__df"))
@@ -171,7 +171,7 @@ object CandidateGen {
     * the degrade early on corpora already past the budget's order of
     * magnitude). One aggregate + one per-token window over the
     * (materialized) prefix table. */
-  private def prefixCandidateBound(prefix: DataFrame, bucketWidth: Int): Long = {
+  private[graft] def prefixCandidateBound(prefix: DataFrame, bucketWidth: Int): Long = {
     val occ = prefix.groupBy(col("g"),
         floor(col("len") / bucketWidth).cast("long").as("b"))
       .agg(count(lit(1)).as("n"))
@@ -207,7 +207,7 @@ object CandidateGen {
     * + n_b + n_{b+1}) / 1 bounds it (each unordered pair counted ≤ 2×,
     * we keep the over-count — a conservative gate only ever pays the
     * prefix stages early). One tiny aggregate over the sketch. */
-  private def bandCandidateBound(sketch: DataFrame, bucketWidth: Int): Long = {
+  private[graft] def bandCandidateBound(sketch: DataFrame, bucketWidth: Int): Long = {
     val occ = sketch.groupBy(floor(col("len") / bucketWidth).cast("long")
         .as("b")).agg(count(lit(1)).as("n"))
     val nb = col("n") * coalesce(col("n_prev"), lit(0L)) +

@@ -136,8 +136,13 @@ object Sampling {
     * at any realistic scale; the full corpus is never shuffled. */
   def decontaminateSplit(df: DataFrame, keyCol: Column,
       pairs: DataFrame, iCol: String, jCol: String): DataFrame = {
-    val edges = pairs.select(col(iCol).as("__a"), col(jCol).as("__b"))
-      .union(pairs.select(col(jCol).as("__a"), col(iCol).as("__b")))
+    // both orientations from ONE scan of the pair pipeline: the union
+    // form re-executed the (expensive) candidate+verify plan per branch
+    // (measured at sf1, r13 artifact); explode reads it once
+    val edges = pairs.select(explode(array(
+        struct(col(iCol).as("__a"), col(jCol).as("__b")),
+        struct(col(jCol).as("__a"), col(iCol).as("__b")))).as("__e"))
+      .select(col("__e.__a").as("__a"), col("__e.__b").as("__b"))
     val held = df.filter(col("split").isin("test", "val"))
       .select(keyCol.as("__b"))
     val dirty = edges.join(ScaleHints.maybeBroadcast(held), Seq("__b"))
