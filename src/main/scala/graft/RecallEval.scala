@@ -9,17 +9,19 @@ import org.apache.spark.sql.SparkSession
   * plane/table scaling holds recall ANALYTICALLY at the anchor cosine;
   * this measures it on the actual corpus). Usage:
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.RecallEval <sfDir> [threshold]"
-  * Optional third arg scaleTables=true|false compares the
-  * recall-holding table growth against the fixed-table (linear-work)
-  * alternative — the two sides of the documented ρ-exponent trade.
-  * Prints one JSON line {n, threshold, exact_pairs, lsh_pairs, recall}.
+  * Optional third arg scaleTables=true|false|both — `both` evaluates
+  * the recall-holding table growth AND the fixed-table (linear-work)
+  * alternative against ONE shared exhaustive baseline (the O(n²) legs
+  * dominate the run, so the two sides of the documented ρ-exponent
+  * trade cost one baseline, not two).
+  * Prints one JSON line per variant {n, threshold, scale_tables,
+  * exact_pairs, lsh_pairs, recall, exact_pairs_cos09, recall_cos09}.
   * The exhaustive leg is O(n²) — run only at spot-bench scales; the
   * recall join stays distributed (no driver collect of the pair sets). */
 object RecallEval {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val threshold = if (args.length > 1) args(1).toDouble else 0.4
-    val scaleTables = if (args.length > 2) args(2).toBoolean else true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,25 +33,37 @@ object RecallEval {
     spark.sparkContext.setLogLevel("WARN")
     val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val n = e.count()
-    val t0 = System.nanoTime()
-    val lsh = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
-      threshold, knownCount = Some(n), scaleTables = scaleTables).persist()
-    val nLsh = lsh.count()
-    val lshSec = (System.nanoTime() - t0) / 1e9
+    // the exhaustive legs are the expensive part (O(n²) — ~2×10¹⁰ dot
+    // products at the sf10 spot) — computed ONCE and shared by however
+    // many LSH variants this run evaluates ("both" evaluates the
+    // recall-holding and fixed-table sides of the ρ-exponent trade
+    // against the same baseline in one process)
     val exact = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
       threshold, exhaustive = true).persist()
     val nExact = exact.count()
-    val hits = exact.join(lsh, Seq("i", "j"), "left_semi").count()
-    val recall = if (nExact == 0) 1.0 else hits.toDouble / nExact
     // stratified: recall on the NEAR-DUP band (cos ≥ 0.9 — the pairs a
     // dedup pass exists to catch; the full-threshold number is dominated
     // by the far tail, where LSH recall is by design near zero)
     val exact09 = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
       math.max(threshold, 0.9), exhaustive = true).persist()
     val nExact09 = exact09.count()
-    val hits09 = exact09.join(lsh, Seq("i", "j"), "left_semi").count()
-    val recall09 = if (nExact09 == 0) 1.0 else hits09.toDouble / nExact09
-    println(f"""{"n":$n,"threshold":$threshold,"scale_tables":$scaleTables,"lsh_sec":$lshSec%.1f,"exact_pairs":$nExact,"lsh_pairs":$nLsh,"recall":$recall%.4f,"exact_pairs_cos09":$nExact09,"recall_cos09":$recall09%.4f}""")
+    val variants = args.lift(2).getOrElse("true") match {
+      case "both" => Seq(true, false)
+      case v      => Seq(v.toBoolean)
+    }
+    variants.foreach { scaleTables =>
+      val t0 = System.nanoTime()
+      val lsh = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
+        threshold, knownCount = Some(n), scaleTables = scaleTables).persist()
+      val nLsh = lsh.count()
+      val lshSec = (System.nanoTime() - t0) / 1e9
+      val hits = exact.join(lsh, Seq("i", "j"), "left_semi").count()
+      val recall = if (nExact == 0) 1.0 else hits.toDouble / nExact
+      val hits09 = exact09.join(lsh, Seq("i", "j"), "left_semi").count()
+      val recall09 = if (nExact09 == 0) 1.0 else hits09.toDouble / nExact09
+      println(f"""{"n":$n,"threshold":$threshold,"scale_tables":$scaleTables,"lsh_sec":$lshSec%.1f,"exact_pairs":$nExact,"lsh_pairs":$nLsh,"recall":$recall%.4f,"exact_pairs_cos09":$nExact09,"recall_cos09":$recall09%.4f}""")
+      lsh.unpersist()
+    }
     spark.stop()
   }
 }

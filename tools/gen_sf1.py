@@ -85,6 +85,26 @@ for lb in np.unique(labels):
     m = labels == lb
     vecs[m] = rng.normal(mu, sd, size=(int(m.sum()), dim)).astype(np.float32)
 vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+# ---- planted near-dup pairs (r12 verdict #2): 1% of vectors are
+# perturbed copies of other vectors at cos uniform in [0.92, 0.99], so
+# the cos >= 0.9 band the LSH recall-holding table scaling exists to
+# protect is POPULATED at every scale (iid sampling alone leaves it
+# empty and RecallEval's recall_cos09 vacuous). v' = c*v + sqrt(1-c^2)*u
+# with u a unit vector orthogonal to v gives exact cosine c. A SEPARATE
+# rng keeps every other table's stream byte-identical to the
+# pre-planting generator, so bench history stays comparable.
+prng = np.random.default_rng(777)
+n_plant = N_EMB // 100
+src_idx = prng.choice(N_EMB - n_plant, size=n_plant, replace=False)
+tgt = prng.uniform(0.92, 0.99, n_plant)
+base = vecs[src_idx].astype(np.float64)
+w = prng.normal(size=(n_plant, dim))
+w -= (w * base).sum(axis=1, keepdims=True) * base
+w /= np.linalg.norm(w, axis=1, keepdims=True)
+planted = tgt[:, None] * base + np.sqrt(1.0 - tgt ** 2)[:, None] * w
+planted /= np.linalg.norm(planted, axis=1, keepdims=True)
+vecs[N_EMB - n_plant:] = planted.astype(np.float32)
+labels[N_EMB - n_plant:] = labels[src_idx]
 emb = pa.table({
     "vec_id": pa.array(np.arange(N_EMB), pa.int64()),
     "embedding": pa.array([v for v in vecs], pa.list_(pa.float32())),

@@ -6,45 +6,66 @@ the 8g default is sized for the sf0.1 bench). Collects each run's
 one-line JSON into a bench_full-shaped map for tools/sf10_spot_report.py.
 
 Usage:
-  python3 tools/run_sf10_spot.py <sfDir> <out.json> <query> [query...]
+  python3 tools/run_sf10_spot.py <sfDir> <out.json> [--samples N] \
+      <query> [query...]
+
+--samples N (default 1) runs each query in N FRESH JVMs and records the
+per-sample values plus their median — the r12 verdict's n>=3 protocol
+for long sf10 queries, whose single-sample spread measured 2.2x across
+fresh JVMs. Each JVM runs one sweep (SPARK_GRAFT_SWEEPS=1): cross-JVM
+medians already de-noise, and tripling inside the JVM on top would turn
+a 130 s query into 20 minutes.
 """
 import json
 import os
+import statistics
 import subprocess
 import sys
 
 
 def main():
     sf_dir, out_path = sys.argv[1], sys.argv[2]
-    queries = sys.argv[3:]
+    rest = sys.argv[3:]
+    samples = 1
+    if rest and rest[0] == "--samples":
+        samples = int(rest[1])
+        rest = rest[2:]
+    queries = rest
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_SWEEPS="1",
                SPARK_DRIVER_MEM="32g")
-    qtimes, failed = {}, []
+    qtimes, failed, qsamples = {}, [], {}
     ctl_pre, ctl_post, suspect = [], [], False
     for q in queries:
-        print(f"== {q}", flush=True)
-        p = subprocess.run(
-            ["sbt", "-batch", f"runMain graft.Bench {q}"],
-            env=env, capture_output=True, text=True, timeout=3600)
-        line = next((l for l in reversed(p.stdout.splitlines())
-                     if l.startswith('{"metric"')), None)
-        if line is None:
-            print(p.stdout[-2000:], file=sys.stderr)
-            failed.append(q)
-            continue
-        d = json.loads(line)
-        if d.get("failed"):
-            failed.append(q)
-        else:
-            qtimes[q] = d["queries"][q]
-        ctl_pre.append(d.get("control_pre_sec"))
-        ctl_post.append(d.get("control_post_sec"))
-        suspect = suspect or d.get("load_suspect", False)
-        print(f"   {q}: {qtimes.get(q)}s  (ctl {d.get('control_pre_sec')}/"
-              f"{d.get('control_post_sec')} suspect={d.get('load_suspect')})",
-              flush=True)
+        vals = []
+        for s in range(samples):
+            print(f"== {q} [{s + 1}/{samples}]", flush=True)
+            p = subprocess.run(
+                ["sbt", "-batch", f"runMain graft.Bench {q}"],
+                env=env, capture_output=True, text=True, timeout=3600)
+            line = next((l for l in reversed(p.stdout.splitlines())
+                         if l.startswith('{"metric"')), None)
+            if line is None:
+                print(p.stdout[-2000:], file=sys.stderr)
+                failed.append(q)
+                break
+            d = json.loads(line)
+            if d.get("failed"):
+                failed.append(q)
+                break
+            vals.append(d["queries"][q])
+            ctl_pre.append(d.get("control_pre_sec"))
+            ctl_post.append(d.get("control_post_sec"))
+            suspect = suspect or d.get("load_suspect", False)
+            print(f"   {q}: {vals[-1]}s  (ctl {d.get('control_pre_sec')}/"
+                  f"{d.get('control_post_sec')} "
+                  f"suspect={d.get('load_suspect')})", flush=True)
+        if vals:
+            qtimes[q] = round(statistics.median(vals), 3)
+            if samples > 1:
+                qsamples[q] = vals
     out = {
         "metric": "total", "value": round(sum(qtimes.values()), 3),
         "unit": "sec", "queries": qtimes, "failed": failed,
@@ -54,6 +75,8 @@ def main():
                                 default=None),
         "load_suspect": suspect, "sf": sf_dir,
         "per_query_jvm": True,
+        "samples_per_query": samples,
+        "samples": qsamples,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
