@@ -42,18 +42,18 @@ EXPLANATIONS_OVER_LIMIT = {
         " work is Theta(n^1.22) while per-bucket occupancy stays pinned"
         " at 64 — the measured step 10^1.22 ~= 16-17x per decade IS the"
         " exponent, and it survives every further decade by"
-        " construction (tables 10 -> 17 across this step, capped at"
-        " maxTables=64). Measured both sides of the trade at sf10"
-        " (graft.RecallEval, 200k vectors): scaled tables 62.6 s /"
-        " recall 0.081 on the 9.8M qualifying pairs at cos 0.4 vs"
-        " fixed tables 22.0 s / recall 0.039 — 2.1x recall for 2.8x"
-        " time; the near-dup band (cos >= 0.9) is EMPTY on the iid"
-        " bench corpus (0 exact pairs), where the anchor-band recall"
-        " hold is the analytic derivation in the scaladoc plus"
-        " DedupSpec's twin-recovery tests. Deployments preferring the"
-        " linear path (step ~10x, r11's shape) set scaleTables=false"
-        " and accept the per-plane recall decay the r11 advisory"
-        " flagged as silent — here it is a named, measured choice."),
+        " construction (tables 10 -> 17 across this step; the maxTables"
+        " clamp never binds at the defaults — DedupSpec pins need=37 at"
+        " 17 planes, 60 at the 20-plane cap, both under 64). Since r13"
+        " the recall side is MEASURED on a corpus with real near-dups"
+        " (RECALL_r13.json — gen_sf1.py plants 1% perturbed copies at"
+        " cos 0.92-0.99): scaled tables hold cos>=0.9 recall at 0.975"
+        " (sf1) and 0.995 (sf10), above the fixed-plane anchor R~0.94,"
+        " while fixed tables decay 0.950 -> 0.930 across the decade at"
+        " 3.7x less time (19.6 vs 72.2 s) — the rho-exponent trade,"
+        " both sides measured against one shared exhaustive baseline."
+        " Deployments preferring the linear path set scaleTables=false"
+        " as a named, measured choice."),
     "dedup_cross_corpus": (
         "borderline (15.2x vs limit 15.0) and measured linear, not"
         " quadratic: graft.BoundProbe at sf10 measures 13.77M candidate"
