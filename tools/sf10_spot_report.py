@@ -142,13 +142,18 @@ def main():
         "control_post_sec": d10.get("control_post_sec"),
         "load_suspect": d10.get("load_suspect"),
         "reruns": d10.get("reruns"),
+        "samples_long_queries": d10.get("samples_long_queries"),
+        "samples_per_long_query": d10.get("samples_per_long_query"),
+        "sample_notes": d10.get("sample_notes"),
         "control_note": (
             "the 1.0s load_suspect envelope is calibrated for the sf0.1 "
             "control scan; at sf10 the same scan reads 100x the rows and "
             "0.6-0.9s IS quiet — per-run flags at sf10 are advisory. "
-            "Queries whose first pass carried an elevated control were "
-            "re-run in fresh quiet JVMs; the kept value and the "
-            "superseded first-pass value are both recorded in 'reruns'."),
+            "Since r13 (the verdict's n>=3 protocol), every query over "
+            "60 s at sf10 runs in 3 fresh JVMs and the artifact keeps "
+            "the MEDIAN; all raw samples ship in "
+            "'samples_long_queries' (r12's single-sample spreads "
+            "measured up to 2.2x across fresh JVMs)."),
         "note": ("sf10 leg: one query per local[32] JVM with "
                  "SPARK_DRIVER_MEM=32g (1 GB/core — the 8g default is "
                  "sized for the driver's sf0.1 bench; one JVM holding "
