@@ -3193,10 +3193,11 @@ object SparkEntry {
     *
     * Python-strip charset (pyStrip parity): 09-0D, 1C-1F, 20, 85, A0,
     * 1680, 2000-200A, 2028, 2029, 202F, 205F, 3000. Regexes mirror the
-    * JVM kernel's semantics exactly: Java's default (non-UNICODE_CLASS)
-    * \s and \d are ASCII, so the replay uses [ \t\x0B\f\r] and RE2's
-    * ASCII \d; case-insensitivity is ASCII-letter-only in these patterns
-    * on both engines. Lines contain no \n, so Java vs RE2 '.' agree.
+    * JVM kernel exactly, which since r13 mirrors CPython's UNICODE \s
+    * and \d (CleanCorpus.PyWs — the same explicit class as the strip
+    * charset — and \p{Nd}; RE2 supports both spellings).
+    * Case-insensitivity is ASCII-letter-only in these patterns on both
+    * engines. Lines contain no \n, so Java vs RE2 '.' agree.
     */
   private def f1TraceSql: String = {
     val ws = "chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(28)||chr(29)||" +
@@ -3215,22 +3216,25 @@ object SparkEntry {
       "granted.*breakthrough designation|granted.*orphan drug designation|" +
       "received.*orphan drug designation|received.*breakthrough designation|" +
       "received.*priority review)"
-    // json_split_and_clean.py:64-93 — re.match, so ^-anchored alternation
+    // json_split_and_clean.py:64-93 — re.match, so ^-anchored alternation;
+    // the \s after "for" is CPython's unicode class (CleanCorpus.PyWs)
+    val pws = graft.ops.CleanCorpus.PyWs
+    val pnd = graft.ops.CleanCorpus.PyD
     val boiler = "^(Follow the Oncology Center of Excellence|Follow us on X|" +
       "Healthcare professionals should report all serious adverse events|" +
-      "Full prescribing information for[ \\t\\x0B\\f\\r]|" +
-      "View full prescribing information for[ \\t\\x0B\\f\\r]|" +
-      "See full prescribing information for[ \\t\\x0B\\f\\r]|" +
+      s"Full prescribing information for$pws|" +
+      s"View full prescribing information for$pws|" +
+      s"See full prescribing information for$pws|" +
       "For assistance with single-patient INDs for investigational oncology products|" +
       "FDA expedited programs are described in the Guidance|" +
       "A description of FDA expedited programs is in the Guidance|" +
       "For information on the COVID-19 pandemic|" +
       "FDA: Coronavirus Disease 2019 \\(COVID-19\\)|" +
       "CDC: Coronavirus \\(COVID-19\\))"
-    // json_split_and_clean.py:123-131
-    val dos = "(\\d+[ \\t\\x0B\\f\\r]*(kg|mg|g|mcg)|less than.*\\d|" +
-      "greater than.*\\d|\\d+[ \\t\\x0B\\f\\r]*(or|and)[ \\t\\x0B\\f\\r]*" +
-      "(greater|less)|orally.*twice.*daily|orally.*once.*daily|mg.*orally)"
+    // json_split_and_clean.py:123-131 — CPython unicode \d (Nd) and \s
+    val dos = s"($pnd+$pws*(kg|mg|g|mcg)|less than.*$pnd|" +
+      s"greater than.*$pnd|$pnd+$pws*(or|and)$pws*" +
+      s"(greater|less)|orally.*twice.*daily|orally.*once.*daily|mg.*orally)"
     s"""WITH raw AS (
            SELECT d.doc_id, g.i AS li, trim(d.parts[g.i], $ws) AS s
            FROM (SELECT doc_id, string_split(coalesce(text, ''), chr(10)) AS parts

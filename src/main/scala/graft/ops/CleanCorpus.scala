@@ -35,6 +35,26 @@ object CleanCorpus {
   private val MaxLookahead = 5
   private val ExtendedLookahead = MaxLookahead * 3 // 15 lines
 
+  /** CPython `\s` for str patterns, as an explicit class: Unicode
+    * White_Space (09-0D, 20, 85, A0, 1680, 2000-200A, 2028, 2029, 202F,
+    * 205F, 3000) PLUS 1C-1F (bidi separators — Python's re includes
+    * them, Java's \p{IsWhite_Space} does not). Java's default `\s` is
+    * ASCII-only, so `"120 mg"` (NBSP) would NOT be dosage to a
+    * `\s`-based port while the reference rescues a cutoff on it
+    * (verified against json_split_and_clean.py — the same
+    * ASCII-vs-unicode class gap as the r12 autojunk finding).
+    * Identical class in the DuckDB oracle (SparkEntry.f1TraceSql). */
+  private[graft] val PyWs: String = {
+    val cps = Seq(0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F,
+      0x20, 0x85, 0xA0, 0x1680) ++ (0x2000 to 0x200A) ++
+      Seq(0x2028, 0x2029, 0x202F, 0x205F, 0x3000)
+    cps.map(c => f"\\x{$c%04X}").mkString("[", "", "]")
+  }
+
+  /** CPython `\d` for str patterns = Unicode decimal digits (category
+    * Nd) — Java's default `\d` is ASCII [0-9]. */
+  private[graft] val PyD = "\\p{Nd}"
+
   // json_split_and_clean.py:37-59
   private val cutoffPatterns: Array[Pattern] = Array(
     ".*This review.*used.*Assessment Aid.*",
@@ -61,9 +81,9 @@ object CleanCorpus {
     "^Follow the Oncology Center of Excellence on Twitter.*",
     "^Follow us on X.*",
     "^Healthcare professionals should report all serious adverse events.*",
-    "^Full prescribing information for\\s+.*",
-    "^View full prescribing information for\\s+.*",
-    "^See full prescribing information for\\s+.*",
+    s"^Full prescribing information for$PyWs+.*",
+    s"^View full prescribing information for$PyWs+.*",
+    s"^See full prescribing information for$PyWs+.*",
     "^For assistance with single-patient INDs for investigational oncology products.*",
     "^FDA expedited programs are described in the Guidance for Industry.*",
     "^A description of FDA expedited programs is in the Guidance.*",
@@ -77,12 +97,13 @@ object CleanCorpus {
   private val headersToRemove: Set[String] =
     Set("Efficacy and Safety", "Recommended Dosage", "Expedited Programs")
 
-  // json_split_and_clean.py:123-131
+  // json_split_and_clean.py:123-131 (re.search with IGNORECASE on str:
+  // \d and \s are UNICODE classes — see PyWs/PyD)
   private val dosagePatterns: Array[Pattern] = Array(
-    ".*\\d+\\s*(kg|mg|g|mcg).*",
-    ".*less than.*\\d+.*",
-    ".*greater than.*\\d+.*",
-    ".*\\d+\\s*(or|and)\\s*(greater|less).*",
+    s".*$PyD+$PyWs*(kg|mg|g|mcg).*",
+    s".*less than.*$PyD+.*",
+    s".*greater than.*$PyD+.*",
+    s".*$PyD+$PyWs*(or|and)$PyWs*(greater|less).*",
     ".*orally.*twice.*daily.*",
     ".*orally.*once.*daily.*",
     ".*mg.*orally.*"

@@ -29,6 +29,15 @@ FRAGMENTS = [
     lambda: "FDA: Coronavirus Disease 2019 (COVID-19) update",
     lambda: f"Take {rnd.randint(1,500)} mg orally once daily.",
     lambda: f"Less than {rnd.randint(10,100)} kg: reduce the dose.",
+    # unicode \s / \d dosage shapes: CPython's re matches NBSP between
+    # digit and unit and non-ASCII decimal digits (category Nd) — the
+    # r13 PyWs/PyD parity fix; these rescue cutoffs exactly like ASCII
+    lambda: f"Take {rnd.randint(1,500)}\u00a0mg daily.",
+    lambda: f"Dose: {rnd.randint(1,99)}\u2009kg threshold.",
+    lambda: "Give \u0661\u0662 mg with food.",   # Arabic-Indic digits
+    lambda: "Maximum \uff14\uff12 mg daily.",    # fullwidth digits
+    lambda: "Limit \u06f3\u06f0\x1ckg strictly.",  # ext-Arabic digits + FS (Python \s)
+    lambda: "Full prescribing information for\u00a0DRUGX online.",
     lambda: "Dosing schedule:",
     lambda: "heading with colon:",
     lambda: "",

@@ -66,6 +66,17 @@ cases = [
     # 14 nbsp + unicode whitespace strip parity
     "  padded line  \nnormal.",
 ]
+# r13 PyWs/PyD parity cases: CPython's \s matches NBSP/thin-space/\x1c
+# and \d matches unicode decimal digits (Nd) — each rescues a cutoff or
+# fires a start-anchored remove exactly like the ASCII shape; an
+# ASCII-class port diverges on every one of these.
+cases += [
+    f"Intro.\n{CUT}\nTake 120\u00a0mg daily.\nAfter.",
+    f"Intro.\n{GRANT}\nGive \u0661\u0662 mg now.\nTail.",
+    f"Intro.\n{GRANT}\nMaximum \uff14\uff12 mg daily.\nTail.",
+    f"Intro.\n{CUT}\nLimit 30\x1ckg strictly.\nTail.",
+    "Full prescribing information for\u00a0DRUGX is online.\nKept line.",
+]
 goldens = [{"input": c, "expected": jsc.clean_corpus(c)} for c in cases]
 json.dump(goldens, open(f"{OUT}/clean_corpus.json", "w"), ensure_ascii=False, indent=1)
 
