@@ -3187,6 +3187,17 @@ object SparkEntry {
          SELECT k1, k2, 2.0 * m / (la + lb) AS sim
          FROM chk
          WHERE ord_ok AND sub_ok AND 2.0 * m / (la + lb) >= $theta"""
+  // ── CPython regex-class strings for oracle replays (r13): RE2 accepts
+  // the same spellings the JVM kernels use, so these are shared verbatim
+  // with CleanCorpus/TextOps/DoiExtract — engine and oracle cannot drift.
+  private val oraPyWs = graft.ops.CleanCorpus.PyWs
+  private val oraPyWsB = graft.ops.CleanCorpus.PyWsBody
+  private val oraPyNonWordWs =
+    "[^" + graft.ops.CleanCorpus.PyWordBody + graft.ops.CleanCorpus.PyWsBody + "]"
+  /** Python str.strip() charset as a DuckDB trim() second argument. */
+  private val oraPyStripSet = graft.ops.CleanCorpus.PyWsCodepoints
+    .map(c => s"chr($c)").mkString("||")
+
   private def auxCleanTrace = s"read_parquet('$oracleAuxDir/clean_trace/*.parquet')"
 
   /** The f1_clean_corpus trace replay (see the writeOracleAux comment).
@@ -3724,9 +3735,12 @@ object SparkEntry {
          strftime(TIMESTAMP '2026-08-12 09:00:00', '%Y-%m-%d %H:%M:%S') AS scraped_at_str
          FROM documents""",
 
+    // r13: the reference strips FIRST (unicode strip) and applies NO
+    // outer trim — a trailing ',' leaves a trailing space in the output
     "f11_clean_title_for_search" ->
-      """SELECT p_partkey,
-         TRIM(regexp_replace(p_name || '; part:' || p_brand || ',', '[;:,]', ' ', 'g')) AS clean_title
+      s"""SELECT p_partkey,
+         regexp_replace(trim(p_name || '; part:' || p_brand || ',',
+           $oraPyStripSet), '[;:,]', ' ', 'g') AS clean_title
          FROM part""",
 
     "p11_source_name_derive" ->
@@ -4206,25 +4220,27 @@ object SparkEntry {
          FROM documents""",
 
     "f7_normalize_for_compare" ->
-      """SELECT p_partkey,
-         regexp_replace(regexp_replace(TRIM(lower(replace(p_name, ' ', '; '))),
-           '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g') AS norm
+      s"""SELECT p_partkey,
+         regexp_replace(regexp_replace(trim(lower(replace(p_name, ' ', '; ')),
+           $oraPyStripSet), '$oraPyNonWordWs', ' ', 'g'),
+           '$oraPyWs+', ' ', 'g') AS norm
          FROM part""",
 
     "f8_normalize_doi" ->
-      """SELECT p_partkey,
-         regexp_replace(lower(TRIM('https://doi.org/10.' ||
-           CAST(1000 + p_partkey % 9000 AS VARCHAR) || '/Abc.' || p_brand)),
-           '^(https?://doi\.org/|doi:\s*)', '') AS doi
+      s"""SELECT p_partkey,
+         regexp_replace(lower(trim('https://doi.org/10.' ||
+           CAST(1000 + p_partkey % 9000 AS VARCHAR) || '/Abc.' || p_brand,
+           $oraPyStripSet)),
+           '^(https?://doi\\.org/|doi:$oraPyWs*)', '') AS doi
          FROM part""",
 
     "f10_extract_year" ->
-      """SELECT o_orderkey,
+      s"""SELECT o_orderkey,
          COALESCE(NULLIF(regexp_extract(
            CASE WHEN o_orderkey % 11 = 0 THEN 'No year here.'
            ELSE 'Author et al. (' || CAST(year(o_orderdate) AS VARCHAR) ||
              '). Study of ' || o_orderpriority || '.' END,
-           '\((\d{4})\)', 1), ''), '2026') AS yr
+           '\\((\\p{Nd}{4})\\)', 1), ''), '2026') AS yr
          FROM orders""",
 
     "f15_format_authors" ->
@@ -4380,15 +4396,16 @@ object SparkEntry {
          FROM doubled GROUP BY md5(text) HAVING count(*) > 1""",
 
     "dedup_normalized_exact" ->
-      """WITH aug AS (
+      s"""WITH aug AS (
            SELECT doc_id, text FROM documents
            UNION ALL
            SELECT doc_id + 1000000,
              regexp_replace(upper(text), ' ', '  ', 'g') || ' !!'
            FROM documents WHERE doc_id % 3 = 0),
          n AS (SELECT doc_id,
-             TRIM(regexp_replace(regexp_replace(TRIM(lower(text)),
-               '[^\w\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+             TRIM(regexp_replace(regexp_replace(trim(lower(text),
+               $oraPyStripSet), '$oraPyNonWordWs', ' ', 'g'),
+               '$oraPyWs+', ' ', 'g')) AS norm
            FROM aug)
          SELECT md5(norm) AS norm_hash, count(*) AS n_dups,
            array_to_string(list_sort(list(doc_id)), ',') AS ids
@@ -5136,14 +5153,15 @@ object SparkEntry {
          WHERE levenshtein(a.p_name, b.p_name) <= 4""",
 
     "f9_extract_doi" ->
-      """WITH s AS (
+      ("""WITH s AS (
            SELECT doc_id,
              substr(text || ' see 10.' || CAST(1000 + doc_id % 9000 AS VARCHAR) || '/ref.' || lang ||
                CASE WHEN doc_id % 4 = 0 THEN ' listed in the bibliography' ELSE '' END, 1, 5000) AS st
            FROM documents),
          c AS (
            SELECT doc_id, st,
-             regexp_extract_all(st, '10\.\d{4,}/[^\s\]\)>",;]+') AS cands
+             regexp_extract_all(st,
+               '10\.\p{Nd}{4,}/[^""" + oraPyWsB + """\]\)>",;]+') AS cands
            FROM s),
          f AS (
            SELECT doc_id,
@@ -5157,7 +5175,7 @@ object SparkEntry {
            FROM c)
          SELECT doc_id,
            CASE WHEN len(surv) > 0 THEN regexp_replace(surv[1], '[.,;:\]\)>]+$', '') END AS doi
-         FROM f""",
+         FROM f"""),
 
     "dedup_semantic" ->
       s"""WITH RECURSIVE emb AS (

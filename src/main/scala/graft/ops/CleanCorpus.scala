@@ -44,12 +44,24 @@ object CleanCorpus {
     * (verified against json_split_and_clean.py — the same
     * ASCII-vs-unicode class gap as the r12 autojunk finding).
     * Identical class in the DuckDB oracle (SparkEntry.f1TraceSql). */
-  private[graft] val PyWs: String = {
-    val cps = Seq(0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F,
+  private[graft] val PyWsCodepoints: Seq[Int] =
+    Seq(0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x1C, 0x1D, 0x1E, 0x1F,
       0x20, 0x85, 0xA0, 0x1680) ++ (0x2000 to 0x200A) ++
       Seq(0x2028, 0x2029, 0x202F, 0x205F, 0x3000)
-    cps.map(c => f"\\x{$c%04X}").mkString("[", "", "]")
-  }
+
+  /** The class BODY (no brackets) — for composing negated/merged
+    * classes like `[^\p{L}\p{N}_<ws>]`. Same syntax in Java regex and
+    * RE2, so the DuckDB oracles embed these strings verbatim. */
+  private[graft] val PyWsBody: String =
+    PyWsCodepoints.map(c => f"\\x{$c%04X}").mkString
+
+  private[graft] val PyWs: String = "[" + PyWsBody + "]"
+
+  /** CPython `\w` for str patterns ≈ unicode letters + numerics + '_'
+    * (CPython's ISALNUM: categories L* ∪ N* plus underscore) — Java's
+    * default `\w` is ASCII [a-zA-Z0-9_], which destroys 'β', 'naïve',
+    * every accented or non-Latin word char the reference keeps. */
+  private[graft] val PyWordBody = "\\p{L}\\p{N}_"
 
   /** CPython `\d` for str patterns = Unicode decimal digits (category
     * Nd) — Java's default `\d` is ASCII [0-9]. */

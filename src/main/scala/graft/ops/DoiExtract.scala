@@ -17,8 +17,14 @@ import java.util.regex.Pattern
   */
 object DoiExtract {
 
+  // CPython classes (r13): \d is unicode Nd and \s the unicode
+  // whitespace set — under Java's ASCII \s an NBSP after a DOI would be
+  // ABSORBED into the suffix (Python stops there), yielding a wrong DOI
+  // on scraped text where NBSP is routine. Same classes in the DuckDB
+  // oracle replay.
   private val doiPattern =
-    Pattern.compile("10\\.\\d{4,}/[^\\s\\]\\)>\",;]+", Pattern.CASE_INSENSITIVE)
+    Pattern.compile("10\\.\\p{Nd}{4,}/[^" + CleanCorpus.PyWsBody + "\\]\\)>\",;]+",
+      Pattern.CASE_INSENSITIVE)
   private val trailingPunct = Pattern.compile("[.,;:\\]\\)>]+$")
   private val vetoWords = Array("reference", "cited", "bibliography")
 

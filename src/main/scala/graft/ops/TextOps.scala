@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** CPython regex-class parity (see CleanCorpus.PyWs/PyWordBody): the
+    * reference evaluates \s/\w/\d with unicode semantics; Java's
+    * defaults are ASCII. All pubmed_enrichment ports below use these. */
+  private val WS = CleanCorpus.PyWs
+  private val WSB = CleanCorpus.PyWsBody
+  private val WORDB = CleanCorpus.PyWordBody
+
+  /** Python `str.strip()` as a Column — strips the full unicode
+    * whitespace set, where Spark's `trim` strips ASCII spaces only. */
+  private def pyStrip(c: Column): Column =
+    regexp_replace(c, "^" + WS + "+|" + WS + "+$", "")
+
   /** F2 — remove markdown image tags `![alt](url)`.
     * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:116. */
   def stripMarkdownImages(c: Column): Column =
@@ -50,26 +62,35 @@ object TextOps {
   /** F7 — comparison normal form: lower+strip, then punct→space, then
     * whitespace-run collapse. NOTE: the reference strips BEFORE the
     * punctuation substitution, so a trailing punctuation mark leaves a
-    * trailing space — preserved for verify-decision parity.
+    * trailing space — preserved for verify-decision parity. CPython
+    * classes throughout (r13): `[^\w\s]` keeps β/naïve/CJK word chars
+    * and unicode digits; `\s+` collapses NBSP-family runs; the strip is
+    * Python's unicode strip, not ASCII-space trim.
     * Ref: pdf_extraction/pubmed_enrichment.py:254-260. */
   def normalizeForCompare(c: Column): Column =
-    regexp_replace(regexp_replace(trim(lower(c)), "[^\\w\\s]", " "), "\\s+", " ")
+    regexp_replace(regexp_replace(pyStrip(lower(c)),
+      "[^" + WORDB + WSB + "]", " "), WS + "+", " ")
 
-  /** F8 — canonical DOI: lower/trim, strip doi.org / doi: prefixes.
+  /** F8 — canonical DOI: strip (unicode) + lower, then drop doi.org /
+    * doi: prefixes (`\s*` is CPython's unicode class).
     * Ref: pdf_extraction/pubmed_enrichment.py:262-268. */
   def normalizeDoi(c: Column): Column =
-    regexp_replace(lower(trim(c)), "^(https?://doi\\.org/|doi:\\s*)", "")
+    regexp_replace(lower(pyStrip(c)), "^(https?://doi\\.org/|doi:" + WS + "*)", "")
 
   /** F10 — publication year from citation `(YYYY)`; caller supplies the
     * default (reference uses current year — non-deterministic, so tests
-    * pin it). Ref: pdf_extraction/combine_json_to_jsonl.py:40-43. */
+    * pin it). CPython \d = \p{Nd}.
+    * Ref: pdf_extraction/combine_json_to_jsonl.py:40-43. */
   def extractYear(citation: Column, default: Column): Column =
-    coalesce(nullif(regexp_extract(citation, "\\((\\d{4})\\)", 1), lit("")), default)
+    coalesce(nullif(regexp_extract(citation, "\\((\\p{Nd}{4})\\)", 1), lit("")), default)
 
-  /** F11 — title cleaned for search: `[;:,]` → space, trim.
-    * Ref: pdf_extraction/pubmed_enrichment.py:149. */
+  /** F11 — title cleaned for search: unicode-strip FIRST, then
+    * `[;:,]` → space — the reference does `re.sub(..., title.strip())`
+    * with NO outer strip, so a leading/trailing `,;:` leaves a space
+    * (r13 fix: the old port trimmed after the substitution and dropped
+    * that space). Ref: pdf_extraction/pubmed_enrichment.py:149. */
   def cleanTitleForSearch(c: Column): Column =
-    trim(regexp_replace(c, "[;:,]", " "))
+    regexp_replace(pyStrip(c), "[;:,]", " ")
 
   /** F18 — whole-record fallback serialization.
     * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:98. */

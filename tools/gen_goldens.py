@@ -238,6 +238,50 @@ assert len(divergent) == 25, f"search found only {len(divergent)}"
 json.dump(divergent, open(f"{OUT}/similarity_divergent.json", "w"),
           ensure_ascii=False, indent=1)
 
+# ── pubmed normalize fixtures (r13 unicode-class parity): the verify
+# path's normalize_text / normalize_doi / clean-title expression, run on
+# unicode-rich inputs where ASCII \w/\s/\d classes diverge from CPython.
+# AST-extracted like extract_doi (the module imports network deps). ────
+_psrc = open("/root/reference/pdf_extraction/pubmed_enrichment.py").read()
+_ptree = ast.parse(_psrc)
+_pcls = next(n for n in _ptree.body
+             if isinstance(n, ast.ClassDef) and n.name == "DocumentVerifier")
+_pns = {"re": _re}
+for _fn in _pcls.body:
+    if isinstance(_fn, ast.FunctionDef) and _fn.name in ("normalize_text",
+                                                         "normalize_doi"):
+        _fn.decorator_list = []
+        exec(compile(ast.Module(body=[_fn], type_ignores=[]), "<p>", "exec"), _pns)
+def _clean_title(t):  # pubmed_enrichment.py:149 inline expression
+    return _re.sub(r'[;:,]', ' ', t.strip())
+
+_norm_inputs = [
+    "  Hello, World!  ",
+    "β-Blocker therapy in naïve patients: a Café—study",
+    "Take 120 mg; ４２ now",
+    "日本語のタイトル（試験）",
+    " 　edge whitespace　 ",
+    "under_score keeps-hyphen? (yes)",
+    "", "   ", "٢٠٢٤ review",
+    "tab\tseparatedfields",
+]
+_doi_inputs = [
+    " https://DOI.org/10.1234/AbC.def ",
+    " doi: 10.5555/XYZ ",
+    "doi: 10.1/x", "10.9/plain", "DOI:10.2/y", "",
+]
+_title_inputs = [
+    ",abc,", "  ;lead and trail:  ", "a,b;c:d", " nbsp,edges ", "",
+]
+pn = (
+    [{"kind": "text", "input": s, "expected": _pns["normalize_text"](s)}
+     for s in _norm_inputs] +
+    [{"kind": "doi", "input": s, "expected": _pns["normalize_doi"](s)}
+     for s in _doi_inputs] +
+    [{"kind": "title", "input": s, "expected": _clean_title(s)}
+     for s in _title_inputs])
+json.dump(pn, open(f"{OUT}/pubmed_norm.json", "w"), ensure_ascii=False, indent=1)
+
 # ── extract_doi fixtures ────────────────────────────────────────────────
 doi_cases = [
     "Title page\ndoi: 10.1234/abc.def-12\nAuthors...",
@@ -249,6 +293,10 @@ doi_cases = [
     "Short 10.12/ab too short digits",  # \d{4,} fails -> no match
     "Valid then vetoed 10.1111/first.ok and later bibliography mention 10.2222/second",
     "Bibliography\n10.3333/vetoed.start then far away " + "y" * 300 + " 10.4444/far.ok",
+    # r13: NBSP terminates the DOI suffix under CPython's unicode \s —
+    # an ASCII-\s port would absorb it and everything after
+    "NBSP stop: 10.7777/abc\u00a0trailing words",
+    "Fullwidth registrant 10.\uff11\uff12\uff13\uff14/wide suffix",
 ]
 dois = [{"text": t, "doi": pme.extract_doi(t)} for t in doi_cases]
 json.dump(dois, open(f"{OUT}/extract_doi.json", "w"), ensure_ascii=False, indent=1)
