@@ -4183,7 +4183,7 @@ object SparkEntry {
          FROM documents""",
 
     "p5_project_rename_pdf" ->
-      """WITH t AS (SELECT doc_id, text, lang, source,
+      ("""WITH t AS (SELECT doc_id, text, lang, source,
            CASE WHEN doc_id % 11 = 0 THEN 'Doe. Study, no year.'
                 ELSE 'Doe et al. (' || CAST(1990 + doc_id % 30 AS VARCHAR)
                      || '). ' || lang || '.' END AS citation,
@@ -4194,14 +4194,14 @@ object SparkEntry {
                regexp_replace(corpus, '!\[.*?\]\(.*?\)', '', 'g'),
                '\\n', chr(10), 'g'),
              '\n{3,}', chr(10) || chr(10), 'g'),
-             ' ' || chr(9) || chr(10) || chr(13)) AS content,
+             """ + oraPyStripSet + """) AS content,
            source,
            'https://doi.org/10.9/' || CAST(doc_id AS VARCHAR) AS url,
-           COALESCE(NULLIF(regexp_extract(citation, '\((\d{4})\)', 1), ''), '2026') AS date,
+           COALESCE(NULLIF(regexp_extract(citation, '\((\p{Nd}{4})\)', 1), ''), '2026') AS date,
            '1.0' AS version,
            'T-' || CAST(doc_id AS VARCHAR) AS title,
            citation
-         FROM t""",
+         FROM t"""),
 
     "p7_drop_intermediate_cols" ->
       """SELECT doc_id, lang, source, n_chars, trim(text) AS "Corpus",

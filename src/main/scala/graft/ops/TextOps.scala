@@ -19,9 +19,11 @@ object TextOps {
   private val WORDB = CleanCorpus.PyWordBody
 
   /** Python `str.strip()` as a Column — strips the full unicode
-    * whitespace set, where Spark's `trim` strips ASCII spaces only. */
-  private def pyStrip(c: Column): Column =
-    regexp_replace(c, "^" + WS + "+|" + WS + "+$", "")
+    * whitespace set, where Spark's 1-arg `trim` strips ASCII spaces
+    * only. Charset trim, not regex: cheaper and exactly the set. */
+  private val pyWsChars: String =
+    CleanCorpus.PyWsCodepoints.map(_.toChar).mkString
+  private def pyStrip(c: Column): Column = trim(c, pyWsChars)
 
   /** F2 — remove markdown image tags `![alt](url)`.
     * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:116. */
@@ -45,9 +47,8 @@ object TextOps {
     * trim here takes an explicit trim-set, not the spaces-only default).
     * Ref: pdf_extraction/combine_json_to_jsonl.py:46-61. */
   def pdfCleanContent(c: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(stripMarkdownImages(c), "\\\\n", "\n"), "\n{3,}", "\n\n"),
-      " \t\n\r")
+    pyStrip(regexp_replace(
+      regexp_replace(stripMarkdownImages(c), "\\\\n", "\n"), "\n{3,}", "\n\n"))
 
   /** F5 — collapse runs of spaces to one, 3+ newlines to 2.
     * Ref: fda_rag_extraction/scripts/json_split_and_clean.py:236-238. */
@@ -100,7 +101,7 @@ object TextOps {
     * through, others get the base prefixed (the reference's urljoin use is
     * root-relative hrefs only, fda_watcher.py:321-323). */
   def urlResolve(base: Column, href: Column): Column = {
-    val h = trim(href)
+    val h = pyStrip(href) // reference: raw_link.strip(), unicode set
     when(h.startsWith("http"), h)
       .when(h.startsWith("/"), concat(regexp_replace(trim(base), "/+$", ""), h))
       .otherwise(concat(regexp_replace(trim(base), "/+$", ""), lit("/"), h))
