@@ -135,20 +135,37 @@ object Bench {
     // sweeps — while one load burst can no longer set the record.
     val sweeps = math.max(1,
       sys.env.getOrElse("SPARK_GRAFT_SWEEPS", "3").toInt)
+    // Wall-clock budget: the harness invoking this main may have its own
+    // timeout; running out of it mid-sweep would lose the WHOLE artifact.
+    // Extra sweeps are attempted only while the projected finish (elapsed
+    // + one more sweep at the last sweep's pace) stays inside the budget
+    // — the run degrades to fewer sweeps, never to no output.
+    val budgetSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "600").toDouble
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
     val firstPass = runSweep()
     val failedFirst = failed.toSet
     val allSweeps = scala.collection.mutable.ArrayBuffer(firstPass)
-    if (sweeps > 1) {
-      for (_ <- 2 to sweeps) allSweeps += runSweep()
-      // the verdict stays sweep-1's: later sweeps de-noise timings only
-      failed.clear(); failed ++= failedFirst
+    var lastSweepSec = elapsedSec
+    var s = 1
+    while (s < sweeps && elapsedSec + lastSweepSec < budgetSec) {
+      val t0 = elapsedSec
+      allSweeps += runSweep()
+      lastSweepSec = elapsedSec - t0
+      s += 1
     }
+    // the verdict stays sweep-1's: later sweeps de-noise timings only
+    failed.clear(); failed ++= failedFirst
+    val nSweeps = allSweeps.length
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-    val results: Seq[(String, Double)] = if (sweeps > 1) {
+    val results: Seq[(String, Double)] = if (nSweeps > 1) {
+      // odd count → true median; even → LOWER middle (the min for n=2),
+      // matching the retry-min philosophy when the budget stops us early
       val byName = allSweeps.flatten.groupBy(_._1)
       firstPass.map { case (n, _) =>
         val ts = byName(n).map(_._2).sorted
-        n -> ts(ts.length / 2)
+        n -> ts((ts.length - 1) / 2)
       }
     } else {
       // single-sweep mode (local profiling): the pre-r13 targeted noise
@@ -209,7 +226,7 @@ object Bench {
       .map { case (n, t1) => "\"" + n + "\":" + fmt(t1) }
       .mkString("{", ",", "}")
     val sweepTotalsJson = sweepTotals.map(fmt).mkString("[", ",", "]")
-    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"control_mid_sec":$midJson,"retried_firstpass":$retryJson,"sweeps":$sweeps,"sweep_totals":$sweepTotalsJson,"load_suspect":$loadSuspect"""
+    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"control_mid_sec":$midJson,"retried_firstpass":$retryJson,"sweeps":$nSweeps,"sweep_totals":$sweepTotalsJson,"load_suspect":$loadSuspect"""
     val fullJson = {
       val qs = results.map(entry).mkString("{", ",", "}")
       // every raw sweep ships alongside the median record — the
