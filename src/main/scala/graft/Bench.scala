@@ -99,17 +99,20 @@ object Bench {
     // hide; the probe values ship in the artifact.
     val midControls = scala.collection.mutable.ArrayBuffer.empty[Double]
     var sinceProbe = 0
-    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double) = {
+    // (name, seconds, ok) — ok=false marks a crashed execution so the
+    // multi-sweep median can exclude its (typically fast) crash duration
+    def timed(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (String, Double, Boolean) = {
       val t0 = System.nanoTime()
+      var ok = true
       try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
+      catch { case _: Throwable => ok = false; failed += name }
       val dt = (System.nanoTime() - t0) / 1e9
       cleanup()
-      name -> dt
+      (name, dt, ok)
     }
     val queriesToRun = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
-    def runSweep(): Seq[(String, Double)] = queriesToRun.map { case (name, fn) =>
+    def runSweep(): Seq[(String, Double, Boolean)] = queriesToRun.map { case (name, fn) =>
       sinceProbe += 1
       if (sinceProbe >= 20) {
         sinceProbe = 0
@@ -159,33 +162,45 @@ object Bench {
     failed.clear(); failed ++= failedFirst
     val nSweeps = allSweeps.length
     val retried = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // a query green in sweep 1 but crashing fast in a later sweep must
+    // not contribute its crash duration to the timing record (with an
+    // even budget-truncated count the lower-middle rule is min-of-2, so
+    // one fast crash would SET the reported time); later-sweep failures
+    // also ship in bench_full.json instead of vanishing
+    val laterSweepFailures: Map[String, Seq[Int]] =
+      allSweeps.zipWithIndex.drop(1).flatMap { case (sw, i) =>
+        sw.collect { case (n, _, false) => n -> (i + 1) }
+      }.groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSeq }
     val results: Seq[(String, Double)] = if (nSweeps > 1) {
       // odd count → true median; even → LOWER middle (the min for n=2),
       // matching the retry-min philosophy when the budget stops us early
       val byName = allSweeps.flatten.groupBy(_._1)
-      firstPass.map { case (n, _) =>
-        val ts = byName(n).map(_._2).sorted
-        n -> ts((ts.length - 1) / 2)
+      firstPass.map { case (n, t1, _) =>
+        // median over SURVIVING sweeps only; if every sweep crashed the
+        // query is in `failed` and sweep-1's duration is as good as any
+        val ts = byName(n).collect { case (_, t, true) => t }.sorted
+        n -> (if (ts.nonEmpty) ts((ts.length - 1) / 2) else t1)
       }
     } else {
       // single-sweep mode (local profiling): the pre-r13 targeted noise
       // retry — re-run the expensive tail once, keep the per-query MIN.
       // Bounded: only queries over 2.5 s, at most 12 of them.
       val retryNames = firstPass.filter(_._2 > 2.5).sortBy(-_._2).take(12)
-        .filterNot { case (n, _) => failed.contains(n) }
+        .filterNot { case (n, _, _) => failed.contains(n) }
         .map(_._1).toSet
-      if (retryNames.isEmpty) firstPass else {
+      if (retryNames.isEmpty) firstPass.map { case (n, t, _) => n -> t }
+      else {
         val failedBefore = failed.toSet
         val second = queriesToRun
           .filter { case (n, _) => retryNames(n) }
-          .map { case (n, fn) => timed(n, fn) }.toMap
+          .map { case (n, fn) => val r = timed(n, fn); r._1 -> r._2 }.toMap
         // a query that was green on the first pass must not be reported
         // failed because only its RETRY crashed — the retry exists to
         // de-noise timings, never to change the pass/fail verdict (and a
         // fast crash would otherwise also win the min)
         val failedOnRetry = failed.toSet -- failedBefore
         failed.clear(); failed ++= failedBefore
-        firstPass.map { case (n, t1) =>
+        firstPass.map { case (n, t1, _) =>
           second.get(n) match {
             case Some(t2) if t2 < t1 && !failedOnRetry(n) =>
               retried += (n -> t1); n -> t2
@@ -232,9 +247,15 @@ object Bench {
       // every raw sweep ships alongside the median record — the
       // protocol's evidence layer, nothing summarized away
       val raw = allSweeps.zipWithIndex.map { case (sw, i) =>
-        "\"sweep_" + (i + 1) + "\":" + sw.map(entry).mkString("{", ",", "}")
+        "\"sweep_" + (i + 1) + "\":" +
+          sw.map { case (n, t, _) => entry(n -> t) }.mkString("{", ",", "}")
       }.mkString(",")
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,$controlJson,"sf":"$sfDir",$raw}"""
+      // later-sweep crashes are excluded from the medians above; they
+      // still must be VISIBLE evidence, not silently cleared
+      val lateFail = laterSweepFailures.toSeq.sortBy(_._1).map { case (n, ss) =>
+        "\"" + n + "\":" + ss.sorted.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"later_sweep_failures":$lateFail,$controlJson,"sf":"$sfDir",$raw}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"),

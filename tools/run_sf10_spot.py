@@ -36,10 +36,11 @@ def main():
                SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_SWEEPS="1",
                SPARK_DRIVER_MEM="32g")
-    qtimes, failed, qsamples = {}, [], {}
+    qtimes, failed, qsamples, partial = {}, [], {}, {}
     ctl_pre, ctl_post, suspect = [], [], False
     for q in queries:
         vals = []
+        q_failed = False
         for s in range(samples):
             print(f"== {q} [{s + 1}/{samples}]", flush=True)
             p = subprocess.run(
@@ -50,10 +51,12 @@ def main():
             if line is None:
                 print(p.stdout[-2000:], file=sys.stderr)
                 failed.append(q)
+                q_failed = True
                 break
             d = json.loads(line)
             if d.get("failed"):
                 failed.append(q)
+                q_failed = True
                 break
             vals.append(d["queries"][q])
             ctl_pre.append(d.get("control_pre_sec"))
@@ -62,7 +65,14 @@ def main():
             print(f"   {q}: {vals[-1]}s  (ctl {d.get('control_pre_sec')}/"
                   f"{d.get('control_post_sec')} "
                   f"suspect={d.get('load_suspect')})", flush=True)
-        if vals:
+        # `failed` and `queries` stay DISJOINT: when sample k>1 of a query
+        # crashes, the earlier successful samples are evidence, not a
+        # record — they ship under partial_samples and do NOT count into
+        # the artifact's per-query map or total.
+        if q_failed:
+            if vals:
+                partial[q] = vals
+        elif vals:
             qtimes[q] = round(statistics.median(vals), 3)
             if samples > 1:
                 qsamples[q] = vals
@@ -77,6 +87,7 @@ def main():
         "per_query_jvm": True,
         "samples_per_query": samples,
         "samples": qsamples,
+        "partial_samples": partial,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
