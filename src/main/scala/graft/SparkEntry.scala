@@ -3207,8 +3207,13 @@ object SparkEntry {
     * JVM kernel exactly, which since r13 mirrors CPython's UNICODE \s
     * and \d (CleanCorpus.PyWs — the same explicit class as the strip
     * charset — and \p{Nd}; RE2 supports both spellings).
-    * Case-insensitivity is ASCII-letter-only in these patterns on both
-    * engines. Lines contain no \n, so Java vs RE2 '.' agree.
+    * Case-insensitivity: the kernel compiles CASE_INSENSITIVE|UNICODE_CASE
+    * and CPython re.IGNORECASE unicode-folds on str — both sides
+    * simple-casefold (ſ→s, K→k, ß fixed point), pinned by the casefold
+    * goldens in CleanCorpusSpec. '.' semantics: the kernel compiles
+    * UNIX_LINES so Java '.' excludes only \n, exactly CPython re and
+    * RE2 — interior \r (bare-\r-endings documents) spans '.*' on all
+    * three engines.
     */
   private def f1TraceSql: String = {
     val ws = "chr(9)||chr(10)||chr(11)||chr(12)||chr(13)||chr(28)||chr(29)||" +
@@ -3252,15 +3257,24 @@ object SparkEntry {
                  FROM documents) d,
                 LATERAL (SELECT unnest(generate_series(1, len(d.parts))) AS i) g),
          flag AS (
+           -- sf = the (?i) match input with the Turkish dotted/dotless i
+           -- (U+0130/U+0131) pre-folded to 'i': CPython re.IGNORECASE
+           -- and the JVM kernel (UNICODE_CASE) both fold that pair into
+           -- ASCII i, RE2 does not (measured r14: İ↔i matches on
+           -- CPython/Java, not RE2; ſ→s and Kelvin-K→k fold on all
+           -- three). The fold touches ONLY the regex inputs — content
+           -- rebuild and the exact case-sensitive header compare still
+           -- read the raw line.
            SELECT doc_id, li, s,
              s = '' AS blank,
-             s <> '' AND regexp_matches(s, '$cut', 'i') AS cutm,
-             s <> '' AND regexp_matches(s, '$boiler', 'i') AS boiler,
+             s <> '' AND regexp_matches(sf, '$cut', 'i') AS cutm,
+             s <> '' AND regexp_matches(sf, '$boiler', 'i') AS boiler,
              s IN ('Efficacy and Safety', 'Recommended Dosage',
                    'Expedited Programs') AS hdr,
-             s <> '' AND regexp_matches(s, '$dos', 'i') AS dos,
+             s <> '' AND regexp_matches(sf, '$dos', 'i') AS dos,
              s LIKE '%:' AS colon_end
-           FROM raw),
+           FROM (SELECT *, translate(s, chr(304) || chr(305), 'ii') AS sf
+                 FROM raw)),
          fw AS (
            -- 15-line dosage lookahead + nested ':'-window, recomputed
            -- from the raw lines only (json_split_and_clean.py:149-190)
@@ -3401,19 +3415,30 @@ object SparkEntry {
                          AND x = m.b
                     THEN substr(acc, 1, len(acc) - len(m.a)) || m.a || m.b
                     ELSE acc || ' ' || x END) AS r
-           FROM st t JOIN am m USING (step)
-           WHERE t.step < ${nMerges - 1}),
+           FROM st t JOIN am m USING (step)),
          chain AS (
-           SELECT bool_and(n.word IS NOT NULL AND n.syms = r.r
-                           AND n.c = r.c) AS ok
+           SELECT coalesce(bool_and(n.word IS NOT NULL AND n.syms = r.r
+                           AND n.c = r.c), TRUE) AS ok
            FROM rew r
-           LEFT JOIN st n ON n.step = r.step + 1 AND n.word = r.word),
+           LEFT JOIN st n ON n.step = r.step + 1 AND n.word = r.word
+           WHERE r.step < (SELECT max(step) FROM st)),
+         -- Bpe.fit stops when no pair remains (exhaustion), exporting S <=
+         -- nMerges states; the gate accepts S < nMerges ONLY when the
+         -- rewrite of the last exported state is fully merged (every word
+         -- a single symbol — symbols never contain spaces, words are split
+         -- on \\s+), i.e. exhaustion is PROVEN, not trusted.
+         exh AS (
+           SELECT (SELECT max(step) + 1 FROM st) = $nMerges
+               OR bool_and(strpos(r.r, ' ') = 0) AS ok
+           FROM rew r WHERE r.step = (SELECT max(step) FROM st)),
          cnt AS (SELECT step, count(*) AS n FROM st GROUP BY step),
          allok AS (
            SELECT (SELECT ok FROM s0ok)
              AND (SELECT ok FROM chain)
-             AND (SELECT count(*) = $nMerges AND min(step) = 0
-                    AND max(step) = ${nMerges - 1} FROM cnt)
+             AND (SELECT ok FROM exh)
+             AND (SELECT count(*) BETWEEN 1 AND $nMerges
+                    AND min(step) = 0
+                    AND max(step) = count(*) - 1 FROM cnt)
              AND (SELECT bool_and(n = (SELECT count(*) FROM dict))
                   FROM cnt) AS ok)
        SELECT CAST(step AS BIGINT) AS "rank", a AS "left", b AS "right"

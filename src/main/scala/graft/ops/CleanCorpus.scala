@@ -121,8 +121,17 @@ object CleanCorpus {
     ".*mg.*orally.*"
   ).map(ci)
 
+  /** CASE_INSENSITIVE+UNICODE_CASE = CPython re.IGNORECASE on str (both
+    * simple-casefold: ſ→s, K→k). UNIX_LINES makes Java's '.' exclude only
+    * \n — CPython re and RE2 semantics — where default Java '.' also
+    * excludes \r, U+0085, U+2028, U+2029. Lines here never contain \n but
+    * CAN contain an interior \r (a bare-\r-endings document collapses to
+    * one line), so without UNIX_LINES a '.*'-spanning pattern like
+    * "granted.*priority review" would match in the reference and the
+    * oracle but not here. ^ is unaffected (no MULTILINE). */
   private def ci(p: String): Pattern =
-    Pattern.compile(p, Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
+    Pattern.compile(p,
+      Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE | Pattern.UNIX_LINES)
 
   /** Python `str.strip()` parity: Java's isWhitespace misses NBSP-family
     * code points that Python's `str.isspace` includes. */
@@ -130,7 +139,7 @@ object CleanCorpus {
     Character.isWhitespace(c) || c == '\u00A0' || c == '\u2007' ||
       c == '\u202F' || c == '\u0085'
 
-  private def pyStrip(s: String): String = {
+  private[graft] def pyStrip(s: String): String = {
     var i = 0
     var j = s.length
     while (i < j && isPySpace(s.charAt(i))) i += 1

@@ -57,9 +57,37 @@ object Similarity {
   private val scratchTL: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch)
 
+  /** CPython difflib operates on CODE POINTS; the hot kernel below on
+    * UTF-16 code units. Identical for BMP text (every bench corpus),
+    * divergent when a supplementary-plane char appears: lengths,
+    * autojunk's |b| >= 200 threshold and block indices all shift, and a
+    * surrogate PAIR can half-match where Python sees one unequal
+    * element. Rather than tax the zero-allocation path with codepoint
+    * decoding, strings containing any surrogate are routed to the
+    * allocation-based codepoint kernel (r14; FuzzGoldenSpec pins
+    * supplementary-plane pairs against difflib). */
+  private def hasSurrogate(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0xD800 && c < 0xE000) return true
+      i += 1
+    }
+    false
+  }
+
   /** `difflib.SequenceMatcher(None, a, b).ratio()`. */
   def ratio(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
+    if (hasSurrogate(a) || hasSurrogate(b)) {
+      val aa = a.codePoints().toArray
+      val bb = b.codePoints().toArray
+      if (aa.length + bb.length == 0) return 1.0
+      if (aa.length == 0 || bb.length == 0) return 0.0
+      var m = 0
+      rawBlocksCp(aa, bb).foreach(t => m += t._3)
+      return 2.0 * m / (aa.length + bb.length)
+    }
     val la = a.length
     val lb = b.length
     if (la + lb == 0) return 1.0
@@ -209,26 +237,54 @@ object Similarity {
     * merging blocks adjacent on both sides. */
   def matchingBlocks(a: String, b: String): Array[Int] = {
     if (a == null || b == null) return Array.empty
+    // code points, not UTF-16 units: difflib (and the DuckDB replay
+    // oracle, whose string ops are codepoint-based) index by code
+    // point; for BMP-only text the arrays equal the char sequence, so
+    // the pre-r14 behavior — pinned by the full matching_blocks golden
+    // corpus — is unchanged
+    val aa = a.codePoints().toArray
+    val bb = b.codePoints().toArray
+    if (aa.length == 0 || bb.length == 0) return Array.empty
+    val raw = rawBlocksCp(aa, bb)
+    // difflib's second pass: merge blocks adjacent on BOTH sides
+    val sorted = raw.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    for (blk <- sorted) {
+      if (merged.nonEmpty && merged.last._1 + merged.last._3 == blk._1 &&
+          merged.last._2 + merged.last._3 == blk._2) {
+        val l = merged.remove(merged.length - 1)
+        merged += ((l._1, l._2, l._3 + blk._3))
+      } else merged += blk
+    }
+    merged.flatMap(t => Seq(t._1, t._2, t._3)).toArray
+  }
+
+  /** The difflib recursion over codepoint arrays — the allocation-based
+    * generic kernel behind [[matchingBlocks]] and [[ratio]]'s
+    * supplementary-plane path. Returns UNMERGED raw blocks in discovery
+    * order (callers sort/merge as difflib's get_matching_blocks does;
+    * ratio only needs Σsize, which merging preserves). */
+  private def rawBlocksCp(a: Array[Int], b: Array[Int])
+      : scala.collection.mutable.ArrayBuffer[(Int, Int, Int)] = {
     val la = a.length
     val lb = b.length
-    if (la == 0 || lb == 0) return Array.empty
-
-    // b2j: ascending positions per char; autojunk drops popular chars
-    // from the index but keeps them flagged for the extension steps
-    val count = new java.util.HashMap[Character, Integer]()
+    // b2j: ascending positions per element; autojunk drops popular
+    // elements from the index but they stay NON-junk to the extension
+    // loops (isjunk=None ⇒ CPython bjunk is empty)
+    val count = new java.util.HashMap[Integer, Integer]()
     var j = 0
     while (j < lb) {
-      count.merge(b.charAt(j), 1, (x, y) => x + y); j += 1
+      count.merge(b(j), 1, (x, y) => x + y); j += 1
     }
-    val junk = new java.util.HashSet[Character]()
+    val junk = new java.util.HashSet[Integer]()
     if (lb >= 200) {
       val ntest = lb / 100 + 1
       count.forEach((c, n) => if (n > ntest) { junk.add(c); () })
     }
-    val b2j = new java.util.HashMap[Character, java.util.ArrayList[Integer]]()
+    val b2j = new java.util.HashMap[Integer, java.util.ArrayList[Integer]]()
     j = 0
     while (j < lb) {
-      val c = b.charAt(j)
+      val c = b(j)
       if (!junk.contains(c))
         b2j.computeIfAbsent(c, _ => new java.util.ArrayList[Integer]()).add(j)
       j += 1
@@ -243,7 +299,7 @@ object Similarity {
       var i = alo
       while (i < ahi) {
         java.util.Arrays.fill(cur, 0, lb + 1, 0)
-        val ps = b2j.get(a.charAt(i))
+        val ps = b2j.get(a(i))
         if (ps != null) {
           var p = 0
           var stop = false
@@ -262,13 +318,12 @@ object Similarity {
         i += 1
       }
       // isjunk=None → CPython bjunk is empty: extensions ignore autojunk
-      // (popular chars are only absent from b2j; see ratio() above)
-      while (besti > alo && bestj > blo &&
-        a.charAt(besti - 1) == b.charAt(bestj - 1)) {
+      // (popular elements are only absent from b2j; see ratio() above)
+      while (besti > alo && bestj > blo && a(besti - 1) == b(bestj - 1)) {
         besti -= 1; bestj -= 1; bestsize += 1
       }
       while (besti + bestsize < ahi && bestj + bestsize < bhi &&
-        a.charAt(besti + bestsize) == b.charAt(bestj + bestsize)) {
+        a(besti + bestsize) == b(bestj + bestsize)) {
         bestsize += 1
       }
       rI = besti; rJ = bestj; rK = bestsize
@@ -285,16 +340,6 @@ object Similarity {
         if (rI + rK < ahi && rJ + rK < bhi) stack += ((rI + rK, ahi, rJ + rK, bhi))
       }
     }
-    // difflib's second pass: merge blocks adjacent on BOTH sides
-    val sorted = raw.sortBy(_._1)
-    val merged = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
-    for (blk <- sorted) {
-      if (merged.nonEmpty && merged.last._1 + merged.last._3 == blk._1 &&
-          merged.last._2 + merged.last._3 == blk._2) {
-        val l = merged.remove(merged.length - 1)
-        merged += ((l._1, l._2, l._3 + blk._3))
-      } else merged += blk
-    }
-    merged.flatMap(t => Seq(t._1, t._2, t._3)).toArray
+    raw
   }
 }

@@ -23,7 +23,7 @@ object TextOps {
     * only. Charset trim, not regex: cheaper and exactly the set. */
   private val pyWsChars: String =
     CleanCorpus.PyWsCodepoints.map(_.toChar).mkString
-  private def pyStrip(c: Column): Column = trim(c, pyWsChars)
+  private[graft] def pyStrip(c: Column): Column = trim(c, pyWsChars)
 
   /** F2 — remove markdown image tags `![alt](url)`.
     * Ref: fda_rag_extraction/scripts/combine_json_to_jsonl.py:116. */
