@@ -54,10 +54,27 @@ object BoundProbe {
 
     // self shape (dedup_ngram_jaccard)
     val ss = timed("sketch full corpus")(sk(docs))
+    // fast-gate estimator calibration (r14): exact bound via the full
+    // prefix build vs the doc-sampled estimate at the production
+    // fraction — the measured error that justifies fastGateMargin
+    val prefix = timed("full prefix build")(
+      graft.ops.CandidateGen.prefixTokens(ss, 0.5,
+        graft.ops.CandidateGen.gramDf(ss)).localCheckpoint(true))
+    val exactBound = timed("exact prefixCandidateBound")(
+      graft.ops.CandidateGen.prefixCandidateBound(prefix, 32))
+    val rows = ss.count()
+    val f = math.min(0.05, math.max(0.005, 20000.0 / math.max(rows, 1L)))
+    val est = timed(f"sampled estimate (f=$f%.4f)")(
+      graft.ops.CandidateGen.estimatePrefixCandidateBound(ss, 0.5, 32, f))
+    val estFull = timed("estimate at f=1 (identity check)")(
+      graft.ops.CandidateGen.estimatePrefixCandidateBound(ss, 0.5, 32, 1.0))
+    println(f"[probe] self exact bound=$exactBound est=$est " +
+      f"ratio=${est.toDouble / math.max(exactBound, 1L)}%.3f " +
+      s"estAtF1=$estFull (must equal exact) rows=$rows")
     val candS = timed("self candidate gen (incl bound)")(
       graft.ops.CandidateGen.bandPrefixSelf(ss, 0.5, 32, 20))
     println(s"[probe] self: exact=${candS.exact} bound=${candS.measuredBound} " +
-      s"mayRepeat=${candS.mayRepeat}")
+      s"estimated=${candS.boundEstimated} mayRepeat=${candS.mayRepeat}")
     val nCandS = timed("self candidate count")(candS.pairs.count())
     println(s"[probe] self candidates: $nCandS")
     spark.stop()

