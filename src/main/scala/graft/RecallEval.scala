@@ -14,7 +14,9 @@ import org.apache.spark.sql.SparkSession
   * alternative against ONE shared exhaustive baseline (the O(n²) legs
   * dominate the run, so the two sides of the documented ρ-exponent
   * trade cost one baseline, not two).
-  * Optional fourth/fifth args maxPlanes / maxTables (defaults 20/64)
+  * Optional fourth/fifth args maxPlanes (a comma-separated list — one
+  * process walks the whole forced-bind curve against ONE shared
+  * exhaustive baseline) / maxTables (defaults 20/64); low values
   * FORCE the clamp regimes at small corpora — the r13 verdict's ask:
   * DedupSpec identified maxPlanes (~67M rows at the defaults) as the
   * real silent edge, and nothing had measured behavior past the bind.
@@ -62,9 +64,13 @@ object RecallEval {
       case "both" => Seq(true, false)
       case v      => Seq(v.toBoolean)
     }
-    val maxPlanes = args.lift(3).map(_.toInt).getOrElse(20)
+    // comma-separated list: one process evaluates the whole forced-bind
+    // DECAY CURVE (e.g. "20,8,7,6,5") against the single shared
+    // exhaustive baseline — the O(n²) leg is the run's cost, not the
+    // LSH legs, so a 5-point curve costs ~one point
+    val maxPlanesList = args.lift(3).getOrElse("20").split(",").map(_.trim.toInt).toSeq
     val maxTables = args.lift(4).map(_.toInt).getOrElse(64)
-    variants.foreach { scaleTables =>
+    for (scaleTables <- variants; maxPlanes <- maxPlanesList) {
       val (effPlanes, effTables, tablesBind) = graft.ops.Dedup.lshEffParams(
         n, threshold, nPlanes = 8, nTables = 8,
         targetBucketOccupancy = 64L, maxPlanes = maxPlanes,

@@ -43,8 +43,13 @@ def main():
         q_failed = False
         for s in range(samples):
             print(f"== {q} [{s + 1}/{samples}]", flush=True)
+            # fresh plain-java JVM via tools/java_run.sh — identical JVM
+            # flags to sbt's forked run, minus ~30 s of sbt startup per
+            # sample (pure harness overhead across dozens of launches);
+            # requires a prior `sbt compile`.
             p = subprocess.run(
-                ["sbt", "-batch", f"runMain graft.Bench {q}"],
+                [os.path.join(os.path.dirname(__file__), "java_run.sh"),
+                 "graft.Bench", q],
                 env=env, capture_output=True, text=True, timeout=3600)
             line = next((l for l in reversed(p.stdout.splitlines())
                          if l.startswith('{"metric"')), None)
