@@ -139,9 +139,15 @@ object Components {
       broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // e IS the hot per-round vote-join table here (no degree
-    // annotation step) → deserialized, PageRank's hot-table rule
+    // annotation step), but it is stored SERIALIZED anyway: unlike a
+    // persist, switching the checkpoint's level adds zero jobs, the
+    // per-round deserialize of long pairs is milliseconds at bench
+    // scale, and at 100× data a deserialized edge-scale pin is the GC
+    // driver the r14 pagerank stage probe measured (31–87 s of process
+    // GC variance from exactly this block class)
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seed = seeds.select(col(nodeCol).cast("long").as("node"),
       col(labelCol).cast("long").as("label")).localCheckpoint(true)
     // labels is bounded by the node count: broadcast it through the vote

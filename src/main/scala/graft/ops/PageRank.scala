@@ -112,9 +112,15 @@ object PageRank {
     require(iters >= 1, "iters must be >= 1")
     // materialize the (possibly expensive) upstream edge derivation ONCE:
     // deg, the degree join, and the node count all read this checkpoint
-    // instead of re-running the caller's joins/distinct three times
+    // instead of re-running the caller's joins/distinct three times.
+    // SERIALIZED, the [[symmetrize]] transient rule: e is read a fixed
+    // handful of times (never per round — edgesDeg is the loop table),
+    // and while the symmetrized distinct materializes here BOTH the
+    // symmetrize checkpoint and this one are live; two edge-scale
+    // deserialized copies were the r14-probe GC driver.
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+      col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val nNodes = deg0.count()
     val bcast = nNodes <= broadcastMaxNodes
@@ -179,9 +185,11 @@ object PageRank {
       scale: Long = 1000000L,
       broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    // same size-gated storage discipline as [[pageRank]]
+    // same size-gated storage discipline as [[pageRank]], incl. the
+    // serialized transient-edge rule
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+      col(dstCol).cast("long").as("dst"))
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     val deg0 = e.groupBy("src").agg(count(lit(1)).as("__deg"))
     val nNodes = deg0.count()
     val bcast = nNodes <= broadcastMaxNodes
@@ -250,10 +258,22 @@ object PageRank {
     * its two branches would otherwise each re-evaluate the caller's
     * pair derivation (a fact⋈dim join in every graph query here) just
     * to flip the columns; same fix as
-    * [[Components.connectedComponents]]. */
+    * [[Components.connectedComponents]].
+    *
+    * SERIALIZED storage (the transient-table rule): p0 is read exactly
+    * twice (the two union branches) and is dead once the caller's
+    * downstream materialization lands, but nothing can release it from
+    * inside this lazy plan — at 100× bench data it is tens of millions
+    * of rows pinned for the caller's whole query. Deserialized, those
+    * are row OBJECTS the old-gen collector re-scans on every mixed
+    * collection; the r14 stage probe measured 31–87 s of process GC
+    * across otherwise-identical graph_pagerank runs, concentrated in
+    * exactly this stage (2,224 s summed task GC in the slow run vs 642
+    * in the fast). As byte[] blocks the interior is opaque to the
+    * collector and the variance source is gone. */
   def symmetrize(pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
     val p0 = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, StorageLevel.MEMORY_AND_DISK_SER)
     p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
   }
