@@ -71,15 +71,21 @@ object RecallEval {
     val maxPlanesList = args.lift(3).getOrElse("20").split(",").map(_.trim.toInt).toSeq
     val maxTables = args.lift(4).map(_.toInt).getOrElse(64)
     for (scaleTables <- variants; maxPlanes <- maxPlanesList) {
+      // the effective plane count floors at the BASE nPlanes, so a
+      // forced maxPlanes below 8 would otherwise be a no-op — lower the
+      // base with it so the forced bind actually deepens (occupancy
+      // doubles per lost plane; this is the regime the curve measures)
+      val basePlanes = math.min(8, maxPlanes)
       val (effPlanes, effTables, tablesBind) = graft.ops.Dedup.lshEffParams(
-        n, threshold, nPlanes = 8, nTables = 8,
+        n, threshold, nPlanes = basePlanes, nTables = 8,
         targetBucketOccupancy = 64L, maxPlanes = maxPlanes,
         maxTables = maxTables, scaleTables = scaleTables)
       val planesBind = effPlanes == maxPlanes && n > 64L * (1L << maxPlanes)
       val t0 = System.nanoTime()
       val lsh = graft.ops.Dedup.embeddingNearDups(e, "vec_id", "embedding",
         threshold, knownCount = Some(n), scaleTables = scaleTables,
-        maxPlanes = maxPlanes, maxTables = maxTables).persist()
+        nPlanes = basePlanes, maxPlanes = maxPlanes,
+        maxTables = maxTables).persist()
       val nLsh = lsh.count()
       val lshSec = (System.nanoTime() - t0) / 1e9
       val hits = exact.join(lsh, Seq("i", "j"), "left_semi").count()
