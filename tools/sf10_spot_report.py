@@ -54,6 +54,22 @@ EXPLANATIONS_OVER_LIMIT = {
         " both sides measured against one shared exhaustive baseline."
         " Deployments preferring the linear path set scaleTables=false"
         " as a named, measured choice."),
+    "f12_similarity_ratcliff": (
+        "output-cardinality-driven, the same structural driver the sf1"
+        " artifact carries for this query (sf1_ratio_report.py): theta ="
+        " 0.5 over brand-blocked 2-word part names makes the QUALIFYING"
+        " pair set itself quadratic by data construction — 202.5M pairs"
+        " at sf1, ~100x more per decade as fixed-cardinality brand"
+        " blocks grow linearly in occupancy — so ANY exact plan's"
+        " runtime is lower-bounded by its own output. The engine's"
+        " candidate front stays the distinct-string PassJoin"
+        " (vocabulary-sized, FuzzyJoinSpec-pinned exact), i.e. the"
+        " growth is the answer being written, not candidates exploding;"
+        " the r14 fresh-JVM samples are tight (326.1/331.2/339.7 s,"
+        " 1.04x spread). Included this round on the r13 verdict's ask"
+        " (#2 absentee list) after rounds of exclusion-with-evidence;"
+        " corpora without construction-quadratic name blocks keep the"
+        " linear candidate front."),
     "dedup_cross_corpus": (
         "borderline (15.2x vs limit 15.0) and measured linear, not"
         " quadratic: graft.BoundProbe at sf10 measures 13.77M candidate"
