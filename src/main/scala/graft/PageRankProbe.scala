@@ -105,16 +105,20 @@ object PageRankProbe {
     SparkEntry.queries(query)(spark, sfDir).count()
     val sec = (System.nanoTime() - t0) / 1e9
     val gcProc = processGcMs() - gc0
-    // listener bus drains asynchronously; poll until the stage count has
-    // been stable for a quiet period (same protocol as Metrics.recorded)
+    // listener bus drains asynchronously; poll until stage AND job
+    // counts have been stable for a quiet period with no job still open
+    // (stage-count-only stability dropped a trailing JobEnd arriving
+    // after the window, skewing job_ms/gap_ms/n_jobs — r14 advisory)
     val deadline = System.nanoTime() + 15e9.toLong
-    var last = -1
+    var last = (-1, -1, false)
     var lastChange = System.nanoTime()
     while (System.nanoTime() < deadline &&
         System.nanoTime() - lastChange < 500e6.toLong) {
       Thread.sleep(50)
-      val n = stages.synchronized(stages.size)
-      if (n != last) { last = n; lastChange = System.nanoTime() }
+      val now = (stages.synchronized(stages.size),
+        jobStarts.synchronized(jobSpans.size),
+        jobStarts.synchronized(jobStarts.isEmpty))
+      if (now != last || !now._3) { last = now; lastChange = System.nanoTime() }
     }
     spark.sparkContext.removeSparkListener(listener)
 
@@ -130,16 +134,30 @@ object PageRankProbe {
     }.mkString("[", ",", "]")
     val spans = jobSpans.toSeq.sortBy(_._1)
     val jobMs = spans.map { case (_, a, b) => b - a }.sum
-    // wall not inside any job: eager-checkpoint setup, planning, driver
-    // work between fixed-point rounds
+    // wall not inside ANY job, via the merged union of job intervals
+    // (sweep-line): AQE/broadcast-exchange jobs overlap, so the raw sum
+    // can exceed wall and max(0, wall − sum) silently read gap_ms=0 —
+    // the 'checkpoint I/O shows as gap growth' discriminator needs the
+    // union (r14 advisory). Both numbers ship: job_ms (raw sum, the
+    // overlap measure) and job_union_ms (coverage).
+    val jobUnionMs = {
+      var covered = 0L
+      var end = Long.MinValue
+      spans.map { case (_, a, b) => (a, b) }.sortBy(_._1).foreach {
+        case (a, b) =>
+          if (a > end) { covered += math.max(0L, b - a); end = b }
+          else if (b > end) { covered += b - end; end = b }
+      }
+      covered
+    }
     val spanStart = spans.map(_._2).minOption.getOrElse(0L)
     val spanEnd = spans.map(_._3).maxOption.getOrElse(0L)
-    val gapMs = math.max(0L, (sec * 1000).toLong - jobMs)
+    val gapMs = math.max(0L, (sec * 1000).toLong - jobUnionMs)
     println(
       s"""{"query":${j(query)},"sec":${f"$sec%.2f"},"n_stages":${rows.size},""" +
       s""""n_jobs":${spans.size},"wall_ms_total":${rows.map(_.wallMs).sum},""" +
       s""""run_ms_total":${rows.map(_.runMs).sum},"gc_ms_total":${rows.map(_.gcMs).sum},""" +
-      s""""process_gc_ms":$gcProc,"job_ms":$jobMs,"gap_ms":$gapMs,""" +
+      s""""process_gc_ms":$gcProc,"job_ms":$jobMs,"job_union_ms":$jobUnionMs,"gap_ms":$gapMs,""" +
       s""""job_window_ms":${spanEnd - spanStart},""" +
       f""""shuffle_read_mb":${rows.map(_.shufReadMb).sum}%.1f,""" +
       f""""shuffle_write_mb":${rows.map(_.shufWriteMb).sum}%.1f,""" +

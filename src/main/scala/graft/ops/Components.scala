@@ -139,13 +139,19 @@ object Components {
       broadcastMaxNodes: Long = 10000000L): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     // e IS the hot per-round vote-join table here (no degree
-    // annotation step), but it is stored SERIALIZED anyway: unlike a
-    // persist, switching the checkpoint's level adds zero jobs, the
-    // per-round deserialize of long pairs is milliseconds at bench
-    // scale, and at 100× data a deserialized edge-scale pin is the GC
-    // driver the r14 pagerank stage probe measured (31–87 s of process
-    // GC variance from exactly this block class)
-    val e = edges.select(col(srcCol).cast("long").as("src"),
+    // annotation step), so its storage level follows PageRank's
+    // size-gated discipline (PageRank.scala:140): above the
+    // bigGraphNodes gate the SERIALIZED form stays — at 100× data a
+    // deserialized edge-scale pin is the GC driver the r14 pagerank
+    // stage probe measured (31–87 s of process GC variance from
+    // exactly this block class); below the gate the loop table is
+    // re-cut DESERIALIZED (one extra small checkpoint job) so the
+    // per-round vote join never pays a deserialize, matching the
+    // small-graph plan PageRank keeps for edgesDeg. The initial cut
+    // is serialized either way: it is transient below the gate (only
+    // the nNodes count and the re-cut read it) and IS the loop table
+    // above it.
+    val e0 = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst")).localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seed = seeds.select(col(nodeCol).cast("long").as("node"),
@@ -154,7 +160,14 @@ object Components {
     // join while it fits (the edge table never shuffles per round), fall
     // back to the hash join at billion-node scale — same policy as
     // PageRank's ranks side
-    val nNodes = e.select("dst").distinct().count()
+    val nNodes = e0.select("dst").distinct().count()
+    val big = nNodes > PageRank.bigGraphNodes(e0.sparkSession)
+    val e = if (big) e0 else {
+      val d = e0.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ScaleHints.releaseCheckpoint(e0) // both copies live otherwise
+      d
+    }
     val hint: DataFrame => DataFrame =
       if (nNodes <= broadcastMaxNodes) broadcast else identity
     val w = org.apache.spark.sql.expressions.Window

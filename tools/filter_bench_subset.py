@@ -20,6 +20,10 @@ def main():
     missing = [q for q in subset if q not in qs]
     if missing:
         sys.exit(f"{src}: missing queries {missing}")
+    # no `sweeps` passthrough: the source's per-sweep maps cover ALL its
+    # queries, so copying them next to a subset-only `value` makes one
+    # artifact contradict itself (r14 advisory) — `source_artifact` is
+    # the provenance pointer to the full sweeps instead
     out = {
         "metric": d.get("metric", "total"),
         "unit": "sec",
@@ -27,7 +31,6 @@ def main():
         "sf": d.get("sf"),
         "source_artifact": src,
         "load_suspect": d.get("load_suspect"),
-        "sweeps": d.get("sweeps"),
     }
     out["value"] = round(sum(out["queries"].values()), 3)
     with open(dst, "w") as f:

@@ -11,6 +11,7 @@
 #
 # Usage: SPARK_GRAFT_SF_DIR=... tools/java_run.sh graft.Bench [args...]
 set -e
+[ $# -ge 1 ] || { echo "usage: java_run.sh <main> [args...]" >&2; exit 2; }
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 CLASSES="$REPO/target/scala-2.13/classes"
 [ -d "$CLASSES" ] || { echo "run 'sbt compile' first: $CLASSES missing" >&2; exit 2; }
