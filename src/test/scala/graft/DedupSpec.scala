@@ -167,6 +167,25 @@ class DedupSpec extends AnyFunSuite {
     assert(sampled < 3L * math.max(exactBound, 1L) &&
       exactBound < 3L * math.max(sampled, 1L),
       s"sampled estimate $sampled vs exact $exactBound drifted past 3x")
+    // tolerance band at the PRODUCTION fraction (r14 verdict ask #7):
+    // the same f formula bandPrefixSelf uses (min(0.05, max(0.005,
+    // target/rows)) — 0.05 at spec scale, the formula's worst case:
+    // fewest sampled docs, largest 1/f² variance amplification). The
+    // decision-relevant property is that estimator error stays inside
+    // the 8× fastGateMargin; seed-fixed sampling makes this a
+    // deterministic pin, and BoundProbe's sf1/sf10/sf30 calibration
+    // table (GATE_CALIB_r15.json) carries the at-scale error, measured
+    // ~1.3× at f≈0.02 where the gate actually runs.
+    val rows = sketch.count()
+    val fProd = math.min(0.05, math.max(0.005,
+      CandidateGen.fastGateSampleTarget / math.max(rows, 1L)))
+    val atProd = CandidateGen.estimatePrefixCandidateBound(
+      sketch, 0.5, 32, fProd)
+    assert(atProd > 0, s"production-f estimate collapsed to 0 (f=$fProd)")
+    assert(atProd < CandidateGen.fastGateMargin * math.max(exactBound, 1L) &&
+      exactBound < CandidateGen.fastGateMargin * math.max(atProd, 1L),
+      s"production-f estimate $atProd vs exact $exactBound outside the " +
+        s"${CandidateGen.fastGateMargin}x gate margin (f=$fProd)")
   }
 
   test("fast gate (forced): skips the prefix build, surfaces " +

@@ -37,6 +37,7 @@ def main():
                SPARK_GRAFT_SWEEPS="1",
                SPARK_DRIVER_MEM="32g")
     qtimes, failed, qsamples, partial = {}, [], {}, {}
+    detail = {}
     ctl_pre, ctl_post, suspect = [], [], False
     for q in queries:
         vals = []
@@ -67,6 +68,14 @@ def main():
             ctl_pre.append(d.get("control_pre_sec"))
             ctl_post.append(d.get("control_post_sec"))
             suspect = suspect or d.get("load_suspect", False)
+            # per-sample controls ship in the artifact so a single
+            # burst-hit sample can be adjudicated (and re-run) without
+            # reconstructing controls from the run log
+            detail.setdefault(q, []).append({
+                "sec": d["queries"][q],
+                "control_pre_sec": d.get("control_pre_sec"),
+                "control_post_sec": d.get("control_post_sec"),
+                "load_suspect": d.get("load_suspect", False)})
             print(f"   {q}: {vals[-1]}s  (ctl {d.get('control_pre_sec')}/"
                   f"{d.get('control_post_sec')} "
                   f"suspect={d.get('load_suspect')})", flush=True)
@@ -92,6 +101,7 @@ def main():
         "per_query_jvm": True,
         "samples_per_query": samples,
         "samples": qsamples,
+        "samples_detail": detail,
         "partial_samples": partial,
     }
     with open(out_path, "w") as f:

@@ -55,21 +55,21 @@ EXPLANATIONS_OVER_LIMIT = {
         " Deployments preferring the linear path set scaleTables=false"
         " as a named, measured choice."),
     "f12_similarity_ratcliff": (
-        "output-cardinality-driven, the same structural driver the sf1"
-        " artifact carries for this query (sf1_ratio_report.py): theta ="
-        " 0.5 over brand-blocked 2-word part names makes the QUALIFYING"
-        " pair set itself quadratic by data construction — 202.5M pairs"
-        " at sf1, ~100x more per decade as fixed-cardinality brand"
-        " blocks grow linearly in occupancy — so ANY exact plan's"
-        " runtime is lower-bounded by its own output. The engine's"
-        " candidate front stays the distinct-string PassJoin"
-        " (vocabulary-sized, FuzzyJoinSpec-pinned exact), i.e. the"
-        " growth is the answer being written, not candidates exploding;"
-        " the r14 fresh-JVM samples are tight (326.1/331.2/339.7 s,"
-        " 1.04x spread). Included this round on the r13 verdict's ask"
-        " (#2 absentee list) after rounds of exclusion-with-evidence;"
-        " corpora without construction-quadratic name blocks keep the"
-        " linear candidate front."),
+        "output-cardinality-driven, MEASURED at sf10 this round"
+        " (F12_PAIRS_r15.json, graft.RowProbe with Bench-identical"
+        " protocol): the theta=0.5 qualifying-pair set grows exactly"
+        " quadratically — 202.6M pairs at sf1 -> 20.26B at sf10, a"
+        " 100.03x step — while time grows only 32-36x, so per-pair"
+        " throughput IMPROVES 2.8x across the decade (22.1M -> 61.7M"
+        " pairs/s). ANY exact plan's runtime is lower-bounded by its"
+        " own output; the engine's candidate front stays the"
+        " distinct-string PassJoin (vocabulary-sized, FuzzyJoinSpec-"
+        " pinned exact) and there is no super-linear term in"
+        " similaritySelfPairs — the growth is the answer being written."
+        " Fresh-JVM samples are tight across rounds (r14:"
+        " 326.1/331.2/339.7 s; the r15 RowProbe sample 328.2 s sits"
+        " inside that band). Corpora without construction-quadratic"
+        " name blocks keep the linear candidate front."),
     "dedup_cross_corpus": (
         "borderline (15.2x vs limit 15.0) and measured linear, not"
         " quadratic: graft.BoundProbe at sf10 measures 13.77M candidate"
