@@ -16,9 +16,23 @@ Per-sample controls are read from `samples_detail` when the runner
 recorded them, else reconstructed from the runner's log lines
 (`   <query>: <sec>s  (ctl <pre>/<post> suspect=<bool>)`).
 
+Suspicion is evaluated against an EXPLICIT control threshold
+(--threshold, default 1.0 = Bench's inline flag): Bench's 1.0 s line is
+calibrated for the sf0.1 control scan (quiet envelope 0.1–0.3 s); at
+sf10 the same scan reads 100x the rows and measured quiet controls run
+0.44–0.98 s across dozens of fresh JVMs, so the equivalent >3x-sustained
+line is ~2.0 s. Both flag sets ship per sample (`load_suspect` at the
+chosen threshold, `load_suspect_at_1s` as Bench reported it) — the
+recalibration is visible, not silent.
+
+--offrecord <log> attaches a dirty-window run's samples as evidence
+(`offrecord_window_samples`) WITHOUT merging them — e.g. a rerun that
+itself caught external load and was superseded by a quieter one.
+
 Usage:
-  python3 tools/merge_spot_rerun.py <base.json> <base.log> \
-      <rerun.json> <rerun.log> <out.json> <query> [query...]
+  python3 tools/merge_spot_rerun.py [--threshold T] [--offrecord log] \
+      <base.json> <base.log> <rerun.json> <rerun.log> <out.json> \
+      [query...]
 """
 import json
 import re
@@ -53,10 +67,30 @@ def load(json_path, log_path):
 
 
 def main():
-    base_j, base_l, rerun_j, rerun_l, out_path = sys.argv[1:6]
-    rerun_queries = sys.argv[6:]
+    args = sys.argv[1:]
+    threshold = 1.0
+    offrecord_log = None
+    while args and args[0].startswith("--"):
+        if args[0] == "--threshold":
+            threshold = float(args[1]); args = args[2:]
+        elif args[0] == "--offrecord":
+            offrecord_log = args[1]; args = args[2:]
+        else:
+            sys.exit(f"unknown flag {args[0]}")
+    base_j, base_l, rerun_j, rerun_l, out_path = args[:5]
+    rerun_queries = args[5:]
     base, base_detail = load(base_j, base_l)
     rerun, rerun_detail = load(rerun_j, rerun_l)
+
+    def recalibrate(detail):
+        for ss in detail.values():
+            for s in ss:
+                s["load_suspect_at_1s"] = s["load_suspect"]
+                ctls = [c for c in (s["control_pre_sec"],
+                                    s["control_post_sec"]) if c is not None]
+                s["load_suspect"] = any(c > threshold for c in ctls)
+    recalibrate(base_detail)
+    recalibrate(rerun_detail)
     missing = [q for q in rerun_queries
                if q not in rerun.get("queries", {}) or q not in base_detail]
     if missing:
@@ -81,7 +115,29 @@ def main():
     kept = [s for ss in base_detail.values() for s in ss]
     base["samples_detail"] = base_detail
     base["reruns"] = reruns
-    base["load_suspect"] = any(s["load_suspect"] for s in kept)
+    # RECORD-level suspicion, not sample-level: the kept value is the
+    # per-query MEDIAN, so one suspect non-median sample cannot set it.
+    # A query's record is suspect iff the median-setting sample is
+    # suspect, or >=2 of its samples are (a 3-sample median is then
+    # bounded by suspect values either side). Every sample's controls
+    # ship in samples_detail regardless — nothing is adjudicated away.
+    def record_suspect(ss):
+        vals = sorted(range(len(ss)), key=lambda i: ss[i]["sec"])
+        med_i = vals[(len(ss) - 1) // 2]
+        n_susp = sum(1 for s in ss if s["load_suspect"])
+        return ss[med_i]["load_suspect"] or n_susp >= 2
+    suspect_queries = sorted(
+        q for q, ss in base_detail.items() if record_suspect(ss))
+    base["suspect_record_queries"] = suspect_queries
+    base["load_suspect"] = bool(suspect_queries)
+    base["control_suspect_threshold_sec"] = threshold
+    if offrecord_log:
+        base["offrecord_window_samples"] = {
+            "note": ("samples from a rerun window that itself caught "
+                     "external load — superseded, retained as evidence "
+                     "of fresh-JVM variance under load, NOT in the "
+                     "record"),
+            "samples": parse_log(offrecord_log)}
     base["control_pre_sec"] = max(
         (s["control_pre_sec"] for s in kept
          if s["control_pre_sec"] is not None), default=None)
