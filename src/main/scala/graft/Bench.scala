@@ -64,7 +64,15 @@ object Bench {
     // after the query sweep (min of 3 runs — min is robust to one-off GC
     // pauses but stays high under sustained external load); a control
     // far above the quiet-host envelope flags the WHOLE run as suspect.
-    def controlSec(): Double =
+    // GC-settle before timing: the control exists to measure the HOST,
+    // and a query's leftover heap garbage is a JVM-internal confound —
+    // the r15 sf10 spot measured winnow leaving post-controls at
+    // 4.5-12 s across 3 fresh JVMs with QUIET pre-controls and tight
+    // query times, a reproducible query-side effect misread as host
+    // load. The mid-sweep probes already System.gc() first (the
+    // ContextCleaner nudge); the bracketing controls now match.
+    def controlSec(): Double = {
+      System.gc()
       (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -72,6 +80,7 @@ object Bench {
             .sum("l_quantity")).count()
         (System.nanoTime() - t0) / 1e9
       }.min
+    }
     val controlPre = controlSec()
 
     // optional args: run only these queries (local profiling); the
