@@ -38,7 +38,10 @@ object RowProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Bench-identical warmup (codegen/JIT/page-cache parity)
+    // Bench-identical warmup (codegen/JIT/page-cache parity), including
+    // Bench's third step — the 3-edge connectedComponents run that JITs
+    // the iterative-loop/checkpoint machinery — so a single probe sample
+    // of a loop-using query doesn't absorb that cost in its timed window.
     SparkEntry.queries.get("q1_agg").foreach { fn =>
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
@@ -47,6 +50,11 @@ object RowProbe {
       try spark.read.parquet(s"$sfDir/$tbl.parquet").count()
       catch { case _: Throwable => }
     }
+    try {
+      import spark.implicits._
+      graft.ops.Components.connectedComponents(
+        Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("i", "j")).count()
+    } catch { case _: Throwable => }
 
     val t0 = System.nanoTime()
     val rows = SparkEntry.queries(query)(spark, sfDir).count()

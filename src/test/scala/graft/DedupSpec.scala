@@ -174,8 +174,8 @@ class DedupSpec extends AnyFunSuite {
     // decision-relevant property is that estimator error stays inside
     // the 8× fastGateMargin; seed-fixed sampling makes this a
     // deterministic pin, and BoundProbe's sf1/sf10/sf30 calibration
-    // table (GATE_CALIB_r15.json) carries the at-scale error, measured
-    // ~1.3× at f≈0.02 where the gate actually runs.
+    // table (GATE_CALIB_r16.json, committed at repo root) carries the
+    // at-scale error where the gate actually runs (f≈0.02 and below).
     val rows = sketch.count()
     val fProd = math.min(0.05, math.max(0.005,
       CandidateGen.fastGateSampleTarget / math.max(rows, 1L)))

@@ -39,9 +39,12 @@ import re
 import statistics
 import sys
 
+# suspect=None happens when Bench omitted load_suspect from a sample's
+# JSON line (old artifact shapes); map it to False rather than silently
+# dropping the sample — a dropped sample shrinks the kept set unnoticed.
 LINE = re.compile(
     r"^\s+(\S+): ([0-9.]+)s\s+\(ctl ([0-9.]+|None)/([0-9.]+|None) "
-    r"suspect=(True|False)\)")
+    r"suspect=(True|False|None)\)")
 
 
 def parse_log(path):
@@ -56,6 +59,11 @@ def parse_log(path):
                     "control_pre_sec": None if pre == "None" else float(pre),
                     "control_post_sec": None if post == "None" else float(post),
                     "load_suspect": susp == "True"})
+            elif re.match(r"^\s+\S+: [0-9.]+s\s+\(ctl ", line):
+                # matched the prefix but not the full shape: a format
+                # drift would otherwise silently shrink kept-sample sets
+                raise SystemExit(f"unparseable sample line in {path}: "
+                                 f"{line.rstrip()!r}")
     return detail
 
 
@@ -123,9 +131,13 @@ def main():
     # ship in samples_detail regardless — nothing is adjudicated away.
     def record_suspect(ss):
         vals = sorted(range(len(ss)), key=lambda i: ss[i]["sec"])
-        med_i = vals[(len(ss) - 1) // 2]
+        # for even n the runner's recorded value is the mean of the TWO
+        # middle samples (statistics.median) — either one being suspect
+        # taints the record. Odd n keeps the single-middle rule.
+        mids = ([vals[(len(ss) - 1) // 2]] if len(ss) % 2 == 1
+                else [vals[len(ss) // 2 - 1], vals[len(ss) // 2]])
         n_susp = sum(1 for s in ss if s["load_suspect"])
-        return ss[med_i]["load_suspect"] or n_susp >= 2
+        return any(ss[i]["load_suspect"] for i in mids) or n_susp >= 2
     suspect_queries = sorted(
         q for q, ss in base_detail.items() if record_suspect(ss))
     base["suspect_record_queries"] = suspect_queries
