@@ -7,7 +7,11 @@ one-line JSON into a bench_full-shaped map for tools/sf10_spot_report.py.
 
 Usage:
   python3 tools/run_sf10_spot.py <sfDir> <out.json> [--samples N] \
-      <query> [query...]
+      [--driver-mem 48g] [--timeout SEC] <query> [query...]
+
+--driver-mem / --timeout size the per-sample JVM heap (default 32g) and
+per-sample wall limit (default 3600 s) — the sf30 probe runs 3x the
+data of the protocol this tool was written for.
 
 --samples N (default 1) runs each query in N FRESH JVMs and records the
 per-sample values plus their median — the r12 verdict's n>=3 protocol
@@ -27,15 +31,24 @@ def main():
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     rest = sys.argv[3:]
     samples = 1
-    if rest and rest[0] == "--samples":
-        samples = int(rest[1])
+    driver_mem = "32g"   # 1 GB/core, sized for sf10
+    timeout = 3600
+    while rest and rest[0].startswith("--"):
+        if rest[0] == "--samples":
+            samples = int(rest[1])
+        elif rest[0] == "--driver-mem":   # sf30 runs want more heap
+            driver_mem = rest[1]
+        elif rest[0] == "--timeout":      # per-sample, seconds
+            timeout = int(rest[1])
+        else:
+            sys.exit(f"unknown flag {rest[0]}")
         rest = rest[2:]
     queries = rest
     env = dict(os.environ,
                SPARK_GRAFT_SF_DIR=sf_dir,
                SPARK_GRAFT_CPUS="32",
                SPARK_GRAFT_SWEEPS="1",
-               SPARK_DRIVER_MEM="32g")
+               SPARK_DRIVER_MEM=driver_mem)
     qtimes, failed, qsamples, partial = {}, [], {}, {}
     detail = {}
     ctl_pre, ctl_post, suspect = [], [], False
@@ -51,7 +64,7 @@ def main():
             p = subprocess.run(
                 [os.path.join(os.path.dirname(__file__), "java_run.sh"),
                  "graft.Bench", q],
-                env=env, capture_output=True, text=True, timeout=3600)
+                env=env, capture_output=True, text=True, timeout=timeout)
             line = next((l for l in reversed(p.stdout.splitlines())
                          if l.startswith('{"metric"')), None)
             if line is None:
