@@ -173,9 +173,10 @@ class DedupSpec extends AnyFunSuite {
     // fewest sampled docs, largest 1/f² variance amplification). The
     // decision-relevant property is that estimator error stays inside
     // the 8× fastGateMargin; seed-fixed sampling makes this a
-    // deterministic pin, and BoundProbe's sf1/sf10/sf30 calibration
-    // table (GATE_CALIB_r16.json, committed at repo root) carries the
-    // at-scale error where the gate actually runs (f≈0.02 and below).
+    // deterministic pin, and BoundProbe's cross-SF calibration table
+    // (GATE_CALIB_r16.json, committed at repo root: sf1 ratio 0.703 at
+    // f=0.05, sf10 ratio 0.907 at f=0.04; sf30 leg pending) carries the
+    // measured at-scale error where the gate actually runs.
     val rows = sketch.count()
     val fProd = math.min(0.05, math.max(0.005,
       CandidateGen.fastGateSampleTarget / math.max(rows, 1L)))
