@@ -79,6 +79,8 @@ def main():
     threshold = 1.0
     offrecord_log = None
     while args and args[0].startswith("--"):
+        if len(args) < 2:
+            sys.exit(f"flag {args[0]} needs a value")
         if args[0] == "--threshold":
             threshold = float(args[1]); args = args[2:]
         elif args[0] == "--offrecord":
@@ -93,7 +95,11 @@ def main():
     def recalibrate(detail):
         for ss in detail.values():
             for s in ss:
-                s["load_suspect_at_1s"] = s["load_suspect"]
+                # keep the ORIGINAL Bench 1 s flag on re-merge: a second
+                # pass over an already-merged artifact must not overwrite
+                # it with the threshold-recalibrated value (the
+                # "recalibration is visible, not silent" property)
+                s.setdefault("load_suspect_at_1s", s["load_suspect"])
                 ctls = [c for c in (s["control_pre_sec"],
                                     s["control_post_sec"]) if c is not None]
                 s["load_suspect"] = any(c > threshold for c in ctls)

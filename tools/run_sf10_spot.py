@@ -26,14 +26,23 @@ import statistics
 import subprocess
 import sys
 
+from hostmon import cpu_window, read_cpu
+
+USAGE = ("usage: run_sf10_spot.py <sfDir> <out.json> [--samples N] "
+         "[--driver-mem 48g] [--timeout SEC] <query> [query...]")
+
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit(USAGE)
     sf_dir, out_path = sys.argv[1], sys.argv[2]
     rest = sys.argv[3:]
     samples = 1
     driver_mem = "32g"   # 1 GB/core, sized for sf10
     timeout = 3600
     while rest and rest[0].startswith("--"):
+        if len(rest) < 2:
+            sys.exit(USAGE)
         if rest[0] == "--samples":
             samples = int(rest[1])
         elif rest[0] == "--driver-mem":   # sf30 runs want more heap
@@ -41,7 +50,7 @@ def main():
         elif rest[0] == "--timeout":      # per-sample, seconds
             timeout = int(rest[1])
         else:
-            sys.exit(f"unknown flag {rest[0]}")
+            sys.exit(f"unknown flag {rest[0]}\n{USAGE}")
         rest = rest[2:]
     queries = rest
     env = dict(os.environ,
@@ -57,6 +66,7 @@ def main():
         q_failed = False
         for s in range(samples):
             print(f"== {q} [{s + 1}/{samples}]", flush=True)
+            cpu0 = read_cpu()
             # fresh plain-java JVM via tools/java_run.sh — identical JVM
             # flags to sbt's forked run, minus ~30 s of sbt startup per
             # sample (pure harness overhead across dozens of launches);
@@ -84,14 +94,22 @@ def main():
             # per-sample controls ship in the artifact so a single
             # burst-hit sample can be adjudicated (and re-run) without
             # reconstructing controls from the run log
+            # per-sample host window (r16 verdict #5): steal%/iowait%
+            # over the whole JVM lifetime, so the artifact carries its
+            # own host adjudication — the /proc/stat evidence that
+            # settled the r16 sf0.1 dispute, now inline
+            host = cpu_window(cpu0, read_cpu())
             detail.setdefault(q, []).append({
                 "sec": d["queries"][q],
                 "control_pre_sec": d.get("control_pre_sec"),
                 "control_post_sec": d.get("control_post_sec"),
-                "load_suspect": d.get("load_suspect", False)})
+                "load_suspect": d.get("load_suspect", False),
+                "host_steal_pct": host["steal_pct"],
+                "host_iowait_pct": host["iowait_pct"]})
             print(f"   {q}: {vals[-1]}s  (ctl {d.get('control_pre_sec')}/"
                   f"{d.get('control_post_sec')} "
-                  f"suspect={d.get('load_suspect')})", flush=True)
+                  f"suspect={d.get('load_suspect')} "
+                  f"steal={host['steal_pct']}%)", flush=True)
         # `failed` and `queries` stay DISJOINT: when sample k>1 of a query
         # crashes, the earlier successful samples are evidence, not a
         # record — they ship under partial_samples and do NOT count into
