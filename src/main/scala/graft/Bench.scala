@@ -222,6 +222,14 @@ object Bench {
     val sweepTotals = allSweeps.map(_.map(_._2).sum).toSeq
 
     val controlPost = controlSec()
+    // SPARK_GRAFT_SETTLED_POST_SEC=N (r16 what's-wrong #3 probe): wait N
+    // seconds after the immediate post-control and measure a SECOND one.
+    // If post > pre on a quiet host but the settled control returns to
+    // the pre level, the residual was query-side cleanup I/O (shuffle
+    // file deletion, ContextCleaner) landing inside the control window —
+    // a protocol artifact, not host load.
+    val controlPostSettled = sys.env.get("SPARK_GRAFT_SETTLED_POST_SEC")
+      .map { s => Thread.sleep(s.toLong * 1000L); controlSec() }
     // quiet-host envelope for this scan at sf0.1 on local[32] is ~0.1-0.3s
     // (measured); 1.0s = >3× sustained inflation. Any window tripping
     // marks the run — load at the start AND the end taints everything
@@ -250,7 +258,9 @@ object Bench {
       .map { case (n, t1) => "\"" + n + "\":" + fmt(t1) }
       .mkString("{", ",", "}")
     val sweepTotalsJson = sweepTotals.map(fmt).mkString("[", ",", "]")
-    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},"control_mid_sec":$midJson,"retried_firstpass":$retryJson,"sweeps":$nSweeps,"sweep_totals":$sweepTotalsJson,"load_suspect":$loadSuspect"""
+    val settledJson = controlPostSettled
+      .map(c => s""""control_post_settled_sec":${fmt(c)},""").getOrElse("")
+    val controlJson = s""""control_pre_sec":${fmt(controlPre)},"control_post_sec":${fmt(controlPost)},$settledJson"control_mid_sec":$midJson,"retried_firstpass":$retryJson,"sweeps":$nSweeps,"sweep_totals":$sweepTotalsJson,"load_suspect":$loadSuspect"""
     val fullJson = {
       val qs = results.map(entry).mkString("{", ",", "}")
       // every raw sweep ships alongside the median record — the

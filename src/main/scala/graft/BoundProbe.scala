@@ -42,13 +42,25 @@ object BoundProbe {
     val ps = timed("sketch corpus")(sk(docs.filter(col("doc_id") % 50 =!= 0)))
     val cand = timed("across candidate gen (incl bound)")(
       graft.ops.CandidateGen.bandPrefixAcross(ps, bs, 0.5, 32, 20))
-    // bandPrefixAcross carries NO measured gate (build-side-bounded by
-    // design, CandidateGen.scala across scaladoc) — print that honestly
-    // instead of the always--1 field (r12 advisory)
+    // r17: the across path carries the LINEARITY gate — measuredBound
+    // is the sampled cross-bound estimate that decided it
+    val rowsA = ps.count() + bs.count()
+    val allow = graft.ops.CandidateGen.defaultAcrossCandidatesPerRow * rowsA
     println(s"[probe] across: exact=${cand.exact} " +
-      s"bound=${if (cand.measuredBound < 0) "n/a (across path carries no measured gate)"
-        else cand.measuredBound.toString} " +
-      s"mayRepeat=${cand.mayRepeat}")
+      s"estBound=${cand.measuredBound} allowance=$allow " +
+      s"(rows=$rowsA x ${graft.ops.CandidateGen.defaultAcrossCandidatesPerRow}/row, " +
+      s"margin x${2}) mayRepeat=${cand.mayRepeat}")
+    // across estimator calibration (GATE_CALIB across leg): exact bound
+    // via f=1 (the spec-pinned identity) vs the production-f estimate
+    val fA = math.min(0.05, math.max(0.005, 20000.0 / math.max(rowsA, 1L)))
+    val exactA = timed("across exact bound (f=1)")(
+      graft.ops.CandidateGen.estimatePrefixCandidateBoundAcross(
+        ps, bs, 0.5, 32, 1.0))
+    val estA = timed(f"across sampled estimate (f=$fA%.4f)")(
+      graft.ops.CandidateGen.estimatePrefixCandidateBoundAcross(
+        ps, bs, 0.5, 32, fA))
+    println(f"[probe] across exact bound=$exactA est=$estA " +
+      f"ratio=${estA.toDouble / math.max(exactA, 1L)}%.3f")
     val nCand = timed("across candidate count")(cand.pairs.count())
     println(s"[probe] across candidates: $nCand")
 

@@ -407,16 +407,6 @@ object CandidateGen {
     }
   }
 
-  /** Two-corpus (probe × build) variant of [[bandPrefixSelf]] — the
-    * decontamination shape: the build side (a benchmark set, typically a
-    * few % of the corpus) is indexed once, the corpus probes it. Never
-    * materializes corpus×corpus pairs — candidates are linear in true
-    * matches + low-df prefix collisions.
-    *
-    * The prefix lemma needs BOTH prefixes under the SAME global order, so
-    * document frequency is computed over the union of both sides' grams.
-    * Sides are assumed id-disjoint; returns (i = probe id, j = build id),
-    * both orientations' qualifying pairs (no i < j constraint). */
   /** Cross-side band-candidate bound: Σ_b probe_b · (build_{b−1} +
     * build_b + build_{b+1}) — exactly the rows the 3-bucket cross join
     * can emit. Same conservative-gate role as [[bandCandidateBound]]. */
@@ -435,22 +425,117 @@ object CandidateGen {
       .head().getLong(0)
   }
 
-  /** NO occupancy degrade here, deliberately (round 12, measured): the
-    * across shape's candidate count is BUILD-side-bounded — the build
-    * corpus is a benchmark/blocklist, a bounded input by the operator's
-    * contract, so candidates ≤ probe-prefix rows × the build side's
-    * worst per-(token, bucket) occupancy, linear in the probe corpus
-    * for a fixed build set. Bolting the self-join's measured guard on
-    * anyway was measured at 100× bench data to DOUBLE the query (58 →
-    * 140 s: the guard's prefix materialization + bound aggregate cost
-    * more than the exact join they were guarding) while the guard
-    * never fired (measured bound 50M, budget 2×10⁹). A caller whose
-    * build side scales WITH the corpus has left the operator's
-    * contract and should use the self-family route, which carries the
-    * degrade. */
+  /** Per-corpus-row candidate allowance for the ACROSS degrade gate
+    * (r16 verdict #2). The across contract promises candidates LINEAR
+    * in corpus rows — the build side is a bounded benchmark/blocklist —
+    * so the gate's reference is a per-row work bound, not the self
+    * family's absolute would-not-finish budget: past `perRow`
+    * candidates per (probe + build) row, the measured bound says the
+    * build side has scaled WITH the corpus (candidates quadratic by
+    * construction — BoundProbe measured 121k → 13.8M per 10× on the
+    * bench corpora) and the generator degrades to MinHash-LSH banding.
+    * 64/row ≈ 4× looser than the band-only regime's own ceiling
+    * (bandOnlyMax 8M ≈ 16/row at sf0.1 scale) — generous to the exact
+    * path; on the bench corpora the 2×-margined trigger lands between
+    * sf10 (~100 bound-rows/row, exact kept) and sf30 (~400/row,
+    * degrade) and the r16 sf30 quadratic step is cut at its source. */
+  val defaultAcrossCandidatesPerRow: Long = 64L
+
+  /** Margin for the across fast gate. The SELF gate's 8× margin guards
+    * a sampled SHORT-CIRCUIT ahead of an exact second-stage decision;
+    * the across path has no affordable second stage — materializing the
+    * full prefix just to measure its bound DOUBLED the sf10 query when
+    * it was tried (round 12: 58 → 140 s) — so the sampled estimate
+    * decides alone and the margin is the estimator's MEASURED error
+    * with headroom (GATE_CALIB_r16: worst 1.42×, estimate UNDER exact —
+    * the direction that keeps a genuinely-linear corpus on the exact
+    * path). */
+  private[graft] val acrossGateMargin = 2L
+
+  /** Cross-side MinHash-LSH degrade candidates (same banding as
+    * [[lshDegradeSelf]]: 64 hashes × 16 bands over the existing hashed
+    * shingle sets). Returns distinct (i = probe id, j = build id). */
+  private def lshDegradeAcross(probeSketch: DataFrame,
+      buildSketch: DataFrame, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val r = numHashes / bands
+    def banded(df: DataFrame, idAs: String) = df.select(
+      col("id").as(idAs),
+      posexplode(Dedup.bandKeyArray(
+        graft.expr.sketchFunctions.minhash_from_hashes(col("hs"), numHashes),
+        bands, r)).as(Seq("band_idx", "band_key")))
+    fanout(banded(probeSketch, "i"))
+      .join(maybeBroadcast(banded(buildSketch, "j")),
+        Seq("band_idx", "band_key"))
+      .select("i", "j").distinct()
+  }
+
+  /** Sampled estimate of the cross-side prefix-candidate bound
+    * Σ_{g,b} probe_{g,b}·(build_{g,b−1} + build_{g,b} + build_{g,b+1})
+    * WITHOUT the full prefix build — the across twin of
+    * [[estimatePrefixCandidateBound]]. Cleaner statistics than the self
+    * case: each cell is a product of counts from DISJOINT sides sampled
+    * independently, so E[p_s·b_s] = f²·p·b with no diagonal term and
+    * S_s/f² is unbiased as-is. At f = 1 it equals the exact measured
+    * bound (DedupSpec pins the identity). Prefix lengths are exact;
+    * only the rarest-first order comes from sampled df — a gate-grade
+    * approximation (see [[acrossGateMargin]]). */
+  private[graft] def estimatePrefixCandidateBoundAcross(
+      probeSketch: DataFrame, buildSketch: DataFrame, threshold: Double,
+      bucketWidth: Int, fraction: Double, seed: Long = 42L): Long = {
+    require(fraction > 0 && fraction <= 1.0, "need 0 < fraction <= 1")
+    val (p, b) =
+      if (fraction >= 1.0) (probeSketch, buildSketch)
+      else (probeSketch.sample(withReplacement = false, fraction, seed),
+        buildSketch.sample(withReplacement = false, fraction, seed + 1))
+    val gdf = gramDf(p, b)
+    def occ(df: DataFrame, n: String) =
+      prefixTokens(df, threshold, gdf)
+        .groupBy(col("g"), floor(col("len") / bucketWidth).cast("long").as("b"))
+        .agg(count(lit(1)).as(n))
+    val bo = occ(b, "nb")
+    val near = bo.select(col("g"), (col("b") - 1).as("b"), col("nb"))
+      .unionAll(bo)
+      .unionAll(bo.select(col("g"), (col("b") + 1).as("b"), col("nb")))
+      .groupBy("g", "b").agg(sum("nb").as("nb3"))
+    val sS = occ(p, "np").join(near, Seq("g", "b"))
+      .agg(coalesce(sum(col("np") * col("nb3")), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val est = sS / (fraction * fraction)
+    if (est >= Long.MaxValue.toDouble) Long.MaxValue else est.toLong
+  }
+
+  /** Two-corpus (probe × build) variant of [[bandPrefixSelf]] — the
+    * decontamination shape: the build side (a benchmark set, typically a
+    * few % of the corpus) is indexed once, the corpus probes it. Never
+    * materializes corpus×corpus pairs — candidates are linear in true
+    * matches + low-df prefix collisions.
+    *
+    * The prefix lemma needs BOTH prefixes under the SAME global order, so
+    * document frequency is computed over the union of both sides' grams.
+    * Sides are assumed id-disjoint; returns (i = probe id, j = build id),
+    * both orientations' qualifying pairs (no i < j constraint).
+    *
+    * DEGRADE DISCIPLINE (r16 verdict #2 — the across family's twin of
+    * the self occupancy gate): the prefix branch is guarded by a
+    * LINEARITY gate. The across contract's whole point is candidates
+    * linear in corpus rows; when the sampled candidate-bound estimate
+    * exceeds [[defaultAcrossCandidatesPerRow]] per row (×
+    * [[acrossGateMargin]]), the build side has scaled with the corpus,
+    * the candidate term is quadratic by construction, and the generator
+    * degrades to cross-side MinHash-LSH banding — candidates linear in
+    * collisions, `exact = false` surfaced to the caller (precision
+    * stays 1 through the caller's verify; recall becomes the banding
+    * curve 1−(1−s⁴)¹⁶). There is deliberately NO exact-measured second
+    * stage: materializing the full prefix to measure its own bound
+    * doubled the sf10 query when tried (round 12, 58 → 140 s); the
+    * sampled estimate (a few % of the corpus) decides alone, and only
+    * runs when the free band bound already exceeds the allowance —
+    * zero overhead in the band-only regime every oracle SF runs in. */
   def bandPrefixAcross(probeSketch: DataFrame, buildSketch: DataFrame,
       threshold: Double, bucketWidth: Int, maxLenDiff: Int,
-      bandOnlyMax: Long = defaultBandOnlyMaxCandidates): CandidatePairs = {
+      bandOnlyMax: Long = defaultBandOnlyMaxCandidates,
+      candidatesPerRow: Long = defaultAcrossCandidatesPerRow): CandidatePairs = {
     require(maxLenDiff < bucketWidth, "band trick needs maxLenDiff < bucketWidth")
     val bkt = floor(col("len") / bucketWidth).cast("long")
     if (bandCandidateBoundAcross(probeSketch, buildSketch, bucketWidth)
@@ -466,21 +551,60 @@ object CandidateGen {
         .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
         .select("i", "j"), mayRepeat = false)
     } else {
-      val gdf = gramDf(probeSketch, buildSketch)
-      val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
-          .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
-        .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
-          col("n").as("n_i"), col("__r").as("r_i"))
-      val build = prefixTokens(buildSketch, threshold, gdf)
-        .withColumn("bkt", bkt)
-        .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
-          col("n").as("n_j"), col("__r").as("r_j"))
-      // not deduped — same caller-dedupes-after-verify contract as
-      // [[bandPrefixSelf]]'s prefix branch
-      CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
-        .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
-          sizePositionalFilter(threshold))
-        .select("i", "j"), mayRepeat = true)
+      // linearity gate (see the scaladoc): per-row allowance over BOTH
+      // sides' rows; the sketches are caller-checkpointed so the two
+      // counts are metadata-cheap
+      val rows = probeSketch.count() + buildSketch.count()
+      val allowance =
+        if (candidatesPerRow >= Long.MaxValue / math.max(rows, 1L))
+          Long.MaxValue
+        else candidatesPerRow * rows
+      val fastEst =
+        if (allowance < Long.MaxValue / acrossGateMargin) {
+          // f caps at 1, not the self gate's 0.05: the self fast gate
+          // only ever runs past a 2×10⁹ band bound (huge corpora), but
+          // this one runs whenever the band-only regime is left behind —
+          // on a small corpus a 5% sample is statistical noise (cells
+          // are products of ~binomial counts; DedupSpec measured a 25-doc
+          // sample collapsing the estimate to 0), while the FULL bound
+          // there costs two cheap shuffles. ≤ sampleTarget rows ⇒ f = 1
+          // ⇒ the gate decision is exact by the estimator identity.
+          val f = math.min(1.0,
+            math.max(0.005, fastGateSampleTarget / math.max(rows, 1L)))
+          estimatePrefixCandidateBoundAcross(probeSketch, buildSketch,
+            threshold, bucketWidth, f)
+        } else -1L
+      if (fastEst > acrossGateMargin * allowance) {
+        // the band join's |len diff| conjunct rides the (small) banded
+        // pair tail so the caller's declared predicate is unchanged —
+        // same move as the self degrade
+        val lsh = lshDegradeAcross(probeSketch, buildSketch)
+          .join(maybeBroadcast(probeSketch.select(col("id").as("i"),
+            col("len").as("len_i"))), Seq("i"))
+          .join(maybeBroadcast(buildSketch.select(col("id").as("j"),
+            col("len").as("len_j"))), Seq("j"))
+          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff)
+          .select("i", "j")
+        CandidatePairs(lsh, mayRepeat = false,
+          exact = false, measuredBound = fastEst, boundEstimated = true)
+      } else {
+        val gdf = gramDf(probeSketch, buildSketch)
+        val probe = fanout(prefixTokens(probeSketch, threshold, gdf)
+            .withColumn("bkt", explode(array(bkt - 1, bkt, bkt + 1))))
+          .select(col("bkt"), col("g"), col("id").as("i"), col("len").as("len_i"),
+            col("n").as("n_i"), col("__r").as("r_i"))
+        val build = prefixTokens(buildSketch, threshold, gdf)
+          .withColumn("bkt", bkt)
+          .select(col("bkt"), col("g"), col("id").as("j"), col("len").as("len_j"),
+            col("n").as("n_j"), col("__r").as("r_j"))
+        // not deduped — same caller-dedupes-after-verify contract as
+        // [[bandPrefixSelf]]'s prefix branch
+        CandidatePairs(probe.join(maybeBroadcast(build), Seq("bkt", "g"))
+          .filter(abs(col("len_i") - col("len_j")) <= maxLenDiff &&
+            sizePositionalFilter(threshold))
+          .select("i", "j"), mayRepeat = true,
+          measuredBound = fastEst, boundEstimated = fastEst >= 0)
+      }
     }
   }
 

@@ -33,7 +33,7 @@ object Dedup {
   // the current partition count, so the same operator plans correctly at
   // bench scale (hint on, fan-out on) and at 100 TB (plain shuffled
   // equi-join on the band/bucket keys, no injected shuffle).
-  import ScaleHints.{fanout, maybeBroadcast}
+  import ScaleHints.{fanout, maybeBroadcast, widenScan}
 
   /** Distinct k-token shingles with the SQL-oracle's space-split
     * tokenization (empties kept), as a codegen JVM kernel
@@ -130,7 +130,7 @@ object Dedup {
     // SQL orders NaN above every number, so `NaN >= t` would PASS) is
     // undefined, and the prefix generator would drop it while the
     // band-only one kept it, letting the occupancy gate change output
-    val sketch = df.select(col(idCol).as("id"),
+    val sketch = widenScan(df).select(col(idCol).as("id"),
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
@@ -196,17 +196,22 @@ object Dedup {
     * [[CandidateGen.bandPrefixAcross]]: only the build side is indexed,
     * the corpus probes it, and corpus×corpus pairs are never formed —
     * at 10× data the symmetric route grew 21× while this one tracks true
-    * matches. No occupancy degrade on this path, deliberately —
-    * candidates are build-side-bounded by the contract (see the
-    * bandPrefixAcross scaladoc for the 100× measurement); a build side
-    * that scales with the corpus belongs on the self-family route.
-    * Sides must be id-disjoint. Output:
-    * (probe_id, build_id, jac ≥ threshold). */
+    * matches. Candidates are build-side-bounded by the contract — and
+    * since r17 that contract is ENFORCED, not assumed: when the sampled
+    * candidate-bound estimate exceeds the linear per-row allowance
+    * (build side scaling with the corpus — the quadratic regime
+    * BoundProbe measured at 121k → 13.8M candidates per 10×), the
+    * generator degrades to cross-side MinHash-LSH banding
+    * (bandPrefixAcross scaladoc; `exact = false`, recall = the banding
+    * curve, precision still 1 through the verify below). Sides must be
+    * id-disjoint. Output: (probe_id, build_id, jac ≥ threshold). */
   def ngramJaccardAcross(probe: DataFrame, build: DataFrame, idCol: String,
       textCol: String, lenCol: String, threshold: Double, shingleK: Int = 3,
       bucketWidth: Int = 32, maxLenDiff: Int = 20,
-      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates): DataFrame = {
-    def sk(d: DataFrame) = d.select(col(idCol).as("id"),
+      bandOnlyMax: Long = CandidateGen.defaultBandOnlyMaxCandidates,
+      candidatesPerRow: Long = CandidateGen.defaultAcrossCandidatesPerRow)
+      : DataFrame = {
+    def sk(d: DataFrame) = widenScan(d).select(col(idCol).as("id"),
         col(lenCol).cast("long").as("len"),
         hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
@@ -214,7 +219,17 @@ object Dedup {
       .localCheckpoint(true)
     val (ps, bs) = (sk(probe), sk(build))
     val cand = CandidateGen.bandPrefixAcross(ps, bs, threshold, bucketWidth,
-      maxLenDiff, bandOnlyMax)
+      maxLenDiff, bandOnlyMax, candidatesPerRow)
+    // surface the linearity degrade exactly like the self family's
+    // occupancy degrade (r12 advisory): precision stays 1, recall is
+    // now the banding curve — production callers must be able to tell
+    if (!cand.exact)
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"ngramJaccardAcross: linearity degrade fired — estimated " +
+          s"candidate bound ${cand.measuredBound} exceeds the " +
+          s"$candidatesPerRow/row allowance (build side scaling with the " +
+          s"corpus); emitting MinHash-LSH candidates instead " +
+          s"(precision 1, recall = banding curve)")
     // see ngramJaccardPairs: prefix candidates may repeat per token
     cand.dedupeVerified(cand.pairs
       .join(ps.select(col("id").as("i"), col("n").as("n_i"),
@@ -273,7 +288,7 @@ object Dedup {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       tNum: Long, tDen: Long, shingleK: Int = 3): DataFrame = {
     require(tNum > 0 && tNum <= tDen, "need 0 < tNum/tDen <= 1")
-    val base = df.select(col(idCol).as("id"),
+    val base = widenScan(df).select(col(idCol).as("id"),
         hashedShingles(col(textCol), shingleK).as("hs"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
@@ -324,7 +339,7 @@ object Dedup {
     // index is checkpointed ONCE — sizes, probe side, and build side all
     // read the materialized 16-byte rows instead of re-running the
     // tokenize+explode+df-join lineage three more times
-    val grams = df
+    val grams = widenScan(df)
       .select(col(idCol).as("id"),
         explode(tokenShingles(col(textCol), shingleK)).as("gram"))
       .select(col("id"), xxhash64(col("gram")).as("g"))
@@ -376,7 +391,7 @@ object Dedup {
     // assumeUniqueIds = true to skip the shuffle.
     // coalesce mirrors the former UDF's null handling (winnowedRuns
     // treats null as "", which still fingerprints one empty run)
-    val fp0 = df.select(col(idCol).as("id"),
+    val fp0 = widenScan(df).select(col(idCol).as("id"),
         explode(graft.expr.sketchFunctions.winnowed_hash_set(
           coalesce(col(textCol), lit("")))).as("h"))
     val fp = (if (assumeUniqueIds) fp0 else fp0.distinct())
@@ -408,7 +423,7 @@ object Dedup {
     // plan — after materializing the result, call
     // `spark.catalog.clearCache()` (what Bench/Verify do) or pass
     // persistSketches = false to trade the cache for recomputation.
-    val base0 = df.select(col(idCol),
+    val base0 = widenScan(df).select(col(idCol),
       hashedShingles(col(textCol), shingleK).as("hs"),
       minhash_signature(col(textCol), shingleK, numHashes).as("sig"))
       .withColumn("n", size(col("hs")))
@@ -633,7 +648,12 @@ object Dedup {
       targetBucketOccupancy: Long = 64L, maxPlanes: Int = 20,
       maxTables: Int = 64, knownCount: Option[Long] = None,
       scaleTables: Boolean = true): DataFrame = {
-    val withNorm = df.select(col(idCol), col(vecCol),
+    // widen a few-file scan BEFORE the banding compute: the per-row
+    // hyperplane work (effTables × effPlanes × dim multiply-adds) runs
+    // in the scan stage, whose effective parallelism is row-group-bound
+    // — the r17-adjudicated true cause of the sf30 DNF (2 of 32 cores
+    // busy; neither candidates nor skew, LSH_SKEW_r17.json)
+    val withNorm = widenScan(df).select(col(idCol), col(vecCol),
       Vectors.norm(col(vecCol)).as("nrm"))
     if (exhaustive) {
       val a = fanout(withNorm.select(col(idCol).as("i"), col(vecCol).as("v_i"), col("nrm").as("n_i")))
@@ -682,7 +702,19 @@ object Dedup {
         col(idCol).as("i"), col(vecCol).as("v_i"), col("nrm").as("n_i")))
       val b = banded.select(col("tbl").as("tbl_j"), col("bkt").as("bkt_j"),
         col(idCol).as("j"), col(vecCol).as("v_j"), col("nrm").as("n_j"))
-      a.join(maybeBroadcast(b),
+      // broadcast by KNOWN size, not the optimizer estimate: banded rows
+      // = n × effTables exactly, and the posexplode makes the plan's
+      // sizeInBytes blind to the ×effTables fan-out — at sf10 the
+      // estimate-gated hint commanded a ~1 GB broadcast build (measured
+      // r17; the single-threaded build + 2× copy was most of that
+      // query's 52.7 s). Row bytes: vec (dim × 4 + array overhead) +
+      // id/norm/keys.
+      val bandedBytes = n * effTables.toLong * (dim.toLong * 4 + 88)
+      val bcThresh =
+        df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val bSized =
+        if (bcThresh > 0 && bandedBytes <= bcThresh * 8) broadcast(b) else b
+      a.join(bSized,
           col("tbl_i") === col("tbl_j") && col("bkt_i") === col("bkt_j") &&
             col("i") < col("j"))
         .select(col("i"), col("j"),

