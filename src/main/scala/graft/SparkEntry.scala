@@ -2445,8 +2445,13 @@ object SparkEntry {
       // level contamination analysis. Distinct (source, shingle) pairs,
       // one self-equi-join on the shingle, two hash aggregates.
       val docs = t(s, dir, "documents")
+      // materialized once (eager, serialized): sh feeds both self-join
+      // sides AND the totals aggregate — left lazy, the corpus is
+      // shingle-tokenized three times (3 scans measured at sf0.1)
       val sh = docs.select(col("source"),
         explode(Dedup.tokenShingles(col("text"), 3)).as("sh")).distinct()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val shared = sh.select(col("source").as("src_a"), col("sh"))
         .join(sh.select(col("source").as("src_b"), col("sh")), Seq("sh"))
         .filter(col("src_a") =!= col("src_b"))
@@ -2560,6 +2565,11 @@ object SparkEntry {
       // were "judged" — so the odd top-ranked docs mine as negatives.
       val (idx, q, allRelevant) = retrievalGroundTruth(s, dir)
       val judged = allRelevant.filter(col("doc_id") % 2 === 0)
+      // the anti join stays an SMJ on purpose: BOTH sides are bounded
+      // (top-10×|Q| vs the judged qrels), so there is no corpus-scale
+      // side to protect; an r17 A/B measured the broadcast form SLOWER
+      // at sf0.1 (broadcast build serializes the qrel subtree) with no
+      // scale upside
       Retrieval.bm25TopKIndexed(idx, q, "qid", "qtext", k = 10)
         .join(judged, Seq("qid", "doc_id"), "left_anti")
         .select("qid", "rank", "doc_id")
@@ -2586,6 +2596,12 @@ object SparkEntry {
           concat(col("qid").cast("string"), lit("_"),
             col("doc_id").cast("string"))))
         .filter(col("__h") % 10000 < 800)
+        // the anti join plans as a static SortMergeJoin (the avoid set's
+        // size ESTIMATE is corpus-derived through the index joins, so a
+        // size-gated broadcast hint correctly declines — r17 verified it
+        // never fires) but the build side's ACTUAL size is bounded by
+        // k·|Q| + qrels, so AQE's runtime stats convert it to a
+        // broadcast join; the candidate stream is never sorted at scale
         .join(avoid, Seq("qid", "doc_id"), "left_anti")
       val w = Window.partitionBy("qid").orderBy(col("__h").asc, col("doc_id").asc)
       cand.withColumn("rank", row_number().over(w).cast("int"))

@@ -179,12 +179,24 @@ object MediaOps {
     * containment index. The final stats join keys on the path. */
   def frameDedupPairs(frames: DataFrame, pathCol: String, sigCol: String,
       dfCap: Int, minOverlapMilli: Long): DataFrame = {
+    // MATERIALIZED (eager, serialized — the transient-table rule): occ
+    // feeds both the df-cap aggregate and the keep join, kept feeds the
+    // size table and BOTH pair-join sides — left lazy, every reference
+    // re-evaluates the caller's frame derivation (measured at sf0.1:
+    // the media_frame_dedup upstream appeared 8× in one plan, 16
+    // parquet scans — at corpus scale 8 decode/signature passes).
+    // Both tables are narrow (path, sig) rows, far cheaper stored once
+    // than recomputed per branch.
     val occ = frames.select(col(pathCol).as("path"), col(sigCol).as("sig"))
       .distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val kept = occ.join(
       occ.groupBy("sig").agg(count(lit(1)).as("__df"))
         .filter(col("__df") <= dfCap).select("sig"),
       Seq("sig"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val sz = kept.groupBy("path").agg(count(lit(1)).as("n"))
     val a = kept.select(col("sig"), col("path").as("path_a"))
     val b = kept.select(col("sig"), col("path").as("path_b"))

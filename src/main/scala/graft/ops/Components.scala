@@ -210,14 +210,26 @@ object Components {
     * apex under the orientation), then credited to all three corners. */
   def triangleCounts(edges: DataFrame, iCol: String = "i",
       jCol: String = "j"): DataFrame = {
-    // canonical undirected edge set: self-loops out, one row per pair
+    // canonical undirected edge set: self-loops out, one row per pair.
+    // MATERIALIZED (eager, serialized — the transient-table rule): und
+    // feeds deg's two union branches and the orientation join, deg feeds
+    // five consumers, oriented three — left lazy, Catalyst re-plans each
+    // reference as a full re-evaluation of the caller's edge derivation
+    // (measured at sf0.1: the 4-table graph_triangles upstream appeared
+    // 21× in one plan, 84 parquet scans; at 100 TB that is 21 scans of
+    // the fact table). One cut per table bounds every upstream to ONE
+    // evaluation; und/oriented are edge-sized, deg nodes-sized.
     val und = edges.select(
         least(col(iCol), col(jCol)).cast("long").as("a"),
         greatest(col(iCol), col(jCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val deg = und.select(col("a").as("node"))
       .unionByName(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // orient by (deg, id): src = smaller endpoint under the total order
     val withDeg = und
       .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
@@ -229,6 +241,8 @@ object Components {
           .otherwise(struct(col("b").as("src"), col("a").as("dst")))
           .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // wedges at apex `src`: two out-edges (src→x, src→y), x < y under the
     // same total order; closed iff x→y is an oriented edge
     val o1 = oriented.select(col("src"), col("dst").as("x"))

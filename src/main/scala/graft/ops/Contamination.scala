@@ -30,8 +30,14 @@ object Contamination {
       k: Int = 3): DataFrame = {
     val corpusShingles = corpus
       .select(explode(Dedup.tokenShingles(col(corpusText), k)).as("sh"))
-    val benchShingles = bench.select(col(benchId),
-      explode(Dedup.tokenShingles(col(benchText), k)).as("sh"))
+    // MATERIALIZED when a re-scan is costly (ScaleHints.cutIfRescanCostly):
+    // benchShingles feeds the distinct probe set, the per-doc totals AND
+    // the hit counts — left lazy, the benchmark side is re-tokenized
+    // three times.
+    val benchShingles = ScaleHints.cutIfRescanCostly(
+      bench.select(col(benchId),
+        explode(Dedup.tokenShingles(col(benchText), k)).as("sh")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val benchDistinct = benchShingles.select("sh").distinct()
     // corpus streams; hit set ⊆ benchmark shingles, so it stays tiny.
     // The second join is tiny ⋈ tiny: the hit set's PLAN still contains

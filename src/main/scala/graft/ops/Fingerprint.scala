@@ -71,20 +71,38 @@ object Fingerprint {
       .withColumn("__same",
         payloadHash("") === payloadHash("__u_"))
 
-    val keep = j.filter(col("valid_from").isNotNull &&
-        (col("__has_u").isNull || col("__same")))
-      .select(history.columns.map(col).toIndexedSeq: _*)
-    val closeNow = j.filter(col("valid_from").isNotNull &&
-        col("__has_u").isNotNull && !col("__same"))
-      .withColumn("valid_to", lit(ts))
-      .select(history.columns.map(col).toIndexedSeq: _*)
-    val openNow = j.filter(col("__has_u").isNotNull &&
-        (col("valid_from").isNull || !col("__same")))
-      .select(col(idCol) +: payloadCols.map(c => col(s"__u_$c").as(c))
-        :+ lit(ts).as("valid_from") :+ lit(null).cast("string").as("valid_to"): _*)
-      .select(history.columns.map(col).toIndexedSeq: _*)
+    // ONE pass over the join: each joined row emits its keep / close /
+    // open row(s) through a conditional array + explode. The former
+    // three-branch union re-planned `j` per branch — three full-outer
+    // joins of the master table per apply (the nulled branches of a
+    // when() array cost a row-local compare instead). Row multiplicity
+    // is identical: keep xor (close + open), plus open for new ids.
+    val outCols = history.columns.toIndexedSeq
+    def asOut(f: String => Column): Column =
+      struct(outCols.map(c => f(c).as(c)): _*)
+    val keepRow = asOut(c => col(c))
+    val closeRow = asOut {
+      case "valid_to" => lit(ts).cast("string")
+      case c => col(c)
+    }
+    val openRow = asOut {
+      case "valid_from" => lit(ts).cast("string")
+      case "valid_to" => lit(null).cast("string")
+      case c if c == idCol => col(idCol)
+      case c => col(s"__u_$c")
+    }
+    val emitted = j.select(explode(array(
+        when(col("valid_from").isNotNull &&
+          (col("__has_u").isNull || col("__same")), keepRow),
+        when(col("valid_from").isNotNull &&
+          col("__has_u").isNotNull && !col("__same"), closeRow),
+        when(col("__has_u").isNotNull &&
+          (col("valid_from").isNull || !col("__same")), openRow)))
+        .as("__r"))
+      .filter(col("__r").isNotNull)
+      .select(outCols.map(c => col(s"__r.$c")): _*)
 
-    closed.unionByName(keep).unionByName(closeNow).unionByName(openNow)
+    closed.unionByName(emitted)
   }
 
   /** Point-in-time lookup against an SCD2 history (the read side of

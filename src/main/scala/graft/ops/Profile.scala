@@ -435,7 +435,12 @@ object Profile {
     * candidate join would pay, so profiling here is never wasted work)
     * and a single-row rollup. */
   def keySkew(df: DataFrame, keyCol: String, k: Int = 5): DataFrame = {
+    // MATERIALIZED (eager): counts feeds both the top-k probe and the
+    // rollup — left lazy, the second reference re-runs the per-key count
+    // over the whole input (one extra full scan + shuffle). Key-
+    // cardinality-sized, the cheap side of the trade at any corpus size.
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
     val topk = counts.orderBy(col("n").desc, col(keyCol).asc).limit(k)
       .agg(sum("n").as("__top_n"))
     counts.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),

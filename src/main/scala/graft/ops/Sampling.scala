@@ -55,11 +55,16 @@ object Sampling {
     * [[mixEpochs]] / [[takeTokenBudget]] as the recipe's weight table. */
   def temperatureWeights(df: DataFrame, strataCol: Column,
       sizeExpr: Column): DataFrame = {
-    val sizes = df.groupBy(strataCol.as("stratum"))
-      .agg(sum(sizeExpr).as("n_units"))
-      .withColumn("__m",
-        floor(lit(1000000.0) * sqrt(col("n_units").cast("double")))
-          .cast("long"))
+    // MATERIALIZED when a re-scan is costly (ScaleHints.cutIfRescanCostly):
+    // sizes is strata-sized but feeds both the total and the output
+    // projection — left lazy, the second reference re-aggregates the
+    // whole corpus (one extra full scan).
+    val sizes = ScaleHints.cutIfRescanCostly(
+      df.groupBy(strataCol.as("stratum"))
+        .agg(sum(sizeExpr).as("n_units"))
+        .withColumn("__m",
+          floor(lit(1000000.0) * sqrt(col("n_units").cast("double")))
+            .cast("long")))
     val total = sizes.agg(sum(col("__m")).as("__tot"))
     sizes.crossJoin(broadcast(total))
       .select(col("stratum"), col("n_units").cast("long").as("n_units"),
@@ -309,9 +314,16 @@ object Sampling {
       .select(col("id"), col("is_t"),
         explode(graft.expr.sketchFunctions.md5_ngram_buckets(col("__txt")))
           .as("bkt"))
+    // MATERIALIZED (eager): stats is ≤ nBuckets rows but feeds BOTH
+    // `totals` and `lr` — left lazy, the second reference re-evaluates
+    // the whole feature stream (another corpus scan + tokenize + explode
+    // + 4096-way aggregate; measured at sf0.1 the un-cut sample_dsir
+    // plan scanned documents 6×). The cut pins the corpus-scale passes
+    // to the documented two: one stats build, one scoring join.
     val stats = ex.groupBy("bkt").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       count(lit(1)).as("cr"))
+      .localCheckpoint(true)
     val totals = stats.agg(sum("ct").as("nt"), sum("cr").as("nr"))
     val lr = stats.crossJoin(broadcast(totals))
       .select(col("bkt"),
@@ -347,8 +359,17 @@ object Sampling {
         s"tie-break; got ${weighted.schema(idCol).dataType}")
     val u = (hashBucket(col(idCol).cast("string"), 10000000).cast("double") +
       0.5) / 1e7
+    // MATERIALIZED (eager, serialized): keyed feeds both the k-th-key
+    // probe and the output join — left lazy, the output side re-runs the
+    // caller's ENTIRE weight derivation (for DSIR that is a full corpus
+    // scan + tokenize; measured as half of sample_dsir's 6 document
+    // scans). The stored frame is one narrow row per weighted doc —
+    // O(corpus rows), not O(corpus bytes) — traded against a second
+    // corpus pass.
     val keyed = weighted.withColumn("key_milli",
       col(wCol) + floor(lit(1000.0) * -log(-log(u))).cast("long"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     // total order (key desc, id asc) rendered as a struct so the k-th
     // element is a single min() over the TakeOrdered prefix; resolution
     // is by name against whichever frame the expression lands in
@@ -381,7 +402,10 @@ object Sampling {
   def reweightToTarget(df: DataFrame, groupCol: String, targets: DataFrame,
       targetCol: String, minMilli: Long, maxMilli: Long): DataFrame = {
     require(minMilli <= maxMilli)
-    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+    // MATERIALIZED when a re-scan is costly: counts feeds both the
+    // total and the output join — same rule as [[temperatureWeights]].
+    val counts = ScaleHints.cutIfRescanCostly(
+      df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs")))
     val tot = counts.agg(sum("n_docs").cast("long").as("__N"))
     counts.crossJoin(broadcast(tot))
       .join(ScaleHints.maybeBroadcast(targets), Seq(groupCol), "left")

@@ -127,6 +127,38 @@ private[graft] object ScaleHints {
     }
   }
 
+  /** Size-gated lineage cut for a small derived table that is read by
+    * two-or-three downstream branches: materialize it only when a lazy
+    * re-evaluation would re-read meaningful file-scan bytes.
+    *
+    * Left lazy, Catalyst re-plans every reference as a full re-run of
+    * the subtree — for a vocabulary/strata-sized aggregate over a
+    * corpus scan that is one extra corpus pass per branch. But an eager
+    * cut is itself a job (schedule + materialize + store), and on a
+    * bench-scale input the re-scan is CHEAPER than the cut (measured
+    * r17 A/B at sf0.1: +0.2-0.3 s per query from unconditional cuts in
+    * bigramPmi/lmScore/temperatureWeights, while the same cut wins
+    * 0.3-0.6 s where the subtree is re-evaluated 6-21×). The gate is
+    * the [[widenScan]] byte rule: fire only when the subtree's parquet
+    * scans total ≥ 8 × maxPartitionBytes (32 MB under the bench
+    * session's 4 MB setting, 1 GB under the production default), i.e.
+    * exactly when a re-scan is guaranteed to dwarf the cut job.
+    * Checkpoint-derived inputs (LogicalRDD leaves) count zero scan
+    * bytes — they are already materialized, so re-reading them is
+    * block-cache traffic, not I/O. */
+  def cutIfRescanCostly(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel =
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    val plan = df.queryExecution.optimizedPlan
+    val scanBytes = plan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.sizeInBytes
+    }.sum
+    val minBytes = 8L * math.max(1L,
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes)
+    if (scanBytes >= minBytes) df.localCheckpoint(true, level) else df
+  }
+
   /** Lineage cut for iterative fixed-point loops, with a cluster-safe
     * escape hatch. `localCheckpoint` blocks live in executor storage —
     * on a real cluster an executor death mid-loop loses them and, the

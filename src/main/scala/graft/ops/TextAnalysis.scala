@@ -246,9 +246,16 @@ object TextAnalysis {
     * the usual compare-stable form. */
   def vocabCoverage(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
-    val counts = df.select(explode(tokens(col(textCol))).as("token"))
-      .filter(length(col("token")) > 0)
-      .groupBy("token").agg(count(lit(1)).as("term_cnt"))
+    // MATERIALIZED when a re-scan is costly (see cutIfRescanCostly):
+    // counts feeds both the grand total and the top-k probe — left
+    // lazy, the second reference re-tokenizes the whole corpus.
+    // Vocabulary-sized and narrow (token, count): far smaller than the
+    // token stream it replaces.
+    val counts = ScaleHints.cutIfRescanCostly(
+      df.select(explode(tokens(col(textCol))).as("token"))
+        .filter(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("term_cnt")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val total = counts.agg(sum(col("term_cnt")).as("__tot"))
     val order = Seq(col("term_cnt").desc, col("token").asc)
     val w = Window.orderBy(order: _*)
@@ -280,9 +287,18 @@ object TextAnalysis {
         graft.expr.sketchFunctions.sliding_grams(col(textCol), 2)).as("g"))
       .select(substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"))
-    val uni = toks.select(explode(col("__w")).as("tk"))
-      .groupBy("tk").agg(count(lit(1)).as("c"))
-    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy"))
+    // MATERIALIZED when a re-scan is costly (see cutIfRescanCostly):
+    // uni feeds the total and both per-word joins (3 references), biCnt
+    // the total and the main chain (2) — left lazy, the corpus is
+    // re-tokenized five times. Both are vocabulary-sized counts, far
+    // smaller than the token streams they summarize.
+    val uni = ScaleHints.cutIfRescanCostly(
+      toks.select(explode(col("__w")).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("c")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    val biCnt = ScaleHints.cutIfRescanCostly(
+      bi.groupBy("w1", "w2").agg(count(lit(1)).as("c_xy")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val totals = uni.agg(sum("c").as("n_uni"))
       .crossJoin(biCnt.agg(sum("c_xy").as("n_bi")))
     val d = (c: Column) => c.cast("double")
@@ -376,8 +392,13 @@ object TextAnalysis {
         graft.expr.sketchFunctions.sliding_grams(col(textCol), 2)).as("g"))
       .select(col(idCol), substring_index(col("g"), " ", 1).as("w1"),
         substring_index(col("g"), " ", -1).as("w2"))
-    val uni = toks.select(explode(col("__w")).as("tk"))
-      .groupBy("tk").agg(count(lit(1)).as("c1"))
+    // MATERIALIZED when a re-scan is costly (see cutIfRescanCostly):
+    // uni feeds the vocab count and the stats join — left lazy, the
+    // corpus is tokenized twice more.
+    val uni = ScaleHints.cutIfRescanCostly(
+      toks.select(explode(col("__w")).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("c1")),
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val vocab = uni.agg(count(lit(1)).as("v"))
     val stats = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .join(uni.select(col("tk").as("w1"), col("c1")), Seq("w1"))

@@ -125,11 +125,14 @@ class ScaleShapeSpec extends AnyFunSuite {
     // ratio table must come back as a broadcast join
     val w = graft.ops.Sampling.dsirWeights(docs, $"doc_id", $"text",
       $"source" === "src0")
+    // the bucket ratio table must come back as a broadcast join — pinned
+    // on the WEIGHTS plan (the resample plan now starts at the keyed
+    // checkpoint, so the scoring join is no longer visible there)
+    assert(plan(w).contains("BroadcastHashJoin"), plan(w))
     val rs = graft.ops.Sampling.dsirResample(w, "id", "w_milli", k = 10)
     val rp = plan(rs)
     assert(!rp.contains("rangepartitioning"), rp) // no global sort exchange
     assert(rp.contains("TakeOrderedAndProject"), rp)
-    assert(rp.contains("BroadcastHashJoin"), rp)
 
     // SemDeDup pair generation: equi-join on the cell key — a self-join
     // resolution bug would degrade it to all-pairs. Assert on the PAIR
@@ -386,6 +389,26 @@ class ScaleShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-side shuffle crept in:\n$p")
     // sanity: contaminated docs exist (injected near-dups overlap corpus)
     assert(out.filter($"contamination" > 0).count() > 0)
+  }
+
+  test("negative-mining anti join: bounded build side converts to broadcast under AQE") {
+    // the static plan is a SortMergeJoin (the avoid set's size estimate
+    // is corpus-derived, so the gated broadcast hint correctly declines)
+    // but its ACTUAL size is bounded by k·|Q| + qrels — the r17 audit
+    // relies on AQE converting it at runtime so the corpus-scale
+    // candidate stream is never sorted; pin that conversion here
+    val df = SparkEntry.queries("rag_random_negatives")(
+      spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+
+    // cutIfRescanCostly: below the byte gate the frame is returned AS-IS
+    // (no eager job on bench-scale inputs); the gate itself is the
+    // widenScan byte rule, exercised by construction here
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val counts = docs.groupBy("source").count()
+    assert(graft.ops.ScaleHints.cutIfRescanCostly(counts) eq counts)
   }
 
   test("fanout decides from the plan, never an RDD materialization") {
