@@ -732,11 +732,14 @@ object SparkEntry {
       // (ts, event_id), transition counts and per-state milli
       // probabilities — one user-keyed shuffle + one pair aggregate
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val pairs = events(s, dir)
+      // cut (size-gated): pairs feeds the totals and the final join —
+      // left lazy, the second reference re-runs the user-keyed window
+      // over the whole events table
+      val pairs = graft.ops.ScaleHints.cutIfRescanCostly(events(s, dir)
         .withColumn("next_type", lead(col("event_type"), 1).over(w))
         .filter(col("next_type").isNotNull)
         .groupBy(col("event_type").as("cur_type"), col("next_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n")))
       val tot = pairs.groupBy("cur_type").agg(sum("n").cast("long").as("__tot"))
       pairs.join(tot, "cur_type")
         .select(col("cur_type"), col("next_type"), col("n"),
@@ -1952,11 +1955,14 @@ object SparkEntry {
       // model / anomalous-flow baseline. One user-keyed window (lead) +
       // one aggregate; the from-type totals are a broadcast-sized join.
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val counts = events(s, dir)
+      // cut (size-gated): counts feeds the totals and the final join —
+      // left lazy, the second reference re-runs the user-keyed window
+      // over the whole events table
+      val counts = graft.ops.ScaleHints.cutIfRescanCostly(events(s, dir)
         .withColumn("to_type", lead(col("event_type"), 1).over(w))
         .filter(col("to_type").isNotNull)
         .groupBy(col("event_type").as("from_type"), col("to_type"))
-        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n")))
       val totals = counts.groupBy("from_type").agg(sum("n").as("__tot"))
       counts.join(broadcast(totals), Seq("from_type"))
         .withColumn("prob_milli", expr("n * 1000 div __tot"))

@@ -150,8 +150,13 @@ object Profile {
     * group has no scale). */
   def madZscorePerGroup(df: DataFrame, groupCol: String,
       metricCol: String): DataFrame = {
-    val med = df.groupBy(col(groupCol))
-      .agg(expr(s"percentile($metricCol, 0.5)").as("__med"))
+    // cut (size-gated): withMed is referenced twice (the MAD aggregate
+    // and the final score join), and each reference re-evaluates the
+    // per-group median — a full extra input pass. Cutting the
+    // group-sized median table pins the input at the 3-pass minimum the
+    // two dependent percentiles require (median → MAD → score).
+    val med = ScaleHints.cutIfRescanCostly(df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($metricCol, 0.5)").as("__med")))
     val withMed = df.join(ScaleHints.maybeBroadcast(med), groupCol)
     val mad = withMed.groupBy(col(groupCol))
       .agg(expr(s"percentile(abs($metricCol - __med), 0.5)").as("__mad"))
