@@ -1829,8 +1829,13 @@ object SparkEntry {
         datediff(to_date(col("ts")), to_date(lit("2024-01-01"))).as("day_off"))
       val keyed = e.withColumn("zkey",
         Layout.zorderKey2(col("user_id"), col("day_off").cast("long"), bits = 8))
-      val w = Window.orderBy(col("zkey"), col("event_id"))
-      keyed.withColumn("file_id", ntile(32).over(w))
+      // r17: the former ntile(32) over Window.orderBy(zkey, event_id)
+      // moved the WHOLE events table to one task — the one unbounded
+      // global window in the declared set. Layout.globalNtile computes
+      // the identical bucket ids scalably (per-zkey offsets from the
+      // bounded bits=8 histogram + a zkey-partitioned rank window).
+      Layout.globalNtile(keyed, col("zkey"), col("event_id"),
+          n = 32, outCol = "file_id")
         .groupBy("file_id")
         .agg(count(lit(1)).as("n_rows"),
           min("user_id").as("min_user"), max("user_id").as("max_user"),

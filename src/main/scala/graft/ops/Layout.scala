@@ -54,6 +54,73 @@ object Layout {
       .reduce(_.bitwiseOR(_))
   }
 
+  /** `ntile(n)` over the GLOBAL order (`keyCol` asc, `tieCol` asc)
+    * without a single-partition window — the r17 scale fix for the
+    * Z-order layout audit, whose `Window.orderBy(zkey, …)` moved the
+    * whole fact table to ONE task (WindowExec's "No Partition Defined"
+    * path, the one unbounded global window in the declared query set).
+    *
+    * Decomposition: 0-based global rank = (rows with a smaller key) +
+    * (rank within this key by `tieCol`) − 1. The per-key histogram is
+    * grouped-aggregated (partial-agg friendly) and must be BOUNDED
+    * cardinality — the caller's contract, met by a masked Morton key
+    * (bits=8 ⇒ ≤ 65 536 cells) — so its cumulative-offset window is a
+    * bounded small-table job and the offsets broadcast. The per-row
+    * window partitions by `keyCol`: fact-scale data never
+    * single-partitions. `tieCol` must be unique within a key group.
+    * `outCol` then replays ntile's exact bucket arithmetic off the
+    * global rank (q = N div n, r = N mod n; first r buckets get q+1
+    * rows; `greatest(q, 1)` keeps the dead else-branch division defined
+    * when N < n) — row-identical to `ntile(n).over(orderBy(key, tie))`,
+    * pinned by LayoutSpec on a skewed sample. */
+  def globalNtile(df: DataFrame, keyCol: Column, tieCol: Column,
+      n: Int, outCol: String): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    // Size-gated cutover, the [[PageRank.bigGraphNodes]] discipline: the
+    // decomposed form costs a SECOND pass over the input (the histogram)
+    // plus two more exchanges, and at every size this sandbox can
+    // measure the one-task sort of a narrow frame wins (r17 A/B,
+    // sweeps-median window vs decomposed: sf0.1 1.0 s vs 1.5; sf1 2.5
+    // vs 4.8; sf10 — a ~3 GB / 100M-row one-task sort — 27 vs 87, with
+    // the warm third sweeps at 14 vs 21). Spark's radix-sorting
+    // UnsafeExternalSorter makes a single-task sort CPU-cheap; what
+    // kills it at corpus scale is one task's MEMORY: past a few GB the
+    // sort spills and the whole fact table serializes through one
+    // core's disk queue, and at 100 TB the frame does not fit one
+    // machine at all. The 2 GiB default keeps every measured regime on
+    // the fast path and cuts over only where the one-task form stops
+    // being physically sane; it is a conf, not a constant, because the
+    // right value is executor-memory-shaped.
+    // The gate reads the OPTIMIZER's size estimate of the frame entering
+    // the window (plan stats: file bytes for scans scaled by pruning;
+    // checkpoint-fed frames estimate Long.MaxValue and land on the
+    // decomposed side — the safe direction).
+    val cutover = df.sparkSession.conf
+      .getOption("spark.graft.globalNtileSingleTaskMaxBytes")
+      .map(_.toLong).getOrElse(2048L * 1024 * 1024)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(cutover))
+      return df.withColumn(outCol,
+        ntile(n).over(Window.orderBy(keyCol, tieCol)))
+    val hist = ScaleHints.cutIfRescanCostly(
+      df.groupBy(keyCol.as("__gk")).agg(count(lit(1)).as("__n")))
+    val wz = Window.orderBy(col("__gk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = hist.select(col("__gk"),
+      (sum(col("__n")).over(wz) - col("__n")).as("__off"))
+    val tot = hist.agg(sum(col("__n")).as("__N"))
+    val wk = Window.partitionBy(keyCol).orderBy(tieCol)
+    df.join(broadcast(offs), keyCol === col("__gk"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__i", col("__off") + row_number().over(wk) - 1)
+      .withColumn(outCol, expr(
+        s"""cast(if(__i < (__N % $n) * (__N div $n + 1),
+           |        __i div (__N div $n + 1) + 1,
+           |        __N % $n + (__i - (__N % $n) * (__N div $n + 1))
+           |          div greatest(__N div $n, 1L) + 1) as int)""".stripMargin))
+      .drop("__gk", "__n", "__off", "__N", "__i")
+  }
+
   /** Write-side clustering: range-repartition on the Morton key into
     * `nFiles` partitions and sort within each — the OPTIMIZE ZORDER
     * shape (one shuffle; boundaries come from Spark's reservoir sample

@@ -147,6 +147,44 @@ class LayoutSpec extends AnyFunSuite {
     assert(merged.count() == 40)
   }
 
+  test("globalNtile equals ntile over the total order (skewed keys, N<n edge)") {
+    import org.apache.spark.sql.expressions.Window
+    // skewed: key 7 holds half the rows, several singleton keys, and the
+    // tie column deliberately interleaves across keys
+    val rows = (0 until 500).map { i =>
+      val k = if (i % 2 == 0) 7L else (i % 19).toLong
+      (k, (i * 37 % 1000).toLong)
+    }
+    val df = rows.toDF("k", "tie")
+      .groupBy("k", "tie").agg(count(lit(1))).select("k", "tie") // unique ties
+    // force the DECOMPOSED path (a test frame is far below the byte
+    // gate, which would fall back to the literal window and test nothing)
+    spark.conf.set("spark.graft.globalNtileSingleTaskMaxBytes", "0")
+    try {
+      for (n <- Seq(1, 3, 32)) {
+        val want = df.withColumn("b",
+          ntile(n).over(Window.orderBy(col("k"), col("tie"))))
+          .orderBy("k", "tie").select("b").as[Int].collect().toList
+        val got = Layout.globalNtile(df, col("k"), col("tie"), n, "b")
+          .orderBy("k", "tie").select("b").as[Int].collect().toList
+        assert(got == want, s"n=$n")
+      }
+      // N < n: every row its own bucket, ids 1..N
+      val tiny = Seq((1L, 1L), (1L, 2L), (2L, 1L)).toDF("k", "tie")
+      val got = Layout.globalNtile(tiny, col("k"), col("tie"), 32, "b")
+        .orderBy("k", "tie").select("b").as[Int].collect().toList
+      assert(got == List(1, 2, 3))
+    } finally spark.conf.unset("spark.graft.globalNtileSingleTaskMaxBytes")
+    // default gate: a small frame takes the literal-window path and
+    // agrees too
+    val viaGate = Layout.globalNtile(df, col("k"), col("tie"), 7, "b")
+      .orderBy("k", "tie").select("b").as[Int].collect().toList
+    val wantGate = df.withColumn("b",
+      ntile(7).over(Window.orderBy(col("k"), col("tie"))))
+      .orderBy("k", "tie").select("b").as[Int].collect().toList
+    assert(viaGate == wantGate)
+  }
+
   test("compactionPlan: sorted next-fit bins, oversized file isolates") {
     // key k: sizes 900, 600, 500, 100 → sorted cumsum 900,1500,2000,2100
     //   target 1000: bins (cum-bytes)/1000 → 0, 0, 1, 2
